@@ -1,0 +1,415 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Relational analytics suite (SURVEY.md §2.3) over the TPC-H-ish tables.
+  *
+  * Design notes for scale (see SURVEY.md §4):
+  *  - dimension tables (region/nation/supplier/part/customer at TPC-H
+  *    ratios) are joined with an explicit `broadcast()` hint — at 100 TB
+  *    the fact side never shuffles for those joins;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key and
+  *    lean on AQE for skew/coalescing;
+  *  - all money aggregates are decimal-exact (see [[Exact]]) so results
+  *    hash-match the DuckDB oracle bit-for-bit.
+  */
+object Relational extends QueryModule {
+
+  /** ep * (1 - disc), decimal-exact, scale 4. */
+  private def discPrice: Column =
+    (col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money)))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  private def revenue: Column = sum(discPrice).cast("double")
+  private val revenueSql = s"CAST(SUM($discPriceSql) AS DOUBLE)"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(discPrice).cast("double").as("sum_disc_price"),
+            sum(discPrice * (lit(1).cast(Money) + col("l_tax").cast(Money))).cast("double").as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlSum("l_quantity")} AS sum_qty,
+        ${sqlSum("l_extendedprice")} AS sum_base_price,
+        CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM($discPriceSql * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        ${sqlAvg("l_quantity")} AS avg_qty,
+        ${sqlAvg("l_extendedprice")} AS avg_price,
+        ${sqlAvg("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+    ),
+
+    QueryDef(
+      "q3_shipping_priority",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        val o = t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = t.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    ),
+
+    QueryDef(
+      "q5_local_supplier",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+    ),
+
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+              col("l_quantity") < 24)
+          .agg(
+            sum(col("l_extendedprice").cast(Money) * col("l_discount").cast(Money))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""")
+    ),
+
+    QueryDef(
+      "q_top_customers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rev = t.orders
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(Money)).cast("double").as("cust_revenue"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("cust_revenue").desc, col("c_custkey"))
+        rev
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("n_name"), col("c_name"), col("cust_revenue"), col("rk"))
+          .orderBy(col("n_name"), col("rk"))
+      },
+      Some("""WITH rev AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_revenue
+        FROM orders GROUP BY o_custkey)
+      SELECT n_name, c_name, cust_revenue, rk FROM (
+        SELECT n_name, c_name, cust_revenue,
+          CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cust_revenue DESC, c_custkey) AS BIGINT) AS rk
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey) x
+      WHERE rk <= 3 ORDER BY n_name, rk""")
+    ),
+
+    QueryDef(
+      "q_order_priority",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val late = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+        t.orders
+          .join(late,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "leftsemi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    QueryDef(
+      "q_parts_not_ordered",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part
+          .join(
+            t.lineitem
+              .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+              .select(col("l_partkey")),
+            col("p_partkey") === col("l_partkey"), "leftanti")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_unordered"),
+            sum(col("p_retailprice").cast(Money)).cast("double").as("shelf_value"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_unordered,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS shelf_value
+      FROM part WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      GROUP BY p_brand ORDER BY p_brand""")
+    ),
+
+    QueryDef(
+      "q_rollup_revenue",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderstatus"))
+          .agg(sum(col("o_totalprice").cast(Money)).cast("double").as("total_revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT n_name, o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, o_orderstatus)
+      ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+    ),
+
+    QueryDef(
+      "q_distinct_custs",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_custs"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    ),
+
+    QueryDef(
+      "q_union_activity",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val c = t.customer.select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("kind"))
+        val sup = t.supplier.select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("kind"))
+        c.unionByName(sup)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_accounts"),
+            sum(col("acctbal").cast(Money)).cast("double").as("total_balance"),
+            countDistinct(col("name")).as("n_names"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT kind, COUNT(*) AS n_accounts,
+        CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+        COUNT(DISTINCT name) AS n_names
+      FROM (
+        SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+      GROUP BY kind ORDER BY kind""")
+    ),
+
+    QueryDef(
+      "q_case_bucketing",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .withColumn("bucket",
+            when(col("o_totalprice") < 50000, "small")
+              .when(col("o_totalprice") < 200000, "medium")
+              .otherwise("large"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+            sum(col("o_totalprice").cast(Money)).cast("double").as("total_price"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT bucket, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM (SELECT *, CASE WHEN o_totalprice < 50000 THEN 'small'
+                           WHEN o_totalprice < 200000 THEN 'medium'
+                           ELSE 'large' END AS bucket FROM orders)
+      GROUP BY bucket ORDER BY bucket""")
+    ),
+
+    QueryDef(
+      "q_events_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, dir).events
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("session_id")).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            count(lit(1)).as("n_sessions_check"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        MAX(n_events) AS max_session_events, COUNT(*) AS n_sessions_check
+      FROM per_session GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    QueryDef(
+      "q_events_window",
+      (s, dir) => {
+        Tables(s, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+            sum(col("value").cast(Money)).cast("double").as("total_value"))
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""")
+    ),
+
+    QueryDef(
+      "q_events_topk_users",
+      (s, dir) => {
+        val totals = Tables(s, dir).events
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast(Money)).cast("double").as("total_value"),
+            count(lit(1)).as("n_events"))
+        val w = Window.orderBy(col("total_value").desc)
+        totals
+          .withColumn("rk", dense_rank().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy(col("rk"), col("user_id"))
+      },
+      Some("""SELECT user_id, total_value, n_events, rk FROM (
+        SELECT user_id, total_value, n_events, CAST(DENSE_RANK() OVER (ORDER BY total_value DESC) AS BIGINT) AS rk
+        FROM (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                COUNT(*) AS n_events
+              FROM events GROUP BY user_id) t) r
+      WHERE rk <= 5 ORDER BY rk, user_id""")
+    ),
+
+    QueryDef(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin("view", "purchase"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev
+          .withColumn("view_ts",
+            last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "purchase")
+          .withColumn("gap_us",
+            when(col("view_ts").isNotNull, unix_micros(col("ts")) - unix_micros(col("view_ts"))))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count(col("gap_us")).as("n_matched"),
+            sum(col("gap_us")).as("total_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+        FROM events WHERE event_type IN ('view', 'purchase'))
+      SELECT user_id, COUNT(*) AS n_purchases,
+        COUNT(CASE WHEN view_ts IS NOT NULL THEN 1 END) AS n_matched,
+        CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN epoch_us(ts) - epoch_us(view_ts) END) AS BIGINT) AS total_gap_us
+      FROM ev WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id""")
+    )
+  )
+}
