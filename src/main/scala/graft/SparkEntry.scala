@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY.md §2 order. */
   def modules: Seq[QueryModule] = Seq(
-    graft.operators.Relational
+    graft.operators.Relational,
+    graft.graph.GraphQueries
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

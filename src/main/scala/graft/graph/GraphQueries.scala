@@ -1,0 +1,138 @@
+package graft.graph
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** SPO graph operator suite (SURVEY.md §2.2) on triples derived from the
+  * events table — the Spark surface for the reference's Postgres graph
+  * (`src/Database.cpp`: objects / relationships / id-lookup).
+  */
+object GraphQueries extends QueryModule {
+
+  private val T = TripleStore
+
+  /** Shared oracle CTE prelude: triples + objects + edges. */
+  private val prelude =
+    s"""WITH triples AS (${T.triplesSql}),
+      objs AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS object_id, name,
+               'entity' AS object_type, first_seen_us
+        FROM (SELECT name, MIN(ts_us) AS first_seen_us FROM (
+                SELECT subject AS name, ts_us FROM triples
+                UNION ALL
+                SELECT object AS name, ts_us FROM triples) u
+              GROUP BY name)),
+      edges AS (
+        SELECT s.object_id AS source_id, d.object_id AS target_id, predicate, COUNT(*) AS n
+        FROM triples t
+        JOIN objs s ON t.subject = s.name
+        JOIN objs d ON t.object = d.name
+        GROUP BY s.object_id, d.object_id, predicate)"""
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "spo_objects",
+      (s, dir) => T.objects(T.triplesFromEvents(graft.operators.Tables(s, dir).events))
+        .orderBy(col("object_id")),
+      Some(s"$prelude SELECT object_id, name, object_type, first_seen_us FROM objs ORDER BY object_id")
+    ),
+
+    QueryDef(
+      "spo_relationships",
+      (s, dir) => {
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        T.relationships(t, T.objects(t)).orderBy(col("source_id"), col("target_id"), col("predicate"))
+      },
+      Some(s"$prelude SELECT source_id, target_id, predicate, n FROM edges ORDER BY source_id, target_id, predicate")
+    ),
+
+    QueryDef(
+      "spo_degree",
+      (s, dir) => {
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        val objs = T.objects(t)
+        val edges = T.relationships(t, objs)
+        val out = edges.groupBy(col("source_id").as("object_id"))
+          .agg(sum(col("n")).as("out_edges"), countDistinct(col("target_id")).as("out_neighbors"))
+        val in = edges.groupBy(col("target_id").as("object_id"))
+          .agg(sum(col("n")).as("in_edges"), countDistinct(col("source_id")).as("in_neighbors"))
+        objs.select(col("object_id"), col("name"))
+          .join(out, Seq("object_id"), "left")
+          .join(in, Seq("object_id"), "left")
+          .select(col("object_id"), col("name"),
+            coalesce(col("out_edges"), lit(0L)).as("out_edges"),
+            coalesce(col("out_neighbors"), lit(0L)).as("out_neighbors"),
+            coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+            coalesce(col("in_neighbors"), lit(0L)).as("in_neighbors"))
+          .orderBy(col("object_id"))
+      },
+      Some(s"""$prelude,
+        outd AS (SELECT source_id AS object_id, CAST(SUM(n) AS BIGINT) AS out_edges,
+                   COUNT(DISTINCT target_id) AS out_neighbors FROM edges GROUP BY source_id),
+        ind AS (SELECT target_id AS object_id, CAST(SUM(n) AS BIGINT) AS in_edges,
+                   COUNT(DISTINCT source_id) AS in_neighbors FROM edges GROUP BY target_id)
+      SELECT o.object_id, o.name,
+        COALESCE(out_edges, 0) AS out_edges, COALESCE(out_neighbors, 0) AS out_neighbors,
+        COALESCE(in_edges, 0) AS in_edges, COALESCE(in_neighbors, 0) AS in_neighbors
+      FROM objs o LEFT JOIN outd ON o.object_id = outd.object_id
+      LEFT JOIN ind ON o.object_id = ind.object_id
+      ORDER BY o.object_id""")
+    ),
+
+    QueryDef(
+      "spo_predicate_stats",
+      (s, dir) => {
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        t.groupBy(col("predicate"))
+          .agg(count(lit(1)).as("n_triples"),
+            countDistinct(col("subject")).as("n_subjects"),
+            countDistinct(col("object")).as("n_objects"))
+          .orderBy(col("predicate"))
+      },
+      Some(s"""WITH triples AS (${T.triplesSql})
+      SELECT predicate, COUNT(*) AS n_triples,
+        COUNT(DISTINCT subject) AS n_subjects, COUNT(DISTINCT object) AS n_objects
+      FROM triples GROUP BY predicate ORDER BY predicate""")
+    ),
+
+    QueryDef(
+      "spo_two_hop",
+      (s, dir) => {
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        val hop = t.select(col("subject"), col("object")).distinct()
+        val back = hop.select(col("object"), col("subject").as("peer"))
+        hop.join(back, "object")
+          .filter(col("subject") =!= col("peer"))
+          .groupBy(col("subject"))
+          .agg(countDistinct(col("peer")).as("n_two_hop_peers"))
+          .orderBy(col("subject"))
+      },
+      Some(s"""WITH triples AS (${T.triplesSql}),
+        hop AS (SELECT DISTINCT subject, object FROM triples)
+      SELECT a.subject, COUNT(DISTINCT b.subject) AS n_two_hop_peers
+      FROM hop a JOIN hop b ON a.object = b.object AND a.subject <> b.subject
+      GROUP BY a.subject ORDER BY a.subject""")
+    ),
+
+    QueryDef(
+      "spo_cooccurrence",
+      (s, dir) => {
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        val so = t.select(col("subject"), col("object")).distinct()
+        val b = so.select(col("subject"), col("object").as("object_b"))
+        so.join(b, "subject")
+          .filter(col("object") < col("object_b"))
+          .groupBy(col("object"), col("object_b"))
+          .agg(count(lit(1)).as("n_shared_subjects"))
+          .filter(col("n_shared_subjects") >= 10)
+          .orderBy(col("object"), col("object_b"))
+      },
+      Some(s"""WITH triples AS (${T.triplesSql}),
+        so AS (SELECT DISTINCT subject, object FROM triples)
+      SELECT a.object AS object, b.object AS object_b, COUNT(*) AS n_shared_subjects
+      FROM so a JOIN so b ON a.subject = b.subject AND a.object < b.object
+      GROUP BY a.object, b.object HAVING COUNT(*) >= 10
+      ORDER BY object, object_b""")
+    )
+  )
+}
