@@ -12,7 +12,10 @@ object SparkEntry {
   /** All operator modules, in SURVEY.md §2 order. */
   def modules: Seq[QueryModule] = Seq(
     graft.operators.Relational,
-    graft.graph.GraphQueries
+    graft.graph.GraphQueries,
+    graft.textfn.TextQueries,
+    graft.dedup.Dedup,
+    graft.similarity.Similarity
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns, built from
+  * SQL higher-order functions (codegen-adjacent, no UDFs, no collect).
+  *
+  * Cross-engine exactness: both the Spark expression and its DuckDB
+  * mirror cast each element to DOUBLE and LEFT-FOLD the products in
+  * index order, so dot products (and everything derived) are
+  * bit-identical for the oracle gate.
+  */
+object VectorOps {
+
+  /** dot(a, b) as a left fold in array order. */
+  def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** Deterministic random hyperplanes for cosine LSH: `planes(p)(d)` from
+    * a fixed-seed generator (JVM LCG is specified, so this is stable
+    * across runs and machines). Used as literal arrays — evaluated once,
+    * broadcast with the plan, never per-row.
+    */
+  def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dims)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket id for one band of hyperplanes: fold the sign bits of
+    * `v · plane_p` into an int. */
+  def signBucket(vecCol: String, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = s"array(${p.map(x => s"CAST($x AS DOUBLE)").mkString(",")})"
+      (expr(s"aggregate(zip_with($vecCol, $planeLit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") > 0)
+        .cast("int") * lit(1 << i)
+    }.reduce(_ + _)
+}

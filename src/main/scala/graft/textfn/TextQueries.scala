@@ -1,0 +1,112 @@
+package graft.textfn
+
+import graft.{QueryDef, QueryModule}
+import graft.operators.Tables
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Text-analysis operator suite (SURVEY.md §2.6) over `documents`. */
+object TextQueries extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "text_tokens",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            subtokenCount(col("text")).as("n_subtokens"),
+            length(col("text")).cast("long").as("n_chars_measured"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        $subtokenCountSql AS n_subtokens,
+        CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      "text_langid",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            hits(col("text"), StopEn).as("en_hits"),
+            hits(col("text"), StopDe).as("de_hits"),
+            hits(col("text"), StopFr).as("fr_hits"),
+            hits(col("text"), StopEs).as("es_hits"))
+          .withColumn("pred_lang",
+            when(col("en_hits") === 0 && col("de_hits") === 0 &&
+              col("fr_hits") === 0 && col("es_hits") === 0, "unknown")
+              .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+                col("en_hits") >= col("es_hits"), "en")
+              .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+              .when(col("fr_hits") >= col("es_hits"), "fr")
+              .otherwise("es"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+             WHEN fr_hits >= es_hits THEN 'fr'
+             ELSE 'es' END AS pred_lang
+      FROM (SELECT doc_id,
+        ${hitsSql(StopEn)} AS en_hits,
+        ${hitsSql(StopDe)} AS de_hits,
+        ${hitsSql(StopFr)} AS fr_hits,
+        ${hitsSql(StopEs)} AS es_hits
+      FROM documents) h ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      "text_quality",
+      (s, dir) => {
+        val nTok = tokenCount(col("text"))
+        val stopRatio = hits(col("text"), StopEn).cast("double") / nTok.cast("double")
+        val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") /
+          length(col("text")).cast("double")
+        val meanWordLen = (length(col("text")).cast("long") - (nTok - 1L)).cast("double") /
+          nTok.cast("double")
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_measured"),
+            stopRatio.as("stop_ratio"),
+            digitRatio.as("digit_ratio"),
+            meanWordLen.as("mean_word_len"),
+            (least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+              stopRatio * 0.3 +
+              (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars_measured, stop_ratio, digit_ratio, mean_word_len,
+        LEAST(1.0, CAST(n_chars_measured AS DOUBLE) / 400.0) * 0.5 + stop_ratio * 0.3 +
+          (1.0 - LEAST(1.0, digit_ratio * 5.0)) * 0.2 AS quality
+      FROM (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_measured,
+        CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE) /
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len
+      FROM documents) q ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            contentMd5(col("text")).as("content_md5"),
+            minShingleMd5(col("text")).as("min_shingle_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, md5(text) AS content_md5,
+        ${minShingleMd5Sql()} AS min_shingle_md5
+      FROM documents ORDER BY doc_id""")
+    )
+  )
+}
