@@ -11,6 +11,7 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY.md §2 order. */
   def modules: Seq[QueryModule] = Seq(
+    graft.avro.AvroQueries,
     graft.operators.Relational,
     graft.graph.GraphQueries,
     graft.textfn.TextQueries,
@@ -20,9 +21,11 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the reference's core path: Kafka-shaped topic log ->
+    * CP1 unframe -> Avro decode -> aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    allDefs.head.fn(spark, "/root/testdata/sf0.001")
+    queries("avro_roundtrip_count")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,218 @@
+package graft.avro
+
+import graft.{QueryDef, QueryModule}
+import graft.config.PipelineConfig
+import graft.graph.TripleStore
+import graft.operators.Tables
+import graft.operators.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest/Avro/registry operator suite (SURVEY.md §2.1) — the Spark
+  * re-expression of the reference's entire consume path:
+  * topic log -> CP1 unframe -> Avro decode -> (JSON | config transforms |
+  * error counting) (`src/main.cpp`, `src/KafkaConsumerCallback.cpp`).
+  *
+  * There is no broker in this environment, so the "topic" is a
+  * deterministic DataFrame materialized from the `events` table with
+  * Kafka semantics: 4 partitions keyed by user, per-partition
+  * monotonically-increasing offsets, CP1-framed Confluent Avro values.
+  * The decode path is byte-for-byte the real thing.
+  */
+object AvroQueries extends QueryModule {
+
+  val Topic = "events"
+  val NumPartitions = 4
+
+  /** Avro value schema for the events topic (what the reference's
+    * config-driven `assemble_schema` would emit for this column list). */
+  val EventsSchemaJson: String = AvroCodec.recordSchemaJson("events_msg", Seq(
+    "event_id" -> "long",
+    "user_id" -> "long",
+    "event_type" -> "string",
+    "value" -> "double",
+    "props" -> "string"))
+
+  /** SPO triple schema — the reference's actual topic (`spo`). */
+  val SpoSchemaJson: String = AvroCodec.recordSchemaJson("spo_msg", Seq(
+    "subject" -> "string",
+    "predicate" -> "string",
+    "object" -> "string"))
+
+  /** The reference's YAML config shape (configs/SPO_2_kafka.yaml),
+    * retargeted at the events topic. */
+  val ConfigYaml: String =
+    """kafka:
+      |  bootstrap.servers: localhost:9092
+      |  client.id: graft-consumer
+      |  schema.registry.url: mem://local
+      |column_map:
+      |  user_id: uid
+      |  value: amount
+      |column_type_transforms:
+      |  event_id: long
+      |  user_id: long
+      |  value: double
+      |type_map:
+      |  events:
+      |    key_column: user_id
+      |    columns:
+      |      - event_id
+      |      - user_id
+      |      - event_type
+      |      - value
+      |""".stripMargin
+
+  /** Simulated Kafka topic: (topic, partition, msg_offset, key, value).
+    * Offsets are per-partition row_numbers in (ts, event_id) order —
+    * exactly a Kafka partition's append order for a keyed producer.
+    */
+  def topicLog(spark: SparkSession, dir: String): DataFrame = {
+    val (_, schemaId) = SchemaRegistry.withSchema(Topic, EventsSchemaJson)
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("partition", pmod(col("user_id"), lit(NumPartitions)).cast("int"))
+    val encoded = AvroCodec.encode(
+      ev.select("event_id", "user_id", "event_type", "value", "props", "ts_us", "partition"),
+      EventsSchemaJson, schemaId,
+      passthrough = Seq("event_id", "user_id", "ts_us", "partition"))
+    encoded
+      .withColumn("topic", lit(Topic))
+      .withColumn("msg_offset",
+        (row_number().over(Window.partitionBy(col("partition"))
+          .orderBy(col("ts_us"), col("event_id"))) - 1).cast("long"))
+      .withColumn("key", col("user_id").cast("string").cast("binary"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "kafka_log_scan",
+      (s, dir) => {
+        topicLog(s, dir)
+          .groupBy(col("topic"), col("partition"))
+          .agg(
+            count(lit(1)).as("n_msgs"),
+            max(col("msg_offset")).as("max_offset"),
+            (max(col("msg_offset")) === count(lit(1)) - 1).as("contiguous"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy(col("partition"))
+      },
+      Some(s"""WITH log AS (
+        SELECT CAST(user_id % $NumPartitions AS INT) AS partition, epoch_us(ts) AS ts_us,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id % $NumPartitions
+            ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS msg_offset
+        FROM events)
+      SELECT 'events' AS topic, partition, COUNT(*) AS n_msgs,
+        MAX(msg_offset) AS max_offset,
+        MAX(msg_offset) = COUNT(*) - 1 AS contiguous,
+        MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+      FROM log GROUP BY partition ORDER BY partition""")
+    ),
+
+    QueryDef(
+      "avro_roundtrip_count",
+      (s, dir) => {
+        val decoded = AvroCodec.decode(topicLog(s, dir), "value", EventsSchemaJson)
+        decoded
+          .filter(col("err").isNull)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dsum(col("value")).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        ${Exact.sqlSum("value")} AS total_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    QueryDef(
+      "avro_decode_project",
+      (s, dir) => {
+        val decoded = AvroCodec.decode(topicLog(s, dir), "value", EventsSchemaJson)
+        decoded
+          .filter(col("err").isNull && col("event_type") === "purchase" && col("value") > 100.0)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, value,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type = 'purchase' AND value > 100.0
+      ORDER BY event_id""")
+    ),
+
+    QueryDef(
+      "avro_to_json",
+      (s, dir) => {
+        val triples = TripleStore.triplesFromEvents(Tables(s, dir).events)
+        val (_, spoId) = SchemaRegistry.withSchema("spo", SpoSchemaJson)
+        val framed = AvroCodec.encode(triples, SpoSchemaJson, spoId)
+        val jsons = AvroCodec.decodeToJson(framed, "value", SpoSchemaJson)
+        jsons
+          .withColumn("predicate", get_json_object(col("json"), "$.predicate"))
+          .groupBy(col("predicate"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("json")).cast("long")).as("total_json_chars"))
+          .orderBy(col("predicate"))
+      },
+      Some(s"""WITH triples AS (${TripleStore.triplesSql}),
+        js AS (SELECT predicate,
+          '{"subject":"' || subject || '","predicate":"' || predicate ||
+            '","object":"' || object || '"}' AS json
+        FROM triples)
+      SELECT predicate, COUNT(*) AS n,
+        CAST(SUM(length(json)) AS BIGINT) AS total_json_chars
+      FROM js GROUP BY predicate ORDER BY predicate""")
+    ),
+
+    QueryDef(
+      "deser_error_count",
+      (s, dir) => {
+        // deterministically corrupt a slice of the stream: wrong magic for
+        // event_id % 97 == 0, truncated frame for event_id % 101 == 0
+        val log = topicLog(s, dir).withColumn("value",
+          when(pmod(col("event_id"), lit(97)) === 0,
+            concat(lit(Array[Byte](1)), expr("substring(value, 2)")))
+            .when(pmod(col("event_id"), lit(101)) === 0, expr("substring(value, 1, 3)"))
+            .otherwise(col("value")))
+        AvroCodec.decode(log, "value", EventsSchemaJson)
+          .withColumn("status", coalesce(col("err"), lit("ok")))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT CASE WHEN event_id % 97 = 0 THEN 'bad_magic'
+                   WHEN event_id % 101 = 0 THEN 'truncated'
+                   ELSE 'ok' END AS status, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+
+    QueryDef(
+      "config_transform",
+      (s, dir) => {
+        val cfg = PipelineConfig.parseYaml(ConfigYaml)
+        val decoded = AvroCodec.decode(topicLog(s, dir), "value", EventsSchemaJson)
+          .filter(col("err").isNull)
+        cfg.applyTransforms(decoded, Topic)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_msgs"),
+            Exact.dsum(col("amount")).as("total_amount"),
+            countDistinct(col("uid")).as("n_uids"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_msgs,
+        ${Exact.sqlSum("value")} AS total_amount,
+        COUNT(DISTINCT user_id) AS n_uids
+      FROM events GROUP BY event_type ORDER BY event_type""")
+    )
+  )
+}
