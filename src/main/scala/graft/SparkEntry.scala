@@ -16,7 +16,8 @@ object SparkEntry {
     graft.graph.GraphQueries,
     graft.textfn.TextQueries,
     graft.dedup.Dedup,
-    graft.similarity.Similarity
+    graft.similarity.Similarity,
+    graft.multimodal.Multimodal
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

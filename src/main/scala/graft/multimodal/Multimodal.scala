@@ -1,0 +1,143 @@
+package graft.multimodal
+
+import graft.{QueryDef, QueryModule}
+import graft.operators.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.7).
+  *
+  * Media decode libraries aren't in this container, so the *codec kernel*
+  * is stubbed (see [[FakeDecode]]) — but everything Spark-side is real:
+  * binary container columns, fixed-offset header parsing with pure
+  * column expressions, frame-index explosion with batch-friendly
+  * partitioning, and typed metadata structs. At 100 TB the blobs live in
+  * parquet binary columns; header parsing is a codegen'd expression (no
+  * UDF, no decode), so metadata-only queries never touch the payload
+  * bytes beyond the scanned pages.
+  *
+  * Synthetic container format "GRFT": 4-byte magic | 4-byte width |
+  * 4-byte height | 4-byte nframes | 64-byte payload (md5-derived).
+  */
+object Multimodal extends QueryModule {
+
+  /** Deterministic per-doc media geometry (stands in for real headers). */
+  private def widthExpr: Column = lit(16) + pmod(col("doc_id"), lit(64))
+  private def heightExpr: Column = lit(16) + pmod(col("doc_id") * 7, lit(64))
+  private def nframesExpr: Column = lit(1) + pmod(col("doc_id"), lit(24))
+
+  /** int -> 4-byte big-endian binary via hex. */
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** Build the synthetic blob column from a documents DataFrame. */
+  def withBlobs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("blob", concat(
+        lit("GRFT".getBytes("UTF-8")),
+        be4(widthExpr), be4(heightExpr), be4(nframesExpr),
+        unhex(concat(
+          md5(col("text")),
+          md5(concat(col("text"), lit("f1"))),
+          md5(concat(col("text"), lit("f2"))),
+          md5(concat(col("text"), lit("f3")))))))
+      .drop("text")
+
+  /** Parse a 4-byte big-endian field out of the blob (1-based offset). */
+  private def beField(blob: Column, off: Int): Column =
+    conv(hex(substring(blob, off, 4)), 16, 10).cast("long")
+
+  /** Typed metadata struct parsed back from the binary container —
+    * column expressions only. */
+  def extractMeta(blobs: DataFrame): DataFrame =
+    blobs.select(
+      col("doc_id"),
+      substring(col("blob"), 1, 4).cast("string").as("magic"),
+      beField(col("blob"), 5).as("width"),
+      beField(col("blob"), 9).as("height"),
+      beField(col("blob"), 13).as("nframes"),
+      (length(col("blob")) - 16).cast("long").as("payload_len"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // build -> parse roundtrip: the oracle recomputes the metadata from
+      // doc_id arithmetic; matching proves the binary header plumbing.
+      "mm_extract_meta",
+      (s, dir) => {
+        extractMeta(withBlobs(Tables(s, dir).documents))
+          .withColumn("pixels", (col("width") * col("height")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'GRFT' AS magic,
+        CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+        CAST(1 + doc_id % 24 AS BIGINT) AS nframes,
+        CAST(64 AS BIGINT) AS payload_len,
+        CAST((16 + doc_id % 64) * (16 + (doc_id * 7) % 64) AS BIGINT) AS pixels
+      FROM documents ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // frame-sampling plan: every 4th frame index exploded to rows —
+      // the batch shape a Pandas-UDF/mapInArrow decode stage would
+      // consume. Decode itself is the stubbed kernel (FakeDecode),
+      // exercised in MultimodalSpec.
+      "mm_frame_sample",
+      (s, dir) => {
+        extractMeta(withBlobs(Tables(s, dir).documents))
+          .select(col("doc_id"), col("nframes"),
+            explode(sequence(lit(0L), col("nframes") - 1L, lit(4L))).as("frame_idx"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS nframes,
+        CAST(f AS BIGINT) AS frame_idx
+      FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 24, 4)) AS f FROM documents) t
+      ORDER BY doc_id, frame_idx""")
+    )
+  )
+}
+
+/** STUB decode kernel. A real deployment swaps this for an image/audio
+  * codec behind `mapInArrow`/`mapPartitions`; the container has no media
+  * libraries, so we use a deterministic fake with the same signature and
+  * batch shape (bytes -> fixed-length float feature vector).
+  */
+object FakeDecode {
+  val FeatureDim = 8
+
+  /** Deterministic fake "decoded features" for one frame's byte window. */
+  def decodeFrame(payload: Array[Byte], frameIdx: Int): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) {
+      val b = payload(((frameIdx * FeatureDim) + i) % payload.length)
+      out(i) = (b & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Frame features for sampled frames, batch-shaped like a real decode
+    * stage: one task per partition, primitive loops inside. */
+  def decodeSampled(blobs: DataFrame, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val idIdx = blobs.schema.fieldIndex("doc_id")
+    blobs.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val blob = row.getAs[Array[Byte]](blobIdx)
+        val id = row.getLong(idIdx)
+        val nframes = ((blob(12) & 0xff) << 24) | ((blob(13) & 0xff) << 16) |
+          ((blob(14) & 0xff) << 8) | (blob(15) & 0xff)
+        val payload = java.util.Arrays.copyOfRange(blob, 16, blob.length)
+        (0 until nframes by stride).iterator.map { f =>
+          Row(id, f, FakeDecode.decodeFrame(payload, f).toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

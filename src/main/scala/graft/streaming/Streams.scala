@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.avro.AvroCodec
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8) — the reference's
+  * poll-loop semantics (`src/main.cpp:238-258`) as declarative streams.
+  *
+  * The reference's consume loop is: poll -> unframe+decode (count
+  * failures) -> transform -> persist. Here:
+  * `readStream -> AvroStream.decode -> [windowed agg | sessionize |
+  * error monitor] -> writeStream`, with watermarks replacing the manual
+  * poll timeouts and state store replacing the hand-rolled SafeQueue
+  * pipeline (`src/SafeQueue.h`).
+  */
+object AvroStream {
+
+  /** Decode a streaming DataFrame's CP1-framed Avro `valueCol`. The
+    * batch codec is reused verbatim — mapPartitions is stateless, so the
+    * same per-partition-reader code path serves micro-batches. */
+  def decode(stream: DataFrame, valueCol: String, schemaJson: String,
+             passthrough: Seq[String] = Nil): DataFrame =
+    AvroCodec.decode(stream, valueCol, schemaJson, passthrough)
+
+  /** The reference's failed-deserialization counter as a streaming
+    * aggregation: running count per error status. */
+  def errorMonitor(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("status", coalesce(col("err"), lit("ok")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+}
+
+object WindowedAggregator {
+
+  /** Tumbling event-time windows with a watermark — the streaming form
+    * of the batch `q_events_window` query. */
+  def hourly(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+}
+
+object EventSessionizer {
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int, total_value: Double)
+
+  val DefaultGapUs: Long = 30L * 60 * 1000000
+
+  /** Custom streaming state: gap-based sessionization via
+    * `flatMapGroupsWithState`. Sessions close when a later event in the
+    * group arrives more than `gapUs` after the last one; the open tail
+    * session stays in state across micro-batches.
+    *
+    * Scale: state is one small case class per active user key,
+    * hash-partitioned by the grouping key across executors — the
+    * idiomatic replacement for the reference's single-threaded queue.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = batch.toSeq.sortBy(e => e.ts_us)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          evs.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.lastUs <= gapUs =>
+                cur = Some(st.copy(lastUs = e.ts_us, n = st.n + 1, total = st.total + e.value))
+              case Some(st) =>
+                closed += Session(userId, st.startUs, st.lastUs, st.n, st.total)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

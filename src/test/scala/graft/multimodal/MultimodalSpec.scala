@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import graft.SparkFixture
+import graft.operators.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stubbed decode kernel is deterministic and batch-shaped") {
+    val blobs = Multimodal.withBlobs(Tables(spark, dir).documents.limit(20))
+    val a = FakeDecode.decodeSampled(blobs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(x => (x._1, x._2))
+    val b = FakeDecode.decodeSampled(blobs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(x => (x._1, x._2))
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq) // deterministic
+    assert(a.forall(_._3.length == FakeDecode.FeatureDim))
+    assert(a.forall(_._3.forall(f => f >= 0.0f && f <= 1.0f)))
+  }
+
+  test("frame sampling matches header nframes at stride 4") {
+    val blobs = Multimodal.withBlobs(Tables(spark, dir).documents.limit(50))
+    val meta = Multimodal.extractMeta(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("nframes"))).toMap
+    val sampled = FakeDecode.decodeSampled(blobs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    meta.foreach { case (id, nf) =>
+      assert(sampled(id) == ((nf + 3) / 4).toInt, s"doc $id nframes $nf")
+    }
+  }
+}

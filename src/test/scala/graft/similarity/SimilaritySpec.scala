@@ -1,0 +1,38 @@
+package graft.similarity
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("knn_lsh scores a strict subset of the corpus yet recalls a useful " +
+    "fraction of brute-force top-k") {
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val lsh = SparkEntry.queries("knn_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // near-random synthetic vectors are cosine-LSH's worst case; require
+    // a floor well above chance (scoring ~25% of corpus at random would
+    // give ~0.25)
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("vector ops are exact on knowns") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))), schema)
+    val r = df.select(
+      VectorOps.dot("a", "b").as("dot"),
+      VectorOps.norm("a").as("na"),
+      VectorOps.cosine("a", "b").as("cos")).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkFixture
+import graft.avro.{AvroCodec, AvroQueries}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def frameSpo(subject: String, predicate: String, obj: String): Array[Byte] = {
+    val schema = StructType(Seq(StructField("subject", StringType),
+      StructField("predicate", StringType), StructField("object", StringType)))
+    val df = spark.createDataFrame(java.util.List.of(Row(subject, predicate, obj)), schema)
+    AvroCodec.encode(df, AvroQueries.SpoSchemaJson, 2).collect().head.getAs[Array[Byte]]("value")
+  }
+
+  test("streaming decode + error monitor mirrors the consume loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Array[Byte]]
+    val decoded = AvroStream.decode(input.toDF().withColumnRenamed("value", "value"),
+      "value", AvroQueries.SpoSchemaJson)
+    val monitor = AvroStream.errorMonitor(decoded)
+    val q = monitor.writeStream.format("memory").queryName("mon").outputMode("complete").start()
+    try {
+      val good = frameSpo("Don Vito", "Email", "donvito@example.com")
+      val badMagic = good.clone(); badMagic(0) = 1
+      input.addData(good, badMagic, good.take(3), good)
+      q.processAllAvailable()
+      val counts = spark.table("mon").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("ok" -> 2L, "bad_magic" -> 1L, "truncated" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = WindowedAggregator.hourly(events)
+    val q = agg.writeStream.format("memory").queryName("winagg").outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0), (ts(11, 10), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select(col("hour").cast("string"), col("event_type"), col("n_events"), col("total_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap, keeps tail open") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventSessionizer._
+    val minUs = 60L * 1000000
+    val input = MemoryStream[SessionEvent]
+    val sessions = sessionize(input.toDS(), gapUs = 30 * minUs)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart, then a 2h gap, then one more
+      input.addData(
+        SessionEvent(1L, 0, 1.0), SessionEvent(1L, 10 * minUs, 2.0),
+        SessionEvent(2L, 0, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // nothing closed yet
+      input.addData(SessionEvent(1L, 130 * minUs, 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[Session].collect().toSeq
+      assert(closed == Seq(Session(1L, 0, 10 * minUs, 2, 3.0)))
+      // user 2's session and user 1's tail remain open in state
+    } finally q.stop()
+  }
+}
