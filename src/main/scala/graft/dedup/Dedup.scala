@@ -71,17 +71,80 @@ object Dedup extends QueryModule {
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t
         WHERE len(toks) >= $ShingleK"""
 
-  /** Exact-verify candidate pairs against set columns, emitting jaccard. */
+  /** Exact-verify candidate pairs against set columns, emitting jaccard.
+    *
+    * Two scale tricks: (1) a size-ratio prefilter — Jaccard >= tau
+    * implies min(|A|,|B|) >= tau * max(|A|,|B|) — runs over a sizes-only
+    * join so pruned pairs never ship their arrays; (2) the surviving
+    * pairs' intersection is a sorted-merge two-pointer kernel in plain
+    * JVM code (see [[jaccardKernel]]) instead of the interpreted
+    * `array_intersect`, which is ~10x on wide sets.
+    */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame, setCol: String, tau: Double): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col(setCol).as("set_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col(setCol).as("set_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+    val sorted = sets.select(col("doc_id"), array_sort(col(setCol)).as("s"))
+    val sizes = sorted.select(col("doc_id"), size(col("s")).as("n"))
+    val prefiltered = cands
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * tau)
+      .select(col("doc_a"), col("doc_b"))
+    val joined = prefiltered
+      .join(sorted.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
+    jaccardKernel(joined)
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sorted-merge set intersection + jaccard in a tight JVM loop.
+    * Requires `set_a`/`set_b` sorted string arrays; appends `jaccard`.
+    * The division matches the SQL mirror exactly (int/int in IEEE
+    * double), so oracle results stay bit-identical.
+    */
+  private def jaccardKernel(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val aIdx = df.schema.fieldIndex("set_a")
+    val bIdx = df.schema.fieldIndex("set_b")
+    val outSchema = StructType(df.schema.fields :+ StructField("jaccard", DoubleType, nullable = false))
+    df.mapPartitions { iter =>
+      iter.map { row =>
+        val a = row.getSeq[String](aIdx)
+        val b = row.getSeq[String](bIdx)
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.length && j < b.length) {
+          val c = a(i).compareTo(b(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val jac = inter.toDouble / (a.length + b.length - inter).toDouble
+        Row.fromSeq(row.toSeq :+ jac)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Candidate pairs from (key, doc_id) bucket rows WITHOUT a self-join:
+    * group to id lists per bucket and explode the within-bucket pair
+    * combinations. The upstream (often an expensive signature pipeline)
+    * is computed exactly once — a self-join would recompute it per side
+    * whenever exchange reuse doesn't kick in. `maxBucket` bounds skew:
+    * a degenerate bucket can't quadratically explode an executor (cap is
+    * far above anything a healthy banding produces).
+    */
+  private def bucketPairs(bucketed: DataFrame, keyCol: String, maxBucket: Int = 10000): DataFrame = {
+    bucketed
+      .groupBy(col(keyCol))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+                       b -> struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   private def jaccardPairsSql(setsCte: String, setCol: String, tau: Double,
@@ -121,17 +184,43 @@ object Dedup extends QueryModule {
         // global document frequency: the token dictionary is tiny relative
         // to the corpus -> broadcast back
         val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val ranked = tok.join(broadcast(dfreq), "token")
+        // token ids in rarity order double as the dictionary: prefix
+        // membership is just a row_number bound per doc
+        val dict = dfreq.withColumn("token_id",
+          (row_number().over(Window.orderBy(col("df"), col("token"))) - 1).cast("int"))
+        val idTok = tok.join(broadcast(dict), "token")
+        val ranked = idTok
           .withColumn("rk", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+            Window.partitionBy(col("doc_id")).orderBy(col("token_id"))))
           // prefix bound for Jaccard >= tau: n - ceil(tau*n) + 1 rarest tokens
           .filter(col("rk") <= col("n") - ceil(col("n") * JaccardTauSets) + 1)
-          .select(col("doc_id"), col("token"))
+          .select(col("doc_id"), col("token_id"))
         val cands = ranked.as("x").join(ranked.as("y"),
-            col("x.token") === col("y.token") && col("x.doc_id") < col("y.doc_id"))
+            col("x.token_id") === col("y.token_id") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        verifyJaccard(cands, ws, "ws", JaccardTauSets)
+        val vocabSize = dict.count() // one tiny job; picks the verify path
+        if (vocabSize <= 64) {
+          // Dictionary fits one machine word -> each doc's word set is a
+          // 64-bit mask and verification is codegen'd bit arithmetic on a
+          // 16-byte-per-doc table instead of shuffling string arrays.
+          // (Real web corpora take the array path below; this tier kicks
+          // in for small controlled vocabularies.)
+          val masks = idTok.groupBy(col("doc_id"))
+            .agg(sum(expr("shiftleft(1L, token_id)")).as("mask"), count(lit(1)).as("n"))
+          val withMasks = cands
+            .join(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"), col("n").as("n_a")), "doc_a")
+            .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"), col("n").as("n_b")), "doc_b")
+            .withColumn("inter", expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)"))
+          withMasks
+            .withColumn("jaccard", col("inter").cast("double") /
+              (col("n_a") + col("n_b") - col("inter")).cast("double"))
+            .filter(col("jaccard") >= JaccardTauSets)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+            .orderBy(col("doc_a"), col("doc_b"))
+        } else {
+          verifyJaccard(cands, ws, "ws", JaccardTauSets)
+        }
       },
       Some(jaccardPairsSql(
         "SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents",
@@ -142,21 +231,23 @@ object Dedup extends QueryModule {
       "dedup_minhash_lsh",
       (s, dir) => {
         val sh = shingleSets(Tables(s, dir).documents)
-        val hashed = sh.withColumn("hs", transform(col("ss"), t => xxhash64(t)))
-        // keep the per-shingle hash in 32 bits so the (a*h + b) permutation
-        // family stays overflow-free under ANSI arithmetic
-        val aLit = typedLit(PermMultipliers)
-        val sig = hashed.withColumn("sig",
-          transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-            array_min(transform(col("hs"), h =>
-              pmod(pmod(h, lit(4294967291L)) * get(aLit, i) + i, lit(MinhashPrime))))))
+        // Signature via explode + 128 parallel MIN aggregates: every
+        // arithmetic op stays inside whole-stage codegen and the mins
+        // combine map-side (partial aggregation), unlike a higher-order
+        // lambda which Catalyst interprets per element. The permutation
+        // family keeps the per-shingle hash in 32 bits so (a*h + b)
+        // stays overflow-free under ANSI arithmetic.
+        val exploded = sh
+          .select(col("doc_id"), explode(col("ss")).as("t"))
+          .select(col("doc_id"), pmod(xxhash64(col("t")), lit(4294967291L)).as("m"))
+        val minAggs = (0 until NumPerms).map { i =>
+          min(pmod(col("m") * PermMultipliers(i) + i, lit(MinhashPrime))).as(s"s$i")
+        }
+        val sig = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
         val banded = sig.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-            xxhash64(b, get(col("sig"), b * 2), get(col("sig"), b * 2 + 1)))).as("band_key"))
-        val cands = banded.as("x").join(banded.as("y"),
-            col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+          explode(array((0 until Bands).map(b =>
+            xxhash64(lit(b), col(s"s${b * 2}"), col(s"s${b * 2 + 1}"))): _*)).as("band_key"))
+        val cands = bucketPairs(banded, "band_key")
         verifyJaccard(cands, sh, "ss", JaccardTauShingles)
       },
       Some(jaccardPairsSql(shingleSetsSql, "ss", JaccardTauShingles))
@@ -169,18 +260,21 @@ object Dedup extends QueryModule {
       "dedup_simhash",
       (s, dir) => {
         val sh = shingleSets(Tables(s, dir).documents)
-        val simhashed = sh
-          .withColumn("hs", transform(col("ss"), t => xxhash64(t)))
-          .withColumn("sim", expr(
-            """aggregate(sequence(0, 63), 0L, (acc, j) ->
-               acc + IF(2 * size(filter(hs, h -> ((h >> j) & 1) = 1)) > size(hs),
-                        shiftleft(1L, j), 0L))"""))
+        // bit-majority via explode + 64 codegen'd SUM aggregates (same
+        // rationale as the minhash signature: keep the hot loop out of
+        // interpreted lambda land)
+        val bitSums = (0 until 64).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
+        val counted = sh
+          .select(col("doc_id"), explode(col("ss")).as("t"))
+          .select(col("doc_id"), xxhash64(col("t")).as("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), bitSums: _*)
+        val simExpr = (0 until 64)
+          .map(j => s"IF(2 * b$j > n, shiftleft(1L, $j), 0L)").mkString(" + ")
+        val simhashed = counted.withColumn("sim", expr(simExpr))
         val banded = simhashed.select(col("doc_id"),
           explode(expr("transform(sequence(0, 7), s -> concat(s, ':', (sim >> (s * 8)) & 255))")).as("seg_key"))
-        val cands = banded.as("x").join(banded.as("y"),
-            col("x.seg_key") === col("y.seg_key") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val cands = bucketPairs(banded, "seg_key")
         val simsA = simhashed.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
         val simsB = simhashed.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
         cands.join(simsA, "doc_a").join(simsB, "doc_b")
@@ -198,8 +292,8 @@ object Dedup extends QueryModule {
         val e = Tables(s, dir).embeddings
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cosine", VectorOps.cosine("ea", "eb"))
+        val pairs = a.join(b, col("vec_a") < col("vec_b"))
+        VectorOps.cosineKernel(pairs, "ea", "eb")
           .filter(col("cosine") >= CosineTau)
           .select(col("vec_a"), col("vec_b"), col("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))
