@@ -381,6 +381,86 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // exact interpolated percentiles (Spark `percentile` == DuckDB
+      // `quantile_cont`: same two order statistics, same lerp)
+      "q_median_order",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS median_price,
+        quantile_cont(o_totalprice, 0.9) AS p90_price,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    QueryDef(
+      // HLL sketch vs exact cardinality: approx results aren't
+      // cross-engine stable, so rows-only; QueriesSmokeSpec bounds the
+      // relative error. This is the 100 TB path for distinct counting —
+      // mergeable sketch, no giant shuffle of raw keys.
+      "q_approx_distinct",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+
+    QueryDef(
+      // stream-enrichment shape: fact stream joined to a broadcast
+      // dimension, then aggregated
+      "q_enrich_events",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            Exact.dsum(col("value")).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+        ${Exact.sqlSum("value")} AS total_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    QueryDef(
+      // skew-mitigation pattern made checkable: salt the hot grouping key
+      // (5 event types over any number of rows), partial-aggregate per
+      // (key, salt), merge per key. Decimal sums are associative, so the
+      // result equals the direct aggregation bit-for-bit — which is
+      // exactly what the oracle checks.
+      "q_salted_agg",
+      (s, dir) => {
+        Tables(s, dir).events
+          .withColumn("salt", pmod(col("event_id"), lit(16)).cast("int"))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(sum(col("value").cast(Money)).as("pv"), count(lit(1)).as("pn"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("pv")).cast("double").as("total_value"), sum(col("pn")).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, ${Exact.sqlSum("value")} AS total_value,
+        COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    QueryDef(
       "q_asof_join",
       (s, dir) => {
         val ev = Tables(s, dir).events

@@ -28,7 +28,7 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
         e.join(broadcast(queries), col("vec_id") =!= col("qid"))
-          .withColumn("cosine", cosine("qe", "embedding"))
+          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
@@ -73,7 +73,7 @@ object Similarity extends QueryModule {
           .distinct()
         val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
         cands
-          .withColumn("cosine", cosine("qe", "embedding"))
+          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))

@@ -27,6 +27,16 @@ object VectorOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Native codegen'd cosine: the custom Catalyst expression
+    * [[graft.expressions.CosineSimilarity]] as a Column — bit-identical
+    * to [[cosine]]/[[cosineSql]], but inlined into whole-stage codegen.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Compiled cosine kernel: appends a `cosine` double column computed in
     * a tight JVM loop over the two float-array columns. Bit-identical to
     * [[cosine]] / [[cosineSql]] (same left-fold order, same

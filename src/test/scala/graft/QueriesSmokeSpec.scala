@@ -22,7 +22,17 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == Set("knn_lsh", "dedup_simhash"))
+    assert(noOracle == Set("knn_lsh", "dedup_simhash", "q_approx_distinct"))
+  }
+
+  test("q_approx_distinct HLL stays within its accuracy bound") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_orders")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_orders")).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
   }
 
   SparkEntry.allDefs.foreach { d =>

@@ -20,6 +20,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("native expression, HOF column, and kernel cosine are bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.operators.Tables(spark, dir).embeddings.limit(100)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+    val viaHof = pairs.select(col("ida"), col("idb"),
+      VectorOps.cosine("ea", "eb").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaNative = pairs.select(col("ida"), col("idb"),
+      VectorOps.cosineNative(col("ea"), col("eb")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaKernel = VectorOps.cosineKernel(pairs, "ea", "eb")
+      .select(col("ida"), col("idb"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaHof.nonEmpty)
+    assert(viaHof == viaNative) // exact double equality
+    assert(viaHof == viaKernel)
+  }
+
+  test("cosine_sim is SQL-callable after registration") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val v = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
   test("vector ops are exact on knowns") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
