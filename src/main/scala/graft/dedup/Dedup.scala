@@ -231,22 +231,39 @@ object Dedup extends QueryModule {
       "dedup_minhash_lsh",
       (s, dir) => {
         val sh = shingleSets(Tables(s, dir).documents)
-        // Signature via explode + 128 parallel MIN aggregates: every
-        // arithmetic op stays inside whole-stage codegen and the mins
-        // combine map-side (partial aggregation), unlike a higher-order
-        // lambda which Catalyst interprets per element. The permutation
-        // family keeps the per-shingle hash in 32 bits so (a*h + b)
-        // stays overflow-free under ANSI arithmetic.
+        // Signature kernel: explode shingle hashes, then one primitive
+        // loop per doc computing all 128 permutation minima. (A 128-min
+        // aggregate expression works too but generates thousands of lines
+        // of janino code whose compilation dominates cold-start; an
+        // interpreted HOF lambda is ~20x slower per element. The
+        // permutation family keeps the per-shingle hash in 32 bits so
+        // (a*h + b) stays overflow-free under ANSI arithmetic.)
         val exploded = sh
           .select(col("doc_id"), explode(col("ss")).as("t"))
           .select(col("doc_id"), pmod(xxhash64(col("t")), lit(4294967291L)).as("m"))
-        val minAggs = (0 until NumPerms).map { i =>
-          min(pmod(col("m") * PermMultipliers(i) + i, lit(MinhashPrime))).as(s"s$i")
-        }
-        val sig = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+        val mult = PermMultipliers.toArray
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val sigSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType, containsNull = false))))
+        implicit val le: org.apache.spark.sql.Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        val sig = exploded.as[(Long, Long)](le)
+          .groupByKey(_._1)(Encoders.scalaLong)
+          .mapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
+            val s = Array.fill(NumPerms)(Long.MaxValue)
+            rows.foreach { case (_, m) =>
+              var i = 0
+              while (i < NumPerms) {
+                val v = (m * mult(i) + i) % MinhashPrime
+                if (v < s(i)) s(i) = v
+                i += 1
+              }
+            }
+            Row(id, s.toSeq)
+          }(Encoders.row(sigSchema))
         val banded = sig.select(col("doc_id"),
           explode(array((0 until Bands).map(b =>
-            xxhash64(lit(b), col(s"s${b * 2}"), col(s"s${b * 2 + 1}"))): _*)).as("band_key"))
+            xxhash64(lit(b), expr(s"sig[${b * 2}]"), expr(s"sig[${b * 2 + 1}]"))): _*)).as("band_key"))
         val cands = bucketPairs(banded, "band_key")
         verifyJaccard(cands, sh, "ss", JaccardTauShingles)
       },
@@ -260,18 +277,38 @@ object Dedup extends QueryModule {
       "dedup_simhash",
       (s, dir) => {
         val sh = shingleSets(Tables(s, dir).documents)
-        // bit-majority via explode + 64 codegen'd SUM aggregates (same
-        // rationale as the minhash signature: keep the hot loop out of
-        // interpreted lambda land)
-        val bitSums = (0 until 64).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
-        val counted = sh
+        // bit-majority kernel (same rationale as the minhash signature:
+        // a 64-sum aggregate compiles to outsized generated code, an
+        // interpreted lambda is slow — a primitive loop is neither)
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val simSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("sim", LongType)))
+        implicit val le: org.apache.spark.sql.Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        val simhashed = sh
           .select(col("doc_id"), explode(col("ss")).as("t"))
           .select(col("doc_id"), xxhash64(col("t")).as("h"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n"), bitSums: _*)
-        val simExpr = (0 until 64)
-          .map(j => s"IF(2 * b$j > n, shiftleft(1L, $j), 0L)").mkString(" + ")
-        val simhashed = counted.withColumn("sim", expr(simExpr))
+          .as[(Long, Long)](le)
+          .groupByKey(_._1)(Encoders.scalaLong)
+          .mapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
+            val counts = new Array[Int](64)
+            var n = 0
+            rows.foreach { case (_, h) =>
+              n += 1
+              var j = 0
+              while (j < 64) {
+                counts(j) += ((h >>> j) & 1L).toInt
+                j += 1
+              }
+            }
+            var sim = 0L
+            var j = 0
+            while (j < 64) {
+              if (2 * counts(j) > n) sim |= (1L << j)
+              j += 1
+            }
+            Row(id, sim)
+          }(Encoders.row(simSchema))
         val banded = simhashed.select(col("doc_id"),
           explode(expr("transform(sequence(0, 7), s -> concat(s, ':', (sim >> (s * 8)) & 255))")).as("seg_key"))
         val cands = bucketPairs(banded, "seg_key")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the *shape* of the physical plans — the properties that make
+  * these operators survive a 100x scale-up. A correctness-preserving
+  * change that silently drops a pushed filter or turns a broadcast join
+  * into a shuffle join fails here, not in production.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q6 pushes every predicate into the parquet scan and prunes columns") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter not pushed")
+    // only the 4 referenced columns are read from a 16-column table
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), "columns not pruned")
+  }
+
+  test("q5 keeps the fact table unshuffled through five broadcast joins") {
+    val p = plan("q5_local_supplier")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "dimension join degenerated to sort-merge")
+  }
+
+  test("q1 uses two-phase (map-side partial) aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"), "no partial aggregation")
+    assert(p.contains("partial_count"), "no partial count")
+  }
+
+  test("q3 uses top-k (TakeOrderedAndProject), not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("anti and semi joins stay joins (no subquery re-execution)") {
+    assert(plan("q_parts_not_ordered").contains("LeftAnti"))
+    assert(plan("q_order_priority").contains("LeftSemi"))
+  }
+
+  test("partitioned writes prune partitions on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.operators.Tables(spark, dir).events
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val pruned = spark.read.parquet(tmp).filter(col("day") === "2024-01-02")
+      val p = pruned.queryExecution.executedPlan.toString
+      // partition filter must be applied at planning, not as a row filter
+      assert(!p.contains("Filter (day"), "partition filter not pruned at scan")
+      assert(pruned.count() > 0)
+      val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scanned.contains("PartitionFilters: [isnotnull(day"), scanned.take(800))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
