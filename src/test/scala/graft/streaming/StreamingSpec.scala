@@ -55,6 +55,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming sessionization agrees with the batch sessionizer on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventSessionizer._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.operators.Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => SessionEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.ts_us)
+    val input = MemoryStream[SessionEvent]
+    val q = sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sess_eq").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      // flush the open tail session per user with a far-future sentinel
+      val maxTs = evs.map(_.ts_us).max
+      input.addData(evs.map(_.user_id).distinct.map(u =>
+        SessionEvent(u, maxTs + 10L * 3600 * 1000000, 0.0)).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq").as[Session].collect()
+        .groupBy(_.user_id)
+        .map { case (u, ss) => u -> ((ss.length.toLong, ss.map(_.n_events).max.toLong)) }
+      val batch = graft.SparkEntry.queries("q_events_sessionize")(spark, dir)
+        .collect()
+        .map(r => r.getLong(r.fieldIndex("user_id")) ->
+          ((r.getLong(r.fieldIndex("n_sessions")), r.getLong(r.fieldIndex("max_session_events")))))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap, keeps tail open") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
