@@ -46,6 +46,41 @@ object WindowedAggregator {
         col("n_events"), col("total_value"))
 }
 
+/** The reference's persistence stage (`Database::insert_object` /
+  * `insert_relationship`, `src/KafkaConsumerCallback.cpp:88-108`) as a
+  * streaming sink: each micro-batch of decoded SPO triples is merged
+  * into the graph store via `foreachBatch`. Here the store is an
+  * in-memory accumulator (this container has no external DB); in
+  * production the same `merge` body targets Delta/JDBC with the
+  * identical upsert semantics — dedup objects by name, append edges.
+  */
+final class SpoGraphSink extends Serializable {
+  import scala.collection.mutable
+
+  private val lock = new Object
+  private val triples = mutable.ArrayBuffer[(String, String, String, Long)]()
+
+  /** foreachBatch body: fold a micro-batch of (subject, predicate,
+    * object, ts_us) rows into the store. */
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.select("subject", "predicate", "object", "ts_us").collect()
+    lock.synchronized {
+      rows.foreach(r => triples += ((r.getString(0), r.getString(1), r.getString(2), r.getLong(3))))
+    }
+  }
+
+  /** Materialize the graph accumulated so far (objects + edges), using
+    * the same batch TripleStore logic — streaming and batch agree by
+    * construction. */
+  def graph(spark: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val t = lock.synchronized { triples.toSeq }
+      .toDF("subject", "predicate", "object", "ts_us")
+    val objs = graft.graph.TripleStore.objects(t)
+    (objs, graft.graph.TripleStore.relationships(t, objs))
+  }
+}
+
 object EventSessionizer {
 
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)

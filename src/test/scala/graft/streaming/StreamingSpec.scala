@@ -55,6 +55,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("end-to-end reference loop: framed SPO stream -> decode -> graph sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the reference's topic: CP1-framed Avro SPO triples
+    val triples = graft.graph.TripleStore.triplesFromEvents(
+      graft.operators.Tables(spark, dir).events)
+    val framed = AvroCodec.encode(triples, AvroQueries.SpoSchemaJson, 2,
+      passthrough = Seq("ts_us")).collect()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val decoded = AvroStream.decode(
+      input.toDF().toDF("ts_us", "value"), "value", AvroQueries.SpoSchemaJson,
+      passthrough = Seq("ts_us"))
+      .filter(col("err").isNull)
+    val sink = new SpoGraphSink
+    val q = decoded.writeStream.foreachBatch(sink.merge _).start()
+    try {
+      // two micro-batches, like a consumer polling twice
+      val (first, second) = framed.splitAt(framed.length / 2)
+      input.addData(first.map(r => (r.getLong(0), r.getAs[Array[Byte]]("value"))).toSeq)
+      q.processAllAvailable()
+      input.addData(second.map(r => (r.getLong(0), r.getAs[Array[Byte]]("value"))).toSeq)
+      q.processAllAvailable()
+      val (objs, edges) = sink.graph(spark)
+      // must equal the batch graph built straight from the table
+      val batchObjs = graft.SparkEntry.queries("spo_objects")(spark, dir).collect().toSeq
+      val batchEdges = graft.SparkEntry.queries("spo_relationships")(spark, dir).collect().toSeq
+      assert(objs.orderBy("object_id").collect().toSeq == batchObjs)
+      assert(edges.orderBy("source_id", "target_id", "predicate").collect().toSeq == batchEdges)
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with the batch sessionizer on real data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
