@@ -461,6 +461,52 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // GROUPING SETS through the SQL surface (spark.sql over temp
+      // views), with grouping_id to disambiguate the null rows
+      "q_grouping_sets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("orders_v")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY gid, o_orderstatus, o_orderpriority""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+    ),
+
+    QueryDef(
+      // correlated scalar subquery: orders more than double their
+      // customer's average order value
+      "q_above_cust_avg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_custkey, COUNT(*) AS n_big_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+          FROM orders_v o
+          WHERE o_totalprice > 2 * (
+            SELECT AVG(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          GROUP BY o_custkey ORDER BY o_custkey""")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_big_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    ),
+
+    QueryDef(
       "q_asof_join",
       (s, dir) => {
         val ev = Tables(s, dir).events
