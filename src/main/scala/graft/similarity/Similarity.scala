@@ -19,6 +19,49 @@ object Similarity extends QueryModule {
   private val K = 5
   private val NQueries = 10
 
+  /** All hyperplane sign-buckets for every row in one kernel pass:
+    * emits (vec_id, embedding, band, bucket) rows. Planes are built once
+    * on the driver (deterministic seed) and broadcast.
+    */
+  private def bucketize(s: org.apache.spark.sql.SparkSession,
+                        data: org.apache.spark.sql.DataFrame,
+                        nBands: Int, planesPerBand: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val planes: Array[Array[Array[Double]]] =
+      (0 until nBands).map(b => hyperplanes(planesPerBand, 64, seed = 42L + b)).toArray
+    val pb = s.sparkContext.broadcast(planes)
+    val idIdx = data.schema.fieldIndex("vec_id")
+    val embIdx = data.schema.fieldIndex("embedding")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("band", IntegerType),
+      StructField("bucket", IntegerType)))
+    data.mapPartitions { rows =>
+      val ps = pb.value
+      rows.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val emb = row.getSeq[Float](embIdx)
+        val dims = emb.length
+        (0 until ps.length).iterator.map { b =>
+          var bucket = 0
+          var p = 0
+          while (p < ps(b).length) {
+            val plane = ps(b)(p)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(dims, plane.length)
+            while (i < n) { dot += emb(i).toDouble * plane(i); i += 1 }
+            if (dot > 0) bucket |= (1 << p)
+            p += 1
+          }
+          Row(id, emb, b, bucket)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-partition exact top-k by cosine for each broadcast query
     * vector. Emits at most `queries * k` rows per partition, each a
     * candidate for the global merge. Total order (cosine desc, vec_id
@@ -119,22 +162,25 @@ object Similarity extends QueryModule {
       "knn_lsh",
       (s, dir) => {
         val e = Tables(s, dir).embeddings
-        val bands = (0 until 16).map { b =>
-          val planes = hyperplanes(6, 64, seed = 42L + b)
-          (b, planes)
-        }
-        // (vec_id, band, bucket) for all vectors
-        val bucketed = bands.map { case (b, planes) =>
-          e.select(col("vec_id"), col("embedding"),
-            lit(b).as("band"), signBucket("embedding", planes).as("bucket"))
-        }.reduce(_ unionByName _)
-        val qb = bucketed.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("band"), col("bucket"))
-        val cands = bucketed.join(broadcast(qb), Seq("band", "bucket"))
+        // (vec_id, band, bucket) for all vectors: one kernel pass
+        // computing every band's sign-bucket (the per-plane HOF fold
+        // version interprets 96 lambdas per row)
+        val bucketed = bucketize(s, e, nBands = 16, planesPerBand = 6)
+        // bucketize the query side directly (10 rows) rather than
+        // filtering the full corpus kernel a second time
+        val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands = 16, planesPerBand = 6)
+          .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+        // candidate ids first (narrow distinct), vectors joined back after
+        // — a distinct over float-array columns hashes megabytes per row
+        val candIds = bucketed.join(broadcast(qb), Seq("band", "bucket"))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
+          .select(col("qid"), col("vec_id"))
           .distinct()
+        val queries = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val cands = candIds
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(queries), "qid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
         cands
           .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
