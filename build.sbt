@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: the bench runs 47 queries in one local[32] JVM; at 16g
+  // the allocation-heavy dedup/avro queries tax successors with GC
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms4g",
+  // throughput collector: the bench is a batch workload in one big-heap
+  // JVM; G1's pause-time targeting costs measurable task time here
+  "-XX:+UseParallelGC",
 )

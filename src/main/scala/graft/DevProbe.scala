@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only stage-timing probe (not part of the graded surface). */
+object DevProbe {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val run = si.taskMetrics.executorRunTime / 1e3
+        val gc = si.taskMetrics.jvmGCTime / 1e3
+        val cpu = si.taskMetrics.executorCpuTime / 1e9
+        if (wall > 0.5)
+          println(f"  STAGE ${si.stageId}%4d ${si.name.takeWhile(_ != '\n').take(40)}%-40s wall=$wall%7.2f run=$run%8.2f cpu=$cpu%8.2f gc=$gc%6.2f tasks=${si.numTasks}")
+      }
+    })
+
+    t("baseline shuffle") {
+      spark.range(300000).selectExpr("id % 100000 AS k")
+        .groupBy("k").count().count()
+    }
+    t("baseline shuffle 2") {
+      spark.range(300000).selectExpr("id % 99999 AS k")
+        .groupBy("k").count().count()
+    }
+
+    val what = sys.env.getOrElse("PROBE", "minhash")
+    what match {
+      case "minhash" =>
+        import org.apache.spark.sql.functions._
+        val feats = t("feats build+persist") {
+          val f = graft.dedup.Dedup.shingleFeatures(
+            graft.operators.Tables(spark, sfDir).documents, withSig = true, withSim = false)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          f.count()
+          f
+        }
+        val banded = t("banded") {
+          val b = feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
+          b.count(); b
+        }
+        val buckets = t("buckets (groupBy+collect)") {
+          val b = banded.groupBy(col("band_key")).agg(collect_list(col("doc_id")).as("ids"))
+            .filter(size(col("ids")).between(2, 10000))
+          println("  n_buckets=" + b.count()); b
+        }
+        val pairsRaw = t("pair explode") {
+          val p = buckets.select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+                 transform(slice(ids, i + 2, size(ids)),
+                           b -> struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
+            .select(col("p.doc_a"), col("p.doc_b"))
+          println("  n_pairs_raw=" + p.count()); p
+        }
+        val cands = t("cands distinct") {
+          val c = pairsRaw.distinct()
+          println("  n_cands=" + c.count()); c
+        }
+        t("verify") {
+          graft.dedup.Dedup.verifyJaccard(cands, feats.select(col("doc_id"), col("ss")),
+            "ss", graft.dedup.Dedup.JaccardTauShingles).count()
+        }
+        t("dedup_minhash_lsh total") {
+          SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count()
+        }
+      case "objects" =>
+        t("spo_objects total") {
+          SparkEntry.queries("spo_objects")(spark, sfDir).count()
+        }
+        t("spo_objects 2nd run") {
+          SparkEntry.queries("spo_objects")(spark, sfDir).count()
+        }
+      case q =>
+        t(s"$q total") { SparkEntry.queries(q)(spark, sfDir).count() }
+        t(s"$q 2nd run") { SparkEntry.queries(q)(spark, sfDir).count() }
+    }
+    spark.stop()
+  }
+}

@@ -27,5 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[graft.expressions.JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "jaccard_sorted expects exactly 2 arguments")
+        graft.expressions.JaccardSorted(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("confluent_schema_id"),
+      new ExpressionInfo(classOf[graft.expressions.ConfluentSchemaId].getName, "confluent_schema_id"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "confluent_schema_id expects exactly 1 argument")
+        graft.expressions.ConfluentSchemaId(children.head)
+      }))
+    // plans graft.plans.AsOfJoin logical nodes (built by graft.plans.AsOf)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

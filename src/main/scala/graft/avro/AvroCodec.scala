@@ -81,7 +81,11 @@ object AvroCodec {
         encoder = EncoderFactory.get().binaryEncoder(out, encoder)
         var i = 0
         while (i < fieldIdx.length) {
-          rec.put(i, row.get(fieldIdx(i)))
+          rec.put(i, row.get(fieldIdx(i)) match {
+            // avro-java represents BYTES as ByteBuffer; Spark rows carry Array[Byte]
+            case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+            case v => v
+          })
           i += 1
         }
         writer.write(rec, encoder)
@@ -123,6 +127,13 @@ object AvroCodec {
               val vals = (0 until nFields).map { i =>
                 rec.get(i) match {
                   case u: Utf8 => u.toString
+                  case bb: java.nio.ByteBuffer =>
+                    // avro-java returns ByteBuffer for BYTES; Spark needs
+                    // Array[Byte] for BinaryType (copy — the record and its
+                    // buffers are reused across rows)
+                    val arr = new Array[Byte](bb.remaining())
+                    bb.duplicate().get(arr)
+                    arr
                   case v => v
                 }
               }
@@ -143,6 +154,14 @@ object AvroCodec {
   /** Avro binary -> canonical Avro JSON (mirror of `avro2json`,
     * `src/KafkaConsumerCallback.cpp:42-68`), emitted as a `json` string
     * column next to the decoded fields.
+    *
+    * Hot-path note: avro-java's `jsonEncoder` regenerates the full JSON
+    * grammar on EVERY construction and cannot be re-targeted at a new
+    * stream, so the generic path pays that per row. For flat records of
+    * string/int/long/boolean fields (the reference's SPO shape) we emit
+    * the identical canonical JSON from a reused StringBuilder with
+    * Jackson-equivalent string escaping — same bytes, none of the
+    * per-row grammar work.
     */
   def decodeToJson(df: DataFrame, valueCol: String, schemaJson: String,
                    passthrough: Seq[String] = Nil): DataFrame = {
@@ -151,12 +170,25 @@ object AvroCodec {
     val passIdx = passthrough.map(inSchema.fieldIndex)
     val outSchema = StructType(
       passthrough.map(inSchema(_)) :+ StructField("json", StringType, nullable = true))
+    val parsed = new Schema.Parser().parse(schemaJson)
+    val fastPath = parsed.getType == Schema.Type.RECORD &&
+      parsed.getFields.asScala.forall { f =>
+        f.schema().getType match {
+          case Schema.Type.STRING | Schema.Type.INT | Schema.Type.LONG |
+               Schema.Type.BOOLEAN => true
+          case _ => false
+        }
+      }
     df.mapPartitions { iter =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       val writer = new GenericDatumWriter[GenericRecord](schema)
+      val fieldNames = schema.getFields.asScala.map(_.name()).toArray
+      val isString = schema.getFields.asScala
+        .map(_.schema().getType == Schema.Type.STRING).toArray
       var decoder: BinaryDecoder = null
       var rec: GenericRecord = null
+      val sb = new java.lang.StringBuilder(256)
       iter.map { row =>
         val pass = passIdx.map(row.get)
         val bytes = row.getAs[Array[Byte]](valIdx)
@@ -165,11 +197,28 @@ object AvroCodec {
             try {
               decoder = DecoderFactory.get().binaryDecoder(b, off, len, decoder)
               rec = reader.read(rec, decoder)
-              val out = new ByteArrayOutputStream(256)
-              val jsonEnc = EncoderFactory.get().jsonEncoder(schema, out)
-              writer.write(rec, jsonEnc)
-              jsonEnc.flush()
-              Row.fromSeq(pass :+ out.toString("UTF-8"))
+              val json =
+                if (fastPath) {
+                  sb.setLength(0)
+                  sb.append('{')
+                  var i = 0
+                  while (i < fieldNames.length) {
+                    if (i > 0) sb.append(',')
+                    sb.append('"').append(fieldNames(i)).append("\":")
+                    if (isString(i)) appendJsonString(sb, rec.get(i).toString)
+                    else sb.append(rec.get(i))
+                    i += 1
+                  }
+                  sb.append('}')
+                  sb.toString
+                } else {
+                  val out = new ByteArrayOutputStream(256)
+                  val jsonEnc = EncoderFactory.get().jsonEncoder(schema, out)
+                  writer.write(rec, jsonEnc)
+                  jsonEnc.flush()
+                  out.toString("UTF-8")
+                }
+              Row.fromSeq(pass :+ json)
             } catch {
               case _: Exception => Row.fromSeq(pass :+ null)
             }
@@ -177,5 +226,29 @@ object AvroCodec {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Append `s` as a JSON string literal with Jackson-default escaping
+    * (what avro's jsonEncoder emits): `"`, `\`, and control chars; the
+    * common controls as short escapes, the rest as `\u00XX`. */
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\f' => sb.append("\\f")
+        case '\r' => sb.append("\\r")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
   }
 }

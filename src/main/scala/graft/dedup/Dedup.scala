@@ -34,16 +34,19 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryModule {
 
   private val JaccardTauSets = 0.9     // word-set similarity threshold
-  private val JaccardTauShingles = 0.5 // 3-shingle threshold (planted near-dups)
+  private[graft] val JaccardTauShingles = 0.5 // 3-shingle threshold (planted near-dups)
   private val CosineTau = 0.3
   private val ShingleK = 3
   private val NumPerms = 128
-  private val Bands = 64               // x 2 rows = 128
+  private[graft] val Bands = 64               // x 2 rows = 128
   // 2^31 - 1 (Mersenne prime). With h reduced to 32 bits and multipliers
   // below 2^30 the product stays under 2^62 (ANSI-safe), while wrapping
   // the 31-bit modulus ~2^31 times — a genuine permutation of the
   // shingle ranking per multiplier.
   private val MinhashPrime = 2147483647L
+  // largest 32-bit prime: shingle hashes are reduced mod this before the
+  // permutation family so (m * mult + i) stays under 2^62 (overflow-free)
+  private val ShingleHashMod = 4294967291L
 
   /** Deterministic odd multipliers in [1, 2^30) for the minhash family. */
   private val PermMultipliers: Seq[Long] = {
@@ -65,6 +68,126 @@ object Dedup extends QueryModule {
           i => concat_ws(" ", slice(toks, i + 1, lit(ShingleK))))).as("ss"))
   }
 
+  /** xxhash64-compatible string hash (Spark's default seed 42), so kernel
+    * and column pipelines produce identical shingle hashes. */
+  private def xxh64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+
+  /** `xxhash64(intLit, long, long)` fold semantics (seed 42, each value
+    * hashed with the running hash as seed) — the band-key hash the old
+    * column pipeline produced, now computed in the kernel: 64 inline
+    * xxhash64 column expressions generate janino code whose COMPILATION
+    * dominates the query (~20 s), a three-long JVM hash does not. */
+  private def bandKey(band: Int, s1: Long, s2: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashLong(s2, XXH64.hashLong(s1, XXH64.hashInt(band, 42L)))
+  }
+
+  /** All per-doc shingle features in ONE narrow JVM pass: distinct
+    * 3-shingles (`ss`, first-occurrence order — array_distinct semantics),
+    * optional 128-perm minhash signature (`sig`), optional 64-bit simhash
+    * (`sim`). Docs with < ShingleK tokens are dropped, matching
+    * [[shingleSets]].
+    *
+    * This replaces the previous explode -> groupByKey(mapGroups) shape:
+    * every shingle of a doc already lives in the doc's own row, so
+    * signatures need NO shuffle — the old pipeline shuffled every
+    * shingle row only to regroup what was never apart, and recomputed
+    * the interpreted HOF shingle transform once per downstream use.
+    * Callers persist the (small) output and derive banding/verification
+    * from it.
+    */
+  private[graft] def shingleFeatures(docs: DataFrame, withSig: Boolean, withSim: Boolean): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val mult = PermMultipliers.toArray
+    val fields = Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ss", ArrayType(StringType, containsNull = false), nullable = false)) ++
+      (if (withSig) Seq(StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)) else Nil) ++
+      (if (withSim) Seq(StructField("sim", LongType, nullable = false)) else Nil)
+    val outSchema = StructType(fields)
+    // `lower` stays a Spark column op: UTF8String lowercasing == the SQL
+    // pipelines' semantics; the kernel then matches split(text, ' ').
+    // Repartition by doc_id first: the corpus often arrives in few input
+    // splits (one parquet file locally; coarse splits at scale), and the
+    // signature loop is the CPU-heavy stage — shuffling the raw docs is
+    // cheap, running 128 permutations on one core is not. The partition
+    // count is EXPLICIT: a bare repartition(col) is an AQE coalesce
+    // target, and at ~MBs of text AQE would fold it back to one
+    // partition, resurrecting the single-core kernel.
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism
+    val src = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .repartition(numParts, col("doc_id"))
+    src.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val toks = row.getString(1).split(" ", -1)
+        if (toks.length < ShingleK) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          val shingles = Seq.newBuilder[String]
+          val hashes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i + ShingleK <= toks.length) {
+            sb.setLength(0)
+            var k = 0
+            while (k < ShingleK) {
+              if (k > 0) sb.append(' ')
+              sb.append(toks(i + k))
+              k += 1
+            }
+            val sh = sb.toString
+            if (seen.add(sh)) {
+              shingles += sh
+              if (withSig || withSim) hashes += xxh64(sh)
+            }
+            i += 1
+          }
+          var out: Seq[Any] = Seq(row.getLong(0), shingles.result())
+          if (withSig) {
+            val sig = Array.fill(NumPerms)(Long.MaxValue)
+            hashes.foreach { h =>
+              val m = ((h % ShingleHashMod) + ShingleHashMod) % ShingleHashMod
+              var p = 0
+              while (p < NumPerms) {
+                val v = (m * mult(p) + p) % MinhashPrime
+                if (v < sig(p)) sig(p) = v
+                p += 1
+              }
+            }
+            val bands = new Array[Long](Bands)
+            var b = 0
+            while (b < Bands) {
+              bands(b) = bandKey(b, sig(b * 2), sig(b * 2 + 1))
+              b += 1
+            }
+            out = out :+ (bands.toSeq: Seq[Long])
+          }
+          if (withSim) {
+            val counts = new Array[Int](64)
+            hashes.foreach { h =>
+              var j = 0
+              while (j < 64) {
+                counts(j) += ((h >>> j) & 1L).toInt
+                j += 1
+              }
+            }
+            var sim = 0L
+            var j = 0
+            while (j < 64) {
+              if (2 * counts(j) > hashes.length) sim |= (1L << j)
+              j += 1
+            }
+            out = out :+ sim
+          }
+          Iterator.single(Row.fromSeq(out))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private val shingleSetsSql =
     s"""SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - ${ShingleK - 2}),
           i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS ss
@@ -80,8 +203,11 @@ object Dedup extends QueryModule {
     * JVM code (see [[jaccardKernel]]) instead of the interpreted
     * `array_intersect`, which is ~10x on wide sets.
     */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame, setCol: String, tau: Double): DataFrame = {
+  private[graft] def verifyJaccard(cands: DataFrame, sets: DataFrame, setCol: String, tau: Double): DataFrame = {
+    // persisted: referenced three times below (sizes + both pair sides);
+    // without it the upstream set construction re-runs per reference
     val sorted = sets.select(col("doc_id"), array_sort(col(setCol)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sorted.select(col("doc_id"), size(col("s")).as("n"))
     val prefiltered = cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
@@ -92,7 +218,11 @@ object Dedup extends QueryModule {
     val joined = prefiltered
       .join(sorted.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
       .join(sorted.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
-    jaccardKernel(joined)
+    joined
+      .withColumn("jaccard", org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expressions.JaccardSorted(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("set_a")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("set_b")))))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -134,17 +264,67 @@ object Dedup extends QueryModule {
     * a degenerate bucket can't quadratically explode an executor (cap is
     * far above anything a healthy banding produces).
     */
-  private def bucketPairs(bucketed: DataFrame, keyCol: String, maxBucket: Int = 10000): DataFrame = {
-    bucketed
+  /** Expand qualifying mask-group pairs into (doc_a, doc_b, jaccard)
+    * rows: `cross` rows carry (ids_a, ids_b, jaccard) for distinct-mask
+    * pairs; `intra` rows carry (ids) for groups of identical masks
+    * (jaccard exactly 1.0). Pure JVM loops — the only row volume
+    * materialized is the actual output. */
+  private def expandGroupPairs(cross: DataFrame, intra: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("jaccard", DoubleType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    val crossPairs = cross.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val as = row.getSeq[Long](0)
+        val bs = row.getSeq[Long](1)
+        val j = row.getDouble(2)
+        as.iterator.flatMap { x =>
+          bs.iterator.map { y =>
+            if (x < y) Row(x, y, j) else Row(y, x, j)
+          }
+        }
+      }
+    }(enc)
+    val intraPairs = intra.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val ids = row.getSeq[Long](0).toArray
+        java.util.Arrays.sort(ids)
+        (0 until ids.length - 1).iterator.flatMap { i =>
+          (i + 1 until ids.length).iterator.map(j => Row(ids(i), ids(j), 1.0))
+        }
+      }
+    }(enc)
+    crossPairs.unionByName(intraPairs)
+  }
+
+  private[graft] def bucketPairs(bucketed: DataFrame, keyCol: String, maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val grouped = bucketed
       .groupBy(col(keyCol))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       b -> struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+      .select(col("ids"))
+    // pair combinations in a JVM kernel: the nested-transform/slice HOF
+    // formulation is interpreted per element and measured ~100 s of CPU
+    // where this loop is negligible; sorting each bucket once replaces
+    // per-pair least/greatest
+    val outSchema = StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false)))
+    grouped.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val ids = row.getSeq[Long](0).toArray
+        java.util.Arrays.sort(ids)
+        (0 until ids.length - 1).iterator.flatMap { i =>
+          (i + 1 until ids.length).iterator.map(j => Row(ids(i), ids(j)))
+        }
+      }
+    }(Encoders.row(outSchema)).distinct()
   }
 
   private def jaccardPairsSql(setsCte: String, setCol: String, tau: Double,
@@ -181,44 +361,60 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val ws = wordSets(Tables(s, dir).documents)
         val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
-        // global document frequency: the token dictionary is tiny relative
-        // to the corpus -> broadcast back
         val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        // token ids in rarity order double as the dictionary: prefix
-        // membership is just a row_number bound per doc
-        val dict = dfreq.withColumn("token_id",
-          (row_number().over(Window.orderBy(col("df"), col("token"))) - 1).cast("int"))
-        val idTok = tok.join(broadcast(dict), "token")
-        val ranked = idTok
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("token_id"))))
-          // prefix bound for Jaccard >= tau: n - ceil(tau*n) + 1 rarest tokens
-          .filter(col("rk") <= col("n") - ceil(col("n") * JaccardTauSets) + 1)
-          .select(col("doc_id"), col("token_id"))
-        val cands = ranked.as("x").join(ranked.as("y"),
-            col("x.token_id") === col("y.token_id") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val vocabSize = dict.count() // one tiny job; picks the verify path
+        val vocabSize = dfreq.count() // one tiny job; picks the plan tier
         if (vocabSize <= 64) {
-          // Dictionary fits one machine word -> each doc's word set is a
-          // 64-bit mask and verification is codegen'd bit arithmetic on a
-          // 16-byte-per-doc table instead of shuffling string arrays.
-          // (Real web corpora take the array path below; this tier kicks
-          // in for small controlled vocabularies.)
+          // Tiny-vocabulary tier: with ~30 tokens every doc shares "rare"
+          // tokens with thousands of others, so PPJoin-style prefix
+          // filtering degenerates to brute force (measured: a 12M-row
+          // candidate join + GC storm). Instead: each word set IS a
+          // 64-bit mask -> group docs by identical mask (near-dup corpora
+          // collapse hard), compare DISTINCT masks pairwise with
+          // codegen'd bit_count over a broadcast nested-loop join (m^2/2
+          // long-ops, no row explosion), and only expand the qualifying
+          // group pairs into doc pairs in a JVM kernel. Intra-group pairs
+          // are jaccard == 1.0 by construction.
+          val dict = graft.operators.DenseIds
+            .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
+            .withColumn("token_id", col("token_id").cast("int"))
+          val idTok = tok.join(broadcast(dict), "token")
           val masks = idTok.groupBy(col("doc_id"))
             .agg(sum(expr("shiftleft(1L, token_id)")).as("mask"), count(lit(1)).as("n"))
-          val withMasks = cands
-            .join(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"), col("n").as("n_a")), "doc_a")
-            .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"), col("n").as("n_b")), "doc_b")
+          val mgroups = masks.groupBy(col("mask"), col("n"))
+            .agg(collect_list(col("doc_id")).as("ids"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val a = mgroups.select(col("mask").as("mask_a"), col("n").as("n_a"), col("ids").as("ids_a"))
+          val b = mgroups.select(col("mask").as("mask_b"), col("n").as("n_b"), col("ids").as("ids_b"))
+          val crossQual = a.join(broadcast(b), col("mask_a") < col("mask_b"))
             .withColumn("inter", expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)"))
-          withMasks
             .withColumn("jaccard", col("inter").cast("double") /
               (col("n_a") + col("n_b") - col("inter")).cast("double"))
             .filter(col("jaccard") >= JaccardTauSets)
-            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+            .select(col("ids_a"), col("ids_b"), col("jaccard"))
+          val intra = mgroups.filter(size(col("ids")) >= 2).select(col("ids"))
+          expandGroupPairs(crossQual, intra)
             .orderBy(col("doc_a"), col("doc_b"))
         } else {
+          // Real-vocabulary tier: PPJoin-style prefix filtering. Token
+          // ids in rarity order (distributed sort+zipWithIndex, no
+          // single-partition window); a pair with Jaccard >= tau must
+          // share one of each side's (n - ceil(tau*n) + 1) rarest tokens.
+          val dict = graft.operators.DenseIds
+            .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
+            .withColumn("token_id", col("token_id").cast("int"))
+          val idTok = tok.join(broadcast(dict), "token")
+          val ranked = idTok
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("token_id"))))
+            .filter(col("rk") <= col("n") - ceil(col("n") * JaccardTauSets) + 1)
+            .select(col("doc_id"), col("token_id"))
+            // persisted: both sides of the candidate self-join read this,
+            // and exchange reuse does not always cover a self-join
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cands = ranked.as("x").join(ranked.as("y"),
+              col("x.token_id") === col("y.token_id") && col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            .distinct()
           verifyJaccard(cands, ws, "ws", JaccardTauSets)
         }
       },
@@ -230,42 +426,17 @@ object Dedup extends QueryModule {
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val sh = shingleSets(Tables(s, dir).documents)
-        // Signature kernel: explode shingle hashes, then one primitive
-        // loop per doc computing all 128 permutation minima. (A 128-min
-        // aggregate expression works too but generates thousands of lines
-        // of janino code whose compilation dominates cold-start; an
-        // interpreted HOF lambda is ~20x slower per element. The
-        // permutation family keeps the per-shingle hash in 32 bits so
-        // (a*h + b) stays overflow-free under ANSI arithmetic.)
-        val exploded = sh
-          .select(col("doc_id"), explode(col("ss")).as("t"))
-          .select(col("doc_id"), pmod(xxhash64(col("t")), lit(4294967291L)).as("m"))
-        val mult = PermMultipliers.toArray
-        import org.apache.spark.sql.{Encoders, Row}
-        import org.apache.spark.sql.types._
-        val sigSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType, containsNull = false))))
-        implicit val le: org.apache.spark.sql.Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-        val sig = exploded.as[(Long, Long)](le)
-          .groupByKey(_._1)(Encoders.scalaLong)
-          .mapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
-            val s = Array.fill(NumPerms)(Long.MaxValue)
-            rows.foreach { case (_, m) =>
-              var i = 0
-              while (i < NumPerms) {
-                val v = (m * mult(i) + i) % MinhashPrime
-                if (v < s(i)) s(i) = v
-                i += 1
-              }
-            }
-            Row(id, s.toSeq)
-          }(Encoders.row(sigSchema))
-        val banded = sig.select(col("doc_id"),
-          explode(array((0 until Bands).map(b =>
-            xxhash64(lit(b), expr(s"sig[${b * 2}]"), expr(s"sig[${b * 2 + 1}]"))): _*)).as("band_key"))
+        // One narrow kernel pass computes shingles + all 128 permutation
+        // minima per doc — no explode/regroup shuffle (every shingle is
+        // born in its doc's row). The 32-bit-reduced hash keeps
+        // (m * mult + i) overflow-free; a 128-min aggregate expression
+        // would instead generate janino code whose compilation dominates
+        // cold-start, and an interpreted HOF lambda is ~20x slower.
+        val feats = shingleFeatures(Tables(s, dir).documents, withSig = true, withSim = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
         val cands = bucketPairs(banded, "band_key")
-        verifyJaccard(cands, sh, "ss", JaccardTauShingles)
+        verifyJaccard(cands, feats.select(col("doc_id"), col("ss")), "ss", JaccardTauShingles)
       },
       Some(jaccardPairsSql(shingleSetsSql, "ss", JaccardTauShingles))
     ),
@@ -276,39 +447,15 @@ object Dedup extends QueryModule {
       // mirror; deterministic, rows-only checked + unit-tested.
       "dedup_simhash",
       (s, dir) => {
-        val sh = shingleSets(Tables(s, dir).documents)
-        // bit-majority kernel (same rationale as the minhash signature:
-        // a 64-sum aggregate compiles to outsized generated code, an
-        // interpreted lambda is slow — a primitive loop is neither)
-        import org.apache.spark.sql.{Encoders, Row}
-        import org.apache.spark.sql.types._
-        val simSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("sim", LongType)))
-        implicit val le: org.apache.spark.sql.Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-        val simhashed = sh
-          .select(col("doc_id"), explode(col("ss")).as("t"))
-          .select(col("doc_id"), xxhash64(col("t")).as("h"))
-          .as[(Long, Long)](le)
-          .groupByKey(_._1)(Encoders.scalaLong)
-          .mapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
-            val counts = new Array[Int](64)
-            var n = 0
-            rows.foreach { case (_, h) =>
-              n += 1
-              var j = 0
-              while (j < 64) {
-                counts(j) += ((h >>> j) & 1L).toInt
-                j += 1
-              }
-            }
-            var sim = 0L
-            var j = 0
-            while (j < 64) {
-              if (2 * counts(j) > n) sim |= (1L << j)
-              j += 1
-            }
-            Row(id, sim)
-          }(Encoders.row(simSchema))
+        // bit-majority in the same narrow kernel pass as shingling (a
+        // 64-sum aggregate compiles to outsized generated code, an
+        // interpreted lambda is slow, and the old explode+regroup shape
+        // shuffled every shingle just to reunite it with its doc).
+        // Persisted: referenced by banding AND both sides of the verify
+        // join below.
+        val simhashed = shingleFeatures(Tables(s, dir).documents, withSig = false, withSim = true)
+          .select(col("doc_id"), col("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val banded = simhashed.select(col("doc_id"),
           explode(expr("transform(sequence(0, 7), s -> concat(s, ':', (sim >> (s * 8)) & 255))")).as("seg_key"))
         val cands = bucketPairs(banded, "seg_key")

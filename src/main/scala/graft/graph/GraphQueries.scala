@@ -51,7 +51,9 @@ object GraphQueries extends QueryModule {
       (s, dir) => {
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
         val objs = T.objects(t)
+        // persisted: the edge list feeds both the out- and in-degree aggs
         val edges = T.relationships(t, objs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out = edges.groupBy(col("source_id").as("object_id"))
           .agg(sum(col("n")).as("out_edges"), countDistinct(col("target_id")).as("out_neighbors"))
         val in = edges.groupBy(col("target_id").as("object_id"))
@@ -99,7 +101,9 @@ object GraphQueries extends QueryModule {
       "spo_two_hop",
       (s, dir) => {
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        // persisted: both sides of the self-join scan this distinct set
         val hop = t.select(col("subject"), col("object")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val back = hop.select(col("object"), col("subject").as("peer"))
         hop.join(back, "object")
           .filter(col("subject") =!= col("peer"))
@@ -118,7 +122,9 @@ object GraphQueries extends QueryModule {
       "spo_cooccurrence",
       (s, dir) => {
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        // persisted: both sides of the self-join scan this distinct set
         val so = t.select(col("subject"), col("object")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val b = so.select(col("subject"), col("object").as("object_b"))
         so.join(b, "subject")
           .filter(col("object") < col("object_b"))

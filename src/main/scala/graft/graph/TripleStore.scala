@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spark-native re-expression of the reference's SPO graph store.
@@ -16,12 +15,13 @@ import org.apache.spark.sql.functions._
   * Spark-first design: the row-at-a-time upsert/lookup becomes a
   * set-oriented distinct + join. Two id strategies:
   *
-  *  - `objects`/`relationships` use a dense `row_number` over name —
+  *  - `objects`/`relationships` use dense rank-by-name ids —
   *    deterministic, oracle-checkable, matches the feel of a serial PK.
-  *    The global sort is fine for an entity dictionary (cardinality ≪
-  *    fact table; entity dictionaries fit comfortably even at 100 TB of
-  *    facts), and Spark executes it as a range-partitioned sort, not a
-  *    single-node bottleneck.
+  *    Ids are assigned via a range-partitioned global sort followed by
+  *    `zipWithIndex` (one extra count job to offset partitions), which
+  *    is `row_number() OVER (ORDER BY name)` semantics WITHOUT the
+  *    single-partition WindowExec that an unpartitioned window would
+  *    force — every stage stays distributed.
   *  - at extreme entity cardinality you'd switch to `xxhash64(name)` ids
   *    (collision-checked), which needs no sort and no join — the edge
   *    table derives ids directly from the triple columns. We keep the
@@ -49,15 +49,23 @@ object TripleStore {
        epoch_us(ts) AS ts_us
      FROM events"""
 
-  /** Distinct entities with dense ids + first-seen time (the upsert). */
+  /** Distinct entities with dense ids + first-seen time (the upsert).
+    *
+    * Dense ids are `row_number() OVER (ORDER BY name)` semantics, but
+    * assigned distributed: sort (range-partitioned) + `zipWithIndex`
+    * (offsets each partition by the preceding partitions' counts) —
+    * no single-partition window, so the dictionary build scales with
+    * entity cardinality.
+    */
   def objects(triples: DataFrame): DataFrame = {
     val names = triples
       .select(col("subject").as("name"), col("ts_us"))
       .unionByName(triples.select(col("object").as("name"), col("ts_us")))
       .groupBy(col("name"))
       .agg(min(col("ts_us")).as("first_seen_us"))
-    names.withColumn("object_id", row_number().over(Window.orderBy(col("name"))).cast("long"))
-      .select(col("object_id"), col("name"), lit("entity").as("object_type"), col("first_seen_us"))
+    graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
+      .select(col("object_id"), col("name"),
+        lit("entity").as("object_type"), col("first_seen_us"))
   }
 
   /** Edge list with ids resolved by name (the reference's id lookup),

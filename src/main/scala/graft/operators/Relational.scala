@@ -366,10 +366,19 @@ object Relational extends QueryModule {
           .groupBy(col("user_id"))
           .agg(sum(col("value").cast(Money)).cast("double").as("total_value"),
             count(lit(1)).as("n_events"))
+        // dense_rank <= 5 needs a global ordering; prefilter to the top-5
+        // distinct totals (distributed TakeOrdered + 1-row broadcast) so
+        // the unavoidable rank window runs over only the tied head, not
+        // every user — the pattern survives arbitrary user cardinality
+        val thr = totals.select(col("total_value")).distinct()
+          .orderBy(col("total_value").desc).limit(5)
+          .agg(min(col("total_value")).as("thr"))
         val w = Window.orderBy(col("total_value").desc)
         totals
+          .join(broadcast(thr), col("total_value") >= col("thr"))
           .withColumn("rk", dense_rank().over(w).cast("long"))
           .filter(col("rk") <= 5)
+          .select(col("user_id"), col("total_value"), col("n_events"), col("rk"))
           .orderBy(col("rk"), col("user_id"))
       },
       Some("""SELECT user_id, total_value, n_events, rk FROM (
@@ -491,18 +500,23 @@ object Relational extends QueryModule {
       (s, dir) => {
         val t = Tables(s, dir)
         t.orders.createOrReplaceTempView("orders_v")
+        // decimal-exact per-customer average: double SUM order is
+        // partition-count-dependent in Spark and differs from DuckDB, so
+        // a plain AVG could flip the boundary predicate on low-bit drift
         s.sql("""SELECT o_custkey, COUNT(*) AS n_big_orders,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
           FROM orders_v o
           WHERE o_totalprice > 2 * (
-            SELECT AVG(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM orders_v i WHERE i.o_custkey = o.o_custkey)
           GROUP BY o_custkey ORDER BY o_custkey""")
       },
       Some("""SELECT o_custkey, COUNT(*) AS n_big_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
         FROM orders o
         WHERE o_totalprice > 2 * (
-          SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey)
         GROUP BY o_custkey ORDER BY o_custkey""")
     ),
 
@@ -536,6 +550,32 @@ object Relational extends QueryModule {
         CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN epoch_us(ts) - epoch_us(view_ts) END) AS BIGINT) AS total_gap_us
       FROM ev WHERE event_type = 'purchase'
       GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    QueryDef(
+      // the same as-of semantics through graft's NATIVE plan node
+      // (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
+      // SparkPlan) instead of a window rewrite. Semantics: latest view
+      // with view_ts_us <= purchase ts_us per user — emitted per
+      // purchase, so the correlated-MAX oracle is exactly equivalent.
+      "q_asof_native",
+      (s, dir) => {
+        val ev = Tables(s, dir).events.withColumn("ts_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("view_ts_us"))
+        graft.plans.AsOf.joinBackward(purchases, views, Seq("user_id"), "ts_us", "view_ts_us")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, epoch_us(ts) AS view_ts_us
+                FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, p.ts_us,
+        (SELECT MAX(view_ts_us) FROM v
+          WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us) AS view_ts_us
+      FROM p ORDER BY p.event_id""")
     )
   )
 }

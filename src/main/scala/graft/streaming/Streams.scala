@@ -53,19 +53,33 @@ object WindowedAggregator {
   * in-memory accumulator (this container has no external DB); in
   * production the same `merge` body targets Delta/JDBC with the
   * identical upsert semantics — dedup objects by name, append edges.
+  *
+  * Idempotence requirement: `foreachBatch` delivers micro-batches
+  * at-least-once (a batch is replayed after a failure between sink
+  * commit and checkpoint commit), so an append-only merge MUST track
+  * the last applied batchId and skip replays — otherwise a replayed
+  * batch appends its triples twice and inflates edge weights. The
+  * production Delta/JDBC variant needs the same guard (a `txnVersion`/
+  * applied-batch table) unless its merge is keyed to be naturally
+  * idempotent.
   */
 final class SpoGraphSink extends Serializable {
   import scala.collection.mutable
 
   private val lock = new Object
   private val triples = mutable.ArrayBuffer[(String, String, String, Long)]()
+  private var lastAppliedBatchId: Long = -1L
 
   /** foreachBatch body: fold a micro-batch of (subject, predicate,
-    * object, ts_us) rows into the store. */
+    * object, ts_us) rows into the store. Skips batchIds at or below the
+    * last applied one, making replays (at-least-once delivery) no-ops. */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val rows = batch.select("subject", "predicate", "object", "ts_us").collect()
     lock.synchronized {
-      rows.foreach(r => triples += ((r.getString(0), r.getString(1), r.getString(2), r.getLong(3))))
+      if (batchId > lastAppliedBatchId) {
+        rows.foreach(r => triples += ((r.getString(0), r.getString(1), r.getString(2), r.getLong(3))))
+        lastAppliedBatchId = batchId
+      }
     }
   }
 
@@ -79,6 +93,32 @@ final class SpoGraphSink extends Serializable {
     val objs = graft.graph.TripleStore.objects(t)
     (objs, graft.graph.TripleStore.relationships(t, objs))
   }
+}
+
+/** Streaming deduplication (the streaming face of §2.4's exact dedup):
+  * `dropDuplicatesWithinWatermark` keyed on a content fingerprint. State
+  * is bounded by the watermark delay — keys older than the watermark are
+  * evicted, so the operator runs indefinitely at ingest scale, unlike an
+  * unbounded `dropDuplicates` whose state grows forever.
+  */
+object StreamDedup {
+
+  /** Drop rows whose `keyCols` combination was already seen within the
+    * watermark window around `eventTimeCol`. */
+  def withinWatermark(events: DataFrame, eventTimeCol: String, delay: String,
+                      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-exact streaming document dedup: key = md5 of the sorted
+    * distinct lowercase word set (the SAME normalization as the batch
+    * `dedup_exact` operator, so batch and stream agree on what "same
+    * document" means). */
+  def documents(docs: DataFrame, textCol: String, eventTimeCol: String,
+                delay: String): DataFrame =
+    withinWatermark(
+      docs.withColumn("norm_md5",
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(col(textCol)), " ")))))),
+      eventTimeCol, delay, Seq("norm_md5"))
 }
 
 object EventSessionizer {

@@ -14,14 +14,31 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a custom (already-resolved) logical plan — the
+    * `private[sql]` Dataset.ofRows, used to surface graft's native plan
+    * nodes (e.g. [[graft.plans.AsOfJoin]]) through the Dataset API. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * `spark.sql.extensions=graft.GraftExtensions` conf only applies to
     * sessions built with it). */
   def registerFunctions(spark: SparkSession): Unit = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_sim",
-        (children: Seq[Expression]) => graft.expressions.CosineSimilarity(children.head, children(1)),
-        "scala_udf")
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (children: Seq[Expression]) => graft.expressions.CosineSimilarity(children.head, children(1)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "jaccard_sorted",
+      (children: Seq[Expression]) => graft.expressions.JaccardSorted(children.head, children(1)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "confluent_schema_id",
+      (children: Seq[Expression]) => graft.expressions.ConfluentSchemaId(children.head),
+      "scala_udf")
   }
 }

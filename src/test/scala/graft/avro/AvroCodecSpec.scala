@@ -57,6 +57,23 @@ class AvroCodecSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "x", 1.5), (2L, "y", math.Pi), (3L, "z", -0.0)))
   }
 
+  test("encode -> decode roundtrips bytes fields (ByteBuffer <-> Array[Byte])") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, Array[Byte](0, 1, 2, -1)),
+        Row(2L, Array.emptyByteArray),
+        Row(3L, Array[Byte](127, -128))),
+      schema)
+    val json = AvroCodec.recordSchemaJson("m", Seq("id" -> "long", "payload" -> "bytes"))
+    val decoded = AvroCodec.decode(AvroCodec.encode(df, json, 9), "value", json)
+      .collect().sortBy(_.getLong(0))
+    assert(decoded.forall(_.getAs[String]("err") == null))
+    assert(decoded.map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").toSeq)) ===
+      Array((1L, Seq[Byte](0, 1, 2, -1)), (2L, Seq.empty[Byte]), (3L, Seq[Byte](127, -128))))
+  }
+
   test("decodeToJson emits canonical Avro JSON") {
     val schema = StructType(Seq(StructField("subject", StringType),
       StructField("predicate", StringType), StructField("object", StringType)))
@@ -66,5 +83,16 @@ class AvroCodecSpec extends AnyFunSuite with SparkFixture {
     val json = AvroCodec.decodeToJson(encoded, "value", AvroQueries.SpoSchemaJson)
       .collect().head.getString(0)
     assert(json == """{"subject":"Don Vito","predicate":"Email","object":"donvito@example.com"}""")
+  }
+
+  test("decodeToJson fast path escapes like the avro jsonEncoder") {
+    val schema = StructType(Seq(StructField("subject", StringType),
+      StructField("predicate", StringType), StructField("object", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("a\"b\\c", "x\ny\tz", "ctl\u0001end")), schema)
+    val encoded = AvroCodec.encode(df, AvroQueries.SpoSchemaJson, 2)
+    val json = AvroCodec.decodeToJson(encoded, "value", AvroQueries.SpoSchemaJson)
+      .collect().head.getString(0)
+    assert(json == "{\"subject\":\"a\\\"b\\\\c\",\"predicate\":\"x\\ny\\tz\",\"object\":\"ctl\\u0001end\"}")
   }
 }

@@ -1,0 +1,53 @@
+package graft.expressions
+
+import graft.SparkFixture
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("jaccard_sorted matches the SQL set formulation on word sets") {
+    val docs = graft.operators.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), array_sort(array_distinct(split(lower(col("text")), " "))).as("ws"))
+      .limit(50)
+    val pairs = docs.select(col("doc_id").as("a"), col("ws").as("wa"))
+      .crossJoin(docs.select(col("doc_id").as("b"), col("ws").as("wb")))
+      .filter(col("a") < col("b"))
+    val native = pairs.withColumn("j", GraftSqlBridge.column(JaccardSorted(
+      GraftSqlBridge.expression(col("wa")), GraftSqlBridge.expression(col("wb")))))
+    val viaSql = pairs.withColumn("j",
+      expr("CAST(size(array_intersect(wa, wb)) AS DOUBLE) / (size(wa) + size(wb) - size(array_intersect(wa, wb)))"))
+    val n = native.select("a", "b", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    val s = viaSql.select("a", "b", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    assert(n.length == s.length && n.length > 0)
+    n.zip(s).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("confluent_schema_id extracts CP1 ids and nulls bad frames") {
+    import spark.implicits._
+    GraftSqlBridge.registerFunctions(spark)
+    val good = graft.avro.ConfluentFraming.frame(123456, Array[Byte](1, 2, 3))
+    val badMagic = good.clone(); badMagic(0) = 1
+    val truncated = good.take(3)
+    val df = Seq(
+      (1L, good), (2L, badMagic), (3L, truncated)
+    ).toDF("id", "value")
+    val out = df.selectExpr("id", "confluent_schema_id(value) AS sid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out == Map(1L -> 123456, 2L -> null, 3L -> null))
+  }
+
+  test("cosine_sim validates input types and handles array<double>") {
+    GraftSqlBridge.registerFunctions(spark)
+    // array<double> literals (the SQL default) now take the getDouble path
+    val v = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    // mixed float/double input is an analysis error, not silent garbage
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0D), array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}

@@ -120,6 +120,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops repeated content") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamDedup.documents(docs, "text", "ts", "10 minutes")
+      .select("doc_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // same normalized content: word order and case don't matter
+      input.addData((ts(0), 1L, "alpha beta gamma"), (ts(1), 2L, "Beta GAMMA alpha"))
+      q.processAllAvailable()
+      input.addData((ts(2), 3L, "alpha beta gamma"), (ts(3), 4L, "delta"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("replayed micro-batch does not double-count in SpoGraphSink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sink = new SpoGraphSink
+    val batch = Seq(("a", "p", "b", 1L)).toDF("subject", "predicate", "object", "ts_us")
+    sink.merge(batch, 0L)
+    sink.merge(batch, 0L) // at-least-once replay of the same batchId
+    val (_, edges) = sink.graph(spark)
+    assert(edges.collect().map(_.getLong(3)).toSeq == Seq(1L))
+  }
+
   test("stateful sessionization closes sessions on gap, keeps tail open") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
