@@ -57,6 +57,30 @@ object Multimodal extends QueryModule {
       beField(col("blob"), 13).as("nframes"),
       (length(col("blob")) - 16).cast("long").as("payload_len"))
 
+  // ---- audio-shaped container "GRFA": 4-byte magic | 4-byte sample_rate
+  // | 4-byte n_samples | 16-byte payload. Sample rates 8/12/16 kHz,
+  // clips 0.5-4 s — all derived from doc_id so the oracle can recompute.
+  private def rateExpr: Column = lit(8000) + pmod(col("doc_id"), lit(3)) * 4000
+  private def nsamplesExpr: Column =
+    (lit(4000) + pmod(col("doc_id"), lit(3)) * 2000) * (lit(1) + pmod(col("doc_id"), lit(8)))
+
+  /** Build the synthetic audio blob column from a documents DataFrame. */
+  def withAudioBlobs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("ablob", concat(
+        lit("GRFA".getBytes("UTF-8")),
+        be4(rateExpr), be4(nsamplesExpr),
+        unhex(md5(col("text")))))
+      .drop("text")
+
+  /** Audio metadata struct parsed from the container header. */
+  def extractAudioMeta(blobs: DataFrame): DataFrame =
+    blobs.select(
+      col("doc_id"),
+      substring(col("ablob"), 1, 4).cast("string").as("magic"),
+      beField(col("ablob"), 5).as("sample_rate"),
+      beField(col("ablob"), 9).as("n_samples"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // build -> parse roundtrip: the oracle recomputes the metadata from
@@ -92,8 +116,90 @@ object Multimodal extends QueryModule {
         CAST(f AS BIGINT) AS frame_idx
       FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 24, 4)) AS f FROM documents) t
       ORDER BY doc_id, frame_idx""")
+    ),
+
+    QueryDef(
+      // audio plumbing: fixed-rate 1-second tumbling windows over each
+      // clip, exploded to window rows (start sample + actual window
+      // length, final window truncated) — the batch shape a feature
+      // extractor (fbank/spectrogram kernel behind mapPartitions)
+      // consumes. Header parse + windowing are pure column expressions;
+      // payload bytes are never touched.
+      "mm_audio_windows",
+      (s, dir) => {
+        extractAudioMeta(withAudioBlobs(Tables(s, dir).documents))
+          .withColumn("n_windows",
+            expr("(n_samples + sample_rate - 1) DIV sample_rate"))
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            explode(sequence(lit(0L), col("n_windows") - 1L)).as("window_idx"))
+          .withColumn("start_sample", (col("window_idx") * col("sample_rate")).cast("long"))
+          .withColumn("window_samples",
+            least(col("sample_rate"), col("n_samples") - col("start_sample")).cast("long"))
+          .orderBy(col("doc_id"), col("window_idx"))
+      },
+      Some("""WITH m AS (
+        SELECT doc_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+          CAST((4000 + (doc_id % 3) * 2000) * (1 + doc_id % 8) AS BIGINT) AS n_samples
+        FROM documents),
+      w AS (
+        SELECT doc_id, sample_rate, n_samples,
+          unnest(range(0, (n_samples + sample_rate - 1) // sample_rate)) AS widx
+        FROM m)
+      SELECT doc_id, sample_rate, n_samples,
+        CAST(widx AS BIGINT) AS window_idx,
+        CAST(widx * sample_rate AS BIGINT) AS start_sample,
+        CAST(LEAST(sample_rate, n_samples - widx * sample_rate) AS BIGINT) AS window_samples
+      FROM w ORDER BY doc_id, window_idx""")
     )
   )
+}
+
+/** STUB audio feature kernel: per 1-second window, a fake "RMS"-style
+  * scalar derived deterministically from the payload bytes. Real
+  * deployments swap the inner loop for an fbank/spectrogram codec — the
+  * Spark shape (header parse -> window plan -> batched per-partition
+  * kernel over binary payloads) is exactly what survives.
+  */
+object FakeAudioFeatures {
+
+  /** (doc_id, window_idx, window_samples, rms) per fixed-rate window. */
+  def extractWindows(blobs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("window_idx", LongType),
+      StructField("window_samples", LongType),
+      StructField("rms", DoubleType)))
+    val blobIdx = blobs.schema.fieldIndex("ablob")
+    val idIdx = blobs.schema.fieldIndex("doc_id")
+    blobs.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val blob = row.getAs[Array[Byte]](blobIdx)
+        val id = row.getLong(idIdx)
+        def be4(o: Int): Long =
+          (((blob(o) & 0xff) << 24) | ((blob(o + 1) & 0xff) << 16) |
+            ((blob(o + 2) & 0xff) << 8) | (blob(o + 3) & 0xff)).toLong
+        val rate = be4(4)
+        val nSamples = be4(8)
+        val payload = java.util.Arrays.copyOfRange(blob, 12, blob.length)
+        val nWindows = (nSamples + rate - 1) / rate
+        (0L until nWindows).iterator.map { w =>
+          val len = math.min(rate, nSamples - w * rate)
+          // fake per-window energy: fold payload bytes keyed by window
+          var acc = 0.0
+          var i = 0
+          while (i < payload.length) {
+            val b = payload(((w.toInt + i) % payload.length + payload.length) % payload.length) & 0xff
+            acc += (b / 255.0) * (b / 255.0)
+            i += 1
+          }
+          Row(id, w, len, math.sqrt(acc / payload.length))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }
 
 /** STUB decode kernel. A real deployment swaps this for an image/audio

@@ -20,6 +20,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(a.forall(_._3.forall(f => f >= 0.0f && f <= 1.0f)))
   }
 
+  test("audio window kernel agrees with the column-expression window plan") {
+    val docs = Tables(spark, dir).documents.limit(40)
+    val blobs = Multimodal.withAudioBlobs(docs)
+    val kernel = FakeAudioFeatures.extractWindows(blobs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val plan = graft.SparkEntry.queries("mm_audio_windows")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("window_idx"))) ->
+        r.getLong(r.fieldIndex("window_samples")))
+      .toMap
+    val planSubset = plan.filter { case ((id, _), _) => kernel.keys.exists(_._1 == id) }
+    assert(kernel.nonEmpty)
+    assert(kernel == planSubset) // same windows, same truncated lengths
+    // determinism of the fake energy
+    val a = FakeAudioFeatures.extractWindows(blobs).collect().map(_.getDouble(3)).toSeq
+    val b = FakeAudioFeatures.extractWindows(blobs).collect().map(_.getDouble(3)).toSeq
+    assert(a.sorted == b.sorted)
+  }
+
   test("frame sampling matches header nframes at stride 4") {
     val blobs = Multimodal.withBlobs(Tables(spark, dir).documents.limit(50))
     val meta = Multimodal.extractMeta(blobs).collect()
