@@ -477,7 +477,12 @@ object Dedup extends QueryModule {
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
         val pairs = a.join(b, col("vec_a") < col("vec_b"))
-        VectorOps.cosineKernel(pairs, "ea", "eb")
+        // native codegen'd cosine (bit-identical to the kernel and the SQL
+        // mirror — SimilaritySpec): the pair rows never leave Tungsten,
+        // where the mapPartitions kernel deserialized 2 float arrays per
+        // pair into JVM objects
+        pairs
+          .withColumn("cosine", VectorOps.cosineNative(col("ea"), col("eb")))
           .filter(col("cosine") >= CosineTau)
           .select(col("vec_a"), col("vec_b"), col("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))

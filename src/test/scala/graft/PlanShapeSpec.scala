@@ -50,6 +50,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan("q_order_priority").contains("LeftSemi"))
   }
 
+  test("q_asof_native plans the custom AsOfJoinExec with co-partitioned children") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin ("), p.take(2000))
+    // Spark inserted the declared requirements: hash exchanges on the by
+    // key and per-partition sorts feeding the merge
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 2,
+      "children not co-partitioned on the by key")
+    assert("Sort \\(".r.findAllIn(p).length >= 2, "children not sorted for the merge")
+  }
+
+  test("dense-id dictionaries avoid single-partition windows") {
+    // spo_objects previously used row_number over an unpartitioned window
+    // (all rows to ONE task); the zipWithIndex path must not plan any
+    // partition-less WindowExec
+    val p = plan("spo_objects")
+    assert(!p.contains("Window ["), s"unexpected window in spo_objects:\n${p.take(1500)}")
+  }
+
+  test("embedding dedup keeps cosine inside codegen (no kernel hop)") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("cosine_sim"), "native cosine expression missing")
+    assert(!p.contains("DeserializeToObject"),
+      "pair rows leave Tungsten for a JVM kernel")
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
