@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet footer caches otherwise land
+    // on whichever query happens to run first (measured: ~3-6 s of the
+    // first query's wall time is one-time JVM warmup, not query cost)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: SPARK_GRAFT_ONLY=name1,name2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

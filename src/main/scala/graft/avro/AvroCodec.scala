@@ -151,6 +151,74 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
+  /** Schema-evolution decode: each CP1 frame's id selects its WRITER
+    * schema from `writerSchemas` (a registry snapshot — driver-fetched,
+    * shipped with the closure, never a per-record network call), and all
+    * records are resolved to the single `readerSchemaJson` via standard
+    * Avro schema resolution: reader-added fields fill from defaults,
+    * reader-dropped fields are skipped. Output schema is the READER's.
+    * Frames with an id the snapshot doesn't know decode to
+    * `err = unknown_schema_id:<id>` — the same per-error-class counting
+    * discipline as the reference's consume loop.
+    */
+  def decodeMulti(df: DataFrame, valueCol: String,
+                  writerSchemas: Map[Int, String], readerSchemaJson: String,
+                  passthrough: Seq[String] = Nil): DataFrame = {
+    val structType = toStructType(readerSchemaJson)
+    val inSchema = df.schema
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val passIdx = passthrough.map(inSchema.fieldIndex)
+    val outSchema = StructType(
+      passthrough.map(inSchema(_)) ++
+        structType.fields.map(_.copy(nullable = true)) :+
+        StructField("err", StringType, nullable = true))
+    val nFields = structType.fields.length
+    df.mapPartitions { iter =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      // one resolving reader per writer id, built lazily per partition
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      var decoder: BinaryDecoder = null
+      var rec: GenericRecord = null
+      iter.map { row =>
+        val pass = passIdx.map(row.get)
+        val bytes = row.getAs[Array[Byte]](valIdx)
+        ConfluentFraming.unframe(bytes) match {
+          case ConfluentFraming.Framed(id, b, off, len) =>
+            writerSchemas.get(id) match {
+              case None =>
+                Row.fromSeq(pass ++ Seq.fill[Any](nFields)(null) :+ s"unknown_schema_id:$id")
+              case Some(writerJson) =>
+                try {
+                  val reader = readers.getOrElseUpdate(id,
+                    new GenericDatumReader[GenericRecord](
+                      new Schema.Parser().parse(writerJson), readerSchema))
+                  decoder = DecoderFactory.get().binaryDecoder(b, off, len, decoder)
+                  rec = reader.read(rec, decoder)
+                  val vals = (0 until nFields).map { i =>
+                    rec.get(i) match {
+                      case u: Utf8 => u.toString
+                      case bb: java.nio.ByteBuffer =>
+                        val arr = new Array[Byte](bb.remaining())
+                        bb.duplicate().get(arr)
+                        arr
+                      case v => v
+                    }
+                  }
+                  Row.fromSeq(pass ++ vals :+ null)
+                } catch {
+                  case e: Exception =>
+                    Row.fromSeq(pass ++ Seq.fill[Any](nFields)(null) :+ s"decode_error:${e.getClass.getSimpleName}")
+                }
+            }
+          case ConfluentFraming.BadMagic =>
+            Row.fromSeq(pass ++ Seq.fill[Any](nFields)(null) :+ "bad_magic")
+          case ConfluentFraming.Truncated =>
+            Row.fromSeq(pass ++ Seq.fill[Any](nFields)(null) :+ "truncated")
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Avro binary -> canonical Avro JSON (mirror of `avro2json`,
     * `src/KafkaConsumerCallback.cpp:42-68`), emitted as a `json` string
     * column next to the decoded fields.

@@ -40,6 +40,17 @@ object AvroQueries extends QueryModule {
     "predicate" -> "string",
     "object" -> "string"))
 
+  /** Schema v2 for the events topic: adds a nullable `source` (with a
+    * default, so v1-written messages resolve) and drops `props` — the
+    * canonical compatible-evolution pair (add-with-default / remove). */
+  val EventsSchemaV2Json: String =
+    """{"type":"record","name":"events_msg","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"source","type":["null","string"],"default":null}]}""".stripMargin
+
   /** The reference's YAML config shape (configs/SPO_2_kafka.yaml),
     * retargeted at the events topic. */
   val ConfigYaml: String =
@@ -193,6 +204,47 @@ object AvroQueries extends QueryModule {
                    WHEN event_id % 101 = 0 THEN 'truncated'
                    ELSE 'ok' END AS status, COUNT(*) AS n
       FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+
+    QueryDef(
+      // schema evolution through the registry: the topic carries TWO
+      // writer schema versions (even event_ids framed with v1, odd with
+      // v2 which adds `source` and drops `props`); the consumer decodes
+      // everything against the v2 READER schema via per-frame-id Avro
+      // resolution — v1 messages fill `source` from its default (null).
+      "avro_evolution",
+      (s, dir) => {
+        val registry = new SchemaRegistry
+        val v1Id = registry.register("events-value", EventsSchemaJson)
+        val v2Id = registry.register("events-value", EventsSchemaV2Json)
+        val ev = Tables(s, dir).events
+        val encV1 = AvroCodec.encode(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select("event_id", "user_id", "event_type", "value", "props"),
+          EventsSchemaJson, v1Id)
+        val encV2 = AvroCodec.encode(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              concat(lit("src_"), pmod(col("user_id"), lit(4))).as("source")),
+          EventsSchemaV2Json, v2Id)
+        val decoded = AvroCodec.decodeMulti(
+          encV1.unionByName(encV2), "value", registry.snapshot, EventsSchemaV2Json)
+        decoded
+          .filter(col("err").isNull)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("source")).as("n_with_source"),
+            countDistinct(col("source")).as("n_sources"),
+            Exact.dsum(col("value")).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_source,
+        COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+          THEN 'src_' || CAST(user_id % 4 AS VARCHAR) END) AS n_sources,
+        ${Exact.sqlSum("value")} AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type""")
     ),
 
     QueryDef(

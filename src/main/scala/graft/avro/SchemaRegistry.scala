@@ -16,24 +16,31 @@ import scala.jdk.CollectionConverters._
   * per-record network call.
   */
 final class SchemaRegistry extends Serializable {
-  private val bySubject = new ConcurrentHashMap[String, Int]()
+  // (subject, schema) -> id: re-registering the same schema under a
+  // subject is idempotent; a NEW schema under the same subject gets a
+  // new id — i.e. subjects are versioned, like a real Confluent registry
+  private val byKey = new ConcurrentHashMap[String, Int]()
   private val byId = new ConcurrentHashMap[Int, String]()
+  private val latestBySubject = new ConcurrentHashMap[String, Int]()
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
 
   /** Register `schemaJson` under `subject`, returning its id (idempotent
-    * per subject, like `Serdes::Schema::add`). */
+    * per (subject, schema), like `Serdes::Schema::add`). */
   def register(subject: String, schemaJson: String): Int = {
-    bySubject.computeIfAbsent(subject, _ => {
-      val id = nextId.getAndIncrement()
-      byId.put(id, schemaJson)
-      id
+    val id = byKey.computeIfAbsent(subject + "\u0000" + schemaJson, _ => {
+      val i = nextId.getAndIncrement()
+      byId.put(i, schemaJson)
+      i
     })
+    // ids are assigned in registration order, so max id == latest version
+    latestBySubject.merge(subject, id, (a, b) => math.max(a, b))
+    id
   }
 
-  /** `fetch_value_schema`: schema for `{topic}-value`. */
+  /** `fetch_value_schema`: LATEST schema version for `{topic}-value`. */
   def fetchValueSchema(topic: String): Option[(Int, String)] = {
     val subject = s"$topic-value"
-    Option(bySubject.get(subject)).map(id => (id, byId.get(id)))
+    Option(latestBySubject.get(subject)).map(id => (id, byId.get(id)))
   }
 
   def fetchById(id: Int): Option[String] = Option(byId.get(id))

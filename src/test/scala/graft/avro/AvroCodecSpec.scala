@@ -32,6 +32,48 @@ class AvroCodecSpec extends AnyFunSuite with SparkFixture {
     assert(r.fetchById(id).contains(AvroQueries.SpoSchemaJson))
   }
 
+  test("schema registry versions subjects; latest wins for the topic") {
+    val r = new SchemaRegistry
+    val v1 = r.register("events-value", AvroQueries.EventsSchemaJson)
+    val v2 = r.register("events-value", AvroQueries.EventsSchemaV2Json)
+    assert(v2 != v1)
+    assert(r.fetchValueSchema("events").contains((v2, AvroQueries.EventsSchemaV2Json)))
+    assert(r.fetchById(v1).contains(AvroQueries.EventsSchemaJson))
+    assert(r.snapshot == Map(v1 -> AvroQueries.EventsSchemaJson, v2 -> AvroQueries.EventsSchemaV2Json))
+  }
+
+  test("decodeMulti resolves per-frame writer schemas against the reader") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val v1Rows = spark.createDataFrame(
+      java.util.List.of(Row(2L, 7L, "view", 1.5, "{}")), schema)
+    val v2Schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("source", StringType)))
+    val v2Rows = spark.createDataFrame(
+      java.util.List.of(Row(3L, 8L, "click", 2.5, "src_0")), v2Schema)
+    val r = new SchemaRegistry
+    val v1Id = r.register("events-value", AvroQueries.EventsSchemaJson)
+    val v2Id = r.register("events-value", AvroQueries.EventsSchemaV2Json)
+    val enc = AvroCodec.encode(v1Rows, AvroQueries.EventsSchemaJson, v1Id)
+      .unionByName(AvroCodec.encode(v2Rows, AvroQueries.EventsSchemaV2Json, v2Id))
+    val out = AvroCodec.decodeMulti(enc, "value", r.snapshot, AvroQueries.EventsSchemaV2Json)
+      .collect().sortBy(_.getLong(0))
+    assert(out.forall(_.getAs[String]("err") == null))
+    // v1 message: source filled from the reader default (null), props dropped
+    assert(out(0).getLong(0) == 2L && out(0).isNullAt(out(0).fieldIndex("source")))
+    assert(out(1).getLong(0) == 3L && out(1).getAs[String]("source") == "src_0")
+    assert(!out(0).schema.fieldNames.contains("props"))
+    // unknown writer id -> classified error, not an exception
+    val errs = AvroCodec.decodeMulti(enc, "value", Map(v1Id -> AvroQueries.EventsSchemaJson),
+      AvroQueries.EventsSchemaV2Json)
+      .select("err").collect().map(_.getString(0)).toSet
+    assert(errs == Set(null, s"unknown_schema_id:$v2Id"))
+  }
+
   test("avro schema -> StructType covers the reference's type menu") {
     val json = AvroCodec.recordSchemaJson("m", Seq(
       "s" -> "string", "i" -> "int", "l" -> "long", "f" -> "float", "d" -> "double"))
