@@ -193,6 +193,63 @@ object Similarity extends QueryModule {
     ),
 
     QueryDef(
+      // IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+      // corpus into cells; each query probes only its nprobe nearest
+      // cells, so ~nprobe/k of the corpus is scored. The complementary
+      // scale path to knn_lsh: LSH is data-independent (no training, no
+      // skew from clustered data), IVF adapts to the data's geometry and
+      // probes less at equal recall on clustered corpora. The cell
+      // assignment is a one-off (in production: persisted next to the
+      // vectors, like a FAISS IVF index); probe selection is a tiny
+      // driver-side computation over k centroids per query. Deterministic
+      // seed -> rows-only gate is stable; recall vs brute force asserted
+      // in SimilaritySpec.
+      "knn_ivf",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val nCells = 16
+        val nProbe = 4
+        val e = Tables(s, dir).embeddings
+        val withFv = e.select(col("vec_id"), col("embedding"))
+          .withColumn("fv", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(nCells).setSeed(42L)
+          .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+        val assigned = model.transform(withFv)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        // nprobe nearest cells per query (k centroids x 10 queries on the
+        // driver — negligible; ships as a broadcast probe list)
+        val centroids = model.clusterCenters.map(_.toArray)
+        val qRows = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val probeRows = qRows.flatMap { case (qid, qe) =>
+          centroids.zipWithIndex.map { case (c, ci) =>
+            var d = 0.0
+            var i = 0
+            val n = math.min(c.length, qe.length)
+            while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
+            (qid, ci, d)
+          }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
+        }
+        import s.implicits._
+        val probes = probeRows.toSeq.toDF("qid", "cell")
+        val queries = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .join(broadcast(queries), "qid")
+          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= K)
+          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None
+    ),
+
+    QueryDef(
       "embed_norm_stats",
       (s, dir) => {
         Tables(s, dir).embeddings

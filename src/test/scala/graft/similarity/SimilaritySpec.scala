@@ -20,6 +20,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("knn_ivf probes a cell subset yet recalls a useful fraction of brute force") {
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val ivf = SparkEntry.queries("knn_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // nprobe/k = 4/16 = 25% of cells probed; random scoring would recall
+    // ~0.25 — require clearly better, and determinism across runs
+    assert(recall >= 0.3, s"recall $recall")
+    val ivf2 = SparkEntry.queries("knn_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    assert(ivf == ivf2, "knn_ivf not deterministic")
+  }
+
   test("native expression, HOF column, and kernel cosine are bit-identical") {
     import org.apache.spark.sql.functions.col
     val e = graft.operators.Tables(spark, dir).embeddings.limit(100)
