@@ -248,6 +248,61 @@ object AvroQueries extends QueryModule {
     ),
 
     QueryDef(
+      // the reference's async logging stage (LogProcessor + daily
+      // FileLogger: `src/logging/LogProcessor.cpp`, log format
+      // `YYYY/MM/DD HH:MM:SS.ffffff [LEVEL] [Component] Message: {json}`
+      // as in logs/flycatcher_*.log) re-expressed set-oriented: FORMAT
+      // each consumed message's log line, then PARSE the lines back with
+      // regexp_extract and aggregate per (level, component) with the
+      // daily-file count — all codegen'd string expressions, round-trip
+      // checked against the oracle building the same lines in SQL.
+      "log_pipeline",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val lines = ev.select(concat(
+          date_format(col("ts"), "yyyy/MM/dd HH:mm:ss.SSSSSS"),
+          lit(" ["),
+          when(col("event_type") === "error", "ERROR").otherwise(lit("INFO")),
+          lit("] ["),
+          when(col("event_type") === "purchase", "Database")
+            .otherwise(lit("KafkaConsumerCallback")),
+          lit("] Message: {\"event_id\":"), col("event_id"),
+          lit(",\"user_id\":"), col("user_id"),
+          lit(",\"event_type\":\""), col("event_type"), lit("\"}")).as("line"))
+        val re = "^(\\S+ \\S+) \\[(\\w+)\\] \\[(\\w+)\\] Message: (.*)$"
+        val parsed = lines.select(
+          regexp_extract(col("line"), re, 1).as("ts_str"),
+          regexp_extract(col("line"), re, 2).as("level"),
+          regexp_extract(col("line"), re, 3).as("component"),
+          regexp_extract(col("line"), re, 4).as("message"))
+        parsed
+          .groupBy(col("level"), col("component"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            countDistinct(substring(col("ts_str"), 1, 10)).as("n_log_days"),
+            sum(length(col("message")).cast("long")).as("total_msg_chars"))
+          .orderBy(col("level"), col("component"))
+      },
+      Some("""WITH lines AS (
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d %H:%M:%S.%f') || ' [' ||
+          CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END || '] [' ||
+          CASE WHEN event_type = 'purchase' THEN 'Database' ELSE 'KafkaConsumerCallback' END ||
+          '] Message: {"event_id":' || event_id || ',"user_id":' || user_id ||
+          ',"event_type":"' || event_type || '"}' AS line
+        FROM events),
+      parsed AS (
+        SELECT regexp_extract(line, '^(\S+ \S+) \[(\w+)\] \[(\w+)\] Message: (.*)$', 1) AS ts_str,
+               regexp_extract(line, '^(\S+ \S+) \[(\w+)\] \[(\w+)\] Message: (.*)$', 2) AS level,
+               regexp_extract(line, '^(\S+ \S+) \[(\w+)\] \[(\w+)\] Message: (.*)$', 3) AS component,
+               regexp_extract(line, '^(\S+ \S+) \[(\w+)\] \[(\w+)\] Message: (.*)$', 4) AS message
+        FROM lines)
+      SELECT level, component, COUNT(*) AS n_lines,
+        COUNT(DISTINCT substring(ts_str, 1, 10)) AS n_log_days,
+        CAST(SUM(length(message)) AS BIGINT) AS total_msg_chars
+      FROM parsed GROUP BY level, component ORDER BY level, component""")
+    ),
+
+    QueryDef(
       "config_transform",
       (s, dir) => {
         val cfg = PipelineConfig.parseYaml(ConfigYaml)

@@ -22,7 +22,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == Set("knn_lsh", "dedup_simhash", "q_approx_distinct"))
+    assert(noOracle == Set("knn_lsh", "knn_ivf", "dedup_simhash", "q_approx_distinct"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {
