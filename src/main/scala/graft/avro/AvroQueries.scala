@@ -248,6 +248,42 @@ object AvroQueries extends QueryModule {
     ),
 
     QueryDef(
+      // the reference's PRODUCER path end-to-end as a graded query
+      // ("Produces Avro encoded messages to Kafka from CSV objects",
+      // `src/main.cpp:101`): events dumped to CSV -> CsvProducer shapes
+      // rows by the YAML config (rename/cast/key column), assembles the
+      // Avro schema, registers it, CP1-frames each row -> consumed back
+      // through the registry's schema and aggregated. The oracle computes
+      // the same aggregate straight from the source table, so the whole
+      // produce->frame->decode loop must be lossless (incl. the CSV
+      // double roundtrip).
+      "csv_ingest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(s"$tmp/events_csv")
+        val cfg = PipelineConfig.parseYaml(ConfigYaml)
+        val registry = new SchemaRegistry
+        val framed = CsvProducer.produce(s, s"$tmp/events_csv", cfg, Topic, registry)
+        val (_, schemaJson) = registry.fetchValueSchema(Topic).get
+        AvroCodec.decode(framed, "value", schemaJson, passthrough = Seq("key"))
+          .filter(col("err").isNull)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_msgs"),
+            Exact.dsum(col("amount")).as("total_amount"),
+            countDistinct(col("key")).as("n_keys"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_msgs,
+        ${Exact.sqlSum("value")} AS total_amount,
+        COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys
+      FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    QueryDef(
       // the reference's async logging stage (LogProcessor + daily
       // FileLogger: `src/logging/LogProcessor.cpp`, log format
       // `YYYY/MM/DD HH:MM:SS.ffffff [LEVEL] [Component] Message: {json}`

@@ -19,9 +19,13 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
 object AsOf {
 
   /** Backward as-of join: latest `right` row per `left` row with equal
-    * `by` keys and `rightTime <= leftTime`. */
+    * `by` keys and `rightTime <= leftTime`; with `toleranceUs`, only
+    * matches within `leftTime - rightTime <= toleranceUs` (stale
+    * observations fall back to null, the pandas `merge_asof` tolerance
+    * semantics). Tolerance requires long/timestamp time columns. */
   def joinBackward(left: DataFrame, right: DataFrame, by: Seq[String],
-                   leftTime: String, rightTime: String): DataFrame = {
+                   leftTime: String, rightTime: String,
+                   toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // The strategy is injected by graft.GraftExtensions at session build;
     // for sessions built without it, experimental strategies are the
@@ -46,6 +50,7 @@ object AsOf {
       leftTime = resolve(lp.output, leftTime),
       rightTime = resolve(rp.output, rightTime),
       leftBy = by.map(resolve(lp.output, _)),
-      rightBy = by.map(resolve(rp.output, _))))
+      rightBy = by.map(resolve(rp.output, _)),
+      toleranceUs = toleranceUs))
   }
 }

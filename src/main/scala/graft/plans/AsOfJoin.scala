@@ -33,7 +33,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     leftBy: Seq[Expression],
-    rightBy: Seq[Expression]) extends BinaryNode {
+    rightBy: Seq[Expression],
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   /** Right `by` columns are redundant with the left ones in the output
     * (equi-matched), and every kept right column turns nullable (a left
@@ -54,8 +55,8 @@ object AsOfJoin {
 /** Plans [[AsOfJoin]] into [[AsOfJoinExec]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lt, rt, lb, rb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lt, rt, lb, rb) :: Nil
+    case AsOfJoin(l, r, lt, rt, lb, rb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lt, rt, lb, rb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -75,7 +76,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     leftBy: Seq[Expression],
-    rightBy: Seq[Expression]) extends SparkPlan {
+    rightBy: Seq[Expression],
+    toleranceUs: Option[Long] = None) extends SparkPlan {
 
   private def keptRight: Seq[Attribute] = AsOfJoin.keptRight(right.output, rightBy)
 
@@ -99,6 +101,12 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftBy.map(_.dataType)
     val timeType = leftTime.dataType
+    toleranceUs.foreach { _ =>
+      require(timeType == org.apache.spark.sql.types.LongType ||
+          timeType == org.apache.spark.sql.types.TimestampType,
+        s"as-of tolerance requires long/timestamp time columns, got ${timeType.catalogString}")
+    }
+    val tol = toleranceUs
     val kept = keptRight
     val outAttrs = output
     val lOut = left.output
@@ -131,6 +139,7 @@ case class AsOfJoinExec(
         // latest right row (kept-column projection) for lastKey
         private var lastKey: UnsafeRow = _
         private var lastMatch: UnsafeRow = _
+        private var lastMatchTime: Long = Long.MinValue
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -143,11 +152,13 @@ case class AsOfJoinExec(
             if (cmp == 0) {
               lastKey = rKey(rHead).copy()
               lastMatch = rEmit(rHead).copy()
+              if (tol.isDefined) lastMatchTime = rTime(rHead).getLong(0)
             }
             advanceRight()
             cmp = if (rHead == null) 1 else keyOrd.compare(rKey(rHead), lk)
           }
-          val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0
+          val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0 &&
+            tol.forall(t => lTime(l).getLong(0) - lastMatchTime <= t)
           result(joined(l, if (matched) lastMatch else nullRight))
         }
       }

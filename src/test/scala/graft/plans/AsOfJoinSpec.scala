@@ -61,6 +61,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     native.zip(expected).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("as-of tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1000L), (2L, 10L, 2000L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((10L, 900L)).toDF("user_id", "view_ts_us")
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts_us", "view_ts_us",
+        toleranceUs = Some(500L))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getLong(3)))
+    // 1000-900=100 within tolerance; 2000-900=1100 stale -> null
+    assert(out.toSeq == Seq((1L, 900L), (2L, null)))
+  }
+
   test("as-of join self-join sources get disambiguated") {
     import spark.implicits._
     val base = Seq((1L, 5L, 100L), (2L, 5L, 50L)).toDF("event_id", "user_id", "ts_us")
