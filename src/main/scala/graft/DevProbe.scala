@@ -81,6 +81,32 @@ object DevProbe {
         t("dedup_minhash_lsh total") {
           SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count()
         }
+      case "scale" =>
+        // 10x scale sanity: replicate documents with per-copy token
+        // suffixes (copies are NOT near-dups of each other, so candidate
+        // structure scales linearly, not quadratically) and compare
+        // pipeline wall-clock at 1x vs 10x
+        import org.apache.spark.sql.functions._
+        val docs = graft.operators.Tables(spark, sfDir).documents
+        def scaled(k: Int) = (0 until k).map { i =>
+          docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+        }.reduce(_ unionByName _)
+        for (k <- Seq(1, 10)) {
+          val d = scaled(k)
+          t(s"minhash pipeline x$k") {
+            val feats = graft.dedup.Dedup.shingleFeatures(d, withSig = true, withSim = false)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val banded = feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
+            val cands = graft.dedup.Dedup.bucketPairs(banded, "band_key")
+            val n = graft.dedup.Dedup.verifyJaccard(cands,
+              feats.select(col("doc_id"), col("ss")), "ss",
+              graft.dedup.Dedup.JaccardTauShingles).count()
+            feats.unpersist()
+            println(s"  x$k pairs=$n")
+          }
+        }
+
       case "objects" =>
         t("spo_objects total") {
           SparkEntry.queries("spo_objects")(spark, sfDir).count()

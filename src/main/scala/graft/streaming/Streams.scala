@@ -121,6 +121,29 @@ object StreamDedup {
       eventTimeCol, delay, Seq("norm_md5"))
 }
 
+/** Streaming, incrementally-maintained SPO graph statistics — the
+  * streaming face of §2.2's batch graph queries. Triples are deduped
+  * within the watermark (a replayed or re-sent triple must not inflate
+  * degrees — the same at-least-once discipline as [[SpoGraphSink]]),
+  * then degree counts update per micro-batch in update output mode:
+  * state is one counter per entity, hash-partitioned across executors,
+  * and each batch touches only the keys it saw.
+  */
+object GraphStream {
+
+  /** Running out/in-degree per entity over a deduped triple stream.
+    * `eventTimeCol` drives the dedup watermark. */
+  def degrees(triples: DataFrame, eventTimeCol: String, delay: String): DataFrame = {
+    val clean = StreamDedup.withinWatermark(
+      triples, eventTimeCol, delay, Seq("subject", "predicate", "object"))
+    clean
+      .select(col("subject").as("name"), lit(1L).as("out_d"), lit(0L).as("in_d"))
+      .unionByName(clean.select(col("object").as("name"), lit(0L).as("out_d"), lit(1L).as("in_d")))
+      .groupBy(col("name"))
+      .agg(sum(col("out_d")).as("out_edges"), sum(col("in_d")).as("in_edges"))
+  }
+}
+
 object EventSessionizer {
 
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)

@@ -141,6 +141,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming degrees dedup replayed triples and match batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val triples = input.toDF().toDF("ts", "subject", "predicate", "object")
+    val q = GraphStream.degrees(triples, "ts", "10 minutes").writeStream
+      .format("memory").queryName("sdeg").outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(0), "a", "knows", "b"), (ts(1), "a", "emails", "c"))
+      q.processAllAvailable()
+      // duplicate of an already-seen triple + one genuinely new edge
+      input.addData((ts(2), "a", "knows", "b"), (ts(3), "b", "knows", "c"))
+      q.processAllAvailable()
+      val deg = spark.table("sdeg").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(deg == Map(
+        "a" -> ((2L, 0L)),   // duplicate (a,knows,b) counted once
+        "b" -> ((1L, 1L)),
+        "c" -> ((0L, 2L))))
+    } finally q.stop()
+  }
+
   test("replayed micro-batch does not double-count in SpoGraphSink") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
