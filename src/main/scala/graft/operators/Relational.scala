@@ -576,6 +576,42 @@ object Relational extends QueryModule {
         (SELECT MAX(view_ts_us) FROM v
           WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us) AS view_ts_us
       FROM p ORDER BY p.event_id""")
+    ),
+
+    QueryDef(
+      // the native as-of join's tolerance semantics (pandas merge_asof
+      // tolerance): a prior view older than 1 hour is stale and must NOT
+      // match. The oracle's correlated MAX carries the same lower bound.
+      "q_asof_tolerance",
+      (s, dir) => {
+        val tolUs = 3600L * 1000000L
+        val ev = Tables(s, dir).events.withColumn("ts_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("view_ts_us"))
+        graft.plans.AsOf.joinBackward(purchases, views, Seq("user_id"),
+            "ts_us", "view_ts_us", toleranceUs = Some(tolUs))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count(col("view_ts_us")).as("n_fresh_matched"),
+            sum((col("ts_us") - col("view_ts_us"))).as("total_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, epoch_us(ts) AS view_ts_us
+                FROM events WHERE event_type = 'view'),
+           m AS (SELECT p.event_id, p.user_id, p.ts_us,
+                (SELECT MAX(view_ts_us) FROM v
+                  WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us
+                    AND v.view_ts_us >= p.ts_us - 3600000000) AS view_ts_us
+              FROM p)
+      SELECT user_id, COUNT(*) AS n_purchases,
+        COUNT(view_ts_us) AS n_fresh_matched,
+        CAST(SUM(ts_us - view_ts_us) AS BIGINT) AS total_gap_us
+      FROM m GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

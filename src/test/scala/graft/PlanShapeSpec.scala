@@ -75,6 +75,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "pair rows leave Tungsten for a JVM kernel")
   }
 
+  test("rank-filtered windows use map-side WindowGroupLimit (top-k per group)") {
+    // rk <= 3 per nation must prune BEFORE the window shuffle (partial
+    // WindowGroupLimit), so only ~k rows per group per mapper shuffle
+    val p = plan("q_top_customers")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
