@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // plans graft.plans.AsOfJoin logical nodes (built by graft.plans.AsOf)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // pushes left-only filters below AsOfJoin (Catalyst's own pushdown
+    // rules don't know the custom node)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

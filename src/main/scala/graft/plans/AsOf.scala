@@ -33,6 +33,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // self-join safety: if the two sides share attribute ids (same source

@@ -73,6 +73,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 900L), (2L, null)))
   }
 
+  test("left-only filters push below the as-of join into the scan") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.operators.Tables(spark, dir).events
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    val joined = AsOf.joinBackward(purchases, views, Seq("user_id"), "ts_us", "view_ts_us")
+      .filter(col("event_id") < 500L)
+    val optimized = joined.queryExecution.optimizedPlan
+    // the filter must sit BELOW the AsOfJoin node after optimization
+    val asOf = optimized.collectFirst { case a: AsOfJoin => a }.get
+    assert(asOf.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).toSet.contains("event_id") => f
+    }.nonEmpty, s"filter not pushed:\n$optimized")
+    // and results are unchanged vs filtering before the join
+    val expected = AsOf.joinBackward(purchases.filter(col("event_id") < 500L), views,
+      Seq("user_id"), "ts_us", "view_ts_us").orderBy("event_id").collect()
+    val got = joined.orderBy("event_id").collect()
+    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+  }
+
   test("as-of join self-join sources get disambiguated") {
     import spark.implicits._
     val base = Seq((1L, 5L, 100L), (2L, 5L, 50L)).toDF("event_id", "user_id", "ts_us")
