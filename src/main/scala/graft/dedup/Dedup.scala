@@ -55,11 +55,11 @@ object Dedup extends QueryModule {
   }
 
   /** doc_id + distinct lowercase word set. */
-  private def wordSets(docs: DataFrame): DataFrame =
+  private[graft] def wordSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("ws"))
 
   /** doc_id + distinct word-3-shingle strings (docs with >= 3 tokens). */
-  private def shingleSets(docs: DataFrame): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")
     docs
       .filter(size(toks) >= ShingleK)
