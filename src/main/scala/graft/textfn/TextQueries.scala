@@ -95,6 +95,71 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // the training-data cleaning FUNNEL composed from the §2.4/§2.6
+      // primitives, as one operator: quality-filter -> language-filter
+      // (en) -> exact dedup (canonical = min doc_id per normalized
+      // content among survivors) with per-stage doc/token retention —
+      // the shape every corpus-prep pipeline reports. Single scan builds
+      // the per-doc flags; four cheap aggregates read the persisted
+      // flags table.
+      "pipeline_filter",
+      (s, dir) => {
+        val nTok = tokenCount(col("text"))
+        val stopRatio = hits(col("text"), StopEn).cast("double") / nTok.cast("double")
+        val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") /
+          length(col("text")).cast("double")
+        val quality = least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+          stopRatio * 0.3 + (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2
+        val enHits = hits(col("text"), StopEn)
+        val isEn = enHits > 0 &&
+          enHits >= hits(col("text"), StopDe) &&
+          enHits >= hits(col("text"), StopFr) &&
+          enHits >= hits(col("text"), StopEs)
+        val flags = Tables(s, dir).documents
+          .select(col("doc_id"), nTok.as("n_tokens"), quality.as("quality"),
+            isEn.as("is_en"),
+            md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+              .as("norm_md5"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qual = flags.filter(col("quality") >= 0.5)
+        val lang = qual.filter(col("is_en"))
+        val canon = lang.withColumn("cdoc",
+            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("norm_md5"))))
+          .filter(col("doc_id") === col("cdoc"))
+        def stage(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+            .select(lit(label).as("stage"), col("n_docs"),
+              col("total_tokens").cast("long").as("total_tokens"))
+        stage(flags, "p0_all")
+          .unionByName(stage(qual, "p1_quality"))
+          .unionByName(stage(lang, "p2_lang_en"))
+          .unionByName(stage(canon, "p3_dedup"))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+          LEAST(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+            (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.3 +
+            (1.0 - LEAST(1.0, (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+              CAST(length(text) AS DOUBLE)) * 5.0)) * 0.2 AS quality,
+          ${hitsSql(StopEn)} > 0 AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
+            AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)}
+            AND ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AS is_en,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
+        FROM documents),
+      q AS (SELECT * FROM f WHERE quality >= 0.5),
+      l AS (SELECT * FROM q WHERE is_en),
+      c AS (SELECT * FROM l WHERE doc_id =
+        (SELECT MIN(doc_id) FROM l l2 WHERE l2.norm_md5 = l.norm_md5))
+      SELECT 'p0_all' AS stage, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM f
+      UNION ALL SELECT 'p1_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM q
+      UNION ALL SELECT 'p2_lang_en', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM l
+      UNION ALL SELECT 'p3_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM c
+      ORDER BY stage""")
+    ),
+
+    QueryDef(
       "text_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents
