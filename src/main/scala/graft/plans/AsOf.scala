@@ -26,6 +26,8 @@ object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame, by: Seq[String],
                    leftTime: String, rightTime: String,
                    toleranceUs: Option[Long] = None): DataFrame = {
+    require(by.nonEmpty,
+      "as-of join requires at least one by key (ClusteredDistribution needs a clustering)")
     val spark = left.sparkSession
     // The strategy is injected by graft.GraftExtensions at session build;
     // for sessions built without it, experimental strategies are the
