@@ -553,6 +553,61 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // sliding (hopping) windows: 1-hour windows every 30 minutes, so
+      // each event lands in exactly two windows — the overlapping-window
+      // shape q_events_window's tumbling variant can't express. Window
+      // starts are epoch-aligned integer arithmetic on both engines.
+      "q_events_sliding",
+      (s, dir) => {
+        Tables(s, dir).events
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(Money)).cast("double").as("total_value"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy(col("win_start_us"), col("event_type"))
+      },
+      Some("""WITH w AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+          unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                  (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS win_start_us
+        FROM events)
+      SELECT win_start_us, event_type, COUNT(*) AS n_events,
+        CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM w GROUP BY win_start_us, event_type
+      ORDER BY win_start_us, event_type""")
+    ),
+
+    QueryDef(
+      // running cumulative aggregate: per-customer spend accumulating in
+      // order date order, explicit ROWS frame so both engines agree on
+      // tie handling; decimal-exact partial sums
+      "q_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).orders
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(Money)).over(w).cast("double"))
+          .withColumn("order_seq", row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+          .orderBy(col("o_custkey"), col("order_seq"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, order_seq""")
+    ),
+
+    QueryDef(
       // the same as-of semantics through graft's NATIVE plan node
       // (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
       // SparkPlan) instead of a window rewrite. Semantics: latest view
