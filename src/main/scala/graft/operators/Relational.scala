@@ -553,6 +553,63 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // true relational PIVOT (not just conditional aggregation): order
+      // counts per status, one column per priority, with an explicit
+      // pivot-value list so the output schema is static (at scale an
+      // implicit pivot triggers a distinct-values collect first)
+      "q_pivot_priority",
+      (s, dir) => {
+        val renames = Seq(
+          "1-URGENT" -> "n1_urgent", "2-HIGH" -> "n2_high", "3-MEDIUM" -> "n3_medium",
+          "4-NOT SPECIFIED" -> "n4_notspec", "5-LOW" -> "n5_low")
+        val pivoted = Tables(s, dir).orders
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", renames.map(_._1))
+          .agg(count(lit(1)))
+        renames.foldLeft(pivoted) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+          .na.fill(0L, renames.map(_._2))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n1_urgent,
+        COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n2_high,
+        COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n3_medium,
+        COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n4_notspec,
+        COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n5_low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    ),
+
+    QueryDef(
+      // set operators INTERSECT / EXCEPT over customer activity periods:
+      // retained vs churned customer counts across the 1996 boundary
+      "q_set_ops",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        val late = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        val both = early.intersect(late).agg(count(lit(1)).as("n_custs"))
+          .select(lit("retained").as("segment"), col("n_custs"))
+        val churned = early.except(late).agg(count(lit(1)).as("n_custs"))
+          .select(lit("churned").as("segment"), col("n_custs"))
+        val appeared = late.except(early).agg(count(lit(1)).as("n_custs"))
+          .select(lit("new").as("segment"), col("n_custs"))
+        both.unionByName(churned).unionByName(appeared).orderBy(col("segment"))
+      },
+      Some("""WITH early AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+           late AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+      SELECT 'retained' AS segment, COUNT(*) AS n_custs FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+      UNION ALL
+      SELECT 'churned', COUNT(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+      UNION ALL
+      SELECT 'new', COUNT(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)
+      ORDER BY segment""")
+    ),
+
+    QueryDef(
       // sliding (hopping) windows: 1-hour windows every 30 minutes, so
       // each event lands in exactly two windows — the overlapping-window
       // shape q_events_window's tumbling variant can't express. Window
