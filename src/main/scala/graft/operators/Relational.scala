@@ -580,6 +580,43 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // UNPIVOT (melt): the wide per-priority counts fold back into
+      // (status, bucket, n) rows via the native Dataset.unpivot — the
+      // inverse of q_pivot_priority, oracle-mirrored with UNION ALL
+      "q_unpivot_priority",
+      (s, dir) => {
+        val buckets = Seq("n1_urgent", "n2_high", "n3_medium", "n4_notspec", "n5_low")
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val wide = Tables(s, dir).orders
+          .groupBy(col("o_orderstatus"))
+          .agg(buckets.zip(prios).map { case (b, p) =>
+            count(when(col("o_orderpriority") === p, 1)).as(b)
+          }.head, buckets.zip(prios).map { case (b, p) =>
+            count(when(col("o_orderpriority") === p, 1)).as(b)
+          }.tail: _*)
+        wide.unpivot(
+            Array(col("o_orderstatus")),
+            buckets.map(col).toArray,
+            "priority_bucket", "n_orders")
+          .orderBy(col("o_orderstatus"), col("priority_bucket"))
+      },
+      Some("""WITH wide AS (
+        SELECT o_orderstatus,
+          COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n1_urgent,
+          COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n2_high,
+          COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n3_medium,
+          COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n4_notspec,
+          COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n5_low
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, 'n1_urgent' AS priority_bucket, n1_urgent AS n_orders FROM wide
+      UNION ALL SELECT o_orderstatus, 'n2_high', n2_high FROM wide
+      UNION ALL SELECT o_orderstatus, 'n3_medium', n3_medium FROM wide
+      UNION ALL SELECT o_orderstatus, 'n4_notspec', n4_notspec FROM wide
+      UNION ALL SELECT o_orderstatus, 'n5_low', n5_low FROM wide
+      ORDER BY o_orderstatus, priority_bucket""")
+    ),
+
+    QueryDef(
       // set operators INTERSECT / EXCEPT over customer activity periods:
       // retained vs churned customer counts across the 1996 boundary
       "q_set_ops",
