@@ -119,6 +119,70 @@ object GraphQueries extends QueryModule {
     ),
 
     QueryDef(
+      // connected components over the undirected entity graph — the
+      // entity-resolution primitive the reference's people/company/email
+      // graph exists for. Pregel-style min-label propagation: each round
+      // every entity adopts the smallest component id among itself and
+      // its neighbors, converging in O(diameter) rounds; each round is
+      // one join + one aggregate (both shuffles on entity id), and the
+      // driver only sees the converged/changed COUNT per round. Output:
+      // per-entity component id (= min object_id in the component) +
+      // component sizes, oracle-checked against a DuckDB recursive CTE.
+      // Scale note: O(diameter) rounds is the simple, exact form; a
+      // graph with pathological diameter at 100 TB would swap the body
+      // for alternating large-star/small-star contraction (O(log n)
+      // rounds, same per-round join/agg shape).
+      "spo_components",
+      (s, dir) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        val objs = T.objects(t)
+        val edges = T.relationships(t, objs).select(col("source_id"), col("target_id"))
+        val undirected = edges
+          .unionByName(edges.select(col("target_id").as("source_id"), col("source_id").as("target_id")))
+          .distinct()
+          .select(col("source_id").as("src"), col("target_id").as("dst"))
+          .persist(lvl)
+        var labels = objs.select(col("object_id").as("id"), col("object_id").as("comp")).persist(lvl)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val neighborMin = undirected
+            .join(labels, col("src") === col("id"))
+            .select(col("dst").as("id"), col("comp"))
+          val newLabels = labels.unionByName(neighborMin)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+            .persist(lvl)
+          changed = newLabels.as("n")
+            .join(labels.select(col("id"), col("comp").as("oldc")), "id")
+            .filter(col("comp") =!= col("oldc")).count()
+          labels.unpersist()
+          labels = newLabels
+          rounds += 1
+        }
+        val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
+        labels.join(sizes, "comp")
+          .select(col("id").as("object_id"), col("comp").as("component_id"), col("component_size"))
+          .orderBy(col("object_id"))
+      },
+      Some(s"""$prelude,
+        undir AS (
+          SELECT source_id AS src, target_id AS dst FROM edges
+          UNION
+          SELECT target_id, source_id FROM edges),
+        cc AS (
+          WITH RECURSIVE reach(id, comp) AS (
+            SELECT object_id, object_id FROM objs
+            UNION
+            SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
+          SELECT id, MIN(comp) AS component_id FROM reach GROUP BY id),
+        sizes AS (SELECT component_id, COUNT(*) AS component_size FROM cc GROUP BY component_id)
+      SELECT cc.id AS object_id, cc.component_id, sizes.component_size
+      FROM cc JOIN sizes ON cc.component_id = sizes.component_id
+      ORDER BY object_id""")
+    ),
+
+    QueryDef(
       "spo_cooccurrence",
       (s, dir) => {
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
