@@ -121,6 +121,33 @@ object StreamDedup {
       eventTimeCol, delay, Seq("norm_md5"))
 }
 
+/** Watermarked stream-stream join: purchases join the same user's views
+  * within a bounded lookback — the streaming form of the batch as-of /
+  * interval join. Both sides carry watermarks AND the join condition
+  * bounds event-time distance, which is exactly what lets Spark evict
+  * join state: a view older than (watermark + lookback) can never match
+  * a future purchase and is dropped. Without the time bound the state
+  * grows forever — the condition is a correctness-of-operations
+  * requirement at scale, not an optimization.
+  */
+object StreamJoin {
+
+  /** Inner join: every (purchase, view) pair for the same user with
+    * `view.ts` in `[purchase.ts - lookback, purchase.ts]`. */
+  def viewsBeforePurchase(purchases: DataFrame, views: DataFrame,
+                          watermark: String = "10 minutes",
+                          lookback: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("v_ts"))
+  }
+}
+
 /** Streaming, incrementally-maintained SPO graph statistics — the
   * streaming face of §2.2's batch graph queries. Triples are deduped
   * within the watermark (a replayed or re-sent triple must not inflate

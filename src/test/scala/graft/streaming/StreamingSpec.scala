@@ -141,6 +141,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views within the lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = pIn.toDF().toDF("event_id", "user_id", "ts")
+    val views = vIn.toDF().toDF("user_id", "ts")
+    val q = StreamJoin.viewsBeforePurchase(purchases, views)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // views arrive first (separate micro-batch), then purchases
+      vIn.addData((7L, ts(10, 0)), (7L, ts(10, 30)), (7L, ts(8, 0)), (8L, ts(10, 15)))
+      q.processAllAvailable()
+      pIn.addData((1L, 7L, ts(10, 45)), (2L, 9L, ts(10, 50)))
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select(col("event_id"), col("v_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // purchase 1 at 10:45: views 10:00 + 10:30 within 1h; 08:00 too old;
+      // user 8's view and purchase 2 (user 9, no views) never match
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00"),
+        (1L, "2024-01-01 10:30:00")))
+    } finally q.stop()
+  }
+
   test("streaming degrees dedup replayed triples and match batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
