@@ -259,7 +259,9 @@ object AvroQueries extends QueryModule {
       // double roundtrip).
       "csv_ingest",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        // stable per-sfDir staging path (overwrite mode) so repeated
+        // Verify/Bench runs don't accumulate temp directories
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.hashCode.toHexString}"
         Tables(s, dir).events
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .coalesce(1)

@@ -622,10 +622,13 @@ object Relational extends QueryModule {
       "q_set_ops",
       (s, dir) => {
         val o = Tables(s, dir).orders
+        // persisted: each side feeds both an INTERSECT and an EXCEPT
         val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
           .select(col("o_custkey")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val late = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
           .select(col("o_custkey")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val both = early.intersect(late).agg(count(lit(1)).as("n_custs"))
           .select(lit("retained").as("segment"), col("n_custs"))
         val churned = early.except(late).agg(count(lit(1)).as("n_custs"))
