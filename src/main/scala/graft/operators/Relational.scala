@@ -580,6 +580,69 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // ntile: decile assignment over customer revenue with summary
+      // stats per decile. NTILE needs a GLOBAL ordering, which as a
+      // window would move every row to one task — instead the global
+      // rank comes from the distributed sort+zipWithIndex dictionary
+      // (DenseIds) and the decile is recomputed from (rank, n) with
+      // NTILE's exact ceil/floor bucket-size rule, so the result is
+      // bit-identical to the oracle's NTILE(10) while every stage stays
+      // partitioned.
+      "q_ntile_revenue",
+      (s, dir) => {
+        val rev = Tables(s, dir).orders
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(Money)).cast("double").as("cust_revenue"))
+        val n = rev.count() // one small agg job; NTILE needs the total
+        val nb = 10L
+        val q = n / nb
+        val rem = n % nb
+        val ranked = DenseIds.byOrder(rev, "rk", 1L,
+          col("cust_revenue").desc, col("o_custkey"))
+        ranked
+          .withColumn("decile",
+            when(col("rk") <= rem * (q + 1), expr(s"(rk - 1) DIV ${q + 1} + 1"))
+              .otherwise(expr(s"$rem + (rk - 1 - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1"))
+              .cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_custs"),
+            sum(col("cust_revenue").cast(Money)).cast("double").as("decile_revenue"),
+            min(col("cust_revenue")).as("min_revenue"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH rev AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_revenue
+        FROM orders GROUP BY o_custkey),
+      d AS (SELECT o_custkey, cust_revenue,
+        CAST(NTILE(10) OVER (ORDER BY cust_revenue DESC, o_custkey) AS BIGINT) AS decile FROM rev)
+      SELECT decile, COUNT(*) AS n_custs,
+        CAST(SUM(CAST(cust_revenue AS DECIMAL(18,2))) AS DOUBLE) AS decile_revenue,
+        MIN(cust_revenue) AS min_revenue
+      FROM d GROUP BY decile ORDER BY decile""")
+    ),
+
+    QueryDef(
+      // ordered string aggregation: per-nation alphabetical roster
+      // prefix — collect_list is unordered by contract, so the sort
+      // happens inside the row (array_sort) for cross-engine determinism
+      "q_string_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_custs"),
+            array_join(slice(array_sort(collect_list(col("c_name"))), 1, 5), ",")
+              .as("first_customers"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_custs,
+        array_to_string(list_sort(list(c_name))[1:5], ',') AS first_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+    ),
+
+    QueryDef(
       // UNPIVOT (melt): the wide per-priority counts fold back into
       // (status, bucket, n) rows via the native Dataset.unpivot — the
       // inverse of q_pivot_priority, oracle-mirrored with UNION ALL
