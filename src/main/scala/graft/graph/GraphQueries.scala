@@ -150,6 +150,10 @@ object GraphQueries extends QueryModule {
           val neighborMin = undirected
             .join(labels, col("src") === col("id"))
             .select(col("dst").as("id"), col("comp"))
+          // (measured: adding pointer jumping — adopting comp-of-comp via
+          // a labels self-join — TRIPLED the wall time here; this graph
+          // converges in few rounds, so the extra join never pays for
+          // itself. Worth revisiting only for high-diameter graphs.)
           val newLabels = labels.unionByName(neighborMin)
             .groupBy(col("id")).agg(min(col("comp")).as("comp"))
             .persist(lvl)
