@@ -146,14 +146,16 @@ object GraphQueries extends QueryModule {
         var labels = objs.select(col("object_id").as("id"), col("object_id").as("comp")).persist(lvl)
         var changed = 1L
         var rounds = 0
+        // One hop per convergence check, measured best of three variants
+        // at sf0.1: pointer jumping (comp-of-comp self-join) tripled wall
+        // time, and batching two unpersisted hops per check doubled it
+        // (the intermediate feeds both the union base and the join, so it
+        // computes twice). This graph converges in few rounds; fancier
+        // schemes only pay on high-diameter graphs.
         while (changed > 0 && rounds < 50) {
           val neighborMin = undirected
             .join(labels, col("src") === col("id"))
             .select(col("dst").as("id"), col("comp"))
-          // (measured: adding pointer jumping — adopting comp-of-comp via
-          // a labels self-join — TRIPLED the wall time here; this graph
-          // converges in few rounds, so the extra join never pays for
-          // itself. Worth revisiting only for high-diameter graphs.)
           val newLabels = labels.unionByName(neighborMin)
             .groupBy(col("id")).agg(min(col("comp")).as("comp"))
             .persist(lvl)
