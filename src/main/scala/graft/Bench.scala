@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Emits ONE JSON metric line to stdout and also
+  * writes it to `bench_out.json` so a lost/truncated stream can never
+  * lose the round's measurement. Always terminates with exit code 0
+  * once the metric line has been produced — a crash inside
+  * `SparkContext.stop()` (observed: LiveListenerBus shutdown taking the
+  * forked-JVM exit code to 56) must not invalidate the run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,20 +28,46 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: SPARK_GRAFT_ONLY=name1,name2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that crashes is recorded with its wall time AND an "err"
+    // message — never as a normal-looking number.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // settle the heap between queries so an allocation-heavy query's
-      // garbage doesn't tax its successors' measurements
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+        // settle the heap between queries so an allocation-heavy query's
+        // garbage doesn't tax its successors' measurements
+        System.gc()
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case t: Throwable => Some(t.toString.take(200)) }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
+      }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
+    val qs = results.map {
+      case (k, (v, None))    => s"\"" + k + "\":" + v
+      case (k, (v, Some(e))) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
+    }.mkString("{", ",", "}")
+    val errCount = results.values.count(_._2.isDefined)
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir"}"""
+    println(line)
+    System.out.flush()
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    System.out.flush()
+    // the metric line is out; nothing that happens during JVM teardown
+    // (listener-bus races, non-daemon threads) may change the verdict
+    System.exit(0)
   }
 }
