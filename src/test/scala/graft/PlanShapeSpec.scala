@@ -68,11 +68,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window ["), s"unexpected window in spo_objects:\n${p.take(1500)}")
   }
 
-  test("embedding dedup keeps cosine inside codegen (no kernel hop)") {
+  test("embedding dedup generates pairs via cell equi-join, verify in codegen") {
     val p = plan("dedup_embedding")
     assert(p.contains("cosine_sim"), "native cosine expression missing")
-    assert(!p.contains("DeserializeToObject"),
-      "pair rows leave Tungsten for a JVM kernel")
+    // the round-2 all-pairs `vec_a < vec_b` product planned a
+    // BroadcastNestedLoopJoin over the full corpus — O(n^2) at any
+    // broadcastable size and a cartesian beyond it; the angular-blocked
+    // plan must only ever equi-join on cell ids
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian resurfaced")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs NLJ resurfaced")
   }
 
   test("rank-filtered windows use map-side WindowGroupLimit (top-k per group)") {

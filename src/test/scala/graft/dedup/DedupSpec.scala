@@ -22,6 +22,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(viaKernel == viaHof)
   }
 
+  test("angular blocking is exactly the brute-force pair join at every tau") {
+    val e = graft.operators.Tables(spark, dir).embeddings
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // taus spanning loose (dense output, weak pruning) to tight (sparse
+    // output, strong pruning): recall 1 must hold at all of them, not
+    // just the graded 0.3 — the triangle-inequality bound is
+    // threshold-independent
+    for (tau <- Seq(0.1, 0.3, 0.45)) {
+      val brute = a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", graft.similarity.VectorOps.cosineNative(col("ea"), col("eb")))
+        .filter(col("cosine") >= tau)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = AngularBlocking.cosinePairs(spark, e, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == brute, s"tau=$tau: blocked=${blocked.size} brute=${brute.size}")
+      assert(brute.nonEmpty || tau > 0.4, s"tau=$tau oracle vacuous")
+    }
+  }
+
   test("word sets normalize consistently with the oracle formulation") {
     val ws = Dedup.wordSets(graft.operators.Tables(spark, dir).documents.limit(20))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
