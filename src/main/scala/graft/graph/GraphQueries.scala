@@ -134,38 +134,99 @@ object GraphQueries extends QueryModule {
       // rounds, same per-round join/agg shape).
       "spo_components",
       (s, dir) => {
+        val tQ = System.nanoTime()
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        val objs = T.objects(t)
-        val edges = T.relationships(t, objs).select(col("source_id"), col("target_id"))
-        val undirected = edges
-          .unionByName(edges.select(col("target_id").as("source_id"), col("source_id").as("target_id")))
+        // persisted: the triple stream (with its per-row JSON extraction)
+        // feeds both the dictionary build and the edge join
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+        // the component loop needs only (id, id) edges and the id
+        // dictionary — not first-seen times or per-predicate weights, so
+        // it skips the min-ts aggregate and the (s,d,predicate) rollup
+        // that the objects/relationships surfaces pay for. Ids still come
+        // from the same rank-by-name assignment, so component ids (min
+        // object_id) match the oracle's exactly.
+        val names = t.select(col("subject").as("name"))
+          .unionByName(t.select(col("object").as("name")))
           .distinct()
-          .select(col("source_id").as("src"), col("target_id").as("dst"))
+        val objs = graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
+        val src = objs.select(col("name").as("subject"), col("object_id").as("source_id"))
+        val dst = objs.select(col("name").as("object"), col("object_id").as("target_id"))
+        // normalize pairs before the distinct (one dedup shuffle over half
+        // the rows), then mirror — the union after distinct is shuffle-free
+        val halfEdges = t
+          .join(broadcast(src), "subject")
+          .join(broadcast(dst), "object")
+          .filter(col("source_id") =!= col("target_id"))
+          .select(least(col("source_id"), col("target_id")).as("src"),
+            greatest(col("source_id"), col("target_id")).as("dst"))
+          .distinct()
+        val undirected = halfEdges
+          .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
           .persist(lvl)
         var labels = objs.select(col("object_id").as("id"), col("object_id").as("comp")).persist(lvl)
+        // materialize the heavy inputs under the session's normal config
+        // (AQE picks the scan/join/dedup shapes), then run the loop with
+        // AQE off and a label-count-scaled shuffle width: each refinement
+        // round moves O(labels) tiny rows, and AQE's stage-by-stage
+        // submission + replanning costs more per round than the round's
+        // work (measured ~1.2-1.7 s/round on ~2.7k labels; the loop is
+        // the one place in the suite where fixed per-job overhead, not
+        // data volume, dominates)
+        val labelCount = labels.count()
+        undirected.count() // materialize the edge dedup under AQE too
+        val loopParts = math.max(1L, math.min(
+          s.sparkContext.defaultParallelism.toLong, labelCount / 10000L)).toString
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        var prev: org.apache.spark.sql.DataFrame = null
         var changed = 1L
         var rounds = 0
-        // One hop per convergence check, measured best of three variants
-        // at sf0.1: pointer jumping (comp-of-comp self-join) tripled wall
-        // time, and batching two unpersisted hops per check doubled it
-        // (the intermediate feeds both the union base and the join, so it
-        // computes twice). This graph converges in few rounds; fancier
-        // schemes only pay on high-diameter graphs.
+        try {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", loopParts)
+        // One hop per check, but the check itself is join-free: the old
+        // label rides along as a marker column through the min-aggregate,
+        // so `changed` is a filter-count over the already-materialized
+        // round output instead of a second join (measured: the per-round
+        // convergence join was ~40% of each round's wall time). Pointer
+        // jumping (comp-of-comp self-join) measured 3x slower at sf0.1;
+        // this graph converges in few rounds, and a pathological-diameter
+        // graph at scale would swap the body for large-star/small-star
+        // contraction (O(log n) rounds, same join/agg shape).
         while (changed > 0 && rounds < 50) {
+          val tR0 = System.nanoTime()
           val neighborMin = undirected
             .join(labels, col("src") === col("id"))
             .select(col("dst").as("id"), col("comp"))
-          val newLabels = labels.unionByName(neighborMin)
-            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-            .persist(lvl)
-          changed = newLabels.as("n")
-            .join(labels.select(col("id"), col("comp").as("oldc")), "id")
-            .filter(col("comp") =!= col("oldc")).count()
-          labels.unpersist()
-          labels = newLabels
+          var merged = labels.withColumn("own", lit(true))
+            .unionByName(neighborMin.withColumn("own", lit(false)))
+            .groupBy(col("id"))
+            .agg(min(col("comp")).as("comp"),
+              max(when(col("own"), col("comp"))).as("oldc"))
+          // persist does NOT truncate the logical plan — without a
+          // periodic localCheckpoint, planning cost and DAG size grow
+          // linearly with rounds (each round's plan embeds every prior
+          // round's)
+          merged =
+            if (rounds % 6 == 5) merged.localCheckpoint()
+            else merged.persist(lvl)
+          val tR = System.nanoTime()
+          changed = merged.filter(col("comp") =!= col("oldc")).count()
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            System.err.println(s"[cc] round=$rounds changed=$changed count_sec=${(System.nanoTime() - tR) / 1e9} round_sec=${(System.nanoTime() - tR0) / 1e9}")
+          if (prev != null) prev.unpersist()
+          prev = merged
+          labels = merged.select(col("id"), col("comp"))
           rounds += 1
         }
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        // a diameter > 50 graph must fail loudly, not return wrong labels
+        require(changed == 0, s"components did not converge in $rounds rounds")
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] loop-done total=${(System.nanoTime() - tQ) / 1e9}")
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
         labels.join(sizes, "comp")
           .select(col("id").as("object_id"), col("comp").as("component_id"), col("component_size"))

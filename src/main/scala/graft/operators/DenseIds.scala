@@ -27,8 +27,13 @@ object DenseIds {
   def byOrder(df: DataFrame, idCol: String, firstId: Long, order: Column*): DataFrame = {
     val sorted = df.sort(order: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    // zipWithIndex runs TWO jobs (partition-count, then map) over its
+    // input; without persisting the sorted RDD the whole upstream
+    // pipeline (scan + dedup + range sort) executes twice per dictionary
+    // build. ContextCleaner frees it when the dictionary dies.
+    val sortedRdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (firstId + i)) },
+      sortedRdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (firstId + i)) },
       schema).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }
