@@ -623,8 +623,10 @@ object Relational extends QueryModule {
 
     QueryDef(
       // ordered string aggregation: per-nation alphabetical roster
-      // prefix — collect_list is unordered by contract, so the sort
-      // happens inside the row (array_sort) for cross-engine determinism
+      // prefix. A full collect_list-then-slice materializes EVERY group
+      // member in the agg buffer (a hot group = executor-memory cliff);
+      // BoundedTopK keeps at most 5 names per buffer and still merges
+      // map-side, with output identical to the sorted-slice form.
       "q_string_agg",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -632,8 +634,7 @@ object Relational extends QueryModule {
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_custs"),
-            array_join(slice(array_sort(collect_list(col("c_name"))), 1, 5), ",")
-              .as("first_customers"))
+            BoundedTopK.firstK("c_name", 5, ",").as("first_customers"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name, COUNT(*) AS n_custs,
