@@ -23,12 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// big heap on the bench host (one local[32] JVM runs all queries; at 16g
+// the allocation-heavy dedup/avro queries tax successors with GC), but
+// derived from physical RAM so a smaller dev machine degrades to a safe
+// heap instead of being OOM-killed; SPARK_DRIVER_MEM overrides
+val driverHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong)
+      .getOrElse(32L * 1024 * 1024)
+    catch { case _: Throwable => 32L * 1024 * 1024 }
+  math.max(4L, math.min(48L, memKb / (2L * 1024 * 1024))).toString + "g"
+})
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default: the bench runs 47 queries in one local[32] JVM; at 16g
-  // the allocation-heavy dedup/avro queries tax successors with GC
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$driverHeap",
   "-Xms4g",
   // throughput collector: the bench is a batch workload in one big-heap
   // JVM; G1's pause-time targeting costs measurable task time here

@@ -260,8 +260,15 @@ object AvroQueries extends QueryModule {
       "csv_ingest",
       (s, dir) => {
         // stable per-sfDir staging path (overwrite mode) so repeated
-        // Verify/Bench runs don't accumulate temp directories
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.hashCode.toHexString}"
+        // Verify/Bench runs don't accumulate temp directories — keyed by
+        // the sanitized full path (hashCode alone can collide across
+        // sfDirs) plus the application id (two concurrent sessions on the
+        // same sfDir must not overwrite each other's staging mid-read)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+          s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          catch { case _: Throwable => () }))
         Tables(s, dir).events
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .coalesce(1)

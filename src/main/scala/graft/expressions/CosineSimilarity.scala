@@ -45,8 +45,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
 
   // Resolved only after checkInputDataTypes succeeds, so the .get is safe
-  // anywhere eval/codegen runs.
-  private def isFloat: Boolean = elementType(left).contains(FloatType)
+  // anywhere eval/codegen runs. lazy val: the interpreted path evaluates
+  // per row and must not re-pattern-match the element type each time.
+  private lazy val isFloat: Boolean = elementType(left).contains(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

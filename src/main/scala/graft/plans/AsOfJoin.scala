@@ -146,10 +146,16 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKey(l)
+          // SQL equi-join / pandas merge_asof null semantics: a null by
+          // key or null time never matches anything. The natural ordering
+          // treats null==null as equal and sorts nulls lowest, so without
+          // these guards null-keyed rows would silently pair up and a
+          // null time would read as 0 under tolerance.
+          val lNull = lk.anyNull || lTime(l).isNullAt(0)
           var cmp = if (rHead == null) 1 else keyOrd.compare(rKey(rHead), lk)
           while (rHead != null &&
               (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(l)) <= 0))) {
-            if (cmp == 0) {
+            if (cmp == 0 && !rKey(rHead).anyNull && !rTime(rHead).isNullAt(0)) {
               lastKey = rKey(rHead).copy()
               lastMatch = rEmit(rHead).copy()
               if (tol.isDefined) lastMatchTime = rTime(rHead).getLong(0)
@@ -157,7 +163,7 @@ case class AsOfJoinExec(
             advanceRight()
             cmp = if (rHead == null) 1 else keyOrd.compare(rKey(rHead), lk)
           }
-          val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0 &&
+          val matched = !lNull && lastKey != null && keyOrd.compare(lastKey, lk) == 0 &&
             tol.forall(t => lTime(l).getLong(0) - lastMatchTime <= t)
           result(joined(l, if (matched) lastMatch else nullRight))
         }

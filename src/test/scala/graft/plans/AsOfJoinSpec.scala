@@ -35,6 +35,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       (5L, 30L, 900L, 899L)))
   }
 
+  test("null by-keys and null times never match (SQL equi-join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(200L)), // normal match
+      (2L, None, Some(200L)),      // null key -> no match even vs null-key right
+      (3L, Some(10L), None),       // null time -> no match
+      (4L, Some(50L), Some(900L))  // only right rows for 50 are null-timed -> no match
+    ).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (Some(10L), Some(150L)),
+      (None, Some(100L)),          // null-key right row must never be stored
+      (Some(50L), None)            // null-time right row must never be stored
+    ).toDF("user_id", "view_ts_us")
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts_us", "view_ts_us")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 150L), (2L, null), (3L, null), (4L, null)))
+  }
+
   test("native as-of equals the correlated-max formulation on real events") {
     val dir = "/root/testdata/sf0.01"
     val ev = graft.operators.Tables(spark, dir).events
