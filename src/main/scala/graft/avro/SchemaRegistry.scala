@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * fetched once on the driver, broadcast with the closure, never a
   * per-record network call.
   */
-final class SchemaRegistry extends Serializable {
+final class SchemaRegistry extends RegistryClient with Serializable {
   // (subject, schema) -> id: re-registering the same schema under a
   // subject is idempotent; a NEW schema under the same subject gets a
   // new id — i.e. subjects are versioned, like a real Confluent registry
