@@ -46,5 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pushes left-only filters below AsOfJoin (Catalyst's own pushdown
     // rules don't know the custom node)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // ASOF JOIN SQL syntax: parser rewrite tags the join with an
+    // unevaluable marker function; the resolution rule lifts tagged
+    // joins into the native AsOfJoin node
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof_marker"),
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.AsOfMarker()))
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin)
   }
 }

@@ -22,6 +22,12 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A user-facing analysis error (the public AnalysisException
+    * constructors are error-class-keyed; INTERNAL_ERROR carries a plain
+    * message through). */
+  def analysisException(msg: String): AnalysisException =
+    new AnalysisException("INTERNAL_ERROR", Map("message" -> msg))
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * `spark.sql.extensions=graft.GraftExtensions` conf only applies to
     * sessions built with it). */

@@ -19,6 +19,9 @@ object SparkFixture {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as the Verify/Bench sessions, so specs exercise
+      // the session shape the driver grades (parser, strategy, rules)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

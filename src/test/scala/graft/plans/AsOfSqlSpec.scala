@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSqlSpec extends AnyFunSuite with SparkFixture {
+
+  private def setupViews(): Unit = {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 300L), (4L, 20L, 500L), (5L, 30L, 900L))
+      .toDF("event_id", "user_id", "ts_us").createOrReplaceTempView("ev")
+    Seq((10L, 150L), (10L, 300L), (30L, 100L), (30L, 850L), (30L, 899L), (40L, 1L))
+      .toDF("user_id", "view_ts_us").createOrReplaceTempView("vw")
+  }
+
+  test("ASOF JOIN SQL plans AsOfJoinExec and matches the Dataset API") {
+    setupViews()
+    val sql = spark.sql(
+      """SELECT e.event_id, e.user_id, e.ts_us, v.view_ts_us
+        FROM ev e ASOF JOIN vw v
+        ON e.user_id = v.user_id AND e.ts_us >= v.view_ts_us
+        ORDER BY e.event_id""")
+    assert(sql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      sql.queryExecution.executedPlan.toString.take(1500))
+    val api = AsOf.joinBackward(
+        spark.table("ev"), spark.table("vw"), Seq("user_id"), "ts_us", "view_ts_us")
+      .orderBy("event_id")
+    assert(sql.collect().map(_.toString).toSeq == api.collect().map(_.toString).toSeq)
+  }
+
+  test("SELECT * resolves: right by column re-exposed as the left value") {
+    setupViews()
+    val out = spark.sql(
+      """SELECT * FROM ev e ASOF JOIN vw v
+        ON e.user_id = v.user_id AND e.ts_us >= v.view_ts_us
+        ORDER BY e.event_id""")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts_us", "user_id", "view_ts_us"))
+    val rows = out.collect()
+    // the duplicated by column always carries the (left) key, including
+    // for unmatched rows (pandas merge_asof behavior)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(3)))
+  }
+
+  test("reversed time comparison (r <= l) and flipped equality both lift") {
+    setupViews()
+    val out = spark.sql(
+      """SELECT e.event_id, v.view_ts_us FROM ev e ASOF JOIN vw v
+        ON v.user_id = e.user_id AND v.view_ts_us <= e.ts_us
+        ORDER BY e.event_id""")
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(out.collect().map(r => if (r.isNullAt(1)) null else r.getLong(1)).toSeq ==
+      Seq(null, 150L, 300L, null, 899L))
+  }
+
+  test("quoted strings containing 'asof join' are not rewritten") {
+    setupViews()
+    val out = spark.sql("SELECT 'asof join on x' AS s, count(*) AS n FROM ev")
+    assert(out.collect().head.getString(0) == "asof join on x")
+  }
+
+  test("unsupported ON shapes fail analysis loudly, never run as plain joins") {
+    setupViews()
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM ev e ASOF JOIN vw v ON e.user_id = v.user_id").collect())
+    assert(e1.getMessage.contains("no time comparison"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT * FROM ev e ASOF JOIN vw v
+        ON e.user_id = v.user_id AND e.ts_us >= v.view_ts_us AND e.event_id >= v.view_ts_us""").collect())
+    assert(e2.getMessage.contains("more than one time comparison"), e2.getMessage)
+    // forward as-of (left <= right) is not lifted — and must not
+    // silently run as a plain join either
+    val e3 = intercept[Exception](spark.sql(
+      """SELECT * FROM ev e ASOF JOIN vw v
+        ON e.user_id = v.user_id AND e.ts_us <= v.view_ts_us""").collect())
+    assert(e3.getMessage.contains("unsupported conjunct"), e3.getMessage)
+  }
+}
