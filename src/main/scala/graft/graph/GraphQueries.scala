@@ -178,12 +178,27 @@ object GraphQueries extends QueryModule {
           s.sparkContext.defaultParallelism.toLong, labelCount / 10000L)).toString
         val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
+        val prevFactory = s.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+        // Below ~10M labels each round is FIXED-overhead-dominated, and
+        // the largest fixed cost is janino: every iteration is a NEW
+        // logical plan, so whole-stage codegen recompiles ~4 generated
+        // classes per round just to touch a few thousand cached rows
+        // (measured ~1.2 s/round codegen'd vs ~0.3 s interpreted at
+        // sf0.1). Interpreted execution skips the compiler; at real
+        // scale (labels ≥ 10M) the rounds are data-dominated and codegen
+        // pays for itself, so it stays on.
+        val interpretLoop = labelCount < 10_000_000L
         var prev: org.apache.spark.sql.DataFrame = null
         var changed = 1L
         var rounds = 0
         try {
         s.conf.set("spark.sql.adaptive.enabled", "false")
         s.conf.set("spark.sql.shuffle.partitions", loopParts)
+        if (interpretLoop) {
+          s.conf.set("spark.sql.codegen.wholeStage", "false")
+          s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        }
         // One hop per check, but the check itself is join-free: the old
         // label rides along as a marker column through the min-aggregate,
         // so `changed` is a filter-count over the already-materialized
@@ -222,6 +237,8 @@ object GraphQueries extends QueryModule {
         } finally {
           s.conf.set("spark.sql.adaptive.enabled", prevAqe)
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+          s.conf.set("spark.sql.codegen.factoryMode", prevFactory)
         }
         // a diameter > 50 graph must fail loudly, not return wrong labels
         require(changed == 0, s"components did not converge in $rounds rounds")
