@@ -120,6 +120,113 @@ object Similarity extends QueryModule {
     }(Encoders.row(outSchema))
   }
 
+  /** Distributed Lloyd's for the IVF coarse quantizer, shaped for the
+    * fixed tiny-k regime (nCells centroids, corpus of any size): each
+    * iteration is ONE job emitting nCells partial (sum, count) rows per
+    * partition — map-side combine in a kernel, merged on the driver in a
+    * fixed (cell, partition) order so float summation is deterministic.
+    * MLlib's KMeans fits the general case but pays per-iteration job
+    * fan-out + ML-vector UDF conversion; for a coarse quantizer two
+    * passes over the data already carve the space (FAISS trains IVF on
+    * a sample for the same reason). Empty cells keep their previous
+    * centroid. Init is the nCells lowest-vec_id vectors (deterministic,
+    * one top-k job).
+    */
+  private def coarseCentroids(s: org.apache.spark.sql.SparkSession,
+                              data: org.apache.spark.sql.DataFrame,
+                              nCells: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val embIdx = data.schema.fieldIndex("embedding")
+    var cents: Array[Array[Double]] = data
+      .orderBy(col("vec_id")).limit(nCells).collect()
+      .map(_.getSeq[Float](embIdx).map(_.toDouble).toArray)
+    val partialSchema = StructType(Seq(
+      StructField("part", IntegerType), StructField("cell", IntegerType),
+      StructField("cnt", LongType),
+      StructField("vsum", ArrayType(DoubleType, containsNull = false))))
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val partials = data.mapPartitions { rows =>
+        val cs = bc.value
+        val k = cs.length
+        val sums = new Array[Array[Double]](k)
+        val counts = new Array[Long](k)
+        rows.foreach { row =>
+          val emb = row.getSeq[Float](embIdx)
+          val cell = nearestCell(cs, emb)
+          if (sums(cell) == null) sums(cell) = new Array[Double](emb.length)
+          val acc = sums(cell)
+          var i = 0
+          val n = math.min(acc.length, emb.length)
+          while (i < n) { acc(i) += emb(i); i += 1 }
+          counts(cell) += 1L
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        (0 until k).iterator.filter(counts(_) > 0).map(c =>
+          Row(pid, c, counts(c), (sums(c).toSeq: Seq[Double])))
+      }(Encoders.row(partialSchema)).collect() // nCells x P tiny rows
+      val next = cents.map(_.clone())
+      val totals = new Array[Long](cents.length)
+      val accs = new Array[Array[Double]](cents.length)
+      partials.sortBy(r => (r.getInt(1), r.getInt(0))).foreach { r =>
+        val c = r.getInt(1)
+        val vs = r.getSeq[Double](3)
+        if (accs(c) == null) accs(c) = new Array[Double](vs.length)
+        var i = 0
+        while (i < vs.length) { accs(c)(i) += vs(i); i += 1 }
+        totals(c) += r.getLong(2)
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (totals(c) > 0) {
+          var i = 0
+          while (i < accs(c).length) { next(c)(i) = accs(c)(i) / totals(c); i += 1 }
+        }
+        c += 1
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def nearestCell(cs: Array[Array[Double]], emb: Seq[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      val n = math.min(cs(c).length, emb.length)
+      while (i < n) { val t = emb(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Broadcast-centroid cell assignment: one narrow kernel pass. */
+  private def assignCells(s: org.apache.spark.sql.SparkSession,
+                          data: org.apache.spark.sql.DataFrame,
+                          cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val idIdx = data.schema.fieldIndex("vec_id")
+    val embIdx = data.schema.fieldIndex("embedding")
+    val bc = s.sparkContext.broadcast(cents)
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", IntegerType)))
+    data.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { row =>
+        val emb = row.getSeq[Float](embIdx)
+        Row(row.getLong(idIdx), emb, nearestCell(cs, emb))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Map-side top-k: the query vectors (an explicitly small side) are
@@ -206,23 +313,18 @@ object Similarity extends QueryModule {
       // in SimilaritySpec.
       "knn_ivf",
       (s, dir) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
         val nCells = 16
         val nProbe = 4
         val e = Tables(s, dir).embeddings
-        val withFv = e.select(col("vec_id"), col("embedding"))
-          .withColumn("fv", array_to_vector(col("embedding")))
+        val vecs = e.select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // a coarse quantizer doesn't need tight convergence — cells just
-        // need to carve the space; 8 Lloyd iterations is plenty and halves
-        // the index-build time
-        val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8).setInitMode("random")
-          .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
-        val assigned = model.transform(withFv)
-          .select(col("vec_id"), col("embedding"), col("cell"))
+        // need to carve the space; two Lloyd passes over the data is
+        // plenty (see coarseCentroids), and each pass is one job
+        val centroids = coarseCentroids(s, vecs, nCells, iters = 2)
+        val assigned = assignCells(s, vecs, centroids)
         // nprobe nearest cells per query (k centroids x 10 queries on the
         // driver — negligible; ships as a broadcast probe list)
-        val centroids = model.clusterCenters.map(_.toArray)
         val qRows = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
