@@ -769,6 +769,35 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // lead/lag order-history deltas: previous/next ticket price and
+      // days since the prior order, per customer sequence. Window is
+      // partitioned by customer — shuffles once on o_custkey, no global
+      // sort; (o_orderdate, o_orderkey) is a total order so the shifts
+      // are deterministic. o_orderdate is midnight-aligned, so Spark's
+      // datediff (date cast) == DuckDB's date_diff('day', ...).
+      "q_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables(s, dir).orders
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        LAG(o_totalprice) OVER w AS prev_price,
+        LEAD(o_totalprice) OVER w AS next_price,
+        CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    ),
+
+    QueryDef(
       // the same as-of semantics through graft's NATIVE plan node
       // (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
       // SparkPlan) instead of a window rewrite. Semantics: latest view

@@ -2,6 +2,7 @@ package graft.textfn
 
 import graft.{QueryDef, QueryModule}
 import graft.operators.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -172,6 +173,91 @@ object TextQueries extends QueryModule {
       Some(s"""SELECT doc_id, md5(text) AS content_md5,
         ${minShingleMd5Sql()} AS min_shingle_md5
       FROM documents ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // Within-doc repetition signals (the Gopher-style repetition
+      // filter): duplicated-token ratio and the share of the single most
+      // frequent token. One explode + two partial-aggregating shuffles on
+      // (doc_id[, token]) — both fully map-side-combinable, so the 100 TB
+      // shape is token-count-bounded, not corpus-bounded.
+      "text_repetition",
+      (s, dir) => {
+        val perTok = Tables(s, dir).documents
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        perTok.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_count"))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .as("dup_ratio"),
+            (col("top_count").cast("double") / col("n_tokens").cast("double"))
+              .as("top_token_share"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ratio,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_share
+      FROM (SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+            GROUP BY doc_id, tok) g
+      GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // Corpus-wide top-20 bigrams (the n-gram census behind contamination
+      // checks and boilerplate discovery). Bigrams are formed with a
+      // per-doc lead() window — partitioned by doc_id, so no global sort
+      // and no single-partition window; the count is a map-side-combined
+      // groupBy and the final top-20 a TakeOrdered, not a full sort.
+      // (count DESC, bigram ASC) is a total order, so the cut is
+      // deterministic.
+      "text_ngram_top",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents) t) b
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+    ),
+
+    QueryDef(
+      // Corpus-composition report per (source, lang) — the first table in
+      // every dataset card. Single map-side-combined aggregate.
+      "docs_source_stats",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(size(split(lower(col("text")), " ")).cast("long")).as("total_tokens"))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("total_chars").cast("long").as("total_chars"),
+            col("total_tokens").cast("long").as("total_tokens"),
+            (col("total_chars").cast("double") / col("n_docs")).as("avg_chars"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY source, lang ORDER BY source, lang""")
     )
   )
 }
