@@ -338,60 +338,54 @@ object Dedup extends QueryModule {
       WHERE $jac >= $tau ORDER BY $outA, $outB"""
   }
 
-  def defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "dedup_exact",
-      (s, dir) => {
-        Tables(s, dir).documents
-          .select(col("doc_id"),
-            md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))).as("norm_md5"))
-          .groupBy(col("norm_md5"))
-          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
-          .filter(col("n_docs") >= 2)
-          .orderBy(col("norm_md5"))
-      },
-      Some("""SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
-      FROM (SELECT doc_id,
-              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
-            FROM documents) t
-      GROUP BY norm_md5 HAVING COUNT(*) >= 2 ORDER BY norm_md5""")
-    ),
+  /** (doc_a, doc_b, jaccard) word-set near-dup pairs at
+    * tau = JaccardTauSets, recall 1 (oracle-exact vs brute force) —
+    * shared by dedup_ngram_jaccard (the pair surface) and
+    * dedup_clusters (the transitive-cluster surface). Two measured plan
+    * tiers picked by vocabulary size, see inline notes. */
+  /** Tiny-vocabulary mask-tier internals: with <= 64 tokens every word
+    * set IS a 64-bit mask. Groups docs by identical (mask, n) and
+    * qualifies DISTINCT group pairs with codegen'd bit_count over a
+    * broadcast nested-loop join (m^2/2 long-ops, no row explosion).
+    * Returns (mgroups = (mask, n, ids), crossQual = (ids_a, ids_b,
+    * jaccard) for qualifying cross-group pairs); intra-group pairs are
+    * jaccard == 1.0 by construction. mgroups is persisted.
+    */
+  private def maskGroups(tok: DataFrame, dfreq: DataFrame): (DataFrame, DataFrame) = {
+    val dict = graft.operators.DenseIds
+      .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
+      .withColumn("token_id", col("token_id").cast("int"))
+    val idTok = tok.join(broadcast(dict), "token")
+    val masks = idTok.groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(1L, token_id)")).as("mask"), count(lit(1)).as("n"))
+    val mgroups = masks.groupBy(col("mask"), col("n"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = mgroups.select(col("mask").as("mask_a"), col("n").as("n_a"), col("ids").as("ids_a"))
+    val b = mgroups.select(col("mask").as("mask_b"), col("n").as("n_b"), col("ids").as("ids_b"))
+    val crossQual = a.join(broadcast(b), col("mask_a") < col("mask_b"))
+      .withColumn("inter", expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardTauSets)
+      .select(col("ids_a"), col("ids_b"), col("jaccard"))
+    (mgroups, crossQual)
+  }
 
-    QueryDef(
-      "dedup_ngram_jaccard",
-      (s, dir) => {
-        val ws = wordSets(Tables(s, dir).documents)
-        val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val ws = wordSets(docs)
+    val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
         val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val vocabSize = dfreq.count() // one tiny job; picks the plan tier
         if (vocabSize <= 64) {
           // Tiny-vocabulary tier: with ~30 tokens every doc shares "rare"
           // tokens with thousands of others, so PPJoin-style prefix
           // filtering degenerates to brute force (measured: a 12M-row
-          // candidate join + GC storm). Instead: each word set IS a
-          // 64-bit mask -> group docs by identical mask (near-dup corpora
-          // collapse hard), compare DISTINCT masks pairwise with
-          // codegen'd bit_count over a broadcast nested-loop join (m^2/2
-          // long-ops, no row explosion), and only expand the qualifying
-          // group pairs into doc pairs in a JVM kernel. Intra-group pairs
-          // are jaccard == 1.0 by construction.
-          val dict = graft.operators.DenseIds
-            .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
-            .withColumn("token_id", col("token_id").cast("int"))
-          val idTok = tok.join(broadcast(dict), "token")
-          val masks = idTok.groupBy(col("doc_id"))
-            .agg(sum(expr("shiftleft(1L, token_id)")).as("mask"), count(lit(1)).as("n"))
-          val mgroups = masks.groupBy(col("mask"), col("n"))
-            .agg(collect_list(col("doc_id")).as("ids"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val a = mgroups.select(col("mask").as("mask_a"), col("n").as("n_a"), col("ids").as("ids_a"))
-          val b = mgroups.select(col("mask").as("mask_b"), col("n").as("n_b"), col("ids").as("ids_b"))
-          val crossQual = a.join(broadcast(b), col("mask_a") < col("mask_b"))
-            .withColumn("inter", expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)"))
-            .withColumn("jaccard", col("inter").cast("double") /
-              (col("n_a") + col("n_b") - col("inter")).cast("double"))
-            .filter(col("jaccard") >= JaccardTauSets)
-            .select(col("ids_a"), col("ids_b"), col("jaccard"))
+          // candidate join + GC storm). Group by identical mask
+          // ([[maskGroups]] — near-dup corpora collapse hard) and only
+          // expand the qualifying group pairs into doc pairs in a JVM
+          // kernel.
+          val (mgroups, crossQual) = maskGroups(tok, dfreq)
           val intra = mgroups.filter(size(col("ids")) >= 2).select(col("ids"))
           expandGroupPairs(crossQual, intra)
             .orderBy(col("doc_a"), col("doc_b"))
@@ -418,11 +412,140 @@ object Dedup extends QueryModule {
             .distinct()
           verifyJaccard(cands, ws, "ws", JaccardTauSets)
         }
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))).as("norm_md5"))
+          .groupBy(col("norm_md5"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("norm_md5"))
       },
+      Some("""SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+      FROM (SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
+            FROM documents) t
+      GROUP BY norm_md5 HAVING COUNT(*) >= 2 ORDER BY norm_md5""")
+    ),
+
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => ngramJaccardPairs(Tables(s, dir).documents),
       Some(jaccardPairsSql(
         "SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents",
         "ws", JaccardTauSets))
     ),
+
+    QueryDef(
+      // The step after pair generation in every real dedup pipeline:
+      // near-dup PAIRS -> transitive CLUSTERS -> one canonical doc per
+      // cluster (min doc_id) + cluster size. Pairs come from the same
+      // recall-1 prefix-filter plan as dedup_ngram_jaccard; clustering
+      // is min-label propagation over the pair graph (the shared
+      // graft.graph.Components loop — AQE-off/interpreted regime notes
+      // there). Only docs in >= 1 pair appear; everything else is its
+      // own trivial cluster by definition.
+      "dedup_clusters",
+      (s, dir) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = Tables(s, dir).documents
+        // CONTRACT exact-duplicate groups before the iterative step: a
+        // near-dup corpus is near-clique-dense (measured sf0.1: 965k doc
+        // pairs over 2.9k docs), but docs with IDENTICAL word sets are
+        // interchangeable for connectivity — propagate labels over one
+        // min-doc_id representative per group and broadcast the label
+        // back to members. Representative = min doc_id per group and
+        // component = min representative, so cluster_id = min doc_id of
+        // the whole cluster — identical output to propagating over raw
+        // pairs, with the iterative working set shrunk by the exact-dup
+        // factor (standard exact-before-fuzzy pipeline ordering).
+        val ws = wordSets(docs)
+        val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
+        val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val vocabSize = dfreq.count()
+        val (repEdges, memberReps) =
+          if (vocabSize <= 64) {
+            // Group-level fast path: exact-dup groups ARE the mask
+            // groups, and [[maskGroups]]' qualifying group pairs become
+            // single representative edges — the doc-level pair list
+            // (965k rows at sf0.1) is never expanded at all.
+            val (mgroups, crossQual) = maskGroups(tok, dfreq)
+            val mg = mgroups.select(array_min(col("ids")).as("rep"), col("ids")).persist(lvl)
+            val edges = crossQual
+              .select(array_min(col("ids_a")).as("src"), array_min(col("ids_b")).as("dst"))
+              .distinct()
+              .persist(lvl)
+            // docs in >= 1 pair: every member of a group of >= 2 (intra
+            // pairs are jaccard 1.0), plus members of groups with a
+            // qualifying cross pair
+            val edgeReps = edges.select(col("src").as("rep"))
+              .unionByName(edges.select(col("dst").as("rep"))).distinct()
+            val eligible = mg.filter(size(col("ids")) >= 2).select(col("rep"))
+              .unionByName(edgeReps).distinct()
+            val members = mg.join(eligible, Seq("rep"), "leftsemi")
+              .select(explode(col("ids")).as("doc_id"), col("rep"))
+            (edges, members)
+          } else {
+            // Real-vocabulary tier: doc pairs from prefix filtering,
+            // contracted by identical normalized word set before the
+            // propagation loop.
+            val pairs = ngramJaccardPairs(docs)
+              .select(col("doc_a"), col("doc_b")).persist(lvl)
+            val canon = docs
+              .select(col("doc_id"),
+                md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+                  .as("norm"))
+              .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+              .select(col("doc_id"), col("rep"))
+              .join(pairs.select(col("doc_a").as("doc_id"))
+                .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct(),
+                Seq("doc_id"), "leftsemi")
+              .persist(lvl)
+            val repA = canon.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
+            val repB = canon.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
+            val edges = pairs.join(repA, "doc_a").join(repB, "doc_b")
+              .filter(col("rep_a") =!= col("rep_b"))
+              .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+              .distinct()
+            (edges, canon)
+          }
+        val undirected = repEdges
+          .unionByName(repEdges.select(col("dst").as("src"), col("src").as("dst")))
+        // nodes = every representative with a doc in pairs (a rep whose
+        // group only has internal jaccard-1.0 pairs has no cross edge
+        // but is still its own cluster)
+        val repNodes = memberReps.select(col("rep").as("id")).distinct()
+        val labels = graft.graph.Components.labelPropagation(s, undirected, repNodes)
+        val members = memberReps.join(labels, memberReps("rep") === labels("id"))
+          .select(col("doc_id"), col("comp"))
+        members.join(
+            members.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
+          .select(col("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardTauSets),
+        undir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM undir),
+        cc AS (WITH RECURSIVE reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
+          SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+      SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size
+      FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+      ORDER BY doc_id""")
+    ),
+
 
     QueryDef(
       "dedup_minhash_lsh",

@@ -162,86 +162,10 @@ object GraphQueries extends QueryModule {
           .distinct()
         val undirected = halfEdges
           .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
-          .persist(lvl)
-        var labels = objs.select(col("object_id").as("id"), col("object_id").as("comp")).persist(lvl)
-        // materialize the heavy inputs under the session's normal config
-        // (AQE picks the scan/join/dedup shapes), then run the loop with
-        // AQE off and a label-count-scaled shuffle width: each refinement
-        // round moves O(labels) tiny rows, and AQE's stage-by-stage
-        // submission + replanning costs more per round than the round's
-        // work (measured ~1.2-1.7 s/round on ~2.7k labels; the loop is
-        // the one place in the suite where fixed per-job overhead, not
-        // data volume, dominates)
-        val labelCount = labels.count()
-        undirected.count() // materialize the edge dedup under AQE too
-        val loopParts = math.max(1L, math.min(
-          s.sparkContext.defaultParallelism.toLong, labelCount / 10000L)).toString
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-        val prevFactory = s.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-        // Below ~10M labels each round is FIXED-overhead-dominated, and
-        // the largest fixed cost is janino: every iteration is a NEW
-        // logical plan, so whole-stage codegen recompiles ~4 generated
-        // classes per round just to touch a few thousand cached rows
-        // (measured ~1.2 s/round codegen'd vs ~0.3 s interpreted at
-        // sf0.1). Interpreted execution skips the compiler; at real
-        // scale (labels ≥ 10M) the rounds are data-dominated and codegen
-        // pays for itself, so it stays on.
-        val interpretLoop = labelCount < 10_000_000L
-        var prev: org.apache.spark.sql.DataFrame = null
-        var changed = 1L
-        var rounds = 0
-        try {
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        s.conf.set("spark.sql.shuffle.partitions", loopParts)
-        if (interpretLoop) {
-          s.conf.set("spark.sql.codegen.wholeStage", "false")
-          s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-        }
-        // One hop per check, but the check itself is join-free: the old
-        // label rides along as a marker column through the min-aggregate,
-        // so `changed` is a filter-count over the already-materialized
-        // round output instead of a second join (measured: the per-round
-        // convergence join was ~40% of each round's wall time). Pointer
-        // jumping (comp-of-comp self-join) measured 3x slower at sf0.1;
-        // this graph converges in few rounds, and a pathological-diameter
-        // graph at scale would swap the body for large-star/small-star
-        // contraction (O(log n) rounds, same join/agg shape).
-        while (changed > 0 && rounds < 50) {
-          val tR0 = System.nanoTime()
-          val neighborMin = undirected
-            .join(labels, col("src") === col("id"))
-            .select(col("dst").as("id"), col("comp"))
-          var merged = labels.withColumn("own", lit(true))
-            .unionByName(neighborMin.withColumn("own", lit(false)))
-            .groupBy(col("id"))
-            .agg(min(col("comp")).as("comp"),
-              max(when(col("own"), col("comp"))).as("oldc"))
-          // persist does NOT truncate the logical plan — without a
-          // periodic localCheckpoint, planning cost and DAG size grow
-          // linearly with rounds (each round's plan embeds every prior
-          // round's)
-          merged =
-            if (rounds % 6 == 5) merged.localCheckpoint()
-            else merged.persist(lvl)
-          val tR = System.nanoTime()
-          changed = merged.filter(col("comp") =!= col("oldc")).count()
-          if (sys.env.contains("GRAFT_CC_DEBUG"))
-            System.err.println(s"[cc] round=$rounds changed=$changed count_sec=${(System.nanoTime() - tR) / 1e9} round_sec=${(System.nanoTime() - tR0) / 1e9}")
-          if (prev != null) prev.unpersist()
-          prev = merged
-          labels = merged.select(col("id"), col("comp"))
-          rounds += 1
-        }
-        } finally {
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
-          s.conf.set("spark.sql.codegen.factoryMode", prevFactory)
-        }
-        // a diameter > 50 graph must fail loudly, not return wrong labels
-        require(changed == 0, s"components did not converge in $rounds rounds")
+        // loop regime notes (AQE-off, interpreted, join-free convergence
+        // check, lineage truncation) live on graft.graph.Components
+        val labels = Components.labelPropagation(
+          s, undirected, objs.select(col("object_id").as("id")))
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] loop-done total=${(System.nanoTime() - tQ) / 1e9}")
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
