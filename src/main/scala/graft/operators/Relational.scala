@@ -824,6 +824,36 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // the SAME as-of semantics once more, through the SQL SURFACE:
+      // `ASOF JOIN` text -> graft's injected parser (AsOfSqlRewrite) ->
+      // marker lift rule -> AsOfJoinExec. Oracle-gating this entry
+      // drives the whole injectParser path through the driver's DuckDB
+      // gate, not just specs.
+      "q_asof_sql",
+      (s, dir) => {
+        val ev = Tables(s, dir).events.withColumn("ts_us", unix_micros(col("ts")))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .createOrReplaceTempView("graft_asof_p")
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("view_ts_us"))
+          .createOrReplaceTempView("graft_asof_v")
+        s.sql("""SELECT p.event_id, p.user_id, p.ts_us, v.view_ts_us
+          FROM graft_asof_p p ASOF JOIN graft_asof_v v
+          ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+          ORDER BY p.event_id""")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, epoch_us(ts) AS view_ts_us
+                FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, p.ts_us,
+        (SELECT MAX(view_ts_us) FROM v
+          WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us) AS view_ts_us
+      FROM p ORDER BY p.event_id""")
+    ),
+
+    QueryDef(
       // the native as-of join's tolerance semantics (pandas merge_asof
       // tolerance): a prior view older than 1 hour is stale and must NOT
       // match. The oracle's correlated MAX carries the same lower bound.
