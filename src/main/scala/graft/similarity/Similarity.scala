@@ -18,6 +18,9 @@ object Similarity extends QueryModule {
 
   private val K = 5
   private val NQueries = 10
+  // knn_join neighborhood floor — matches dedup_embedding's CosineTau so
+  // the same angular-blocked candidate plan serves both
+  private val KnnJoinTau = 0.3
 
   /** All hyperplane sign-buckets for every row in one kernel pass:
     * emits (vec_id, embedding, band, bucket) rows. Planes are built once
@@ -352,6 +355,40 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rk"))
       },
       None
+    ),
+
+    QueryDef(
+      // k-NN JOIN: top-k neighbors for EVERY vector, not just a probe
+      // set — the all-corpus shape behind embedding-based retrieval and
+      // semantic dedup. A cosine floor bounds the neighborhood so the
+      // exact angular-blocked candidate generation (recall 1,
+      // sub-quadratic — graft.dedup.AngularBlocking, never an all-pairs
+      // product) applies; the per-vector top-k is a rank filter that
+      // Spark executes as WindowGroupLimit (partial top-k before the
+      // shuffle). Ties break on neighbor_id, so the cut is deterministic
+      // and oracle-exact.
+      "knn_join",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val pairs = graft.dedup.AngularBlocking.cosinePairs(s, e, KnnJoinTau)
+        val sym = pairs
+          .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cosine"))
+          .unionByName(pairs
+            .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cosine")))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        sym.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= K)
+          .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rk"))
+          .orderBy(col("vec_id"), col("rk"))
+      },
+      Some(s"""SELECT vec_id, neighbor_id, cosine, rk FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+          ${VectorOps.cosineSql("a.embedding", "b.embedding")} AS cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ${VectorOps.cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE ${VectorOps.cosineSql("a.embedding", "b.embedding")} >= $KnnJoinTau) t
+      WHERE rk <= $K ORDER BY vec_id, rk""")
     ),
 
     QueryDef(
