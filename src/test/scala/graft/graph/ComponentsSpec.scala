@@ -1,0 +1,52 @@
+package graft.graph
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite with SparkFixture {
+
+  private def mirror(edges: Seq[(Long, Long)]) =
+    edges ++ edges.map { case (a, b) => (b, a) }
+
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long], maxRounds: Int = 50) = {
+    import spark.implicits._
+    Components.labelPropagation(
+        spark,
+        mirror(edges).toDF("src", "dst"),
+        nodes.toDF("id"),
+        maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components + an isolated node get min-id labels") {
+    // 1-2-3 chain, 10-11 pair, 20 isolated
+    val labels = run(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 20L))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("a long path converges within its diameter") {
+    // path 0-1-2-...-12: min label must walk the whole chain
+    val n = 13L
+    val labels = run((0L until n - 1).map(i => (i, i + 1)), 0L until n)
+    assert(labels == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("diameter beyond maxRounds fails loudly instead of returning wrong labels") {
+    val n = 9L
+    val ex = intercept[IllegalArgumentException] {
+      run((0L until n - 1).map(i => (i, i + 1)), 0L until n, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
+    val before = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode").map(k => k -> spark.conf.getOption(k))
+    run(Seq((1L, 2L)), Seq(1L, 2L))
+    val after = before.map { case (k, _) => k -> spark.conf.getOption(k) }
+    assert(after == before)
+  }
+}
