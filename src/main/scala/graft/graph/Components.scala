@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *  - periodic `localCheckpoint` — persist does NOT truncate the
   *    logical plan, so without it planning cost grows linearly with
   *    rounds.
+  *
+  * Measured dead ends (A/B on sf0.1, do not re-attempt without new
+  * evidence): batching 2 hops per convergence check (+ disabling the
+  * loop's broadcast joins) was ~25-30% SLOWER than one hop per check —
+  * the deeper per-action plan costs more than the saved job overhead;
+  * pointer jumping (comp-of-comp self-join) measured 3x slower.
   */
 object Components {
 
