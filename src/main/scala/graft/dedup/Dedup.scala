@@ -372,8 +372,13 @@ object Dedup extends QueryModule {
     (mgroups, crossQual)
   }
 
-  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val ws = wordSets(docs)
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame =
+    ngramJaccardPairsFromWs(wordSets(docs))
+
+  /** [[ngramJaccardPairs]] over a pre-built (doc_id, ws) frame, so
+    * callers that already materialized the word sets (dedup_clusters)
+    * share one scan instead of re-tokenizing the corpus. */
+  private[graft] def ngramJaccardPairsFromWs(ws: DataFrame): DataFrame = {
     val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
         val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val vocabSize = dfreq.count() // one tiny job; picks the plan tier
@@ -414,6 +419,229 @@ object Dedup extends QueryModule {
         }
   }
 
+  /** Mask-tier group summaries above this count leave the driver-solve
+    * path for the distributed qualify+propagate fallback. At the cap the
+    * driver does m^2/2 ~ 2.1e9 64-bit AND+popcounts across cores —
+    * bounded work; the summaries themselves (4 longs/group) are smaller
+    * than what the distributed tier would broadcast anyway. */
+  private[graft] val MaskDriverCap = 65536
+
+  /** (doc_id, mask, n) rows: each <=64-token word set as a bit mask.
+    * One narrow kernel pass, no shuffle — the dictionary is a broadcast
+    * local map, never a joined dimension. */
+  private def maskRows(ws: DataFrame, dict: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mask", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = false)))
+    val bc = ws.sparkSession.sparkContext.broadcast(dict)
+    ws.mapPartitions { iter =>
+      val d = bc.value
+      iter.map { row =>
+        val set = row.getSeq[String](1)
+        var m = 0L
+        set.foreach(t => m |= (1L << d(t)))
+        Row(row.getLong(0), m, set.length)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Driver-side mask-tier solve. Collects one summary row per distinct
+    * (mask, n) group — count, min doc_id — qualifies the m^2/2 group
+    * pairs with a parallel popcount loop, union-finds components, and
+    * ships the (mask -> cluster_id, cluster_size) labels back as ONE
+    * broadcast join. The contraction insight is the same as the
+    * distributed tier's; what changes is that the already-driver-sized
+    * summary (the distributed tier broadcasts the strictly-larger
+    * mgroups, id lists included) is solved in-process instead of through
+    * ~60 sub-second Spark jobs of tiny-data aggregates + propagation
+    * rounds (measured 20.8 s -> ~3 jobs). Returns None above
+    * [[MaskDriverCap]] groups — callers fall back to the distributed
+    * path, which has no driver-memory assumption.
+    */
+  private def maskClustersDriver(s: SparkSession, masks: DataFrame, driverCap: Int): Option[DataFrame] = {
+    val groups = masks.groupBy(col("mask"), col("n"))
+      .agg(count(lit(1)).as("gsize"), min(col("doc_id")).as("rep"))
+      .take(driverCap + 1)
+    if (groups.length > driverCap) return None
+    val m = groups.length
+    val gMask = new Array[Long](m)
+    val gN = new Array[Int](m)
+    val gSize = new Array[Long](m)
+    val gRep = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val r = groups(i)
+      gMask(i) = r.getLong(0); gN(i) = r.getInt(1)
+      gSize(i) = r.getLong(2); gRep(i) = r.getLong(3)
+      i += 1
+    }
+    // phase 1 (parallel, contention-free): each i owns adj(i); the
+    // jaccard arithmetic mirrors the distributed crossQual bit for bit
+    // (bigint intersection, IEEE double division, >= tau)
+    val adj = new Array[Array[Int]](m)
+    val tau = JaccardTauSets
+    java.util.stream.IntStream.range(0, m).parallel().forEach { a =>
+      var buf: scala.collection.mutable.ArrayBuffer[Int] = null
+      var b = a + 1
+      while (b < m) {
+        val inter = java.lang.Long.bitCount(gMask(a) & gMask(b)).toLong
+        if (inter > 0L &&
+            inter.toDouble / (gN(a) + gN(b) - inter).toDouble >= tau) {
+          if (buf == null) buf = new scala.collection.mutable.ArrayBuffer[Int]
+          buf += b
+        }
+        b += 1
+      }
+      if (buf != null) adj(a) = buf.toArray
+    }
+    // phase 2 (sequential): union-find; the final relabel to min-rep per
+    // root makes the result independent of union order
+    val parent = Array.tabulate(m)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    val hasEdge = new Array[Boolean](m)
+    i = 0
+    while (i < m) {
+      val nb = adj(i)
+      if (nb != null) {
+        hasEdge(i) = true
+        var k = 0
+        while (k < nb.length) {
+          hasEdge(nb(k)) = true
+          val ra = find(i); val rb = find(nb(k))
+          if (ra != rb) parent(ra) = rb
+          k += 1
+        }
+      }
+      i += 1
+    }
+    // docs in >= 1 pair: groups of >= 2 (intra pairs, jaccard 1.0) plus
+    // any group on a qualifying cross edge — everything else is its own
+    // trivial cluster and stays out of the output by definition
+    val minRep = new java.util.HashMap[Int, Long]()
+    val sumSize = new java.util.HashMap[Int, Long]()
+    i = 0
+    while (i < m) {
+      if (gSize(i) >= 2L || hasEdge(i)) {
+        val r = find(i)
+        val cur = minRep.get(r)
+        if (!minRep.containsKey(r) || gRep(i) < cur) minRep.put(r, gRep(i))
+        sumSize.merge(r, gSize(i), (x, y) => x + y)
+      }
+      i += 1
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val labelRows = new java.util.ArrayList[Row](m)
+    i = 0
+    while (i < m) {
+      if (gSize(i) >= 2L || hasEdge(i)) {
+        val r = find(i)
+        labelRows.add(Row(gMask(i), minRep.get(r), sumSize.get(r)))
+      }
+      i += 1
+    }
+    val labelSchema = StructType(Seq(
+      StructField("mask", LongType, nullable = false),
+      StructField("cluster_id", LongType, nullable = false),
+      StructField("cluster_size", LongType, nullable = false)))
+    val labels = s.createDataFrame(labelRows, labelSchema)
+    Some(masks.join(broadcast(labels), Seq("mask"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id")))
+  }
+
+  /** Distributed mask-tier fallback (no driver-memory assumption):
+    * group id lists, qualify group pairs via broadcast popcount join,
+    * contract to min-doc_id representatives, propagate labels with the
+    * shared [[graft.graph.Components]] loop. */
+  private def maskClustersDistributed(s: SparkSession, masks: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val mgroups = masks.groupBy(col("mask"), col("n"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .persist(lvl)
+    val a = mgroups.select(col("mask").as("mask_a"), col("n").as("n_a"), col("ids").as("ids_a"))
+    val b = mgroups.select(col("mask").as("mask_b"), col("n").as("n_b"), col("ids").as("ids_b"))
+    val crossQual = a.join(broadcast(b), col("mask_a") < col("mask_b"))
+      .withColumn("inter", expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardTauSets)
+    val mg = mgroups.select(array_min(col("ids")).as("rep"), col("ids")).persist(lvl)
+    val edges = crossQual
+      .select(array_min(col("ids_a")).as("src"), array_min(col("ids_b")).as("dst"))
+      .distinct()
+      .persist(lvl)
+    val edgeReps = edges.select(col("src").as("rep"))
+      .unionByName(edges.select(col("dst").as("rep"))).distinct()
+    val eligible = mg.filter(size(col("ids")) >= 2).select(col("rep"))
+      .unionByName(edgeReps).distinct()
+    val members = mg.join(eligible, Seq("rep"), "leftsemi")
+      .select(explode(col("ids")).as("doc_id"), col("rep"))
+    assembleClusters(s, edges, members)
+  }
+
+  /** Shared tail of both distributed cluster tiers: propagate min
+    * labels over the representative edge graph, broadcast the label
+    * back to members, attach cluster sizes. */
+  private def assembleClusters(s: SparkSession, repEdges: DataFrame, memberReps: DataFrame): DataFrame = {
+    val undirected = repEdges
+      .unionByName(repEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val repNodes = memberReps.select(col("rep").as("id")).distinct()
+    val labels = graft.graph.Components.labelPropagation(s, undirected, repNodes)
+    val members = memberReps.join(labels, memberReps("rep") === labels("id"))
+      .select(col("doc_id"), col("comp"))
+    members.join(
+        members.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
+      .select(col("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive near-dup clusters over the pair graph — the full
+    * `dedup_clusters` body, parameterized so specs can force the
+    * distributed fallback (`driverCap = 0`) on small data. */
+  private[graft] def clusterDocs(s: SparkSession, docs: DataFrame,
+                                 driverCap: Int = MaskDriverCap): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ws = wordSets(docs).persist(lvl)
+    // tier probe: the mask tier needs the full (<= 64 entry) dictionary
+    // anyway; a real vocabulary stops collecting at 65 rows
+    val vocab = ws.select(explode(col("ws")).as("token")).distinct().take(65)
+    if (vocab.length <= 64) {
+      val dict = vocab.map(_.getString(0)).sorted.zipWithIndex.toMap
+      val masks = maskRows(ws, dict).persist(lvl)
+      maskClustersDriver(s, masks, driverCap)
+        .getOrElse(maskClustersDistributed(s, masks))
+    } else {
+      // Real-vocabulary tier: doc pairs from prefix filtering (sharing
+      // the persisted word sets), contracted by identical normalized
+      // word set before the propagation loop.
+      val pairs = ngramJaccardPairsFromWs(ws)
+        .select(col("doc_a"), col("doc_b")).persist(lvl)
+      val canon = ws
+        .select(col("doc_id"), md5(concat_ws(" ", array_sort(col("ws")))).as("norm"))
+        .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+        .select(col("doc_id"), col("rep"))
+        .join(pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct(),
+          Seq("doc_id"), "leftsemi")
+        .persist(lvl)
+      val repA = canon.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
+      val repB = canon.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
+      val edges = pairs.join(repA, "doc_a").join(repB, "doc_b")
+        .filter(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        .distinct()
+      assembleClusters(s, edges, canon)
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -450,84 +678,19 @@ object Dedup extends QueryModule {
       // graft.graph.Components loop — AQE-off/interpreted regime notes
       // there). Only docs in >= 1 pair appear; everything else is its
       // own trivial cluster by definition.
+      // CONTRACT exact-duplicate groups before anything iterative: a
+      // near-dup corpus is near-clique-dense (measured sf0.1: 965k doc
+      // pairs over 2.9k docs), but docs with IDENTICAL word sets are
+      // interchangeable for connectivity — so connectivity is solved
+      // over one min-doc_id representative per group and the label
+      // broadcast back to members (standard exact-before-fuzzy pipeline
+      // ordering; cluster_id = min doc_id of the whole cluster either
+      // way). Tiering in [[clusterDocs]]: <= 64-token vocabularies get
+      // the mask tier whose group summary is solved ON THE DRIVER when
+      // it fits ([[maskClustersDriver]] — it was already broadcast-sized
+      // by construction), distributed propagation otherwise.
       "dedup_clusters",
-      (s, dir) => {
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val docs = Tables(s, dir).documents
-        // CONTRACT exact-duplicate groups before the iterative step: a
-        // near-dup corpus is near-clique-dense (measured sf0.1: 965k doc
-        // pairs over 2.9k docs), but docs with IDENTICAL word sets are
-        // interchangeable for connectivity — propagate labels over one
-        // min-doc_id representative per group and broadcast the label
-        // back to members. Representative = min doc_id per group and
-        // component = min representative, so cluster_id = min doc_id of
-        // the whole cluster — identical output to propagating over raw
-        // pairs, with the iterative working set shrunk by the exact-dup
-        // factor (standard exact-before-fuzzy pipeline ordering).
-        val ws = wordSets(docs)
-        val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
-        val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val vocabSize = dfreq.count()
-        val (repEdges, memberReps) =
-          if (vocabSize <= 64) {
-            // Group-level fast path: exact-dup groups ARE the mask
-            // groups, and [[maskGroups]]' qualifying group pairs become
-            // single representative edges — the doc-level pair list
-            // (965k rows at sf0.1) is never expanded at all.
-            val (mgroups, crossQual) = maskGroups(tok, dfreq)
-            val mg = mgroups.select(array_min(col("ids")).as("rep"), col("ids")).persist(lvl)
-            val edges = crossQual
-              .select(array_min(col("ids_a")).as("src"), array_min(col("ids_b")).as("dst"))
-              .distinct()
-              .persist(lvl)
-            // docs in >= 1 pair: every member of a group of >= 2 (intra
-            // pairs are jaccard 1.0), plus members of groups with a
-            // qualifying cross pair
-            val edgeReps = edges.select(col("src").as("rep"))
-              .unionByName(edges.select(col("dst").as("rep"))).distinct()
-            val eligible = mg.filter(size(col("ids")) >= 2).select(col("rep"))
-              .unionByName(edgeReps).distinct()
-            val members = mg.join(eligible, Seq("rep"), "leftsemi")
-              .select(explode(col("ids")).as("doc_id"), col("rep"))
-            (edges, members)
-          } else {
-            // Real-vocabulary tier: doc pairs from prefix filtering,
-            // contracted by identical normalized word set before the
-            // propagation loop.
-            val pairs = ngramJaccardPairs(docs)
-              .select(col("doc_a"), col("doc_b")).persist(lvl)
-            val canon = docs
-              .select(col("doc_id"),
-                md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
-                  .as("norm"))
-              .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
-              .select(col("doc_id"), col("rep"))
-              .join(pairs.select(col("doc_a").as("doc_id"))
-                .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct(),
-                Seq("doc_id"), "leftsemi")
-              .persist(lvl)
-            val repA = canon.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
-            val repB = canon.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
-            val edges = pairs.join(repA, "doc_a").join(repB, "doc_b")
-              .filter(col("rep_a") =!= col("rep_b"))
-              .select(col("rep_a").as("src"), col("rep_b").as("dst"))
-              .distinct()
-            (edges, canon)
-          }
-        val undirected = repEdges
-          .unionByName(repEdges.select(col("dst").as("src"), col("src").as("dst")))
-        // nodes = every representative with a doc in pairs (a rep whose
-        // group only has internal jaccard-1.0 pairs has no cross edge
-        // but is still its own cluster)
-        val repNodes = memberReps.select(col("rep").as("id")).distinct()
-        val labels = graft.graph.Components.labelPropagation(s, undirected, repNodes)
-        val members = memberReps.join(labels, memberReps("rep") === labels("id"))
-          .select(col("doc_id"), col("comp"))
-        members.join(
-            members.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
-          .select(col("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => clusterDocs(s, Tables(s, dir).documents),
       Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id

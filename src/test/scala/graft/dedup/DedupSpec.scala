@@ -43,6 +43,50 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster driver solve matches the distributed propagation fallback") {
+    val docs = graft.operators.Tables(spark, dir).documents
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driverCap = 0 forces the maskClustersDistributed + Components path
+    val viaDriver = collected(Dedup.clusterDocs(spark, docs))
+    val viaDistributed = collected(Dedup.clusterDocs(spark, docs, driverCap = 0))
+    assert(viaDriver.nonEmpty)
+    assert(viaDriver == viaDistributed)
+  }
+
+  test("real-vocabulary cluster tier matches a local reference union-find") {
+    import spark.implicits._
+    // > 64 distinct tokens forces the prefix-filter tier; three planted
+    // near-dup families (word-set jaccard >= 0.9 needs 19/20 shared
+    // words at these sizes) plus unrelated filler docs
+    val base = (0 until 70).map(i => s"w$i")
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val famA = Seq(base.slice(0, 20), base.slice(0, 20), base.slice(0, 19) :+ "w25")
+    val famB = Seq(base.slice(30, 50), base.slice(30, 49) :+ "w55")
+    val loners = Seq(Seq("w60", "w61"), Seq("w62", "w63", "w64", "w65"))
+    val all = (famA ++ famB ++ loners).zipWithIndex
+      .map { case (wsx, i) => (i.toLong, doc(wsx)) }
+    val docs = all.toDF("doc_id", "text")
+    val got = Dedup.clusterDocs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // local reference: all-pairs jaccard + union-find over doc ids
+    val sets = all.map { case (id, t) => id -> t.split(" ").distinct.toSet }
+    val pairs = for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.9
+    } yield (a, b)
+    val par = scala.collection.mutable.Map(sets.map(s => s._1 -> s._1): _*)
+    def find(x: Long): Long = { var c = x; while (par(c) != c) c = par(c); c }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) par(ra) = rb }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val comp = inPairs.groupBy(find).flatMap { case (_, ms) =>
+      val cid = ms.min; ms.map(m => (m, cid, ms.size.toLong))
+    }.toSet
+    assert(got == comp)
+    assert(comp.exists(_._3 >= 3), "spec vacuous: no multi-doc cluster")
+  }
+
   test("word sets normalize consistently with the oracle formulation") {
     val ws = Dedup.wordSets(graft.operators.Tables(spark, dir).documents.limit(20))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
