@@ -11,6 +11,14 @@ object GraphQueries extends QueryModule {
 
   private val T = TripleStore
 
+  /** Degree bound for the co-occurrence self-join: a subject linked to
+    * more than this many distinct objects would alone emit > d^2/2 ~
+    * 500k pairs, and on a power-law graph the hot tail is quadratic.
+    * Test data tops out at degree 67 across all SFs, so the cap is
+    * inert there; at scale it is the difference between bounded and
+    * unbounded shuffle volume. */
+  private[graft] val MaxCoocDegree = 1000L
+
   /** Shared oracle CTE prelude: triples + objects + edges. */
   private val prelude =
     s"""WITH triples AS (${T.triplesSql}),
@@ -191,14 +199,26 @@ object GraphQueries extends QueryModule {
     ),
 
     QueryDef(
+      // Object co-occurrence via subject self-join. The self-join emits
+      // d^2/2 pairs per subject, so a power-law "celebrity" subject is
+      // quadratic at scale — subjects above [[MaxCoocDegree]] distinct
+      // objects are excluded up front (their co-occurrence signal is
+      // noise: a subject touching everything co-occurs everything).
+      // The hot list is tiny by construction (<= |so|/threshold
+      // subjects), so the exclusion is a broadcast anti-join and the
+      // degree aggregate shuffles on the same key as the self-join.
       "spo_cooccurrence",
       (s, dir) => {
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        // persisted: both sides of the self-join scan this distinct set
+        // persisted: degree agg + both sides of the self-join scan this
         val so = t.select(col("subject"), col("object")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val b = so.select(col("subject"), col("object").as("object_b"))
-        so.join(b, "subject")
+        val hot = so.groupBy(col("subject")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") > MaxCoocDegree)
+          .select(col("subject"))
+        val kept = so.join(broadcast(hot), Seq("subject"), "left_anti")
+        val b = kept.select(col("subject"), col("object").as("object_b"))
+        kept.join(b, "subject")
           .filter(col("object") < col("object_b"))
           .groupBy(col("object"), col("object_b"))
           .agg(count(lit(1)).as("n_shared_subjects"))
@@ -206,9 +226,11 @@ object GraphQueries extends QueryModule {
           .orderBy(col("object"), col("object_b"))
       },
       Some(s"""WITH triples AS (${T.triplesSql}),
-        so AS (SELECT DISTINCT subject, object FROM triples)
+        so AS (SELECT DISTINCT subject, object FROM triples),
+        keep AS (SELECT subject FROM so GROUP BY subject HAVING COUNT(*) <= $MaxCoocDegree),
+        k AS (SELECT so.subject, so.object FROM so JOIN keep ON so.subject = keep.subject)
       SELECT a.object AS object, b.object AS object_b, COUNT(*) AS n_shared_subjects
-      FROM so a JOIN so b ON a.subject = b.subject AND a.object < b.object
+      FROM k a JOIN k b ON a.subject = b.subject AND a.object < b.object
       GROUP BY a.object, b.object HAVING COUNT(*) >= 10
       ORDER BY object, object_b""")
     )

@@ -79,6 +79,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs NLJ resurfaced")
   }
 
+  test("co-occurrence bounds the hot-subject blowup with a broadcast anti-join") {
+    val p = plan("spo_cooccurrence")
+    // the degree cap must plan as a broadcast anti-join (hot list is
+    // tiny by construction), leaving the self-join bounded at d^2 per
+    // kept subject — and never degenerate to a cartesian/NLJ pair product
+    assert(p.contains("LeftAnti"), s"degree-cap anti-join missing:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "co-occurrence planned a cartesian")
+  }
+
   test("rank-filtered windows use map-side WindowGroupLimit (top-k per group)") {
     // rk <= 3 per nation must prune BEFORE the window shuffle (partial
     // WindowGroupLimit), so only ~k rows per group per mapper shuffle
