@@ -43,14 +43,30 @@ case class AsOfMarker() extends LeafExpression with Unevaluable {
 }
 
 /** `ASOF JOIN ... ON` → `JOIN ... ON graft_asof_marker() AND`, skipping
-  * quoted runs ('...', "...", `...`). */
+  * quoted runs ('...', "...", `...`).
+  *
+  * The marker must land on the ON belonging to THIS join, so the scan
+  * tracks parenthesis depth: an `ASOF JOIN` seen at depth d only
+  * consumes an ON at depth d — the ONs of joins inside a parenthesized
+  * subquery right side (`a ASOF JOIN (SELECT ... FROM b JOIN c ON ...)
+  * q ON ...`) are at deeper depth and pass through untouched. Nested
+  * as-ofs stack (inner, deeper ones resolve first). An ASOF JOIN whose
+  * ON never arrives at its depth — end of statement, or its subtree
+  * closes first (e.g. USING syntax, which is unsupported) — fails the
+  * parse loudly instead of emitting unmarked SQL that would silently
+  * run as a plain join. */
 object AsOfSqlRewrite {
+  private def parseError(msg: String): Nothing =
+    throw org.apache.spark.sql.GraftSqlBridge.analysisException(s"ASOF JOIN: $msg")
+
   def apply(sql: String): String = {
     if (!sql.toLowerCase.contains("asof")) return sql
     val out = new StringBuilder(sql.length + 64)
     val n = sql.length
     var i = 0
-    var pending = false
+    var depth = 0
+    // depths of ASOF JOINs still awaiting their ON, innermost on top
+    var pending = List.empty[Int]
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = sql.charAt(i)
@@ -58,6 +74,14 @@ object AsOfSqlRewrite {
         out.append(c); i += 1
         while (i < n && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
         if (i < n) { out.append(sql.charAt(i)); i += 1 }
+      } else if (c == '(') {
+        depth += 1; out.append(c); i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (pending.headOption.exists(_ > depth))
+          parseError("no ON clause found for ASOF JOIN before its subtree closed " +
+            "(USING syntax is not supported)")
+        out.append(c); i += 1
       } else if (isWordChar(c)) {
         val start = i
         while (i < n && isWordChar(sql.charAt(i))) i += 1
@@ -70,14 +94,16 @@ object AsOfSqlRewrite {
           if (sql.substring(j, k).equalsIgnoreCase("JOIN")) {
             out.append("JOIN")
             i = k
-            pending = true
+            pending ::= depth
           } else out.append(word)
-        } else if (pending && word.equalsIgnoreCase("ON")) {
+        } else if (word.equalsIgnoreCase("ON") && pending.headOption.contains(depth)) {
           out.append("ON graft_asof_marker() AND")
-          pending = false
+          pending = pending.tail
         } else out.append(word)
       } else { out.append(c); i += 1 }
     }
+    if (pending.nonEmpty)
+      parseError("no ON clause found for ASOF JOIN (USING syntax is not supported)")
     out.toString
   }
 }

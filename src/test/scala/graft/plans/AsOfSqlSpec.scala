@@ -59,6 +59,37 @@ class AsOfSqlSpec extends AnyFunSuite with SparkFixture {
     assert(out.collect().head.getString(0) == "asof join on x")
   }
 
+  test("ON inside a parenthesized subquery right side is not mis-tagged") {
+    setupViews()
+    // the inner plain JOIN's ON is at deeper paren depth — the as-of
+    // marker must land on the OUTER ON, so the as-of lifts and the
+    // inner join stays a plain join (before the depth-aware scanner,
+    // the marker landed on the inner ON: outer as-of silently ran as a
+    // plain inner join)
+    val out = spark.sql(
+      """SELECT e.event_id, q.view_ts_us
+        FROM ev e ASOF JOIN
+          (SELECT v.user_id, v.view_ts_us FROM vw v JOIN ev x ON v.user_id = x.user_id) q
+        ON e.user_id = q.user_id AND e.ts_us >= q.view_ts_us
+        ORDER BY e.event_id""")
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      out.queryExecution.executedPlan.toString.take(1500))
+    // user 10 events: backward match among vw(10) views; user 20 has no
+    // views (null); user 30 matches 899
+    assert(out.collect().map(r => if (r.isNullAt(1)) null else r.getLong(1)).toSeq ==
+      Seq(null, 150L, 300L, null, 899L))
+  }
+
+  test("an ASOF JOIN that never finds its ON fails the parse loudly") {
+    setupViews()
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM ev e ASOF JOIN vw v USING (user_id)").collect())
+    assert(e1.getMessage.contains("no ON clause found for ASOF JOIN"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM (SELECT * FROM ev e ASOF JOIN vw v) q ON q.user_id = 1").collect())
+    assert(e2.getMessage.contains("no ON clause found for ASOF JOIN"), e2.getMessage)
+  }
+
   test("unsupported ON shapes fail analysis loudly, never run as plain joins") {
     setupViews()
     val e1 = intercept[Exception](spark.sql(
