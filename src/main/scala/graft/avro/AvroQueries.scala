@@ -25,6 +25,33 @@ object AvroQueries extends QueryModule {
   val Topic = "events"
   val NumPartitions = 4
 
+  /** Staging paths with a delete-on-exit hook already registered. One
+    * hook per path per JVM: repeated Verify/Bench invocations in one
+    * session must not accumulate hook threads. On first use it also
+    * sweeps stale `graft_csv_*` siblings left by runs killed before
+    * their hooks fired (staging dirs are applicationId-keyed, so a
+    * crashed run's directory would otherwise leak forever). */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(path: String): Unit = {
+    if (cleanupRegistered.add(path)) {
+      if (cleanupRegistered.size() == 1) {
+        // age-gated: a fresh sibling may belong to a LIVE concurrent
+        // session on the same machine — only reap clearly-dead leftovers
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        val parent = new java.io.File(path).getParentFile
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_csv_") &&
+            f.getAbsolutePath != path && f.lastModified() < cutoff)
+          .foreach(f =>
+            try org.apache.commons.io.FileUtils.deleteDirectory(f)
+            catch { case _: Throwable => () })
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        catch { case _: Throwable => () }))
+    }
+  }
+
   /** Avro value schema for the events topic (what the reference's
     * config-driven `assemble_schema` would emit for this column list). */
   val EventsSchemaJson: String = AvroCodec.recordSchemaJson("events_msg", Seq(
@@ -266,9 +293,7 @@ object AvroQueries extends QueryModule {
         // same sfDir must not overwrite each other's staging mid-read)
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
           s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-          catch { case _: Throwable => () }))
+        registerCleanup(tmp)
         Tables(s, dir).events
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .coalesce(1)

@@ -41,7 +41,7 @@ final class RegistryHttpException(val status: Int, val body: String, url: String
   *
   * Speaks the standard wire protocol the reference reaches through
   * libserdes (`schema.registry.url` in
-  * `/root/reference/config/consumer.yaml`):
+  * `/root/reference/configs/SPO_2_kafka.yaml`):
   *
   *  - `POST /subjects/{subject}/versions`  {"schema": "<json>"} → {"id": n}
   *  - `GET  /subjects/{subject}/versions/latest` → {"id": n, "schema": "<json>"}

@@ -60,6 +60,12 @@ object AngularBlocking {
         val ps = pb.value
         rows.map { row =>
           val emb = row.getSeq[Float](1)
+          // a vector longer than the plane dimensionality would be
+          // bucketed (and centroid-bounded) in a truncated subspace
+          // where the triangle-inequality proof does not hold — that is
+          // silent recall loss, so it must fail loudly instead
+          require(emb.length <= dims,
+            s"embedding has ${emb.length} dims but blocking was built for $dims")
           var cell = 0
           var p = 0
           while (p < ps.length) {
@@ -133,13 +139,18 @@ object AngularBlocking {
     val radiusSchema = StructType(Seq(
       StructField("cell", IntegerType, nullable = false),
       StructField("r", DoubleType, nullable = false)))
+    // a cell whose members are ALL zero-norm never got a centroid (the
+    // nrm > 0 guard above) — measure it against a fixed axis, the same
+    // fallback the ~zero-mean case uses: the radius is valid against
+    // ANY reference direction, it just won't prune
+    val fallbackAxis = { val a = new Array[Double](dims); a(0) = 1.0; a }
     val radiusPartials = assigned.mapPartitions { rows =>
       val cents = cb.value
       val maxes = scala.collection.mutable.Map.empty[Int, Double]
       rows.foreach { row =>
         val emb = row.getSeq[Float](1)
         val cell = row.getInt(2)
-        val theta = angleTo(emb, cents(cell))
+        val theta = angleTo(emb, cents.getOrElse(cell, fallbackAxis))
         if (theta > maxes.getOrElse(cell, 0.0)) maxes(cell) = theta
       }
       maxes.iterator.map { case (cell, r) => Row(cell, r) }
@@ -147,7 +158,12 @@ object AngularBlocking {
     val radii = radiusPartials.groupBy(_.getInt(0))
       .map { case (cell, rows) => cell -> rows.map(_.getDouble(1)).max }
 
-    centroids.map { case (cell, c) => cell -> (c, radii.getOrElse(cell, 0.0)) }
+    // total over every OBSERVED cell (radii covers all rows), so the
+    // candidate stage always finds a vector's own cell — a
+    // zero-norm-only cell carries the fallback axis and prunes nothing
+    radii.map { case (cell, r) =>
+      cell -> (centroids.getOrElse(cell, fallbackAxis), r)
+    }
   }
 
   /** angle(v, unit c) in radians; 0-norm v maps to pi/2 (prunes nothing
@@ -199,10 +215,18 @@ object AngularBlocking {
     * tau on any input.
     */
   def cosinePairs(spark: SparkSession, vecs: DataFrame, tau: Double,
-                  nPlanes: Int = 4, dims: Int = 64, seed: Long = 7L): DataFrame = {
-    val assigned = assign(vecs, nPlanes, dims, seed)
+                  nPlanes: Int = 4, dims: Int = -1, seed: Long = 7L): DataFrame = {
+    // dims < 0: derive from the first row (one single-row job) rather
+    // than trust a caller-side constant — planes/centroids built for
+    // fewer dims than the vectors carry would bound in a truncated
+    // subspace. A longer vector later in the data trips assign()'s
+    // per-row assert loudly instead of losing recall silently.
+    val d =
+      if (dims > 0) dims
+      else vecs.select(size(col("embedding")).as("d")).head.getInt(0)
+    val assigned = assign(vecs, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = cellStats(assigned, dims)
+    val stats = cellStats(assigned, d)
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     val cands = candidates(assigned, stats, thetaTau)
       .select(col("vec_id").as("vec_x"), col("embedding").as("ex"),

@@ -17,16 +17,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * `list_sort` use.
   */
 class BoundedTopK(k: Int, sep: String) extends Aggregator[String, Seq[String], String] {
+  import BoundedTopK.utf8Cmp
+
   override def zero: Seq[String] = Vector.empty
 
   override def reduce(buf: Seq[String], x: String): Seq[String] =
     if (x == null) buf
     else if (buf.length < k) insert(buf, x)
-    else if (x < buf.last) insert(buf.init, x)
+    else if (utf8Cmp(x, buf.last) < 0) insert(buf.init, x)
     else buf
 
   private def insert(buf: Seq[String], x: String): Seq[String] = {
-    val i = buf.indexWhere(_ > x)
+    val i = buf.indexWhere(utf8Cmp(_, x) > 0)
     if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
   }
 
@@ -35,7 +37,7 @@ class BoundedTopK(k: Int, sep: String) extends Aggregator[String, Seq[String], S
     val out = Vector.newBuilder[String]
     var i = 0; var j = 0; var n = 0
     while (n < k && (i < a.length || j < b.length)) {
-      if (j >= b.length || (i < a.length && a(i) <= b(j))) { out += a(i); i += 1 }
+      if (j >= b.length || (i < a.length && utf8Cmp(a(i), b(j)) <= 0)) { out += a(i); i += 1 }
       else { out += b(j); j += 1 }
       n += 1
     }
@@ -49,6 +51,16 @@ class BoundedTopK(k: Int, sep: String) extends Aggregator[String, Seq[String], S
 }
 
 object BoundedTopK {
+  /** UTF-8 byte order — what Spark's `array_sort` (UTF8String binary
+    * compare) and DuckDB's `list_sort` both use. Java's `String`
+    * compareTo is UTF-16 code-unit order, which disagrees for
+    * supplementary-plane characters (surrogates sort below U+E000..
+    * U+FFFF), so the claimed output equivalence must not rest on it. */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Column form: first `k` values of `col` in ascending order, joined
     * by `sep`. */
   def firstK(colName: String, k: Int, sep: String): org.apache.spark.sql.Column =

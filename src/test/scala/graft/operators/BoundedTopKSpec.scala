@@ -27,6 +27,21 @@ class BoundedTopKSpec extends AnyFunSuite {
     assert(buf == Seq("s001", "s002", "s003"))
   }
 
+  test("supplementary-plane strings order by UTF-8 bytes, like array_sort") {
+    // U+1F600 (surrogate pair, UTF-16 code units d83d/de00) vs U+FFFD:
+    // Java compareTo puts the emoji FIRST (d83d < fffd), UTF-8 byte
+    // order puts it LAST (f0 > ef) — array_sort/list_sort use the latter
+    val emoji = new String(Character.toChars(0x1F600))
+    val replacement = "�"
+    assert(emoji.compareTo(replacement) < 0, "precondition: UTF-16 disagrees")
+    val agg = new BoundedTopK(1, ",")
+    val viaReduce = agg.finish(Seq(emoji, replacement).foldLeft(agg.zero)(agg.reduce))
+    assert(viaReduce == replacement)
+    val viaMerge = agg.finish(agg.merge(
+      agg.reduce(agg.zero, emoji), agg.reduce(agg.zero, replacement)))
+    assert(viaMerge == replacement)
+  }
+
   test("null inputs are skipped like collect_list skips them") {
     val agg = new BoundedTopK(3, ",")
     val buf = agg.reduce(agg.reduce(agg.zero, "b"), null)
