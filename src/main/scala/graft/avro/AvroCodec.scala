@@ -36,26 +36,155 @@ object AvroCodec {
     }.toArray)
   }
 
-  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
-    case Schema.Type.STRING => (StringType, false)
-    case Schema.Type.INT => (IntegerType, false)
-    case Schema.Type.LONG => (LongType, false)
-    case Schema.Type.FLOAT => (FloatType, false)
-    case Schema.Type.DOUBLE => (DoubleType, false)
-    case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.BYTES => (BinaryType, false)
-    case Schema.Type.UNION =>
-      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      require(nonNull.size == 1, s"unsupported union: $s")
-      (fieldType(nonNull.head)._1, true)
-    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  private def fieldType(s: Schema): (DataType, Boolean) = s.getLogicalType match {
+    // logical types (decimal / timestamp-micros / timestamp-millis /
+    // date) — what any real Avro pipeline hits immediately; the
+    // annotation rides the underlying primitive, so evolution and the
+    // resolving reader work unchanged
+    case d: org.apache.avro.LogicalTypes.Decimal
+        if s.getType == Schema.Type.BYTES || s.getType == Schema.Type.FIXED =>
+      require(d.getPrecision <= DecimalType.MAX_PRECISION,
+        s"decimal precision ${d.getPrecision} exceeds Spark's ${DecimalType.MAX_PRECISION}")
+      (DecimalType(d.getPrecision, d.getScale), false)
+    case _: org.apache.avro.LogicalTypes.TimestampMicros => (TimestampType, false)
+    case _: org.apache.avro.LogicalTypes.TimestampMillis => (TimestampType, false)
+    case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
+    case _ => s.getType match {
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1, s"unsupported union: $s")
+        (fieldType(nonNull.head)._1, true)
+      case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+    }
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** avro-java datum -> Spark Row external value for one field. The
+    * default arm is the historical behavior (Utf8 -> String, ByteBuffer
+    * -> copied Array[Byte]); logical types convert via their annotation.
+    */
+  private def fromAvroConv(s0: Schema): Any => Any = {
+    val s = unwrapUnion(s0)
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        val scale = d.getScale;
+        {
+          case null => null
+          case bb: java.nio.ByteBuffer =>
+            val arr = new Array[Byte](bb.remaining())
+            bb.duplicate().get(arr)
+            new java.math.BigDecimal(new java.math.BigInteger(arr), scale)
+          case fx: org.apache.avro.generic.GenericFixed =>
+            new java.math.BigDecimal(new java.math.BigInteger(fx.bytes()), scale)
+          case v => v
+        }
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => {
+        case null => null
+        case us: java.lang.Long =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(us.longValue(), 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us.longValue(), 1000000L) * 1000L).toInt)
+          ts
+        case v => v
+      }
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => {
+        case null => null
+        case ms: java.lang.Long => new java.sql.Timestamp(ms.longValue())
+        case v => v
+      }
+      case _: org.apache.avro.LogicalTypes.Date => {
+        case null => null
+        case days: java.lang.Integer =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
+        case v => v
+      }
+      case _ => {
+        case u: Utf8 => u.toString
+        case bb: java.nio.ByteBuffer =>
+          // avro-java returns ByteBuffer for BYTES; Spark needs
+          // Array[Byte] for BinaryType (copy — the record and its
+          // buffers are reused across rows)
+          val arr = new Array[Byte](bb.remaining())
+          bb.duplicate().get(arr)
+          arr
+        case v => v
+      }
+    }
+  }
+
+  private def fromAvroConvs(schema: Schema): Array[Any => Any] =
+    schema.getFields.asScala.map(f => fromAvroConv(f.schema())).toArray
+
+  /** Spark Row external value -> avro-java datum for one field. A
+    * decimal that needs rounding to reach the schema scale throws
+    * (ArithmeticException) — silent precision loss on the encode path
+    * would corrupt money. */
+  private def toAvroConv(s0: Schema): Any => Any = {
+    val s = unwrapUnion(s0)
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        val scale = d.getScale;
+        {
+          case null => null
+          case dec: java.math.BigDecimal =>
+            val scaled = dec.setScale(scale)
+            val bytes = scaled.unscaledValue().toByteArray
+            if (s.getType == Schema.Type.FIXED) {
+              val size = s.getFixedSize
+              require(bytes.length <= size, s"decimal overflows fixed($size)")
+              val out = new Array[Byte](size)
+              if (scaled.signum() < 0) java.util.Arrays.fill(out, -1: Byte)
+              System.arraycopy(bytes, 0, out, size - bytes.length, bytes.length)
+              new GenericData.Fixed(s, out)
+            } else java.nio.ByteBuffer.wrap(bytes)
+          case v => v
+        }
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => {
+        case null => null
+        case t: java.sql.Timestamp =>
+          java.lang.Long.valueOf(
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        case v => v
+      }
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => {
+        case null => null
+        case t: java.sql.Timestamp => java.lang.Long.valueOf(t.getTime)
+        case v => v
+      }
+      case _: org.apache.avro.LogicalTypes.Date => {
+        case null => null
+        case dt: java.sql.Date =>
+          java.lang.Integer.valueOf(dt.toLocalDate.toEpochDay.toInt)
+        case v => v
+      }
+      case _ => {
+        // avro-java represents BYTES as ByteBuffer; Spark rows carry Array[Byte]
+        case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+        case v => v
+      }
+    }
   }
 
   /** Build the Avro record schema JSON for (name, avroType) fields —
     * the mirror of the reference's config-driven `assemble_schema`
     * (`src/config/ConfigParser.cpp:137-166`). */
   def recordSchemaJson(name: String, fields: Seq[(String, String)]): String = {
-    val fs = fields.map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }.mkString(",")
+    // a type starting with '{' or '[' is raw schema JSON (logical-type
+    // annotations, unions); a bare word is a primitive name
+    val fs = fields.map { case (n, t) =>
+      val tj = if (t.startsWith("{") || t.startsWith("[")) t else s""""$t""""
+      s"""{"name":"$n","type":$tj}"""
+    }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fs]}"""
   }
 
@@ -73,6 +202,7 @@ object AvroCodec {
     df.mapPartitions { iter =>
       val schema = new Schema.Parser().parse(schemaJson)
       val writer = new GenericDatumWriter[GenericRecord](schema)
+      val convs = schema.getFields.asScala.map(f => toAvroConv(f.schema())).toArray
       val out = new ByteArrayOutputStream(256)
       var encoder: BinaryEncoder = null
       val rec = new GenericData.Record(schema)
@@ -81,11 +211,7 @@ object AvroCodec {
         encoder = EncoderFactory.get().binaryEncoder(out, encoder)
         var i = 0
         while (i < fieldIdx.length) {
-          rec.put(i, row.get(fieldIdx(i)) match {
-            // avro-java represents BYTES as ByteBuffer; Spark rows carry Array[Byte]
-            case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
-            case v => v
-          })
+          rec.put(i, convs(i)(row.get(fieldIdx(i))))
           i += 1
         }
         writer.write(rec, encoder)
@@ -114,6 +240,7 @@ object AvroCodec {
     df.mapPartitions { iter =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
+      val convs = fromAvroConvs(schema)
       var decoder: BinaryDecoder = null
       var rec: GenericRecord = null
       iter.map { row =>
@@ -124,19 +251,7 @@ object AvroCodec {
             try {
               decoder = DecoderFactory.get().binaryDecoder(b, off, len, decoder)
               rec = reader.read(rec, decoder)
-              val vals = (0 until nFields).map { i =>
-                rec.get(i) match {
-                  case u: Utf8 => u.toString
-                  case bb: java.nio.ByteBuffer =>
-                    // avro-java returns ByteBuffer for BYTES; Spark needs
-                    // Array[Byte] for BinaryType (copy — the record and its
-                    // buffers are reused across rows)
-                    val arr = new Array[Byte](bb.remaining())
-                    bb.duplicate().get(arr)
-                    arr
-                  case v => v
-                }
-              }
+              val vals = (0 until nFields).map(i => convs(i)(rec.get(i)))
               Row.fromSeq(pass ++ vals :+ null)
             } catch {
               case e: Exception =>
@@ -175,6 +290,7 @@ object AvroCodec {
     val nFields = structType.fields.length
     df.mapPartitions { iter =>
       val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val convs = fromAvroConvs(readerSchema)
       // one resolving reader per writer id, built lazily per partition
       val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
       var decoder: BinaryDecoder = null
@@ -194,16 +310,7 @@ object AvroCodec {
                       new Schema.Parser().parse(writerJson), readerSchema))
                   decoder = DecoderFactory.get().binaryDecoder(b, off, len, decoder)
                   rec = reader.read(rec, decoder)
-                  val vals = (0 until nFields).map { i =>
-                    rec.get(i) match {
-                      case u: Utf8 => u.toString
-                      case bb: java.nio.ByteBuffer =>
-                        val arr = new Array[Byte](bb.remaining())
-                        bb.duplicate().get(arr)
-                        arr
-                      case v => v
-                    }
-                  }
+                  val vals = (0 until nFields).map(i => convs(i)(rec.get(i)))
                   Row.fromSeq(pass ++ vals :+ null)
                 } catch {
                   case e: Exception =>

@@ -78,6 +78,27 @@ object AvroQueries extends QueryModule {
       |{"name":"value","type":"double"},
       |{"name":"source","type":["null","string"],"default":null}]}""".stripMargin
 
+  /** Logical-typed events schema, v1: date + timestamp-micros. */
+  val EventsLogicalV1Json: String =
+    """{"type":"record","name":"events_logical","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"day","type":{"type":"int","logicalType":"date"}},
+      |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}}]}""".stripMargin
+
+  /** v2 adds a decimal(18,4) `amount` with a one-zero-byte default
+    * (bytes defaults are ISO-8859-1 strings; 0x00 unscaled = 0.0000),
+    * so v1-written frames resolve through the reader — the
+    * logical-type-adding writer-evolution case. Built by concat: the
+    * default must reach Jackson as the six characters `\u0000`, which
+    * triple-quoted Scala cannot spell unambiguously. */
+  val EventsLogicalV2Json: String =
+    "{\"type\":\"record\",\"name\":\"events_logical\",\"fields\":[" +
+      "{\"name\":\"event_id\",\"type\":\"long\"}," +
+      "{\"name\":\"day\",\"type\":{\"type\":\"int\",\"logicalType\":\"date\"}}," +
+      "{\"name\":\"ts_us\",\"type\":{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}}," +
+      "{\"name\":\"amount\",\"type\":{\"type\":\"bytes\",\"logicalType\":\"decimal\"," +
+      "\"precision\":18,\"scale\":4},\"default\":\"\\u0000\"}]}"
+
   /** The reference's YAML config shape (configs/SPO_2_kafka.yaml),
     * retargeted at the events topic. */
   val ConfigYaml: String =
@@ -272,6 +293,49 @@ object AvroQueries extends QueryModule {
           THEN 'src_' || CAST(user_id % 4 AS VARCHAR) END) AS n_sources,
         ${Exact.sqlSum("value")} AS total_value
       FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    QueryDef(
+      // Avro logical types end-to-end: date / timestamp-micros / decimal
+      // encoded from typed Spark columns, decoded back through the
+      // resolving reader — INCLUDING evolution across a
+      // logical-type-adding writer (even event_ids framed v1 without
+      // `amount`; the v2 reader fills its zero-decimal default). The
+      // oracle aggregates the same typed values straight from the source
+      // table, so decimal scale handling, epoch-day dates and micros
+      // timestamps must all survive the binary round-trip exactly.
+      "avro_logical_types",
+      (s, dir) => {
+        val registry = new SchemaRegistry
+        val v1Id = registry.register("events_logical-value", EventsLogicalV1Json)
+        val v2Id = registry.register("events_logical-value", EventsLogicalV2Json)
+        val src = Tables(s, dir).events.select(
+          col("event_id"),
+          to_date(col("ts")).as("day"),
+          col("ts").as("ts_us"),
+          col("value").cast("decimal(18,4)").as("amount"))
+        val encV1 = AvroCodec.encode(
+          src.filter(pmod(col("event_id"), lit(2)) === 0), EventsLogicalV1Json, v1Id)
+        val encV2 = AvroCodec.encode(
+          src.filter(pmod(col("event_id"), lit(2)) === 1), EventsLogicalV2Json, v2Id)
+        val decoded = AvroCodec.decodeMulti(
+          encV1.unionByName(encV2), "value", registry.snapshot, EventsLogicalV2Json)
+        decoded
+          .filter(col("err").isNull)
+          .groupBy(col("day"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(col("ts_us")).as("max_ts"),
+            sum(col("amount")).cast("double").as("total_amount"),
+            max(when(pmod(col("event_id"), lit(2)) === 1, col("amount"))).as("max_amount"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+        CAST(SUM(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS total_amount,
+        MAX(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS max_amount
+      FROM events GROUP BY 1 ORDER BY 1""")
     ),
 
     QueryDef(

@@ -5,6 +5,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class AvroCodecSpec extends AnyFunSuite with SparkFixture {
 
   test("CP1 framing roundtrips and classifies errors") {
@@ -40,6 +42,59 @@ class AvroCodecSpec extends AnyFunSuite with SparkFixture {
     assert(r.fetchValueSchema("events").contains((v2, AvroQueries.EventsSchemaV2Json)))
     assert(r.fetchById(v1).contains(AvroQueries.EventsSchemaJson))
     assert(r.snapshot == Map(v1 -> AvroQueries.EventsSchemaJson, v2 -> AvroQueries.EventsSchemaV2Json))
+  }
+
+  test("logical types roundtrip: decimal scale/sign, epoch dates, micros timestamps") {
+    val schemaJson = AvroCodec.recordSchemaJson("lt", Seq(
+      "id" -> "long",
+      "d" -> """{"type":"int","logicalType":"date"}""",
+      "t" -> """{"type":"long","logicalType":"timestamp-micros"}""",
+      "m" -> """{"type":"bytes","logicalType":"decimal","precision":18,"scale":4}"""))
+    assert(AvroCodec.toStructType(schemaJson) == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = false),
+      StructField("t", TimestampType, nullable = false),
+      StructField("m", DecimalType(18, 4), nullable = false))))
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-02-29"), ts(1704067200123456L),
+        new java.math.BigDecimal("12345.6789")),
+      // negative decimal (two's-complement unscaled bytes) + pre-epoch date
+      Row(2L, java.sql.Date.valueOf("1969-12-25"), ts(-42L),
+        new java.math.BigDecimal("-0.0001")),
+      Row(3L, java.sql.Date.valueOf("1970-01-01"), ts(0L),
+        new java.math.BigDecimal("0.0000")))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), AvroCodec.toStructType(schemaJson))
+    val back = AvroCodec.decode(
+        AvroCodec.encode(df, schemaJson, 7), "value", schemaJson)
+      .orderBy("id").collect()
+    assert(back.forall(_.getAs[String]("err") == null))
+    assert(back.map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getDecimal(3).toPlainString)).toSeq ==
+      rows.map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getDecimal(3).toPlainString)))
+  }
+
+  test("logical-type-adding evolution fills the zero-decimal default") {
+    val v1 = AvroQueries.EventsLogicalV1Json
+    val v2 = AvroQueries.EventsLogicalV2Json
+    val v1Schema = AvroCodec.toStructType(v1)
+    val row = Row(5L, java.sql.Date.valueOf("2024-01-02"),
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678901"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](Seq(row).asJava), v1Schema)
+    val out = AvroCodec.decodeMulti(
+      AvroCodec.encode(df, v1, 1), "value", Map(1 -> v1, 2 -> v2), v2).collect()
+    assert(out.length == 1 && out.head.getAs[String]("err") == null)
+    assert(out.head.getAs[java.math.BigDecimal]("amount").toPlainString == "0.0000")
+    assert(out.head.getAs[java.sql.Date]("day").toString == "2024-01-02")
   }
 
   test("decodeMulti resolves per-frame writer schemas against the reader") {
