@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * minimum label among itself and its neighbors, converging in
   * O(diameter) rounds; each round is one join + one aggregate (both
   * shuffles on node id), and the driver only sees the changed COUNT per
-  * round. A graph with pathological diameter at 100 TB would swap the
-  * body for alternating large-star/small-star contraction (O(log n)
-  * rounds, same per-round join/agg shape).
+  * round. A graph whose diameter exhausts the round budget falls back
+  * automatically to alternating large-star/small-star contraction
+  * ([[starContraction]]: O(log n) rounds, same per-round join/agg
+  * shape), so pathological diameters converge instead of failing.
   *
   * Loop regime (measured, see SURVEY §6): inputs are materialized under
   * the session's normal config (AQE picks the scan/join/dedup shapes),
@@ -112,14 +113,79 @@ object Components {
         labels = merged.select(col("id"), col("comp"))
         rounds += 1
       }
+      if (changed > 0) {
+        // round budget exhausted: the graph's diameter exceeds what
+        // O(diameter) propagation should be asked to walk (a path-shaped
+        // pathology at scale). Switch to alternating large-star/
+        // small-star contraction — O(log n) rounds regardless of
+        // diameter, same per-round join/agg shuffle shape — rather than
+        // fail or, worse, return partial labels.
+        labels = starContraction(s, edges, nodes)
+      }
     } finally {
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
       s.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
-    // a diameter > maxRounds graph must fail loudly, not return wrong labels
-    require(changed == 0, s"components did not converge in $rounds rounds")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (the MapReduce-era O(log n)-round algorithm): edges are
+    * kept canonical (big id -> small id, distinct);
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighborhood member m(u) = min(N(u) + u);
+    *  - small-star: every node connects itself and its smaller
+    *    neighbors to their minimum.
+    *
+    * The fixpoint is one star per component centered at the component
+    * minimum, so labels read directly off the final edge set. Each
+    * round is two (groupBy + join) shuffles on node id — the same
+    * shape as a propagation round — but the round COUNT is logarithmic
+    * in component size instead of linear in diameter.
+    *
+    * Used as [[labelPropagation]]'s high-diameter fallback and directly
+    * spec-testable; `maxIters` = 60 can only trip on a bug (2^60 nodes
+    * would converge within it), and trips loudly.
+    */
+  private[graph] def starContraction(s: SparkSession, symEdges: DataFrame,
+                                     nodes: DataFrame, maxIters: Int = 60): DataFrame = {
+    var e = symEdges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var iters = 0
+    var done = e.isEmpty
+    while (!done && iters < maxIters) {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lmins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = sym.join(lmins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val smins = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val small = large.join(smins, "src")
+      val e2 = small.select(col("src"), col("m").as("dst"))
+        .unionByName(small.filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+        .distinct().localCheckpoint()
+      // fixpoint = per-component stars; both sets are distinct, so
+      // equal count + empty one-sided difference means set equality
+      done = e2.count() == e.count() && e2.except(e).isEmpty
+      e = e2
+      iters += 1
+    }
+    require(done, s"star contraction did not converge in $maxIters rounds")
+    nodes.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      // at the fixpoint every non-center node has exactly one star edge;
+      // the min() is schema-level insurance, not load-bearing
+      .groupBy(col("id"))
+      .agg(min(col("comp")).as("mc"))
+      .select(col("id"), coalesce(col("mc"), col("id")).as("comp"))
   }
 }

@@ -31,12 +31,32 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(labels == (0L until n).map(_ -> 0L).toMap)
   }
 
-  test("diameter beyond maxRounds fails loudly instead of returning wrong labels") {
-    val n = 9L
-    val ex = intercept[IllegalArgumentException] {
-      run((0L until n - 1).map(i => (i, i + 1)), 0L until n, maxRounds = 3)
-    }
-    assert(ex.getMessage.contains("did not converge"))
+  test("diameter beyond maxRounds falls back to star contraction, labels exact") {
+    // a 40-node path: diameter 39, propagation budget 3 — the old loop's
+    // require() rejected this; the fallback must converge in O(log n)
+    // star rounds and produce the identical min-label answer
+    val n = 40L
+    val labels = run((0L until n - 1).map(i => (i, i + 1)), 0L until n, maxRounds = 3)
+    assert(labels == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction alone matches propagation on a mixed graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (30L, 31L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 30L, 31L)
+    val viaStars = Components.starContraction(
+        spark, mirror(edges).toDF("src", "dst"), nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == run(edges, nodes))
+    assert(viaStars(20L) == 20L) // isolated node labels itself
+  }
+
+  test("star contraction handles an empty edge set (all isolated)") {
+    import spark.implicits._
+    val labels = Components.starContraction(
+        spark, Seq.empty[(Long, Long)].toDF("src", "dst"), Seq(5L, 9L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(5L -> 5L, 9L -> 9L))
   }
 
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
