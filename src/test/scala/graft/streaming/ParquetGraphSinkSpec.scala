@@ -77,4 +77,68 @@ class ParquetGraphSinkSpec extends AnyFunSuite with SparkFixture {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tablePath))
     }
   }
+
+  test("compaction folds batches into a base generation; graph unchanged through crashes") {
+    import spark.implicits._
+    val tablePath = java.nio.file.Files.createTempDirectory("graft_sink_c").toString
+    def triples(ids: Range) =
+      ids.map(i => (s"s$i", "knows", s"o${i % 7}", i.toLong))
+        .toDF("subject", "predicate", "object", "ts_us")
+    def edgeSet(sink: ParquetGraphSink) = {
+      val (_, edges) = sink.graph(spark)
+      edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    }
+    try {
+      val sink = new ParquetGraphSink(tablePath)
+      sink.merge(triples(0 until 40), 0L)
+      sink.merge(triples(40 until 80), 1L)
+      sink.merge(triples(80 until 120), 2L)
+      val before = edgeSet(sink)
+
+      sink.compact(spark)
+      assert(edgeSet(sink) == before, "compaction changed the graph")
+      assert(sink.appliedBatchIds.isEmpty, "folded batches still listed")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tablePath, "triples", "batch_id=0")), "folded data not reaped")
+
+      // replay of a folded batch (its marker is gone): the commit record
+      // must refuse it — no batch dir reappears, graph unchanged
+      sink.merge(triples(0 until 40), 1L)
+      assert(edgeSet(sink) == before, "replay of folded batch double-counted")
+
+      // new batch after compaction reads base + unfolded batch together
+      sink.merge(triples(120 until 150), 3L)
+      val withNew = edgeSet(sink)
+      assert(withNew != before)
+
+      // crash AFTER commit, BEFORE cleanup: a stale folded leftover
+      // (batch dir + marker with id <= through) must stay invisible and
+      // get reaped by the next compact
+      val staleDir = java.nio.file.Paths.get(tablePath, "triples", "batch_id=2")
+      triples(0 until 5).write.mode("overwrite").parquet(staleDir.toString)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tablePath, "_applied", "2"))
+      assert(edgeSet(sink) == withNew, "stale folded leftovers leaked into the graph")
+
+      // second compaction (fresh instance = restart): folds batch 3,
+      // reaps the stale leftovers, graph unchanged
+      val restarted = new ParquetGraphSink(tablePath)
+      restarted.compact(spark)
+      assert(edgeSet(restarted) == withNew, "second compaction changed the graph")
+      assert(!java.nio.file.Files.exists(staleDir), "stale leftover survived cleanup")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tablePath, "base", "gen=1")), "old generation survived")
+
+      // crash BEFORE commit: a partial next-generation directory exists
+      // but the commit still points at gen 2 — readers unaffected, and
+      // a no-op compact (nothing newly applied) leaves the graph intact
+      triples(0 until 3).write.mode("overwrite")
+        .parquet(s"$tablePath/base/gen=3")
+      assert(edgeSet(restarted) == withNew, "uncommitted generation leaked")
+      restarted.compact(spark)
+      assert(edgeSet(restarted) == withNew)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tablePath))
+    }
+  }
 }
