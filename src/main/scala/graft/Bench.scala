@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Emits ONE JSON metric line to stdout and also
@@ -7,12 +8,20 @@ import org.apache.spark.sql.SparkSession
   * once the metric line has been produced — a crash inside
   * `SparkContext.stop()` (observed: LiveListenerBus shutdown taking the
   * forked-JVM exit code to 56) must not invalidate the run.
+  *
+  * Noise discipline: each query runs `SPARK_GRAFT_RUNS` times (default
+  * 2) and the reported per-query number is the MIN, so one GC pause or
+  * page-cache miss can't masquerade as a regression. The emitted line
+  * also carries a per-query Spark job count (`"jobs"`), making
+  * fixed-overhead regimes (many tiny actions) visible in the artifact
+  * itself rather than only in session notes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,6 +31,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job-count probe: incremented on every job start; snapshotted
+    // around each timed run so the artifact shows action counts
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     // untimed warmup: JIT + codegen + parquet footer caches otherwise land
     // on whichever query happens to run first (measured: ~3-6 s of the
     // first query's wall time is one-time JVM warmup, not query cost)
@@ -33,14 +50,25 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // settle the heap between queries so an allocation-heavy query's
-        // garbage doesn't tax its successors' measurements
-        System.gc()
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case t: Throwable => Some(t.toString.take(200)) }
-        name -> ((System.nanoTime() - t0) / 1e9, err)
+        def once(): (Double, Long, Option[String]) = {
+          // settle the heap between runs so an allocation-heavy query's
+          // garbage doesn't tax its successors' measurements
+          System.gc()
+          val j0 = jobCounter.get()
+          val t0 = System.nanoTime()
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch { case t: Throwable => Some(t.toString.take(200)) }
+          ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0, err)
+        }
+        val first = once()
+        // a failed first run is reported as-is; retrying an error-path
+        // query would double its (possibly destructive) side effects
+        val best =
+          if (first._3.isDefined || runs == 1) first
+          else (Iterator(first) ++ Iterator.fill(runs - 1)(once()))
+            .minBy(r => (r._3.isDefined, r._1))
+        name -> best
       }
     def esc(s: String): String =
       s.flatMap {
@@ -50,13 +78,15 @@ object Bench {
         case c             => c.toString
       }
     val qs = results.map {
-      case (k, (v, None))    => s"\"" + k + "\":" + v
-      case (k, (v, Some(e))) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
+      case (k, (v, _, None))    => s"\"" + k + "\":" + v
+      case (k, (v, _, Some(e))) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val errCount = results.values.count(_._2.isDefined)
+    val js = results.map { case (k, (_, j, _)) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val errCount = results.values.count(_._3.isDefined)
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs":$runs,"errors":$errCount,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     try {
