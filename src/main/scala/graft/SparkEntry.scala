@@ -17,7 +17,8 @@ object SparkEntry {
     graft.textfn.TextQueries,
     graft.dedup.Dedup,
     graft.similarity.Similarity,
-    graft.multimodal.Multimodal
+    graft.multimodal.Multimodal,
+    graft.pipeline.CorpusOps
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,321 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule}
+import graft.operators.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators (SURVEY.md §2.9) — the training-data
+  * pipeline tier beyond per-doc text analysis: PII scrubbing,
+  * deterministic stratified sampling, domain mixing, benchmark
+  * decontamination, sequence packing, and a bucketed range join.
+  *
+  * Every operator is a declarative DataFrame plan (codegen-friendly, no
+  * UDFs) and every random-looking decision is a deterministic pure
+  * function of the row, so the same corpus always yields the same
+  * sample/mix/packing on any cluster size — reproducibility is a
+  * first-class requirement for training-data lineage.
+  */
+object CorpusOps extends QueryModule {
+
+  /** Deterministic per-doc uniform draw in [0, 2^32): Knuth
+    * multiplicative hash of the stable doc id. Pure integer arithmetic
+    * (exactly mirrorable in ANSI SQL), no RNG state, no seed plumbing —
+    * sampling decisions are reproducible row-locally on any partitioning.
+    */
+  private def hashU32(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
+  private val HashU32Sql = "(doc_id * 2654435761) % 4294967296"
+
+  /** `'srcN'` → N — the synthetic source id carries its stratum number. */
+  private def srcNum(source: Column): Column = substring(source, 4, 10).cast("int")
+
+  // --- PII patterns (RE2-safe subset: no backrefs/lookaround, so the
+  // same pattern strings run identically under Java regex and DuckDB).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // PII redaction (email → phone → IPv4, in that order so the phone
+      // pass never sees digits freed by the email pass and the IP pass
+      // never sees phone digits). The synthetic corpus has no natural
+      // PII, so the query constructs a deterministic contact blurb per
+      // customer — identically in Spark and the oracle — and scrubs
+      // that. Pure per-row regexp chain: whole-stage codegen, no
+      // shuffle, trivially linear at 100 TB.
+      "text_pii_scrub",
+      (s, dir) => {
+        val key = col("c_custkey")
+        val msg = concat(
+          col("c_name"), lit(" <"), lower(col("c_name")), lit("."),
+          key.cast("string"), lit("@example.com> tel +1-555-"),
+          lpad((key % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (key % 200).cast("string"), lit("."),
+          (key % 250).cast("string"), lit(".7 ok"))
+        Tables(s, dir).customer
+          .select(key.as("c_custkey"), msg.as("msg"))
+          .select(
+            col("c_custkey"),
+            regexp_count(col("msg"), lit(EmailRe)).cast("long").as("n_email"),
+            regexp_count(col("msg"), lit(PhoneRe)).cast("long").as("n_phone"),
+            regexp_count(col("msg"), lit(Ipv4Re)).cast("long").as("n_ip"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("msg"), EmailRe, "<EMAIL>"),
+                PhoneRe, "<PHONE>"),
+              Ipv4Re, "<IP>").as("redacted"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH m AS (SELECT c_custkey,
+          c_name || ' <' || lower(c_name) || '.' || CAST(c_custkey AS VARCHAR)
+            || '@example.com> tel +1-555-'
+            || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            || ' ip 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.'
+            || CAST(c_custkey % 250 AS VARCHAR) || '.7 ok' AS msg
+        FROM customer)
+      SELECT c_custkey,
+        CAST(len(regexp_extract_all(msg, '$EmailRe')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(msg, '$PhoneRe')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(msg, '$Ipv4Re')) AS BIGINT) AS n_ip,
+        regexp_replace(regexp_replace(regexp_replace(msg,
+          '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g'),
+          '$Ipv4Re', '<IP>', 'g') AS redacted
+      FROM m ORDER BY c_custkey""")
+    ),
+
+    QueryDef(
+      // Deterministic stratified sampling: each source stratum gets its
+      // own keep-rate (here a function of the stratum id; in production
+      // a config map) and a doc survives iff its hash draw clears the
+      // rate. One map-side-combined aggregate — the decision never
+      // shuffles, only the 20-row per-source summary does. The
+      // multiplicative-hash draw makes this systematic sampling:
+      // per-stratum realized rates concentrate tighter than Bernoulli.
+      "sample_stratified",
+      (s, dir) => {
+        val rate = (lit(25.0) + lit(5.0) * (srcNum(col("source")) % 5).cast("double")) / 100.0
+        val kept = hashU32(col("doc_id")).cast("double") < rate * 4294967296.0
+        Tables(s, dir).documents
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(kept, col("n_chars")).otherwise(0L)).cast("long").as("kept_chars"))
+          .select(
+            col("source"),
+            ((lit(25.0) + lit(5.0) * (srcNum(col("source")) % 5).cast("double")) / 100.0).as("rate"),
+            col("n_docs"), col("n_kept"), col("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source,
+        (25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0 AS rate,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN CAST($HashU32Sql AS DOUBLE) <
+          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 4294967296.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN CAST($HashU32Sql AS DOUBLE) <
+          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 4294967296.0
+          THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM documents GROUP BY source ORDER BY source""")
+    ),
+
+    QueryDef(
+      // Domain mixing: rebalance the corpus toward target per-domain
+      // shares (integer weights — exact under any summation order, so
+      // the derived doubles are bit-identical across engines). The
+      // per-source rate table is source-cardinality-sized (a global
+      // window over ~20 rows, NOT over docs), broadcast back onto the
+      // corpus for one deterministic filter pass. This is the FineWeb /
+      // Pile-style mixing step: stats → rates → one re-sample scan.
+      "mix_domains",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val w = (lit(60L) / (lit(1L) + (srcNum(col("source")) % 5).cast("long"))).as("w")
+        val stats = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", w)
+        // global window is over the per-SOURCE summary (tiny), not rows
+        val all = Window.partitionBy()
+        val rates = stats
+          .withColumn("share", col("w").cast("double") / sum(col("w")).over(all).cast("double"))
+          .withColumn("total", sum(col("n_docs")).over(all))
+          .withColumn("rate",
+            least(lit(1.0), col("share") * col("total").cast("double") / col("n_docs").cast("double")))
+          .select(col("source"), col("n_docs"), col("share"), col("rate"))
+        val kept = hashU32(col("doc_id")).cast("double") < col("rate") * 4294967296.0
+        docs.join(broadcast(rates), "source")
+          .groupBy(col("source"), col("n_docs"), col("share"), col("rate"))
+          .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+          60 / (1 + CAST(substr(source, 4) AS INTEGER) % 5) AS w
+        FROM documents GROUP BY source),
+      r AS (SELECT source, n_docs,
+          CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share,
+          SUM(n_docs) OVER () AS total
+        FROM stats),
+      rr AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs, share,
+          LEAST(1.0, share * CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+        FROM r)
+      SELECT d.source, rr.n_docs, rr.share, rr.rate,
+        CAST(SUM(CASE WHEN CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+          < rr.rate * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN rr ON d.source = rr.source
+      GROUP BY d.source, rr.n_docs, rr.share, rr.rate
+      ORDER BY d.source""")
+    ),
+
+    QueryDef(
+      // Benchmark decontamination: flag corpus docs sharing any 8-token
+      // shingle with a held-out benchmark set (here: doc_id % 29 = 0,
+      // standing in for an eval suite). The benchmark side is distinct
+      // shingles of a tiny doc subset → broadcast; the corpus side
+      // streams through one explode+join, never self-joining. At 100 TB
+      // the broadcast side stays eval-suite-sized (MBs) and the probe is
+      // a map-side hash join — no shuffle of the corpus at all.
+      "decontam_ngram",
+      (s, dir) => {
+        val toks = split(lower(col("text")), " ")
+        val shingled = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), col("source"),
+            explode(transform(
+              sequence(lit(0), size(col("t")) - 8),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(8))))).as("s"))
+        val bench = shingled.filter(col("doc_id") % 29 === 0)
+          .select(col("s")).distinct()
+        shingled.filter(col("doc_id") % 29 =!= 0)
+          .join(broadcast(bench), "s")
+          .select(col("doc_id"), col("source"), col("s")).distinct()
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(t[i:i+7], ' '))) AS s
+        FROM toks WHERE len(t) >= 8),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+      cand AS (SELECT DISTINCT d.doc_id, d.source, d.s
+        FROM sh d JOIN bench b USING (s) WHERE d.doc_id % 29 <> 0)
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand GROUP BY doc_id, source ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // Sequence packing accounting: assign docs (ordered by doc_id
+      // within source) to fixed 512-token context bins by running token
+      // count; report docs/tokens per bin. The cumulative sum is NOT a
+      // global window (single-partition at scale) — it's a two-phase
+      // distributed prefix sum: range-partition by (source, doc_id),
+      // per-partition partial sums (collected: O(partitions × sources)
+      // rows), broadcast offsets, then a partition-local streaming scan.
+      // Bin assignment is partitioning-invariant: bin = floor(prefix/B)
+      // depends only on the global order, so any partition layout yields
+      // byte-identical output.
+      "pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val B = 512L
+        val docs = Tables(s, dir).documents
+          .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = docs
+          .repartitionByRange(parts, col("source"), col("doc_id"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+          .as[(String, Long, Long)]
+        val rdd = ranged.rdd
+        // phase 1: per-partition token totals per source (tiny summary)
+        val partials: Array[(Int, Seq[(String, Long)])] =
+          rdd.mapPartitionsWithIndex { (pid, it) =>
+            val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+            it.foreach { case (src, _, n) => acc.update(src, acc.getOrElse(src, 0L) + n) }
+            Iterator.single((pid, acc.toSeq))
+          }.collect()
+        // phase 2: driver folds partials into per-(partition, source)
+        // start offsets — O(partitions × sources), justified driver-side
+        val running = scala.collection.mutable.HashMap.empty[String, Long]
+        val offsets: Map[(Int, String), Long] =
+          partials.sortBy(_._1).flatMap { case (pid, sums) =>
+            sums.map { case (src, tot) =>
+              val off = running.getOrElse(src, 0L)
+              running.update(src, off + tot)
+              ((pid, src), off)
+            }
+          }.toMap
+        val bOff = s.sparkContext.broadcast(offsets)
+        // phase 3: partition-local cumsum from the broadcast offset
+        val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val cum = scala.collection.mutable.HashMap.empty[String, Long]
+          it.map { case (src, _, n) =>
+            val start = cum.getOrElse(src, bOff.value.getOrElse((pid, src), 0L))
+            cum.update(src, start + n)
+            (src, start / B, n)
+          }
+        }.toDF("source", "bin", "n_tokens")
+        packed.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n FROM documents),
+      c AS (
+        SELECT source, doc_id, n,
+          SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, CAST((cum - n) // 512 AS BIGINT) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY source, bin ORDER BY source, bin""")
+    ),
+
+    QueryDef(
+      // Range join (Spark has no native one): views within 60 s after
+      // each purchase by the same user. Naive formulation is a
+      // non-equi-join (nested-loop at scale); here each purchase window
+      // explodes into the ≤2 fixed-width time buckets it can overlap and
+      // the join runs as an EQUI-join on (user, bucket) with a residual
+      // range filter — the standard bucketed-range-join rewrite, shuffle
+      // on (user, bucket), zero cartesian risk. Windows never double-
+      // count: a view lies in exactly one bucket.
+      "range_join_events",
+      (s, dir) => {
+        val W = 60000000L // 60 s in micros
+        val ev = Tables(s, dir).events
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pus"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vus"))
+        val pb = p.withColumn("bucket",
+          explode(array(floor(col("pus") / W), floor(col("pus") / W) + 1)))
+        val vb = v.withColumn("bucket", floor(col("vus") / W))
+        val matched = pb.join(vb,
+            pb("bucket") === vb("bucket") && col("v_user") === col("user_id") &&
+              col("vus") > col("pus") && col("vus") <= col("pus") + W)
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+        p.join(matched, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_views"), lit(0L)).as("n_views"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, CAST(COUNT(v.ts) AS BIGINT) AS n_views
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+        AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 60 SECOND
+      GROUP BY p.event_id, p.user_id ORDER BY p.event_id""")
+    )
+  )
+}

@@ -95,6 +95,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("decontamination probes the benchmark set as a broadcast hash join") {
+    val p = plan("decontam_ngram")
+    // the corpus side must stream through a map-side hash join against
+    // the broadcast benchmark shingles — never shuffle the corpus or
+    // degenerate to a nested loop
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "decontam planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "decontam planned a nested loop")
+  }
+
+  test("range join executes as an equi-join on (user, bucket), not a nested loop") {
+    val p = plan("range_join_events")
+    assert(!p.contains("CartesianProduct"), "range join planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join planned a nested loop")
+  }
+
+  test("domain mixing broadcasts the per-source rate table") {
+    val p = plan("mix_domains")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.{SparkEntry, SparkFixture}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the corpus-preparation tier (SURVEY.md §2.9).
+  * Each operator's DuckDB oracle is the primary gate; these specs pin
+  * the semantic properties the oracle's row-hash can't express —
+  * redaction completeness, packing-vs-window equivalence, range-join
+  * equivalence with the naive non-equi formulation, and sampler bounds.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("pii scrub removes every email, phone, and ip it counted") {
+    val rows = run("text_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      // by construction each blurb carries exactly one of each PII kind
+      assert(r.getAs[Long]("n_email") == 1L, r)
+      assert(r.getAs[Long]("n_phone") == 1L, r)
+      assert(r.getAs[Long]("n_ip") == 1L, r)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"), red)
+      assert(!red.contains("@example.com"), s"email survived: $red")
+      assert(!red.matches(".*\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}.*"), s"phone survived: $red")
+      assert(!red.matches(".*\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b.*"), s"ip survived: $red")
+    }
+  }
+
+  test("distributed prefix-sum packing equals the single-window reference") {
+    val got = run("pack_sequences").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    // reference: plain window cumsum (fine on test data, single-partition
+    // at scale — which is exactly why the operator doesn't use it)
+    val docs = graft.operators.Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = docs.withColumn("cum", sum(col("n")).over(w))
+      .select(col("source"), ((col("cum") - col("n")) / 512L).cast("long").as("bin"), col("n"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("bin_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == ref)
+  }
+
+  test("bucketed range join equals the naive non-equi join") {
+    val got = run("range_join_events").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val ev = graft.operators.Tables(spark, dir).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), unix_micros(col("ts")).as("pus"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vus"))
+    val ref = p.join(v,
+        col("v_user") === col("p_user") &&
+          col("vus") > col("pus") && col("vus") <= col("pus") + 60000000L, "left")
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("vus").isNotNull, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
+  test("decontamination never flags a benchmark doc and finds real overlap") {
+    val rows = run("decontam_ngram").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 29 != 0, s"benchmark doc flagged: $r")
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+  }
+
+  test("stratified sampler hits each stratum's configured rate closely") {
+    run("sample_stratified").collect().foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      val realized = r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_docs").toDouble
+      // systematic (equidistributed) sampling concentrates tightly even
+      // on 25-doc strata; 0.2 absolute slack is generous
+      assert(math.abs(realized - rate) <= 0.2, s"rate $rate realized $realized")
+    }
+  }
+
+  test("domain mixing keeps at most n_docs and fills under-target sources") {
+    val rows = run("mix_domains").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val n = r.getAs[Long]("n_docs")
+      assert(kept <= n)
+      if (r.getAs[Double]("rate") >= 1.0) assert(kept == n, s"rate-1 source must keep all: $r")
+    }
+  }
+}
