@@ -61,6 +61,22 @@ object AvroCodec {
         val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         require(nonNull.size == 1, s"unsupported union: $s")
         (fieldType(nonNull.head)._1, true)
+      // complex types: enums surface as strings (symbol name), plain
+      // fixed as binary, arrays/maps/records recurse — container
+      // nullability comes from a nullable-union element/value type
+      case Schema.Type.ENUM => (StringType, false)
+      case Schema.Type.FIXED => (BinaryType, false)
+      case Schema.Type.ARRAY =>
+        val (et, en) = fieldType(s.getElementType)
+        (ArrayType(et, containsNull = en), false)
+      case Schema.Type.MAP =>
+        val (vt, vn) = fieldType(s.getValueType)
+        (MapType(StringType, vt, valueContainsNull = vn), false)
+      case Schema.Type.RECORD =>
+        (StructType(s.getFields.asScala.map { f =>
+          val (dt, n) = fieldType(f.schema())
+          StructField(f.name(), dt, n)
+        }.toArray), false)
       case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
     }
   }
@@ -108,16 +124,47 @@ object AvroCodec {
           java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
         case v => v
       }
-      case _ => {
-        case u: Utf8 => u.toString
-        case bb: java.nio.ByteBuffer =>
-          // avro-java returns ByteBuffer for BYTES; Spark needs
-          // Array[Byte] for BinaryType (copy — the record and its
-          // buffers are reused across rows)
-          val arr = new Array[Byte](bb.remaining())
-          bb.duplicate().get(arr)
-          arr
-        case v => v
+      case _ => s.getType match {
+        // complex types build fresh Scala collections per row — the
+        // avro record and every container inside it are REUSED across
+        // rows by the resolving reader, so sharing structure would
+        // corrupt earlier rows
+        case Schema.Type.ARRAY =>
+          val elemConv = fromAvroConv(s.getElementType);
+          {
+            case null => null
+            case c: java.util.Collection[_] => c.asScala.iterator.map(elemConv).toSeq
+            case v => v
+          }
+        case Schema.Type.MAP =>
+          val valConv = fromAvroConv(s.getValueType);
+          {
+            case null => null
+            case m: java.util.Map[_, _] =>
+              m.asScala.iterator.map { case (k, v) => (k.toString, valConv(v)) }.toMap
+            case v => v
+          }
+        case Schema.Type.RECORD =>
+          val convs = s.getFields.asScala.map(f => fromAvroConv(f.schema())).toArray;
+          {
+            case null => null
+            case r: GenericRecord =>
+              Row.fromSeq((0 until convs.length).map(i => convs(i)(r.get(i))))
+            case v => v
+          }
+        case _ => {
+          case u: Utf8 => u.toString
+          case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+          case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
+          case bb: java.nio.ByteBuffer =>
+            // avro-java returns ByteBuffer for BYTES; Spark needs
+            // Array[Byte] for BinaryType (copy — the record and its
+            // buffers are reused across rows)
+            val arr = new Array[Byte](bb.remaining())
+            bb.duplicate().get(arr)
+            arr
+          case v => v
+        }
       }
     }
   }
@@ -167,10 +214,51 @@ object AvroCodec {
           java.lang.Integer.valueOf(dt.toLocalDate.toEpochDay.toInt)
         case v => v
       }
-      case _ => {
-        // avro-java represents BYTES as ByteBuffer; Spark rows carry Array[Byte]
-        case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
-        case v => v
+      case _ => s.getType match {
+        case Schema.Type.ENUM => {
+          case null => null
+          case str: String => new GenericData.EnumSymbol(s, str)
+          case v => v
+        }
+        case Schema.Type.FIXED => {
+          case null => null
+          case a: Array[Byte] =>
+            require(a.length == s.getFixedSize,
+              s"fixed(${s.getFixedSize}) got ${a.length} bytes")
+            new GenericData.Fixed(s, a)
+          case v => v
+        }
+        case Schema.Type.ARRAY =>
+          val elemConv = toAvroConv(s.getElementType);
+          {
+            case null => null
+            case seq: scala.collection.Seq[_] => seq.map(elemConv).asJava
+            case v => v
+          }
+        case Schema.Type.MAP =>
+          val valConv = toAvroConv(s.getValueType);
+          {
+            case null => null
+            case m: scala.collection.Map[_, _] =>
+              m.map { case (k, v) => (k.toString, valConv(v)) }.toMap.asJava
+            case v => v
+          }
+        case Schema.Type.RECORD =>
+          val fieldConvs = s.getFields.asScala.map(f => toAvroConv(f.schema())).toArray;
+          {
+            case null => null
+            case r: Row =>
+              val rec = new GenericData.Record(s)
+              var i = 0
+              while (i < fieldConvs.length) { rec.put(i, fieldConvs(i)(r.get(i))); i += 1 }
+              rec
+            case v => v
+          }
+        case _ => {
+          // avro-java represents BYTES as ByteBuffer; Spark rows carry Array[Byte]
+          case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+          case v => v
+        }
       }
     }
   }

@@ -99,6 +99,21 @@ object AvroQueries extends QueryModule {
       "{\"name\":\"amount\",\"type\":{\"type\":\"bytes\",\"logicalType\":\"decimal\"," +
       "\"precision\":18,\"scale\":4},\"default\":\"\\u0000\"}]}"
 
+  /** Complex-typed events schema: enum, array, map, nested record, and
+    * plain fixed — the rest of the Avro type system beyond primitives,
+    * unions and logical types. */
+  val EventsComplexJson: String =
+    """{"type":"record","name":"events_complex","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"etype","type":{"type":"enum","name":"EType",
+      |  "symbols":["click","view","purchase","signup","error"]}},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"attrs","type":{"type":"map","values":"long"}},
+      |{"name":"geo","type":{"type":"record","name":"Geo","fields":[
+      |  {"name":"region","type":"string"},
+      |  {"name":"score","type":"double"}]}},
+      |{"name":"token","type":{"type":"fixed","name":"Tok8","size":8}}]}""".stripMargin
+
   /** The reference's YAML config shape (configs/SPO_2_kafka.yaml),
     * retargeted at the events topic. */
   val ConfigYaml: String =
@@ -336,6 +351,53 @@ object AvroQueries extends QueryModule {
                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS total_amount,
         MAX(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS max_amount
       FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+
+    QueryDef(
+      // The rest of the Avro type system end-to-end: enum / array / map /
+      // nested record / plain fixed encoded from Spark complex columns,
+      // decoded back, and aggregated THROUGH the complex values (map
+      // lookup, array element, struct field, fixed hex) — so every
+      // container conversion must survive the binary round-trip exactly.
+      // The oracle computes the same aggregates straight from the source
+      // columns the containers were built from.
+      "avro_complex_types",
+      (s, dir) => {
+        val src = Tables(s, dir).events.select(
+          col("event_id"),
+          col("event_type").as("etype"),
+          array(col("event_type"), concat(lit("u"), (col("user_id") % 4).cast("string")))
+            .as("tags"),
+          map(lit("k"), get_json_object(col("props"), "$.k").cast("long"),
+            lit("uid"), col("user_id")).as("attrs"),
+          struct(
+            concat(lit("r"), (col("user_id") % 3).cast("string")).as("region"),
+            col("value").as("score")).as("geo"),
+          unhex(lpad(hex(col("event_id")), 16, "0")).as("token"))
+        val (_, id) = SchemaRegistry.withSchema("events_complex", EventsComplexJson)
+        val framed = AvroCodec.encode(src, EventsComplexJson, id)
+        val decoded = AvroCodec.decode(framed, "value", EventsComplexJson)
+        decoded
+          .filter(col("err").isNull)
+          .groupBy(col("etype"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(element_at(col("attrs"), "uid")).cast("long").as("total_uid"),
+            sum(element_at(col("attrs"), "k")).cast("long").as("total_k"),
+            countDistinct(element_at(col("tags"), 2)).as("tag2_distinct"),
+            countDistinct(col("geo.region")).as("n_regions"),
+            max(col("geo.score")).as("max_score"),
+            max(hex(col("token"))).as("max_tok"))
+          .orderBy(col("etype"))
+      },
+      Some("""SELECT event_type AS etype, COUNT(*) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS total_uid,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        COUNT(DISTINCT 'u' || CAST(user_id % 4 AS VARCHAR)) AS tag2_distinct,
+        COUNT(DISTINCT 'r' || CAST(user_id % 3 AS VARCHAR)) AS n_regions,
+        MAX(value) AS max_score,
+        MAX(lpad(hex(event_id), 16, '0')) AS max_tok
+      FROM events GROUP BY event_type ORDER BY etype""")
     ),
 
     QueryDef(

@@ -192,4 +192,55 @@ class AvroCodecSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getString(0)
     assert(json == "{\"subject\":\"a\\\"b\\\\c\",\"predicate\":\"x\\ny\\tz\",\"object\":\"ctl\\u0001end\"}")
   }
+
+  test("complex types roundtrip: enum, array, map, nested record, fixed, null unions") {
+    // array elements and map values are nullable unions — the container
+    // conversions must recurse through unwrapUnion on both paths
+    val schemaJson =
+      """{"type":"record","name":"cx","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"e","type":{"type":"enum","name":"E","symbols":["a","b","c"]}},
+        |{"name":"arr","type":{"type":"array","items":["null","string"]}},
+        |{"name":"m","type":{"type":"map","values":["null","long"]}},
+        |{"name":"rec","type":{"type":"record","name":"Inner","fields":[
+        |  {"name":"s","type":"string"},{"name":"x","type":"double"}]}},
+        |{"name":"fx","type":{"type":"fixed","name":"F4","size":4}}]}""".stripMargin
+    assert(AvroCodec.toStructType(schemaJson) == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("e", StringType, nullable = false),
+      StructField("arr", ArrayType(StringType, containsNull = true), nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = true), nullable = false),
+      StructField("rec", StructType(Seq(
+        StructField("s", StringType, nullable = false),
+        StructField("x", DoubleType, nullable = false))), nullable = false),
+      StructField("fx", BinaryType, nullable = false))))
+    val rows = Seq(
+      Row(1L, "b", Seq("x", null, "y"), Map("k1" -> 7L, "k2" -> null),
+        Row("inner", 2.5), Array[Byte](1, 2, 3, 4)),
+      Row(2L, "a", Seq.empty[String], Map.empty[String, Long],
+        Row("", -0.0), Array[Byte](-1, 0, 127, -128)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), AvroCodec.toStructType(schemaJson))
+    val back = AvroCodec.decode(
+        AvroCodec.encode(df, schemaJson, 9), "value", schemaJson)
+      .orderBy("id").collect()
+    assert(back.forall(_.getAs[String]("err") == null))
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2),
+        r.getMap[String, Any](3), r.getStruct(4).toSeq,
+        r.getAs[Array[Byte]](5).toSeq)).toSeq ==
+      rows.map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2),
+        scala.collection.Map(r.getMap[String, Any](3).toSeq: _*), r.getStruct(4).toSeq,
+        r.getAs[Array[Byte]](5).toSeq)))
+    // an unknown enum symbol on the encode path must fail loudly, not
+    // silently write a wrong ordinal
+    val bad = spark.createDataFrame(
+      new java.util.ArrayList[Row](Seq(
+        Row(3L, "zzz", Seq.empty[String], Map.empty[String, Long],
+          Row("", 0.0), Array[Byte](0, 0, 0, 0))).asJava),
+      AvroCodec.toStructType(schemaJson))
+    val thrown = intercept[org.apache.spark.SparkException] {
+      AvroCodec.encode(bad, schemaJson, 9).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
 }
