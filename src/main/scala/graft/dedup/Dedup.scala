@@ -37,6 +37,7 @@ object Dedup extends QueryModule {
   private val JaccardTauSets = 0.9     // word-set similarity threshold
   private[graft] val JaccardTauShingles = 0.5 // 3-shingle threshold (planted near-dups)
   private val CosineTau = 0.3
+  private val SemanticTau = 0.4
   private val ShingleK = 3
   private val NumPerms = 128
   private[graft] val Bands = 64               // x 2 rows = 128
@@ -781,6 +782,49 @@ object Dedup extends QueryModule {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE ${VectorOps.cosineSql("a.embedding", "b.embedding")} >= $CosineTau
       ORDER BY vec_a, vec_b""")
+    ),
+
+    QueryDef(
+      // SEMANTIC dedup end-to-end: embedding-similarity pairs (the same
+      // recall-1 angular-blocked generation as dedup_embedding, never
+      // all-pairs) -> transitive clusters -> canonical vector per
+      // cluster. This is the semantic sibling of dedup_clusters: where
+      // that one clusters lexical near-dups, this clusters meaning-level
+      // ones — the shape you'd run over paraphrase-heavy corpora at
+      // 100 TB. Connectivity solves on the driver when the pair summary
+      // fits (Components.autoLabel — one collect instead of a loop of
+      // per-round jobs), distributed min-label propagation + star-
+      // contraction fallback above the cap.
+      "dedup_semantic",
+      (s, dir) => {
+        val pairs = AngularBlocking
+          .cosinePairs(s, Tables(s, dir).embeddings, SemanticTau)
+          .select(col("vec_a"), col("vec_b"))
+        val undirected = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        val nodes = undirected.select(col("src").as("id")).distinct()
+        val labels = graft.graph.Components.autoLabel(s, undirected, nodes)
+        labels
+          .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
+          .select(col("id").as("vec_id"), col("comp").as("cluster_id"), col("cluster_size"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${VectorOps.cosineSql("a.embedding", "b.embedding")} >= $SemanticTau),
+      undir AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM undir),
+      cc AS (WITH RECURSIVE reach(id, comp) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
+        SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+      sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+      SELECT cc.id AS vec_id, cc.cluster_id, sizes.cluster_size
+      FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+      ORDER BY vec_id""")
     )
   )
 }

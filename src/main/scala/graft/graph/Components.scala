@@ -131,6 +131,60 @@ object Components {
     labels
   }
 
+  /** Connected components with an automatic driver tier: when the edge
+    * list fits comfortably on the driver (`driverCap` rows — the same
+    * already-broadcast-sized argument as the dedup mask tier), solve
+    * with a local union-find in one collect + one createDataFrame
+    * instead of an iterative loop of Spark jobs. The dedup_clusters
+    * postmortem is the rationale: on small-to-medium summaries the
+    * propagation loop's fixed per-round job overhead dominates actual
+    * work by 10x. Larger graphs fall through to [[labelPropagation]]
+    * (which itself falls back to star contraction on high diameter).
+    *
+    * @param undirected symmetric (src, dst) long-id edge list
+    * @param nodes      (id) node dictionary
+    * @return           (id, comp), comp = min reachable node id
+    */
+  def autoLabel(s: SparkSession, undirected: DataFrame, nodes: DataFrame,
+                driverCap: Long = 2000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = undirected.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(lvl)
+    if (edges.count() > driverCap) {
+      val out = labelPropagation(s, edges, nodes)
+      edges.unpersist()
+      return out
+    }
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = nodes.select(col("id").cast("long")).collect().map(_.getLong(0))
+    edges.unpersist()
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      (idx.get(a), idx.get(b)) match {
+        case (Some(ia), Some(ib)) =>
+          val ra = find(ia); val rb = find(ib)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        case _ =>
+          throw new IllegalArgumentException(s"edge endpoint not in nodes: ($a, $b)")
+      }
+    }
+    // component label = min node ID (not min index): index order is
+    // collect order, which need not be id order
+    val minId = Array.fill(ids.length)(Long.MaxValue)
+    for (i <- ids.indices) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+    }
+    import s.implicits._
+    ids.indices.map(i => (ids(i), minId(find(i)))).toDF("id", "comp")
+  }
+
   /** Connected components by alternating large-star/small-star
     * contraction (the MapReduce-era O(log n)-round algorithm): edges are
     * kept canonical (big id -> small id, distinct);

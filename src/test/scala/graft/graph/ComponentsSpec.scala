@@ -59,6 +59,28 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(labels == Map(5L -> 5L, 9L -> 9L))
   }
 
+  test("driver union-find tier equals distributed propagation, both cap sides") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (40L, 41L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 40L, 41L, 99L)
+    def auto(cap: Long) = Components.autoLabel(
+        spark, mirror(edges).toDF("src", "dst"), nodes.toDF("id"), driverCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 40L -> 40L, 41L -> 40L, 99L -> 99L)
+    assert(auto(1000000L) == expected, "driver tier")
+    assert(auto(0L) == expected, "distributed tier")
+  }
+
+  test("driver tier rejects an edge endpoint missing from the node set") {
+    import spark.implicits._
+    val thrown = intercept[IllegalArgumentException] {
+      Components.autoLabel(spark,
+        mirror(Seq((1L, 7L))).toDF("src", "dst"), Seq(1L).toDF("id"))
+    }
+    assert(thrown.getMessage.contains("endpoint"))
+  }
+
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
     val before = Seq(
       "spark.sql.adaptive.enabled",
