@@ -595,7 +595,7 @@ object Dedup extends QueryModule {
     val undirected = repEdges
       .unionByName(repEdges.select(col("dst").as("src"), col("src").as("dst")))
     val repNodes = memberReps.select(col("rep").as("id")).distinct()
-    val labels = graft.graph.Components.labelPropagation(s, undirected, repNodes)
+    val labels = graft.graph.Components.autoLabel(s, undirected, repNodes)
     val members = memberReps.join(labels, memberReps("rep") === labels("id"))
       .select(col("doc_id"), col("comp"))
     members.join(

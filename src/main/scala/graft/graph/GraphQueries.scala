@@ -170,9 +170,12 @@ object GraphQueries extends QueryModule {
           .distinct()
         val undirected = halfEdges
           .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
-        // loop regime notes (AQE-off, interpreted, join-free convergence
-        // check, lineage truncation) live on graft.graph.Components
-        val labels = Components.labelPropagation(
+        // autoLabel: the (entity, entity) edge summary is dictionary-
+        // sized — far below the corpus — so connectivity solves on the
+        // driver in one collect when it fits, and falls through to the
+        // distributed propagation loop (regime notes on
+        // graft.graph.Components) above the cap
+        val labels = Components.autoLabel(
           s, undirected, objs.select(col("object_id").as("id")))
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] loop-done total=${(System.nanoTime() - tQ) / 1e9}")
