@@ -135,7 +135,7 @@ object Similarity extends QueryModule {
     * centroid. Init is the nCells lowest-vec_id vectors (deterministic,
     * one top-k job).
     */
-  private def coarseCentroids(s: org.apache.spark.sql.SparkSession,
+  private[similarity] def coarseCentroids(s: org.apache.spark.sql.SparkSession,
                               data: org.apache.spark.sql.DataFrame,
                               nCells: Int, iters: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -193,7 +193,7 @@ object Similarity extends QueryModule {
     cents
   }
 
-  private def nearestCell(cs: Array[Array[Double]], emb: Seq[Float]): Int = {
+  private[similarity] def nearestCell(cs: Array[Array[Double]], emb: Seq[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -209,7 +209,7 @@ object Similarity extends QueryModule {
   }
 
   /** Broadcast-centroid cell assignment: one narrow kernel pass. */
-  private def assignCells(s: org.apache.spark.sql.SparkSession,
+  private[similarity] def assignCells(s: org.apache.spark.sql.SparkSession,
                           data: org.apache.spark.sql.DataFrame,
                           cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}

@@ -1,0 +1,146 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector index: build once, probe many.
+  *
+  * The inline `knn_ivf` query rebuilds its quantizer per run — right for
+  * a one-shot query, wrong for the serving pattern where one 100 TB
+  * corpus answers many probe batches. This index persists both halves to
+  * parquet under one directory:
+  *
+  *  - `centroids/` — the coarse quantizer (nCells × dims doubles, a
+  *    driver-sized table trained by the same deterministic two-pass
+  *    Lloyd's as `knn_ivf`);
+  *  - `vectors/` — every vector tagged with its cell, written
+  *    `partitionBy("cell")`, so each IVF inverted list IS a parquet
+  *    partition directory.
+  *
+  * The at-scale payoff is that probing nprobe of nCells lists is
+  * PARTITION PRUNING, not a filter: the probe plan's scan touches only
+  * the selected cell directories (plan-shape-asserted in the spec), so
+  * disk read scales with nprobe/nCells of the corpus, exactly like a
+  * FAISS IVF probe touches only selected lists. Cell selection runs on
+  * the driver against the driver-sized centroid table; candidate
+  * scoring is one broadcast-queries pass over the pruned scan with
+  * per-partition bounded heaps — the corpus side is never shuffled.
+  */
+object VectorIndex {
+
+  /** Train the quantizer, tag vectors, and persist both halves.
+    * Deterministic: same data + params → byte-identical centroids and
+    * assignments (fixed-order float merges, lowest-id init). */
+  def buildIvf(s: SparkSession, data: DataFrame, indexDir: String,
+               nCells: Int, iters: Int = 2): Unit = {
+    val cents = Similarity.coarseCentroids(s, data, nCells, iters)
+    import scala.jdk.CollectionConverters._
+    val centRows: java.util.List[Row] =
+      cents.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }.toList.asJava
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+    s.createDataFrame(centRows, centSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Similarity.assignCells(s, data, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** The persisted quantizer, driver-sized by construction. */
+  def loadCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
+    s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k cosine neighbors for each probe vector, scanning only the
+    * nprobe nearest cells per query. Output: (query_id, vec_id, cosine,
+    * rk), rk 1..k, ties broken on vec_id — deterministic.
+    *
+    * @param queries (query_id LONG, embedding ARRAY<FLOAT>) — the small
+    *                side; collected and broadcast (the same contract as
+    *                the knn query surface)
+    */
+  def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
+               k: Int, nprobe: Int): DataFrame = {
+    val cents = loadCentroids(s, indexDir)
+    val qIdIdx = queries.schema.fieldIndex("query_id")
+    val qEmbIdx = queries.schema.fieldIndex("embedding")
+    val qs: Array[(Long, Array[Float])] = queries.collect()
+      .map(r => (r.getLong(qIdIdx), r.getSeq[Float](qEmbIdx).toArray))
+    // driver-side cell selection against the driver-sized quantizer:
+    // nprobe nearest centroids per query by L2 (the training metric)
+    def nearestCells(emb: Array[Float]): Array[Int] =
+      cents.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(cents(c).length, emb.length)
+        while (i < n) { val t = emb(i) - cents(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nprobe).map(_._2).toArray
+    val qCells: Array[(Long, Array[Float], Array[Int])] =
+      qs.map { case (id, emb) => (id, emb, nearestCells(emb)) }
+    val needed: Array[Int] = qCells.flatMap(_._3).distinct.sorted
+    // cell is a PARTITION column of vectors/ — isin() prunes at planning
+    val pruned = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(needed.map(Int.box): _*))
+    val bq = s.sparkContext.broadcast(qCells)
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    val idIdx = pruned.schema.fieldIndex("vec_id")
+    val embIdx = pruned.schema.fieldIndex("embedding")
+    val cellIdx = pruned.schema.fieldIndex("cell")
+    // per-partition bounded heaps: only numPartitions * |queries| * k
+    // candidate rows ever leave a partition
+    val partials = pruned.mapPartitions { rows =>
+      val queries = bq.value
+      // heap root = the entry to evict (lowest cosine, then highest id)
+      // — the same bounded-heap discipline as the brute-force kernel
+      val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, c) => (-c, id) }
+      val heaps = Array.fill(queries.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+      rows.foreach { row =>
+        val emb = row.getSeq[Float](embIdx)
+        val id = row.getLong(idIdx)
+        val cell = row.getInt(cellIdx)
+        var qi = 0
+        while (qi < queries.length) {
+          val (qid, qemb, cells) = queries(qi)
+          if (id != qid && cells.contains(cell)) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            val n = math.min(qemb.length, emb.length)
+            while (i < n) {
+              val x = qemb(i).toDouble; val y = emb(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val c = dot / (math.sqrt(na) * math.sqrt(nb))
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((id, c))
+            else {
+              val (wid, wc) = h.head
+              if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((id, c)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = queries(qi)._1
+        h.iterator.map { case (id, c) => Row(qid, id, c) }
+      }
+    }(Encoders.row(outSchema))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    partials.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

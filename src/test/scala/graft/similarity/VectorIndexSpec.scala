@@ -1,0 +1,90 @@
+package graft.similarity
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index: build-once/probe-many over parquet, with
+  * inverted lists as parquet partitions. Pins (1) exactness when every
+  * cell is probed, (2) useful recall on a strict cell subset, (3) the
+  * partition-pruned probe plan, (4) deterministic rebuilds. */
+class VectorIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 5
+  private val NCells = 8
+
+  private def embeddings = graft.operators.Tables(spark, dir).embeddings
+
+  private def queries = embeddings.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** Exact reference: brute-force cosine top-k, self excluded. */
+  private def brute(): Map[(Long, Long), Long] = {
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    q.crossJoin(embeddings.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", VectorOps.cosineNative(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("rk")).toMap
+  }
+
+  private def withIndex[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      VectorIndex.buildIvf(spark, embeddings, tmp, NCells)
+      f(tmp)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("probing every cell reproduces brute force exactly") {
+    withIndex { idx =>
+      val got = VectorIndex.probeIvf(spark, idx, queries, K, nprobe = NCells)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+          r.getAs[Long]("rk")).toMap
+      assert(got == brute())
+    }
+  }
+
+  test("a strict cell subset still recalls a useful fraction") {
+    withIndex { idx =>
+      val ref = brute().keySet
+      val got = VectorIndex.probeIvf(spark, idx, queries, K, nprobe = 3)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      assert(got.size == ref.size)
+      val recall = (got & ref).size.toDouble / ref.size
+      assert(recall >= 0.4, s"recall $recall")
+    }
+  }
+
+  test("the probe scan is partition-pruned to the selected cells") {
+    withIndex { idx =>
+      val df = VectorIndex.probeIvf(spark, idx, queries, K, nprobe = 2)
+      df.count()
+      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val scan = leaves.find(_.contains("vectors")).getOrElse(leaves.mkString("\n"))
+      assert(scan.contains("PartitionFilters:") && scan.contains("cell"),
+        scan.take(800))
+    }
+  }
+
+  test("rebuilding the index is deterministic") {
+    withIndex { a =>
+      withIndex { b =>
+        val ca = VectorIndex.loadCentroids(spark, a).map(_.toSeq).toSeq
+        val cb = VectorIndex.loadCentroids(spark, b).map(_.toSeq).toSeq
+        assert(ca == cb)
+        def cells(p: String) = spark.read.parquet(s"$p/vectors")
+          .select(col("vec_id"), col("cell")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(cells(a) == cells(b))
+      }
+    }
+  }
+}
