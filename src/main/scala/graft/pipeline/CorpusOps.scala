@@ -32,9 +32,19 @@ object CorpusOps extends QueryModule {
 
   // --- PII patterns (RE2-safe subset: no backrefs/lookaround, so the
   // same pattern strings run identically under Java regex and DuckDB).
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Ordered PII redaction (email → phone → IPv4 — see the query note).
+    * Pure stateless column expression, shared by the batch query and the
+    * streaming scrub. */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -61,11 +71,7 @@ object CorpusOps extends QueryModule {
             regexp_count(col("msg"), lit(EmailRe)).cast("long").as("n_email"),
             regexp_count(col("msg"), lit(PhoneRe)).cast("long").as("n_phone"),
             regexp_count(col("msg"), lit(Ipv4Re)).cast("long").as("n_ip"),
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("msg"), EmailRe, "<EMAIL>"),
-                PhoneRe, "<PHONE>"),
-              Ipv4Re, "<IP>").as("redacted"))
+            redactPii(col("msg")).as("redacted"))
           .orderBy(col("c_custkey"))
       },
       Some(s"""WITH m AS (SELECT c_custkey,

@@ -213,3 +213,54 @@ object EventSessionizer {
       }
   }
 }
+
+/** Streaming corpus preparation — the streaming face of §2.9's batch
+  * tier. Every operator here is STATELESS on the stream side (pure
+  * column expressions or stream-static lookups against an
+  * eval-suite-sized benchmark), so they compose into any ingest
+  * pipeline without watermark state and run indefinitely.
+  */
+object StreamCorpus {
+
+  /** PII redaction on a streaming document column — the identical
+    * ordered regexp chain as the batch `text_pii_scrub` (shared
+    * expression), so batch and stream agree on what "scrubbed" means. */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol, graft.pipeline.CorpusOps.redactPii(col(textCol)))
+
+  /** 8-token shingles of a text column (the batch decontamination's
+    * shingle definition, as a reusable column). */
+  private def shingles(textCol: String): org.apache.spark.sql.Column = {
+    val toks = split(lower(col(textCol)), " ")
+    when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stream-static decontamination: flag each streaming doc that shares
+    * an 8-token shingle with the benchmark set. The benchmark is
+    * eval-suite-sized BY DEFINITION (the same broadcast argument as the
+    * batch `decontam_ngram`), so it ships as a broadcast literal and the
+    * check is a stateless per-row `arrays_overlap` — no join state, no
+    * watermark, exactly-per-row semantics under replay.
+    */
+  def markContaminated(docs: DataFrame, textCol: String,
+                       benchmarkShingles: Seq[String]): DataFrame =
+    docs.withColumn("contaminated",
+      arrays_overlap(shingles(textCol), typedlit(benchmarkShingles)))
+
+  /** The quality score of the batch `text_quality`, streaming-safe
+    * (stateless expression over one row). */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = size(split(lower(t), " ")).cast("long")
+    val stopRatio = graft.textfn.TextFunctions.hits(t, graft.textfn.TextFunctions.StopEn)
+      .cast("double") / nTok.cast("double")
+    val digitRatio = regexp_count(t, lit("[0-9]")).cast("double") / length(t).cast("double")
+    docs.withColumn("quality",
+      least(lit(1.0), length(t).cast("double") / 400.0) * 0.5 +
+        stopRatio * 0.3 +
+        (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2)
+  }
+}
