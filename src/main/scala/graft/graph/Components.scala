@@ -156,8 +156,12 @@ object Components {
       return out
     }
     val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ids = nodes.select(col("id").cast("long")).collect().map(_.getLong(0))
     edges.unpersist()
+    // only EDGE ENDPOINTS come to the driver (<= 2x the edge cap by
+    // construction) — the node dictionary itself may be arbitrarily
+    // large with isolated nodes (a sparse 100 TB graph), and isolated
+    // nodes are their own component without any driver involvement
+    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
     val idx = ids.zipWithIndex.toMap
     val parent = Array.tabulate(ids.length)(identity)
     def find(x0: Int): Int = {
@@ -166,13 +170,8 @@ object Components {
       x
     }
     pairs.foreach { case (a, b) =>
-      (idx.get(a), idx.get(b)) match {
-        case (Some(ia), Some(ib)) =>
-          val ra = find(ia); val rb = find(ib)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        case _ =>
-          throw new IllegalArgumentException(s"edge endpoint not in nodes: ($a, $b)")
-      }
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     // component label = min node ID (not min index): index order is
     // collect order, which need not be id order
@@ -182,7 +181,24 @@ object Components {
       if (ids(i) < minId(r)) minId(r) = ids(i)
     }
     import s.implicits._
-    ids.indices.map(i => (ids(i), minId(find(i)))).toDF("id", "comp")
+    val endpointLabels = ids.indices.map(i => (ids(i), minId(find(i)))).toDF("id", "comp")
+    // contract check without collecting nodes: an edge endpoint absent
+    // from `nodes` is malformed input — the propagation loop would
+    // half-bridge through it (it relays but its gain never counts as
+    // `changed`, so closure silently stops early); fail loudly instead
+    // of picking either wrong answer. Anti-join is endpoint-sized.
+    val unknown = endpointLabels.select(col("id"))
+      .join(nodes.select(col("id").cast("long").as("id")), Seq("id"), "left_anti")
+      .limit(1).collect()
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"edge endpoint not in nodes: ${unknown.head.getLong(0)}")
+    // isolated nodes (no incident edge) label themselves distributively —
+    // the nodes frame is never collected
+    val isolated = nodes.select(col("id").cast("long").as("id"))
+      .join(broadcast(endpointLabels.select(col("id"))), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    endpointLabels.unionByName(isolated)
   }
 
   /** Connected components by alternating large-star/small-star

@@ -240,7 +240,12 @@ object CorpusOps extends QueryModule {
           .repartitionByRange(parts, col("source"), col("doc_id"))
           .sortWithinPartitions(col("source"), col("doc_id"))
           .as[(String, Long, Long)]
-        val rdd = ranged.rdd
+        // persisted: phases 1 and 3 both traverse this RDD, and the
+        // offsets computed from phase 1's partition layout are only
+        // valid against the SAME layout — persistence pins it (and
+        // halves the work); the ContextCleaner unpersists when the RDD
+        // goes unreachable
+        val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // phase 1: per-partition token totals per source (tiny summary)
         val partials: Array[(Int, Seq[(String, Long)])] =
           rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -74,11 +74,26 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
 
   test("driver tier rejects an edge endpoint missing from the node set") {
     import spark.implicits._
+    // the propagation loop would silently half-bridge through such a
+    // node (its label gain never counts as `changed`) — the driver tier
+    // must fail loudly rather than pick either wrong answer
     val thrown = intercept[IllegalArgumentException] {
       Components.autoLabel(spark,
         mirror(Seq((1L, 7L))).toDF("src", "dst"), Seq(1L).toDF("id"))
     }
     assert(thrown.getMessage.contains("endpoint"))
+  }
+
+  test("driver tier never collects the node dictionary (isolated-heavy graph)") {
+    import spark.implicits._
+    // tiny edge set, much larger node set: labels must be exact anyway
+    val nodes = (0L until 500L)
+    val got = Components.autoLabel(spark,
+        mirror(Seq((10L, 20L))).toDF("src", "dst"), nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500)
+    assert(got(20L) == 10L && got(10L) == 10L)
+    assert(nodes.filterNot(n => n == 10L || n == 20L).forall(n => got(n) == n))
   }
 
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
