@@ -730,6 +730,53 @@ object Dedup extends QueryModule {
     ),
 
     QueryDef(
+      // INCREMENTAL dedup — the daily-ingest shape: a small delta batch
+      // (doc_id % 7 = 0 stands in for today's arrivals) probes the BASE
+      // corpus for near-dups without ever scoring base-base pairs. Both
+      // sides' minhash bands come from the shared one-pass kernel (in
+      // production the base bands are a precomputed index updated per
+      // batch); candidates are the bipartite (band_key) equi-join —
+      // probe-sized, never corpus x corpus — with the same hot-bucket
+      // cap discipline as bucketPairs, then exact verification. At
+      // 100 TB the base side is bucket-partitioned storage and the join
+      // touches only buckets the delta's bands hit.
+      "dedup_incremental",
+      (s, dir) => {
+        val feats = shingleFeatures(Tables(s, dir).documents,
+            withSig = true, withSim = false)
+          .withColumn("is_delta", col("doc_id") % 7 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deltaBands = feats.filter(col("is_delta"))
+          .select(col("doc_id").as("delta_id"), explode(col("bands")).as("band_key"))
+        val baseBands = feats.filter(!col("is_delta"))
+          .select(col("doc_id").as("base_id"), explode(col("bands")).as("band_key"))
+        // skew guard: a degenerate band key pairing the whole base with
+        // the whole delta would be quadratic; cap mirrors bucketPairs
+        val hot = baseBands.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 10000)
+          .select(col("band_key"))
+        val cands = deltaBands
+          .join(broadcast(hot), Seq("band_key"), "left_anti")
+          .join(baseBands, "band_key")
+          .select(col("base_id").as("doc_a"), col("delta_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(cands, feats.select(col("doc_id"), col("ss")), "ss", JaccardTauShingles)
+          .select(col("doc_b").as("delta_id"), col("doc_a").as("base_id"), col("jaccard"))
+          .orderBy(col("delta_id"), col("base_id"))
+      },
+      Some(s"""WITH s AS ($shingleSetsSql),
+        base AS (SELECT * FROM s WHERE doc_id % 7 <> 0),
+        delta AS (SELECT * FROM s WHERE doc_id % 7 = 0)
+      SELECT delta.doc_id AS delta_id, base.doc_id AS base_id,
+        CAST(len(list_intersect(base.ss, delta.ss)) AS DOUBLE) /
+          (len(base.ss) + len(delta.ss) - len(list_intersect(base.ss, delta.ss))) AS jaccard
+      FROM base JOIN delta
+        ON CAST(len(list_intersect(base.ss, delta.ss)) AS DOUBLE) /
+          (len(base.ss) + len(delta.ss) - len(list_intersect(base.ss, delta.ss))) >= $JaccardTauShingles
+      ORDER BY delta_id, base_id""")
+    ),
+
+    QueryDef(
       // 64-bit SimHash over shingle hashes; 8 bands x 8 bits (pigeonhole:
       // hamming <= 7 implies >= 1 equal segment). xxhash-based -> no SQL
       // mirror; deterministic, rows-only checked + unit-tested.
