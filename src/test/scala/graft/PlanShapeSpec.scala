@@ -111,6 +111,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), "range join planned a nested loop")
   }
 
+  test("incremental dedup joins delta bands to base bands, never a cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), "incremental dedup planned a cartesian")
+    assert(p.contains("LeftAnti"), s"hot-bucket cap anti-join missing:\n${p.take(1500)}")
+  }
+
   test("domain mixing broadcasts the per-source rate table") {
     val p = plan("mix_domains")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
