@@ -309,8 +309,11 @@ object CorpusOps extends QueryModule {
         val v = ev.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vus"))
         val pb = p.withColumn("bucket",
-          explode(array(floor(col("pus") / W), floor(col("pus") / W) + 1)))
-        val vb = v.withColumn("bucket", floor(col("vus") / W))
+          // integer `div`, not floor(double /): at micros magnitude a
+          // one-ulp division error could shift a boundary timestamp's
+          // bucket and silently drop a matching pair
+          explode(array(expr(s"pus div $W"), expr(s"pus div $W") + 1)))
+        val vb = v.withColumn("bucket", expr(s"vus div $W"))
         val matched = pb.join(vb,
             pb("bucket") === vb("bucket") && col("v_user") === col("user_id") &&
               col("vus") > col("pus") && col("vus") <= col("pus") + W)
