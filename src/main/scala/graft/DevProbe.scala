@@ -107,6 +107,31 @@ object DevProbe {
           }
         }
 
+      case "corpus_scale" =>
+        // 10x scale sanity for the §2.9 corpus tier: replicate documents
+        // with per-copy token suffixes (copies are not near-dups), stage
+        // as parquet so the queries run their real scan path, and
+        // compare wall-clock at 1x vs 10x — linear operators should
+        // scale ~linearly in rows, never quadratically
+        import org.apache.spark.sql.functions._
+        val docs = graft.operators.Tables(spark, sfDir).documents
+        def scaled(k: Int) = (0 until k).map { i =>
+          docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        for (k <- Seq(1, 10)) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_cs$k").toString
+          scaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+          for (q <- Seq("decontam_ngram", "pack_sequences", "sample_stratified", "mix_domains")) {
+            t(s"$q x$k") {
+              val n = SparkEntry.queries(q)(spark, tmp).count()
+              println(s"  $q x$k rows=$n")
+            }
+          }
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+
       case "objects" =>
         t("spo_objects total") {
           SparkEntry.queries("spo_objects")(spark, sfDir).count()
