@@ -36,8 +36,11 @@ object AvroQueries extends QueryModule {
     if (cleanupRegistered.add(path)) {
       if (cleanupRegistered.size() == 1) {
         // age-gated: a fresh sibling may belong to a LIVE concurrent
-        // session on the same machine — only reap clearly-dead leftovers
-        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        // session on the same machine — only reap clearly-dead leftovers.
+        // 7 days, not 24 h: a long soak/bench session can legitimately
+        // outlive a day, and a week-old staging dir from a crashed run
+        // is still reclaimed before it matters
+        val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
         val parent = new java.io.File(path).getParentFile
         Option(parent.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("graft_csv_") &&

@@ -220,10 +220,20 @@ object AngularBlocking {
     // than trust a caller-side constant — planes/centroids built for
     // fewer dims than the vectors carry would bound in a truncated
     // subspace. A longer vector later in the data trips assign()'s
-    // per-row assert loudly instead of losing recall silently.
+    // per-row assert loudly instead of losing recall silently. Derive
+    // from max over a 1-row limit so an EMPTY frame yields empty pairs
+    // (the pre-auto-derive behavior) instead of head() throwing, and a
+    // short first row can't undercut a longer one behind it within the
+    // sampled row.
     val d =
       if (dims > 0) dims
-      else vecs.select(size(col("embedding")).as("d")).head.getInt(0)
+      else vecs.select(size(col("embedding")).as("d")).limit(1)
+        .agg(max(col("d"))).head.get(0) match {
+          case null => return vecs.sparkSession.emptyDataFrame
+            .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cosine"))
+            .limit(0)
+          case n: Integer => n.intValue()
+        }
     val assigned = assign(vecs, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = cellStats(assigned, d)

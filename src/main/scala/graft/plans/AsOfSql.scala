@@ -71,9 +71,26 @@ object AsOfSqlRewrite {
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') {
+        // skip the quoted run honoring BOTH escape forms Spark's lexer
+        // accepts: backslash escapes ('O\'Brien (', default non-ANSI
+        // mode) and doubled quotes ('O''Brien'). Without this, a
+        // literal's escaped quote ends the run early and any bracket in
+        // the remainder corrupts the depth tracking — turning a valid
+        // statement into a spurious "no ON clause" parse failure.
         out.append(c); i += 1
-        while (i < n && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
-        if (i < n) { out.append(sql.charAt(i)); i += 1 }
+        var closed = false
+        while (i < n && !closed) {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && c != '`' && i + 1 < n) {
+            out.append(ch).append(sql.charAt(i + 1)); i += 2
+          } else if (ch == c && i + 1 < n && sql.charAt(i + 1) == c) {
+            out.append(ch).append(c); i += 2
+          } else if (ch == c) {
+            out.append(ch); i += 1; closed = true
+          } else {
+            out.append(ch); i += 1
+          }
+        }
       } else if (c == '(') {
         depth += 1; out.append(c); i += 1
       } else if (c == ')') {

@@ -228,16 +228,6 @@ object StreamCorpus {
   def piiScrub(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn(textCol, graft.pipeline.CorpusOps.redactPii(col(textCol)))
 
-  /** 8-token shingles of a text column (the batch decontamination's
-    * shingle definition, as a reusable column). */
-  private def shingles(textCol: String): org.apache.spark.sql.Column = {
-    val toks = split(lower(col(textCol)), " ")
-    when(size(toks) >= 8,
-      transform(sequence(lit(0), size(toks) - 8),
-        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Stream-static decontamination: flag each streaming doc that shares
     * an 8-token shingle with the benchmark set. The benchmark is
     * eval-suite-sized BY DEFINITION (the same broadcast argument as the
@@ -248,7 +238,8 @@ object StreamCorpus {
   def markContaminated(docs: DataFrame, textCol: String,
                        benchmarkShingles: Seq[String]): DataFrame =
     docs.withColumn("contaminated",
-      arrays_overlap(shingles(textCol), typedlit(benchmarkShingles)))
+      arrays_overlap(graft.pipeline.CorpusOps.shingles8(col(textCol)),
+        typedlit(benchmarkShingles)))
 
   /** The quality score of the batch `text_quality`, streaming-safe
     * (stateless expression over one row). */
@@ -258,9 +249,13 @@ object StreamCorpus {
     val stopRatio = graft.textfn.TextFunctions.hits(t, graft.textfn.TextFunctions.StopEn)
       .cast("double") / nTok.cast("double")
     val digitRatio = regexp_count(t, lit("[0-9]")).cast("double") / length(t).cast("double")
+    // empty text divides by length 0 → NULL under non-ANSI semantics,
+    // and a NULL quality silently falls out of any >= threshold filter;
+    // an empty doc is definitionally minimum-quality, so score it 0
     docs.withColumn("quality",
-      least(lit(1.0), length(t).cast("double") / 400.0) * 0.5 +
-        stopRatio * 0.3 +
-        (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2)
+      when(length(t) === 0, lit(0.0)).otherwise(
+        least(lit(1.0), length(t).cast("double") / 400.0) * 0.5 +
+          stopRatio * 0.3 +
+          (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2))
   }
 }

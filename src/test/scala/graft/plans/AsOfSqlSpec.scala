@@ -90,6 +90,20 @@ class AsOfSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("no ON clause found for ASOF JOIN"), e2.getMessage)
   }
 
+  test("escaped quotes inside literals do not corrupt depth tracking") {
+    // backslash-escaped quote with a bracket in the literal remainder:
+    // the skipper must not end the run at \' and count the '(' as depth
+    val r1 = AsOfSqlRewrite(
+      """SELECT * FROM a ASOF JOIN (SELECT 'O\'Brien (' AS n FROM b) q ON a.k = q.k AND a.t >= q.t""")
+    assert(r1.contains("ON graft_asof_marker() AND a.k = q.k"), r1)
+    assert(r1.contains("""'O\'Brien ('"""), r1)
+    // doubled-quote escape form
+    val r2 = AsOfSqlRewrite(
+      """SELECT * FROM a ASOF JOIN (SELECT 'O''Brien (' AS n FROM b) q ON a.k = q.k AND a.t >= q.t""")
+    assert(r2.contains("ON graft_asof_marker() AND a.k = q.k"), r2)
+    assert(r2.contains("'O''Brien ('"), r2)
+  }
+
   test("unsupported ON shapes fail analysis loudly, never run as plain joins") {
     setupViews()
     val e1 = intercept[Exception](spark.sql(
