@@ -96,6 +96,16 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(nodes.filterNot(n => n == 10L || n == 20L).forall(n => got(n) == n))
   }
 
+  test("pagerank driver tier equals the distributed power iteration") {
+    val dir = "/root/testdata/sf0.001"
+    def ranks(cap: Long) = GraphQueries.pagerank(spark, dir, driverCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val driver = ranks(Long.MaxValue)
+    val dist = ranks(0L)
+    assert(driver.nonEmpty)
+    assert(driver == dist)
+  }
+
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
     val before = Seq(
       "spark.sql.adaptive.enabled",
