@@ -844,8 +844,10 @@ object Dedup extends QueryModule {
           .select(col("vec_a"), col("vec_b"))
         val undirected = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        val nodes = undirected.select(col("src").as("id")).distinct()
-        val labels = graft.graph.Components.autoLabel(s, undirected, nodes)
+        // every node IS a pair endpoint, so the endpoint variant skips
+        // the membership/isolated anti-joins (which would re-run the
+        // angular-blocking plan)
+        val labels = graft.graph.Components.autoLabelEndpoints(s, undirected)
         labels
           .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
           .select(col("id").as("vec_id"), col("comp").as("cluster_id"), col("cluster_size"))

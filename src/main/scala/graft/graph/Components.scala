@@ -155,25 +155,8 @@ object Components {
       edges.unpersist()
       return out
     }
-    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val endpointLabels = driverSolve(s, edges)
     edges.unpersist()
-    // only EDGE ENDPOINTS come to the driver (<= 2x the edge cap by
-    // construction) — the node dictionary itself may be arbitrarily
-    // large with isolated nodes (a sparse 100 TB graph), and isolated
-    // nodes are their own component without any driver involvement
-    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
-    val idx = ids.zipWithIndex.toMap
-    val uf = new UnionFind(ids.length)
-    pairs.foreach { case (a, b) => uf.union(idx(a), idx(b)) }
-    // component label = min node ID (not min index): index order is
-    // collect order, which need not be id order
-    val minId = Array.fill(ids.length)(Long.MaxValue)
-    for (i <- ids.indices) {
-      val r = uf.find(i)
-      if (ids(i) < minId(r)) minId(r) = ids(i)
-    }
-    import s.implicits._
-    val endpointLabels = ids.indices.map(i => (ids(i), minId(uf.find(i)))).toDF("id", "comp")
     // contract check without collecting nodes: an edge endpoint absent
     // from `nodes` is malformed input — the propagation loop would
     // half-bridge through it (it relays but its gain never counts as
@@ -191,6 +174,46 @@ object Components {
       .join(broadcast(endpointLabels.select(col("id"))), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     endpointLabels.unionByName(isolated)
+  }
+
+  /** [[autoLabel]] for the common case where the node set IS the edge
+    * endpoint set (e.g. a pair graph where every node comes from a
+    * pair): skips the membership check and the isolated-node union,
+    * whose anti-joins would re-run the caller's whole edge-generation
+    * plan when it isn't persisted. */
+  def autoLabelEndpoints(s: SparkSession, undirected: DataFrame,
+                         driverCap: Long = 2000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = undirected.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(lvl)
+    if (edges.count() > driverCap) {
+      val out = labelPropagation(s, edges, edges.select(col("src").as("id")).distinct())
+      edges.unpersist()
+      return out
+    }
+    val out = driverSolve(s, edges)
+    edges.unpersist()
+    out
+  }
+
+  /** Driver union-find over a collected (already cap-checked) edge
+    * list: labels for every EDGE ENDPOINT (<= 2x the cap by
+    * construction) — the node dictionary is never collected. */
+  private def driverSolve(s: SparkSession, edges: DataFrame): DataFrame = {
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    val idx = ids.zipWithIndex.toMap
+    val uf = new UnionFind(ids.length)
+    pairs.foreach { case (a, b) => uf.union(idx(a), idx(b)) }
+    // component label = min node ID (not min index): index order is
+    // collect order, which need not be id order
+    val minId = Array.fill(ids.length)(Long.MaxValue)
+    for (i <- ids.indices) {
+      val r = uf.find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+    }
+    import s.implicits._
+    ids.indices.map(i => (ids(i), minId(uf.find(i)))).toDF("id", "comp")
   }
 
   /** Connected components by alternating large-star/small-star
