@@ -351,6 +351,60 @@ object GraphQueries extends QueryModule {
       FROM k a JOIN k b ON a.subject = b.subject AND a.object < b.object
       GROUP BY a.object, b.object HAVING COUNT(*) >= 10
       ORDER BY object, object_b""")
+    ),
+
+    QueryDef(
+      // Per-node triangle counts over the undirected entity graph — the
+      // clustering/community primitive. The naive three-way edge
+      // self-join is Θ(Σ d²) on the HOT nodes; the standard bound is
+      // degree ordering: orient every edge from its lower-(degree, id)
+      // endpoint to its higher one, enumerate wedges only at each
+      // triangle's minimum-key corner, and close them with one equi-join
+      // on the (v, w) edge key. Out-degrees under this orientation are
+      // O(√m), so wedge volume is O(m^1.5) worst-case (vs unbounded d²)
+      // and every join is a shuffled equi-join — no cartesian anywhere.
+      // Each triangle is found exactly ONCE, so the count matches the
+      // oracle's id-ordered (a < b < c) enumeration: any consistent
+      // total order over nodes yields the same per-corner counts.
+      "spo_triangles",
+      (s, dir) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+        val objs = T.objects(t).persist(lvl)
+        val src = objs.select(col("name").as("subject"), col("object_id").as("sid"))
+        val dst = objs.select(col("name").as("object"), col("object_id").as("tid"))
+        // distinct undirected edges as canonical (a < b) halves — the
+        // kernel ([[Triangles.countPerNode]]) persists them for its
+        // degree aggregate + orientation join
+        val half = t
+          .join(broadcast(src), "subject")
+          .join(broadcast(dst), "object")
+          .filter(col("sid") =!= col("tid"))
+          .select(least(col("sid"), col("tid")).as("a"),
+            greatest(col("sid"), col("tid")).as("b"))
+          .distinct()
+        Triangles.countPerNode(half, objs.select(col("object_id").as("id")))
+          .select(col("id").as("object_id"), col("n_triangles"))
+          .orderBy(col("object_id"))
+      },
+      Some(s"""$prelude,
+        half AS (
+          SELECT DISTINCT LEAST(source_id, target_id) AS a,
+            GREATEST(source_id, target_id) AS b
+          FROM edges WHERE source_id <> target_id),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM half e1
+          JOIN half e2 ON e2.a = e1.b
+          JOIN half e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id)
+      SELECT o.object_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
+      FROM objs o LEFT JOIN cnt ON cnt.id = o.object_id
+      ORDER BY o.object_id""")
     )
   )
 }

@@ -1,0 +1,68 @@
+package graft.graph
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrianglesSpec extends AnyFunSuite with SparkFixture {
+
+  /** edges as unordered pairs; canonicalized to (a < b) here */
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long]) = {
+    import spark.implicits._
+    val half = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+    Triangles.countPerNode(half, nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a single triangle counts once per corner") {
+    val counts = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(1L, 2L, 3L, 4L))
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("K4: every node sits in C(3,2) = 3 triangles") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = for { a <- nodes; b <- nodes if a < b } yield (a, b)
+    val counts = run(edges, nodes)
+    assert(counts == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("paths and stars are triangle-free") {
+    // path 1-2-3-4 plus a 5-armed star at 10: wedges everywhere, no closure
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++
+      (11L to 15L).map(i => (10L, i))
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L) ++ (11L to 15L)
+    assert(run(edges, nodes).values.forall(_ == 0L))
+  }
+
+  test("two triangles sharing an edge: shared endpoints count 2, apexes 1") {
+    // triangles (1,2,3) and (1,2,4) share edge (1,2)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val counts = run(edges, Seq(1L, 2L, 3L, 4L))
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("empty edge set: every node zero") {
+    val counts = run(Seq.empty, Seq(7L, 8L))
+    assert(counts == Map(7L -> 0L, 8L -> 0L))
+  }
+
+  test("counts are orientation-invariant: hub-heavy graph matches brute force") {
+    // hub 0 connected to 1..12, ring 1-2-...-12-1: triangles are exactly
+    // (0, i, i+1) around the ring — 12 of them; brute-force check
+    val ring = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+    val spokes = (1L to 12L).map(i => (0L, i))
+    val nodes = 0L to 12L
+    val counts = run(ring ++ spokes, nodes)
+    // brute force over all node triples
+    val es = (ring ++ spokes).map { case (a, b) => Set(a, b) }.toSet
+    val brute = nodes.map { n =>
+      n -> (for {
+        a <- nodes; b <- nodes if a < b
+        if Set(a, b, n).size == 3
+        if es(Set(a, n)) && es(Set(b, n)) && es(Set(a, b))
+      } yield 1).size.toLong
+    }.toMap
+    assert(counts == brute)
+    assert(counts(0L) == 12L)
+  }
+}
