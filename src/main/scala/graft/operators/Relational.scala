@@ -887,6 +887,103 @@ object Relational extends QueryModule {
         COUNT(view_ts_us) AS n_fresh_matched,
         CAST(SUM(ts_us - view_ts_us) AS BIGINT) AS total_gap_us
       FROM m GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    QueryDef(
+      // TPC-H Q14 shape: promotion revenue share for one ship quarter.
+      // lineitem never shuffles — part is a broadcast dim — and the
+      // shipdate range reaches the parquet scan as a pushed filter, so
+      // at 100 TB this reads one quarter's row groups, joins map-side,
+      // and reduces to two decimal sums. The share is a final
+      // double-by-double division of exact decimal sums (identical
+      // operands in both engines → identical bits).
+      "q14_promo_share",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val zero4 = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(Tables(s, dir).part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero4))
+              .cast("double").as("promo_revenue"),
+            revenue.as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+      },
+      Some(s"""SELECT promo_revenue, total_revenue,
+        100.0 * promo_revenue / total_revenue AS promo_pct
+      FROM (SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        $revenueSql AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') q""")
+    ),
+
+    QueryDef(
+      // TPC-H Q18 shape (large-volume orders): group-by-HAVING on the
+      // fact table, then join the surviving keys back to orders +
+      // broadcast customer. The aggregate runs FIRST — the heavy side
+      // collapses to qualifying order keys before any join, so the
+      // orders join probes a tiny filtered build side instead of the
+      // full fact-fact shuffle.
+      "q18_large_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.lineitem.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""WITH big AS (
+        SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ${sqlSum("l_quantity")} > 300.0)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+    ),
+
+    QueryDef(
+      // TPC-H Q19 shape: revenue under a disjunction of per-brand
+      // (size, quantity) windows. Catalyst can't split an OR across the
+      // join, but the join itself is a broadcast dim probe and the whole
+      // disjunction evaluates inside one whole-stage-codegen'd filter on
+      // the joined row — the fact side is scanned once, never shuffled.
+      // Grouped by brand so the gate checks each disjunct's row set, not
+      // just one blended total.
+      "q19_disjunctive",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40))
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .groupBy(col("p_brand"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""SELECT p_brand, $revenueSql AS revenue, COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+      GROUP BY p_brand ORDER BY p_brand""")
     )
   )
 }
