@@ -72,6 +72,66 @@ object CorpusOps extends QueryModule {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** THE distributed prefix-sum kernel — shared by `pack_sequences`
+    * (context-bin assignment) and `token_budget` (budget cutoff). A
+    * per-key running sum over a global order is NOT a window (an
+    * unpartitioned / hot-key window is single-partition at scale); it is
+    * a two-phase prefix sum:
+    *   1. range-partition + locally sort rows by (key, o1, o2);
+    *      per-partition partial sums per key — a summary of
+    *      O(partitions × keys) rows, collected to the driver;
+    *   2. driver folds partials into per-(partition, key) start offsets
+    *      (broadcast back);
+    *   3. one partition-local streaming pass emits each row's exclusive
+    *      prefix `start`.
+    * The result depends only on the global (key, o1, o2) order — any
+    * partition layout yields byte-identical output. The input RDD is
+    * persisted because phases 1 and 3 must see the SAME layout (and it
+    * halves the work); the ContextCleaner unpersists it when
+    * unreachable.
+    *
+    * @param rows columns (key: string, o1: double, o2: long, n: long);
+    *             (o1, o2) is the within-key order, n the summed weight
+    * @return columns (key, o1, o2, n, start), start = Σ n of rows
+    *         strictly before this one in (o1, o2) order within key
+    */
+  private[graft] def prefixStarts(
+      s: org.apache.spark.sql.SparkSession, rows: DataFrame): DataFrame = {
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = rows
+      .select(col("key").cast("string"), col("o1").cast("double"),
+        col("o2").cast("long"), col("n").cast("long"))
+      .repartitionByRange(parts, col("key"), col("o1"), col("o2"))
+      .sortWithinPartitions(col("key"), col("o1"), col("o2"))
+      .as[(String, Double, Long, Long)]
+    val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials: Array[(Int, Seq[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (k, _, _, n) => acc.update(k, acc.getOrElse(k, 0L) + n) }
+        Iterator.single((pid, acc.toSeq))
+      }.collect()
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    val offsets: Map[(Int, String), Long] =
+      partials.sortBy(_._1).flatMap { case (pid, sums) =>
+        sums.map { case (k, tot) =>
+          val off = running.getOrElse(k, 0L)
+          running.update(k, off + tot)
+          ((pid, k), off)
+        }
+      }.toMap
+    val bOff = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cum = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (k, o1, o2, n) =>
+        val start = cum.getOrElse(k, bOff.value.getOrElse((pid, k), 0L))
+        cum.update(k, start + n)
+        (k, o1, o2, n, start)
+      }
+    }.toDF("key", "o1", "o2", "n", "start")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // PII redaction (email → phone → IPv4, in that order so the phone
@@ -251,51 +311,18 @@ object CorpusOps extends QueryModule {
       // byte-identical output.
       "pack_sequences",
       (s, dir) => {
-        import s.implicits._
         val B = 512L
         val docs = Tables(s, dir).documents
-          .select(col("source"), col("doc_id").cast("long").as("doc_id"),
-            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
-        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = docs
-          .repartitionByRange(parts, col("source"), col("doc_id"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-          .as[(String, Long, Long)]
-        // persisted: phases 1 and 3 both traverse this RDD, and the
-        // offsets computed from phase 1's partition layout are only
-        // valid against the SAME layout — persistence pins it (and
-        // halves the work); the ContextCleaner unpersists when the RDD
-        // goes unreachable
-        val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // phase 1: per-partition token totals per source (tiny summary)
-        val partials: Array[(Int, Seq[(String, Long)])] =
-          rdd.mapPartitionsWithIndex { (pid, it) =>
-            val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-            it.foreach { case (src, _, n) => acc.update(src, acc.getOrElse(src, 0L) + n) }
-            Iterator.single((pid, acc.toSeq))
-          }.collect()
-        // phase 2: driver folds partials into per-(partition, source)
-        // start offsets — O(partitions × sources), justified driver-side
-        val running = scala.collection.mutable.HashMap.empty[String, Long]
-        val offsets: Map[(Int, String), Long] =
-          partials.sortBy(_._1).flatMap { case (pid, sums) =>
-            sums.map { case (src, tot) =>
-              val off = running.getOrElse(src, 0L)
-              running.update(src, off + tot)
-              ((pid, src), off)
-            }
-          }.toMap
-        val bOff = s.sparkContext.broadcast(offsets)
-        // phase 3: partition-local cumsum from the broadcast offset
-        val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
-          val cum = scala.collection.mutable.HashMap.empty[String, Long]
-          it.map { case (src, _, n) =>
-            val start = cum.getOrElse(src, bOff.value.getOrElse((pid, src), 0L))
-            cum.update(src, start + n)
-            (src, start / B, n)
-          }
-        }.toDF("source", "bin", "n_tokens")
-        packed.groupBy(col("source"), col("bin"))
+          .select(col("source").as("key"), lit(0.0).as("o1"),
+            col("doc_id").cast("long").as("o2"),
+            size(split(lower(col("text")), " ")).cast("long").as("n"))
+        // shared two-phase prefix-sum kernel (see [[prefixStarts]]);
+        // bin = start div B depends only on the global order, so any
+        // partition layout yields byte-identical bins
+        prefixStarts(s, docs)
+          .select(col("key").as("source"), expr(s"start div $B").as("bin"),
+            col("n").as("n_tokens"))
+          .groupBy(col("source"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
           .orderBy(col("source"), col("bin"))
       },
@@ -310,6 +337,51 @@ object CorpusOps extends QueryModule {
       SELECT source, CAST((cum - n) // 512 AS BIGINT) AS bin,
         CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
       FROM c GROUP BY source, bin ORDER BY source, bin""")
+    ),
+
+    QueryDef(
+      // Token-budget selection — "fill each domain's token budget with
+      // its best documents", the curation step between quality scoring
+      // and packing. Docs are ranked by (quality DESC, doc_id) within
+      // source; a doc is kept iff it fits entirely within the source's
+      // remaining budget under that order (exclusive prefix + its own
+      // tokens ≤ B). The running total reuses THE shared prefix-sum
+      // kernel ([[prefixStarts]]) — no global or hot-key window — and
+      // the ranking key is the SHARED quality score
+      // (TextFunctions.qualityScore), bit-identical in both engines, so
+      // the boundary doc is the same doc everywhere. Output: per-source
+      // kept docs/tokens + the quality cutoff actually realized.
+      "token_budget",
+      (s, dir) => {
+        val B = 800L
+        val docs = Tables(s, dir).documents
+          .select(col("source").as("key"),
+            (-graft.textfn.TextFunctions.qualityScore(col("text"))).as("o1"),
+            col("doc_id").cast("long").as("o2"),
+            graft.textfn.TextFunctions.tokenCount(col("text")).as("n"))
+        prefixStarts(s, docs)
+          .filter(col("start") + col("n") <= B)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n")).cast("long").as("kept_tokens"),
+            max(col("o1")).as("maxo1"))
+          .select(col("key").as("source"), col("n_kept"), col("kept_tokens"),
+            (-col("maxo1")).as("min_kept_quality"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n,
+          ${graft.textfn.TextFunctions.qualityScoreSql} AS q
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n, q,
+          SUM(n) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(n) AS BIGINT) AS kept_tokens,
+        MIN(q) AS min_kept_quality
+      FROM c WHERE cum <= 800 GROUP BY source ORDER BY source""")
     ),
 
     QueryDef(

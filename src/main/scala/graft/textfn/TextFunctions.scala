@@ -66,4 +66,32 @@ object TextFunctions {
         list_min(list_transform(range(1, len(string_split(lower(text), ' ')) - ${k - 2}),
           i -> md5(array_to_string(string_split(lower(text), ' ')[i:i+${k - 1}], ' '))))
       ELSE md5(lower(text)) END"""
+
+  /** THE quality score — length term + stopword term + digit penalty.
+    * One definition shared by `text_quality`, the `pipeline_filter`
+    * funnel, and the `token_budget` selection, so "quality" can never
+    * silently mean two different things in one pipeline. Every term is
+    * the same IEEE double expression tree in Spark and DuckDB →
+    * bit-identical scores (required: token_budget ORDERS by this value,
+    * and an ordering flip at the budget boundary would flip the kept
+    * set). Empty-text guard: zero tokens scores 0.0. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = hits(text, StopEn).cast("double") / nTok.cast("double")
+    val digitRatio = regexp_count(text, lit("[0-9]")).cast("double") /
+      length(text).cast("double")
+    when(length(text) === 0, 0.0).otherwise(
+      least(lit(1.0), length(text).cast("double") / 400.0) * 0.5 +
+        stopRatio * 0.3 +
+        (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2)
+  }
+
+  val qualityScoreSql: String =
+    s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      LEAST(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5
+      + (CAST(${hitsSql(StopEn)} AS DOUBLE)
+         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.3
+      + (1.0 - LEAST(1.0,
+          (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE)) * 5.0)) * 0.2 END"""
 }

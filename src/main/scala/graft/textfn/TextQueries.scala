@@ -71,6 +71,8 @@ object TextQueries extends QueryModule {
           length(col("text")).cast("double")
         val meanWordLen = (length(col("text")).cast("long") - (nTok - 1L)).cast("double") /
           nTok.cast("double")
+        // quality itself is the SHARED score (TextFunctions.qualityScore)
+        // — the same definition token_budget orders by
         Tables(s, dir).documents
           .select(
             col("doc_id"),
@@ -78,21 +80,17 @@ object TextQueries extends QueryModule {
             stopRatio.as("stop_ratio"),
             digitRatio.as("digit_ratio"),
             meanWordLen.as("mean_word_len"),
-            (least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
-              stopRatio * 0.3 +
-              (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2).as("quality"))
+            qualityScore(col("text")).as("quality"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""SELECT doc_id, n_chars_measured, stop_ratio, digit_ratio, mean_word_len,
-        LEAST(1.0, CAST(n_chars_measured AS DOUBLE) / 400.0) * 0.5 + stop_ratio * 0.3 +
-          (1.0 - LEAST(1.0, digit_ratio * 5.0)) * 0.2 AS quality
-      FROM (SELECT doc_id,
+      Some(s"""SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_chars_measured,
         CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio,
         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
         CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE) /
-          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len
-      FROM documents) q ORDER BY doc_id""")
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len,
+        $qualityScoreSql AS quality
+      FROM documents ORDER BY doc_id""")
     ),
 
     QueryDef(
@@ -106,11 +104,7 @@ object TextQueries extends QueryModule {
       "pipeline_filter",
       (s, dir) => {
         val nTok = tokenCount(col("text"))
-        val stopRatio = hits(col("text"), StopEn).cast("double") / nTok.cast("double")
-        val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") /
-          length(col("text")).cast("double")
-        val quality = least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
-          stopRatio * 0.3 + (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2
+        val quality = qualityScore(col("text"))
         val enHits = hits(col("text"), StopEn)
         val isEn = enHits > 0 &&
           enHits >= hits(col("text"), StopDe) &&
@@ -140,10 +134,7 @@ object TextQueries extends QueryModule {
       Some(s"""WITH f AS (
         SELECT doc_id,
           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-          LEAST(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
-            (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.3 +
-            (1.0 - LEAST(1.0, (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
-              CAST(length(text) AS DOUBLE)) * 5.0)) * 0.2 AS quality,
+          $qualityScoreSql AS quality,
           ${hitsSql(StopEn)} > 0 AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
             AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)}
             AND ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AS is_en,

@@ -50,6 +50,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == ref)
   }
 
+  test("prefix-sum kernel: starts are exclusive, per-key, order-exact") {
+    import spark.implicits._
+    // keys interleaved, o1 reverses o2 within key b — the kernel must
+    // follow (key, o1, o2), not input order
+    val rows = Seq(
+      ("a", 0.0, 1L, 10L), ("a", 0.0, 2L, 5L), ("a", 0.0, 3L, 7L),
+      ("b", -0.9, 20L, 100L), ("b", -0.5, 10L, 50L)
+    ).toDF("key", "o1", "o2", "n")
+    val got = CorpusOps.prefixStarts(spark, rows)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 15L),
+      // b: o1 = -0.9 (o2=20) sorts FIRST, so its start is 0
+      ("b", 20L, 0L), ("b", 10L, 100L)))
+  }
+
+  test("token budget keeps exactly the best-quality prefix per source") {
+    // reference: per-source window cumsum over (quality desc, doc_id)
+    val docs = graft.operators.Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        graft.textfn.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.textfn.TextFunctions.tokenCount(col("text")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = docs.withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= 800L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n")).cast("long").as("kept_tokens"),
+        min(col("q")).as("min_kept_quality"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val got = run("token_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(got == ref)
+    // the budget actually binds: nothing kept above it, and something cut
+    got.foreach { case (_, _, tok, _) => assert(tok <= 800L) }
+    val total = docs.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(got.map(_._3).sum < total, "budget kept everything — not a selection")
+  }
+
   test("bucketed range join equals the naive non-equi join") {
     val got = run("range_join_events").collect()
       .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
