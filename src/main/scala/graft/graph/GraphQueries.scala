@@ -112,6 +112,78 @@ object GraphQueries extends QueryModule {
       .limit(20)
   }
 
+  /** spo_bfs body — single-source shortest hop distances over the
+    * undirected entity graph, from the entity with object_id 1.
+    * Frontier expansion: each round joins the current frontier to the
+    * edge list and keeps previously-unseen nodes — O(diameter) rounds,
+    * each one join + one anti-join, lineage checkpointed. Same driver
+    * tier as pagerank/autoLabel: under `driverCap` edges the identical
+    * BFS runs in one collect (hop counts are exact integers — no
+    * summation-order sensitivity), spec-pinned equal to the distributed
+    * loop. Unreachable nodes are excluded (mirrored by the oracle's
+    * recursive reach set).
+    */
+  private[graft] def bfs(s: org.apache.spark.sql.SparkSession, dir: String,
+                         driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+    val names = t.select(col("subject").as("name"))
+      .unionByName(t.select(col("object").as("name")))
+      .distinct()
+    val objs = graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
+      .persist(lvl)
+    val srcD = objs.select(col("name").as("subject"), col("object_id").as("src"))
+    val dstD = objs.select(col("name").as("object"), col("object_id").as("dst"))
+    val halfEdges = t
+      .join(broadcast(srcD), "subject")
+      .join(broadcast(dstD), "object")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val edges = halfEdges
+      .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val seed = 1L
+    if (edges.count() <= driverCap) {
+      val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      edges.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+      }
+      // level-synchronous BFS
+      val dist = scala.collection.mutable.HashMap(seed -> 0L)
+      var level = List(seed); var hop = 0L
+      while (level.nonEmpty) {
+        hop += 1
+        level = level.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filter(v => !dist.contains(v))
+        level.foreach(v => dist(v) = hop)
+      }
+      import s.implicits._
+      dist.toSeq.toDF("object_id", "dist")
+        .orderBy(col("object_id"))
+    } else {
+      var dist = objs.filter(col("object_id") === seed)
+        .select(col("object_id").as("id"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = dist
+      var hop = 0L
+      val maxRounds = 50
+      while (frontier.limit(1).count() > 0 && hop <= maxRounds) {
+        hop += 1
+        val next = frontier.select(col("id").as("src"))
+          .join(edges, "src")
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(hop).as("dist"))
+          .localCheckpoint()
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      require(hop <= maxRounds, s"BFS did not drain in $maxRounds rounds")
+      dist.select(col("id").as("object_id"), col("dist"))
+        .orderBy(col("object_id"))
+    }
+  }
+
   /** The same ten fixed-point iterations, unrolled in SQL. */
   private val PagerankOracleSql: Option[String] = Some {
     val iters = (1 to 10).map { k =>
@@ -387,7 +459,112 @@ object GraphQueries extends QueryModule {
           .select(col("id").as("object_id"), col("n_triangles"))
           .orderBy(col("object_id"))
       },
+      TrianglesOracle
+    ),
+
+    QueryDef(
+      // Single-source shortest hop distances (BFS) from entity 1 —
+      // the reachability/radius primitive. Body in [[bfs]] so the spec
+      // can pin the driver tier against the distributed frontier loop.
+      "spo_bfs",
+      (s, dir) => bfs(s, dir),
       Some(s"""$prelude,
+        undir AS (
+          SELECT source_id AS src, target_id AS dst FROM edges
+          WHERE source_id <> target_id
+          UNION
+          SELECT target_id, source_id FROM edges WHERE source_id <> target_id),
+        reach AS (
+          WITH RECURSIVE r(id, dist) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT u.dst, r.dist + 1
+            FROM r JOIN undir u ON r.id = u.src
+            WHERE r.dist < 50)
+          SELECT id, MIN(dist) AS dist FROM r GROUP BY id)
+      SELECT id AS object_id, dist FROM reach ORDER BY object_id""")
+    ),
+
+    QueryDef(
+      // Neighbor-set Jaccard similarity — the link-prediction /
+      // entity-resolution primitive ("how alike are two nodes'
+      // neighborhoods"). Candidate pairs come only from wedges (two
+      // nodes sharing a hub), so the pair space is output-shaped, never
+      // all-pairs; the wedge self-join is the same hub-keyed equi-join
+      // as spo_cooccurrence and carries the same hot-hub discipline:
+      // nodes above [[MaxCoocDegree]] are excluded from the graph up
+      // front (broadcast anti-join; a node linked to everything makes
+      // every pair "similar" — noise at scale, d² in the join). Jaccard
+      // = |N(a)∩N(b)| / (|N(a)|+|N(b)|-|∩|), exact longs divided once
+      // as doubles → bit-identical across engines.
+      "spo_jaccard_neighbors",
+      (s, dir) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+        val objs = T.objects(t).persist(lvl)
+        val src = objs.select(col("name").as("subject"), col("object_id").as("sid"))
+        val dst = objs.select(col("name").as("object"), col("object_id").as("tid"))
+        val half = t
+          .join(broadcast(src), "subject")
+          .join(broadcast(dst), "object")
+          .filter(col("sid") =!= col("tid"))
+          .select(least(col("sid"), col("tid")).as("a"),
+            greatest(col("sid"), col("tid")).as("b"))
+          .distinct()
+        val und = half.select(col("a").as("x"), col("b").as("y"))
+          .unionByName(half.select(col("b").as("x"), col("a").as("y")))
+        val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val hot = deg.filter(col("d") > MaxCoocDegree).select(col("x"))
+        // drop hot nodes as BOTH hub and endpoint, so degrees and
+        // intersections describe the same capped graph
+        val kept = und
+          .join(broadcast(hot), Seq("x"), "left_anti")
+          .join(broadcast(hot.select(col("x").as("y"))), Seq("y"), "left_anti")
+          .select(col("x"), col("y"))
+          .persist(lvl)
+        val kdeg = kept.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val wedges = kept.select(col("x"), col("y").as("na"))
+          .join(kept.select(col("x"), col("y").as("nb")), "x")
+          .filter(col("na") < col("nb"))
+        val inter = wedges.groupBy(col("na"), col("nb")).agg(count(lit(1)).as("i"))
+        inter
+          .join(broadcast(kdeg.select(col("x").as("na"), col("d").as("da"))), "na")
+          .join(broadcast(kdeg.select(col("x").as("nb"), col("d").as("db"))), "nb")
+          .select(col("na").as("node_a"), col("nb").as("node_b"),
+            col("i").as("n_shared"),
+            (col("i").cast("double") /
+              (col("da") + col("db") - col("i")).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy(col("node_a"), col("node_b"))
+      },
+      Some(s"""$prelude,
+        half AS (
+          SELECT DISTINCT LEAST(source_id, target_id) AS a,
+            GREATEST(source_id, target_id) AS b
+          FROM edges WHERE source_id <> target_id),
+        und AS (SELECT a AS x, b AS y FROM half UNION ALL SELECT b, a FROM half),
+        deg AS (SELECT x, COUNT(*) AS d FROM und GROUP BY x),
+        hot AS (SELECT x FROM deg WHERE d > $MaxCoocDegree),
+        kept AS (SELECT x, y FROM und
+          WHERE x NOT IN (SELECT x FROM hot) AND y NOT IN (SELECT x FROM hot)),
+        kdeg AS (SELECT x, COUNT(*) AS d FROM kept GROUP BY x),
+        inter AS (
+          SELECT a.y AS na, b.y AS nb, COUNT(*) AS i
+          FROM kept a JOIN kept b ON a.x = b.x AND a.y < b.y
+          GROUP BY a.y, b.y)
+      SELECT na AS node_a, nb AS node_b, i AS n_shared,
+        CAST(i AS DOUBLE) / CAST(da.d + db.d - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN kdeg da ON da.x = na
+      JOIN kdeg db ON db.x = nb
+      WHERE CAST(i AS DOUBLE) / CAST(da.d + db.d - i AS DOUBLE) >= 0.3
+      ORDER BY node_a, node_b""")
+    )
+  )
+
+  /** spo_triangles oracle: plain id-ordered three-way join enumeration. */
+  private val TrianglesOracle: Option[String] = Some(
+    s"""$prelude,
         half AS (
           SELECT DISTINCT LEAST(source_id, target_id) AS a,
             GREATEST(source_id, target_id) AS b
@@ -405,6 +582,4 @@ object GraphQueries extends QueryModule {
       SELECT o.object_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
       FROM objs o LEFT JOIN cnt ON cnt.id = o.object_id
       ORDER BY o.object_id""")
-    )
-  )
 }

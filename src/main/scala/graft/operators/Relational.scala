@@ -890,6 +890,81 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // Ordered conversion funnel (signup → view → click → purchase):
+      // each stage's timestamp is the MIN event time of that type
+      // strictly after the previous stage — the product-analytics
+      // primitive. The declarative form is four chained correlated-MIN
+      // aggregates = four shuffles of the event stream; here it is ONE
+      // shuffle: co-partition by user, sort within partitions by time,
+      // and walk a 4-slot state machine per user (mapPartitions is
+      // justified: per-row conditional state no window/agg expresses
+      // without re-shuffling). Scanning in time order and taking each
+      // type's first qualifying hit IS the correlated MIN, so the
+      // DuckDB mirror is exact. Per-partition memory is O(users in
+      // partition) — user-dictionary-scale, not event-scale.
+      "q_events_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val walked = ev
+          .repartition(parts, col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("us"))
+          .as[(Long, String, Long)]
+          .mapPartitions { it =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+            var cur = 0L
+            var started = false
+            var t1, t2, t3, t4 = -1L
+            def flush(): Unit = if (started) out += ((cur, t1, t2, t3, t4))
+            it.foreach { case (u, typ, us) =>
+              if (!started || u != cur) {
+                flush(); cur = u; started = true
+                t1 = -1L; t2 = -1L; t3 = -1L; t4 = -1L
+              }
+              typ match {
+                case "signup"   => if (t1 < 0) t1 = us
+                case "view"     => if (t1 >= 0 && t2 < 0 && us > t1) t2 = us
+                case "click"    => if (t2 >= 0 && t3 < 0 && us > t2) t3 = us
+                case "purchase" => if (t3 >= 0 && t4 < 0 && us > t3) t4 = us
+                case _          =>
+              }
+            }
+            flush()
+            out.iterator
+          }
+          .toDF("user_id", "t1", "t2", "t3", "t4")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def stage(label: String, reached: Column, lat: Column) =
+          walked.filter(reached)
+            .agg(count(lit(1)).as("n_users"),
+              coalesce(sum(lat), lit(0L)).cast("long").as("total_latency_us"))
+            .select(lit(label).as("stage"), col("n_users"), col("total_latency_us"))
+        stage("s1_signup", col("t1") >= 0, lit(0L))
+          .unionByName(stage("s2_view", col("t2") >= 0, col("t2") - col("t1")))
+          .unionByName(stage("s3_click", col("t3") >= 0, col("t3") - col("t1")))
+          .unionByName(stage("s4_purchase", col("t4") >= 0, col("t4") - col("t1")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        u1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        u2 AS (SELECT e.user_id, u1.t1, MIN(us) AS t2 FROM e JOIN u1 USING (user_id)
+               WHERE event_type = 'view' AND us > u1.t1 GROUP BY e.user_id, u1.t1),
+        u3 AS (SELECT e.user_id, u2.t1, MIN(us) AS t3 FROM e JOIN u2 USING (user_id)
+               WHERE event_type = 'click' AND us > u2.t2 GROUP BY e.user_id, u2.t1),
+        u4 AS (SELECT e.user_id, u3.t1, MIN(us) AS t4 FROM e JOIN u3 USING (user_id)
+               WHERE event_type = 'purchase' AND us > u3.t3 GROUP BY e.user_id, u3.t1)
+      SELECT 's1_signup' AS stage, COUNT(*) AS n_users, CAST(0 AS BIGINT) AS total_latency_us FROM u1
+      UNION ALL SELECT 's2_view', COUNT(*), CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM u2
+      UNION ALL SELECT 's3_click', COUNT(*), CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM u3
+      UNION ALL SELECT 's4_purchase', COUNT(*), CAST(COALESCE(SUM(t4 - t1), 0) AS BIGINT) FROM u4
+      ORDER BY stage""")
+    ),
+
+    QueryDef(
       // TPC-H Q14 shape: promotion revenue share for one ship quarter.
       // lineitem never shuffles — part is a broadcast dim — and the
       // shipdate range reaches the parquet scan as a pushed filter, so

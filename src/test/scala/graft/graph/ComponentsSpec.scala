@@ -106,6 +106,17 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(driver == dist)
   }
 
+  test("bfs driver tier equals the distributed frontier loop") {
+    val dir = "/root/testdata/sf0.001"
+    def dists(cap: Long) = GraphQueries.bfs(spark, dir, driverCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val driver = dists(Long.MaxValue)
+    val dist = dists(0L)
+    assert(driver.nonEmpty)
+    assert(driver == dist)
+    assert(driver.count(_._2 == 0L) == 1, "exactly one seed at distance 0")
+  }
+
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
     val before = Seq(
       "spark.sql.adaptive.enabled",
