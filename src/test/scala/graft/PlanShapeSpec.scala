@@ -117,6 +117,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftAnti"), s"hot-bucket cap anti-join missing:\n${p.take(1500)}")
   }
 
+  test("triangles and jaccard wedges are equi-joins with broadcast dictionaries") {
+    for (name <- Seq("spo_triangles", "spo_jaccard_neighbors")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a nested loop")
+      assert(p.contains("BroadcastHashJoin"), s"$name: dictionary joins not broadcast")
+    }
+    // the jaccard hot-hub cap must stay a broadcast anti-join
+    val pj = plan("spo_jaccard_neighbors")
+    assert(pj.contains("LeftAnti"), "jaccard hot-hub cap anti-join missing")
+  }
+
+  test("funnel walks ONE exchange of events (no per-stage re-shuffle)") {
+    val p = plan("q_events_funnel")
+    // four stage aggregates read the persisted walked table; the event
+    // stream itself is exchanged once for the user co-partitioning
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges <= 1, s"funnel re-shuffles events per stage ($exchanges user_id exchanges)")
+  }
+
+  test("token budget ranks without a global or per-source window exec") {
+    val p = plan("token_budget")
+    assert(!p.contains("Window"), s"token_budget fell back to a window:\n${p.take(1500)}")
+  }
+
+  test("q14/q19 join part as a broadcast dim; q14 pushes the ship window") {
+    val p14 = plan("q14_promo_share")
+    assert(p14.contains("BroadcastHashJoin"), "q14: part not broadcast")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate"), "q14: ship window not pushed")
+    val p19 = plan("q19_disjunctive")
+    assert(p19.contains("BroadcastHashJoin"), "q19: part not broadcast")
+    assert(!p19.contains("CartesianProduct"), "q19 planned a cartesian")
+  }
+
   test("domain mixing broadcasts the per-source rate table") {
     val p = plan("mix_domains")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
