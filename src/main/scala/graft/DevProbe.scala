@@ -44,6 +44,14 @@ object DevProbe {
 
     val what = sys.env.getOrElse("PROBE", "minhash")
     what match {
+      case "jaccard" =>
+        import org.apache.spark.sql.functions._
+        for (i <- 1 to 3) t(s"spo_jaccard_neighbors run$i") {
+          println("  rows=" + SparkEntry.queries("spo_jaccard_neighbors")(spark, sfDir).count())
+        }
+        t("spo_triangles") {
+          println("  rows=" + SparkEntry.queries("spo_triangles")(spark, sfDir).count())
+        }
       case "minhash" =>
         import org.apache.spark.sql.functions._
         val feats = t("feats build+persist") {

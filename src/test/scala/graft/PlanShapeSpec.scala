@@ -118,15 +118,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("triangles and jaccard wedges are equi-joins with broadcast dictionaries") {
-    for (name <- Seq("spo_triangles", "spo_jaccard_neighbors")) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a nested loop")
-      assert(p.contains("BroadcastHashJoin"), s"$name: dictionary joins not broadcast")
-    }
-    // the jaccard hot-hub cap must stay a broadcast anti-join
-    val pj = plan("spo_jaccard_neighbors")
+    val p = plan("spo_triangles")
+    assert(!p.contains("CartesianProduct"), "triangles planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "triangles planned a nested loop")
+    assert(p.contains("BroadcastHashJoin"), "triangles: dictionary joins not broadcast")
+    // jaccard: force the distributed wedge tier (the driver bitset tier
+    // returns a local result with no joins to inspect)
+    val pj = graft.graph.GraphQueries.jaccardNeighbors(spark, dir, edgeCap = 0L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!pj.contains("CartesianProduct"), "jaccard planned a cartesian")
+    assert(!pj.contains("BroadcastNestedLoopJoin"), "jaccard planned a nested loop")
     assert(pj.contains("LeftAnti"), "jaccard hot-hub cap anti-join missing")
+    assert(pj.contains("BroadcastHashJoin"), "jaccard: degree joins not broadcast")
   }
 
   test("funnel walks ONE exchange of events (no per-stage re-shuffle)") {

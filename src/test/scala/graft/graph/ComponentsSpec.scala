@@ -117,6 +117,17 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(driver.count(_._2 == 0L) == 1, "exactly one seed at distance 0")
   }
 
+  test("jaccard driver bitset tier equals the distributed wedge count") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(cap: Long) = GraphQueries.jaccardNeighbors(spark, dir, edgeCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val driver = pairs(Long.MaxValue)
+    val dist = pairs(0L)
+    assert(driver.nonEmpty)
+    assert(driver == dist)
+    assert(driver.forall(_._3 >= 0.5))
+  }
+
   test("session config (AQE, partitions, codegen) is restored after the scoped loop") {
     val before = Seq(
       "spark.sql.adaptive.enabled",
