@@ -965,6 +965,38 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // Cohort retention matrix — (signup-day cohort × day offset →
+      // distinct active users), the other product-analytics staple next
+      // to the funnel. Cohort assignment is a per-user MIN (one shuffle
+      // on user_id, map-side combined); the user → cohort table is
+      // user-dictionary-sized and joins back BROADCAST, so the event
+      // stream is never reshuffled for the enrichment; the final
+      // (cohort, offset) aggregate is a low-cardinality rollup.
+      "q_retention_cohorts",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        val active = ev.distinct()
+        active.join(broadcast(cohorts), "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, day FROM e)
+      SELECT cohort_day,
+        CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        COUNT(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN cohorts USING (user_id)
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""")
+    ),
+
+    QueryDef(
       // TPC-H Q14 shape: promotion revenue share for one ship quarter.
       // lineitem never shuffles — part is a broadcast dim — and the
       // shipdate range reaches the parquet scan as a pushed filter, so
