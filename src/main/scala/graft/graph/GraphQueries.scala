@@ -178,7 +178,10 @@ object GraphQueries extends QueryModule {
         dist = dist.unionByName(next).localCheckpoint()
         frontier = next
       }
-      require(hop <= maxRounds, s"BFS did not drain in $maxRounds rounds")
+      // loud bound: the frontier itself must have drained (checking hop
+      // alone would false-fail a graph that drains exactly at the cap)
+      require(frontier.limit(1).count() == 0,
+        s"BFS did not drain in $maxRounds rounds")
       dist.select(col("id").as("object_id"), col("dist"))
         .orderBy(col("object_id"))
     }

@@ -241,21 +241,63 @@ object StreamCorpus {
       arrays_overlap(graft.pipeline.CorpusOps.shingles8(col(textCol)),
         typedlit(benchmarkShingles)))
 
-  /** The quality score of the batch `text_quality`, streaming-safe
-    * (stateless expression over one row). */
-  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nTok = size(split(lower(t), " ")).cast("long")
-    val stopRatio = graft.textfn.TextFunctions.hits(t, graft.textfn.TextFunctions.StopEn)
-      .cast("double") / nTok.cast("double")
-    val digitRatio = regexp_count(t, lit("[0-9]")).cast("double") / length(t).cast("double")
-    // empty text divides by length 0 → NULL under non-ANSI semantics,
-    // and a NULL quality silently falls out of any >= threshold filter;
-    // an empty doc is definitionally minimum-quality, so score it 0
+  /** The SHARED quality score (TextFunctions.qualityScore — one
+    * definition with text_quality / pipeline_filter / token_budget),
+    * streaming-safe: a stateless expression over one row, empty text
+    * scored 0 by the shared guard. */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("quality",
-      when(length(t) === 0, lit(0.0)).otherwise(
-        least(lit(1.0), length(t).cast("double") / 400.0) * 0.5 +
-          stopRatio * 0.3 +
-          (lit(1.0) - least(lit(1.0), digitRatio * 5.0)) * 0.2))
+      graft.textfn.TextFunctions.qualityScore(col(textCol)))
+}
+
+/** Streaming face of the batch `q_events_funnel`: per-user 4-slot
+  * funnel state via `flatMapGroupsWithState`, emitting each stage the
+  * FIRST time a user reaches it (with latency from the signup stage).
+  *
+  * Semantics match the batch operator when events arrive in event-time
+  * order across micro-batches (each batch is sorted before the walk, so
+  * any single-batch feed is exact — spec-proven against the batch
+  * funnel). A cross-batch straggler older than an already-claimed stage
+  * cannot retroactively lower that stage — the inherent streaming
+  * trade, same as the sessionizer's.
+  *
+  * Scale: state is 4 longs per user, hash-partitioned by user across
+  * executors; a production deployment would add an event-time timeout
+  * to expire dormant users once the funnel window closes.
+  */
+object StreamFunnel {
+
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+  final case class StageHit(user_id: Long, stage: String, ts_us: Long, latency_us: Long)
+
+  def funnel(events: Dataset[FunnelEvent]): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          val hits = Seq.newBuilder[StageHit]
+          batch.toSeq.sortBy(_.ts_us).foreach { e =>
+            e.event_type match {
+              case "signup" if st.t1 < 0 =>
+                st = st.copy(t1 = e.ts_us)
+                hits += StageHit(userId, "s1_signup", e.ts_us, 0L)
+              case "view" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
+                st = st.copy(t2 = e.ts_us)
+                hits += StageHit(userId, "s2_view", e.ts_us, e.ts_us - st.t1)
+              case "click" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
+                st = st.copy(t3 = e.ts_us)
+                hits += StageHit(userId, "s3_click", e.ts_us, e.ts_us - st.t1)
+              case "purchase" if st.t3 >= 0 && st.t4 < 0 && e.ts_us > st.t3 =>
+                st = st.copy(t4 = e.ts_us)
+                hits += StageHit(userId, "s4_purchase", e.ts_us, e.ts_us - st.t1)
+              case _ =>
+            }
+          }
+          state.update(st)
+          hits.result().iterator
+      }
   }
 }

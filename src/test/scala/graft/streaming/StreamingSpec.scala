@@ -120,6 +120,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming funnel agrees with the batch funnel on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamFunnel._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.operators.Tables(spark, dir).events
+      .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_.ts_us)
+    val input = MemoryStream[FunnelEvent]
+    val q = funnel(input.toDS()).writeStream
+      .format("memory").queryName("sfunnel").outputMode("append").start()
+    try {
+      // two in-order micro-batches: state must carry across the split
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("sfunnel").as[StageHit].collect()
+        .groupBy(_.stage)
+        .map { case (st, hs) => st -> ((hs.length.toLong, hs.map(_.latency_us).sum)) }
+      val batch = graft.SparkEntry.queries("q_events_funnel")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(streamed == batch)
+      assert(streamed.keySet ==
+        Set("s1_signup", "s2_view", "s3_click", "s4_purchase"))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated content") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
