@@ -234,9 +234,11 @@ object GraphQueries extends QueryModule {
       .select(least(col("sid"), col("tid")).as("a"),
         greatest(col("sid"), col("tid")).as("b"))
       .distinct()
+      // persisted: the degree aggregate and the capped halfKept below
+      // both scan this distinct set
+      .persist(lvl)
     val und = half.select(col("a").as("x"), col("b").as("y"))
       .unionByName(half.select(col("b").as("x"), col("a").as("y")))
-      .persist(lvl)
     val hot = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
       .filter(col("d") > MaxCoocDegree)
       .select(col("x"))
