@@ -131,7 +131,7 @@ object DevProbe {
         for (k <- Seq(1, 10)) {
           val tmp = java.nio.file.Files.createTempDirectory(s"graft_cs$k").toString
           scaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-          for (q <- Seq("decontam_ngram", "pack_sequences", "sample_stratified", "mix_domains")) {
+          for (q <- Seq("decontam_ngram", "pack_sequences", "sample_stratified", "mix_domains", "token_budget")) {
             t(s"$q x$k") {
               val n = SparkEntry.queries(q)(spark, tmp).count()
               println(s"  $q x$k rows=$n")
