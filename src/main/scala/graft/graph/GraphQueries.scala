@@ -127,47 +127,46 @@ object GraphQueries extends QueryModule {
                          driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-    val names = t.select(col("subject").as("name"))
-      .unionByName(t.select(col("object").as("name")))
-      .distinct()
-    val objs = graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
-      .persist(lvl)
-    val srcD = objs.select(col("name").as("subject"), col("object_id").as("src"))
-    val dstD = objs.select(col("name").as("object"), col("object_id").as("dst"))
-    val halfEdges = t
-      .join(broadcast(srcD), "subject")
-      .join(broadcast(dstD), "object")
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val edges = halfEdges
-      .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val objs = T.idDictionary(t).persist(lvl)
+    val half = T.halfEdges(t, objs)
+    val edges = half
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     val seed = 1L
-    if (edges.count() <= driverCap) {
+    val maxRounds = 50
+    // the seed row exists only if entity 1 exists (empty input → empty
+    // output in BOTH tiers and the oracle)
+    val seedRows = objs.filter(col("object_id") === seed)
+      .select(col("object_id").as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    if (seedRows.count() == 0) {
+      seedRows
+        .select(col("id").as("object_id"), col("dist"))
+    } else if (edges.count() <= driverCap) {
       val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
       edges.collect().foreach { r =>
         adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
       }
-      // level-synchronous BFS
+      // level-synchronous BFS — same maxRounds bound as the distributed
+      // tier and the oracle's dist cap, loud on overflow
       val dist = scala.collection.mutable.HashMap(seed -> 0L)
       var level = List(seed); var hop = 0L
-      while (level.nonEmpty) {
+      while (level.nonEmpty && hop < maxRounds) {
         hop += 1
         level = level.flatMap(u => adj.getOrElse(u, Nil))
           .distinct.filter(v => !dist.contains(v))
         level.foreach(v => dist(v) = hop)
       }
+      require(level.isEmpty, s"BFS did not drain in $maxRounds rounds")
       import s.implicits._
       dist.toSeq.toDF("object_id", "dist")
         .orderBy(col("object_id"))
     } else {
-      var dist = objs.filter(col("object_id") === seed)
-        .select(col("object_id").as("id"), lit(0L).as("dist"))
-        .localCheckpoint()
+      var dist = seedRows
       var frontier = dist
       var hop = 0L
-      val maxRounds = 50
-      while (frontier.limit(1).count() > 0 && hop <= maxRounds) {
+      while (frontier.limit(1).count() > 0 && hop < maxRounds) {
         hop += 1
         val next = frontier.select(col("id").as("src"))
           .join(edges, "src")
@@ -224,19 +223,10 @@ object GraphQueries extends QueryModule {
     val tau = 0.5
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-    val objs = T.objects(t).persist(lvl)
-    val src = objs.select(col("name").as("subject"), col("object_id").as("sid"))
-    val dst = objs.select(col("name").as("object"), col("object_id").as("tid"))
-    val half = t
-      .join(broadcast(src), "subject")
-      .join(broadcast(dst), "object")
-      .filter(col("sid") =!= col("tid"))
-      .select(least(col("sid"), col("tid")).as("a"),
-        greatest(col("sid"), col("tid")).as("b"))
-      .distinct()
-      // persisted: the degree aggregate and the capped halfKept below
-      // both scan this distinct set
-      .persist(lvl)
+    val objs = T.idDictionary(t).persist(lvl)
+    // persisted: the degree aggregate and the capped halfKept below
+    // both scan this distinct set
+    val half = T.halfEdges(t, objs).persist(lvl)
     val und = half.select(col("a").as("x"), col("b").as("y"))
       .unionByName(half.select(col("b").as("x"), col("a").as("y")))
     val hot = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -247,9 +237,12 @@ object GraphQueries extends QueryModule {
       .join(broadcast(hot.select(col("x").as("b"))), Seq("b"), "left_anti")
       .select(col("a"), col("b"))
       .persist(lvl)
-    val nNodes = halfKept.select(explode(array(col("a"), col("b"))).as("id"))
+    // gate order matters: the cheap edge count disqualifies first, so
+    // the node-count job (an extra shuffle over kept edges) only runs
+    // when the driver tier is actually reachable
+    def nNodes = halfKept.select(explode(array(col("a"), col("b"))).as("id"))
       .distinct().count()
-    if (nNodes <= JaccardNodeDriverCap && halfKept.count() <= edgeCap) {
+    if (halfKept.count() <= edgeCap && nNodes <= JaccardNodeDriverCap) {
       val edges = halfKept.collect().map(r => (r.getLong(0), r.getLong(1)))
       val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
       val idx = ids.zipWithIndex.toMap
@@ -433,29 +426,18 @@ object GraphQueries extends QueryModule {
         // persisted: the triple stream (with its per-row JSON extraction)
         // feeds both the dictionary build and the edge join
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-        // the component loop needs only (id, id) edges and the id
-        // dictionary — not first-seen times or per-predicate weights, so
-        // it skips the min-ts aggregate and the (s,d,predicate) rollup
-        // that the objects/relationships surfaces pay for. Ids still come
-        // from the same rank-by-name assignment, so component ids (min
-        // object_id) match the oracle's exactly.
-        val names = t.select(col("subject").as("name"))
-          .unionByName(t.select(col("object").as("name")))
-          .distinct()
-        val objs = graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
-        val src = objs.select(col("name").as("subject"), col("object_id").as("source_id"))
-        val dst = objs.select(col("name").as("object"), col("object_id").as("target_id"))
-        // normalize pairs before the distinct (one dedup shuffle over half
-        // the rows), then mirror — the union after distinct is shuffle-free
-        val halfEdges = t
-          .join(broadcast(src), "subject")
-          .join(broadcast(dst), "object")
-          .filter(col("source_id") =!= col("target_id"))
-          .select(least(col("source_id"), col("target_id")).as("src"),
-            greatest(col("source_id"), col("target_id")).as("dst"))
-          .distinct()
-        val undirected = halfEdges
-          .unionByName(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
+        // the component loop needs only (id, id) edges and the lean id
+        // dictionary (T.idDictionary — no first-seen aggregate, ids
+        // match the oracle's rank-by-name exactly). The canonical
+        // half-edge set is THE shared construction (T.halfEdges, also
+        // under triangles/jaccard/BFS): normalize pairs before the
+        // distinct (one dedup shuffle over half the rows), then mirror —
+        // the union after distinct is shuffle-free.
+        val objs = T.idDictionary(t)
+        val halfE = T.halfEdges(t, objs)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val undirected = halfE
+          .unionByName(halfE.select(col("dst").as("src"), col("src").as("dst")))
         // autoLabel: the (entity, entity) edge summary is dictionary-
         // sized — far below the corpus — so connectivity solves on the
         // driver in one collect when it fits, and falls through to the
@@ -560,20 +542,12 @@ object GraphQueries extends QueryModule {
       (s, dir) => {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-        val objs = T.objects(t).persist(lvl)
-        val src = objs.select(col("name").as("subject"), col("object_id").as("sid"))
-        val dst = objs.select(col("name").as("object"), col("object_id").as("tid"))
-        // distinct undirected edges as canonical (a < b) halves — the
-        // kernel ([[Triangles.countPerNode]]) persists them for its
-        // degree aggregate + orientation join
-        val half = t
-          .join(broadcast(src), "subject")
-          .join(broadcast(dst), "object")
-          .filter(col("sid") =!= col("tid"))
-          .select(least(col("sid"), col("tid")).as("a"),
-            greatest(col("sid"), col("tid")).as("b"))
-          .distinct()
-        Triangles.countPerNode(half, objs.select(col("object_id").as("id")))
+        val objs = T.idDictionary(t).persist(lvl)
+        // THE shared canonical half-edge set (T.halfEdges) — the kernel
+        // ([[Triangles.countPerNode]]) persists it for its degree
+        // aggregate + orientation join
+        Triangles.countPerNode(T.halfEdges(t, objs),
+            objs.select(col("object_id").as("id")))
           .select(col("id").as("object_id"), col("n_triangles"))
           .orderBy(col("object_id"))
       },
@@ -594,7 +568,7 @@ object GraphQueries extends QueryModule {
           SELECT target_id, source_id FROM edges WHERE source_id <> target_id),
         reach AS (
           WITH RECURSIVE r(id, dist) AS (
-            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            SELECT object_id, CAST(0 AS BIGINT) FROM objs WHERE object_id = 1
             UNION
             SELECT u.dst, r.dist + 1
             FROM r JOIN undir u ON r.id = u.src

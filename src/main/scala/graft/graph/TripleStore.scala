@@ -68,6 +68,38 @@ object TripleStore {
         lit("entity").as("object_type"), col("first_seen_us"))
   }
 
+  /** Lean id dictionary for the graph-algorithm loops: rank-by-name
+    * dense ids WITHOUT the first-seen aggregate that [[objects]] pays
+    * for. Ids depend only on name order, so they match [[objects]]'
+    * object_id exactly — the algorithm suites and the
+    * objects/relationships surfaces agree on ids by construction.
+    */
+  def idDictionary(triples: DataFrame): DataFrame = {
+    val names = triples.select(col("subject").as("name"))
+      .unionByName(triples.select(col("object").as("name")))
+      .distinct()
+    graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
+  }
+
+  /** THE canonical undirected edge set over entity ids: distinct
+    * (a < b) halves, self-loops dropped, dictionary joined broadcast.
+    * One definition shared by components, triangles, jaccard, and BFS —
+    * a change to canonicalization or the self-loop rule lands once, or
+    * the oracles diverge. Mirror the undirected form in SQL with
+    * `LEAST/GREATEST ... WHERE source_id <> target_id` + `UNION`.
+    */
+  def halfEdges(triples: DataFrame, dict: DataFrame): DataFrame = {
+    val src = dict.select(col("name").as("subject"), col("object_id").as("sid"))
+    val dst = dict.select(col("name").as("object"), col("object_id").as("tid"))
+    triples
+      .join(broadcast(src), "subject")
+      .join(broadcast(dst), "object")
+      .filter(col("sid") =!= col("tid"))
+      .select(least(col("sid"), col("tid")).as("a"),
+        greatest(col("sid"), col("tid")).as("b"))
+      .distinct()
+  }
+
   /** Edge list with ids resolved by name (the reference's id lookup),
     * aggregated to weighted edges. The objects side is broadcast — an
     * entity dictionary is small relative to the edge stream.

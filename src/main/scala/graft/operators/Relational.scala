@@ -914,23 +914,18 @@ object Relational extends QueryModule {
           .sortWithinPartitions(col("user_id"), col("us"))
           .as[(Long, String, Long)]
           .mapPartitions { it =>
+            // THE shared transition rules (Funnel.step) — one definition
+            // with the streaming funnel
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
             var cur = 0L
             var started = false
-            var t1, t2, t3, t4 = -1L
-            def flush(): Unit = if (started) out += ((cur, t1, t2, t3, t4))
+            var st = Funnel.Empty
+            def flush(): Unit = if (started) out += ((cur, st.t1, st.t2, st.t3, st.t4))
             it.foreach { case (u, typ, us) =>
               if (!started || u != cur) {
-                flush(); cur = u; started = true
-                t1 = -1L; t2 = -1L; t3 = -1L; t4 = -1L
+                flush(); cur = u; started = true; st = Funnel.Empty
               }
-              typ match {
-                case "signup"   => if (t1 < 0) t1 = us
-                case "view"     => if (t1 >= 0 && t2 < 0 && us > t1) t2 = us
-                case "click"    => if (t2 >= 0 && t3 < 0 && us > t2) t3 = us
-                case "purchase" => if (t3 >= 0 && t4 < 0 && us > t3) t4 = us
-                case _          =>
-              }
+              st = Funnel.step(st, typ, us)._1
             }
             flush()
             out.iterator
@@ -974,8 +969,11 @@ object Relational extends QueryModule {
       // (cohort, offset) aggregate is a low-cardinality rollup.
       "q_retention_cohorts",
       (s, dir) => {
+        // persisted: the cohort MIN and the distinct-activity set both
+        // scan this projection
         val ev = Tables(s, dir).events
           .select(col("user_id"), to_date(col("ts")).as("day"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cohorts = ev.groupBy(col("user_id"))
           .agg(min(col("day")).as("cohort_day"))
         val active = ev.distinct()
@@ -1011,7 +1009,7 @@ object Relational extends QueryModule {
         t.lineitem
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-          .join(broadcast(Tables(s, dir).part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero4))
               .cast("double").as("promo_revenue"),

@@ -268,7 +268,6 @@ object StreamCorpus {
 object StreamFunnel {
 
   final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
-  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
   final case class StageHit(user_id: Long, stage: String, ts_us: Long, latency_us: Long)
 
   def funnel(events: Dataset[FunnelEvent]): Dataset[StageHit] = {
@@ -276,25 +275,15 @@ object StreamFunnel {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[graft.operators.Funnel.State]) =>
+          // THE shared transition rules (Funnel.step) — one definition
+          // with the batch q_events_funnel walker
+          var st = state.getOption.getOrElse(graft.operators.Funnel.Empty)
           val hits = Seq.newBuilder[StageHit]
           batch.toSeq.sortBy(_.ts_us).foreach { e =>
-            e.event_type match {
-              case "signup" if st.t1 < 0 =>
-                st = st.copy(t1 = e.ts_us)
-                hits += StageHit(userId, "s1_signup", e.ts_us, 0L)
-              case "view" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
-                st = st.copy(t2 = e.ts_us)
-                hits += StageHit(userId, "s2_view", e.ts_us, e.ts_us - st.t1)
-              case "click" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
-                st = st.copy(t3 = e.ts_us)
-                hits += StageHit(userId, "s3_click", e.ts_us, e.ts_us - st.t1)
-              case "purchase" if st.t3 >= 0 && st.t4 < 0 && e.ts_us > st.t3 =>
-                st = st.copy(t4 = e.ts_us)
-                hits += StageHit(userId, "s4_purchase", e.ts_us, e.ts_us - st.t1)
-              case _ =>
-            }
+            val (next, hit) = graft.operators.Funnel.step(st, e.event_type, e.ts_us)
+            st = next
+            hit.foreach(h => hits += StageHit(userId, h.stage, e.ts_us, h.latencyUs))
           }
           state.update(st)
           hits.result().iterator
