@@ -46,6 +46,28 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(counts == Map(7L -> 0L, 8L -> 0L))
   }
 
+  test("random graphs match brute force (seeded, 5 trials)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(18) // 8..25 nodes
+      val nodes = (0L until n).toSeq
+      val edges = (for {
+        a <- nodes; b <- nodes if a < b
+        if rnd.nextDouble() < 0.3
+      } yield (a, b))
+      val counts = run(edges, nodes)
+      val es = edges.map { case (a, b) => Set(a, b) }.toSet
+      val brute = nodes.map { v =>
+        v -> (for {
+          a <- nodes; b <- nodes if a < b
+          if a != v && b != v
+          if es(Set(a, v)) && es(Set(b, v)) && es(Set(a, b))
+        } yield 1).size.toLong
+      }.toMap
+      assert(counts == brute, s"trial $trial: n=$n edges=${edges.size}")
+    }
+  }
+
   test("counts are orientation-invariant: hub-heavy graph matches brute force") {
     // hub 0 connected to 1..12, ring 1-2-...-12-1: triangles are exactly
     // (0, i, i+1) around the ring — 12 of them; brute-force check

@@ -66,6 +66,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       ("b", 20L, 0L), ("b", 10L, 100L)))
   }
 
+  test("prefix-sum kernel matches the window reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(5).toDouble - 2.0, i.toLong, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("key", "o1", "o2", "n")
+    val got = CorpusOps.prefixStarts(spark, df)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    // reference: per-key exclusive running sum in plain Scala
+    val ref = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._2, r._3)).map { r =>
+        val start = cum; cum += r._4; (k, r._3, start)
+      }
+    }.toSet
+    assert(got == ref)
+  }
+
   test("token budget keeps exactly the best-quality prefix per source") {
     // reference: per-source window cumsum over (quality desc, doc_id)
     val docs = graft.operators.Tables(spark, dir).documents
