@@ -44,10 +44,48 @@ object DevProbe {
 
     val what = sys.env.getOrElse("PROBE", "minhash")
     what match {
+      case "graph_scale" =>
+        // 10x scale sanity for the §2.2 graph tier: replicate events with
+        // disjoint user/key namespaces per copy (nodes AND edges scale
+        // ~10x, no cross-copy edges), stage as parquet, compare
+        // wall-clock at 1x vs 10x
+        import org.apache.spark.sql.functions._
+        // raw read keeps ts as INT64 nanos so the staged file round-trips
+        // through Tables.events' nanos-as-long path unchanged
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        def scaled(k: Int) = (0 until k).map { i =>
+          ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("event_type"), col("value"),
+            // props are {"k": <int>} — offset the key id so each copy's
+            // key namespace is disjoint (shared keys would go hot at 10x
+            // and be capped away, changing the graph's shape)
+            concat(lit("{\"k\": "),
+              (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
+              lit("}")).as("props"))
+        }.reduce(_ unionByName _)
+        for (k <- Seq(1, 10)) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
+          scaled(k).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+          for (q <- Seq("spo_components", "spo_triangles", "spo_jaccard_neighbors",
+              "spo_bfs", "spo_pagerank")) {
+            t(s"$q x$k") {
+              val n = SparkEntry.queries(q)(spark, tmp).count()
+              println(s"  $q x$k rows=$n")
+            }
+          }
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+
       case "jaccard" =>
         import org.apache.spark.sql.functions._
-        for (i <- 1 to 3) t(s"spo_jaccard_neighbors run$i") {
-          println("  rows=" + SparkEntry.queries("spo_jaccard_neighbors")(spark, sfDir).count())
+        t("jaccard driver tier") {
+          println("  rows=" + graft.graph.GraphQueries.jaccardNeighbors(spark, sfDir).count())
+        }
+        t("jaccard distributed tier") {
+          println("  rows=" + graft.graph.GraphQueries.jaccardNeighbors(spark, sfDir, edgeCap = 0L).count())
         }
         t("spo_triangles") {
           println("  rows=" + SparkEntry.queries("spo_triangles")(spark, sfDir).count())

@@ -187,10 +187,14 @@ object GraphQueries extends QueryModule {
   }
 
   /** Node-count cap for the jaccard driver tier: pair work is
-    * m²/2 · m/64 word-AND+popcounts (4.3e9 at the cap, spread over a
-    * parallel stream) and bitset memory is m²/8 bytes (8 MB at the
-    * cap). */
-  private[graft] val JaccardNodeDriverCap = 8192
+    * m²/2 · m/64 word-AND+popcounts (~34e9 at the cap — a couple of
+    * seconds across a parallel stream) and bitset memory is m²/8 bytes
+    * (32 MB at the cap). Measured at 16k nodes / 146k edges: driver
+    * bitsets ~3 s end-to-end where the distributed wedge tier pays
+    * 42 s shuffling its (inherent) Σ d² ≈ 280M wedge rows — the wedge
+    * tier is the right shape ABOVE driver scale, but a dense graph
+    * under it is pure in-process win. */
+  private[graft] val JaccardNodeDriverCap = 16384
 
   /** spo_jaccard_neighbors body. Two tiers, chosen by capped-graph
     * size, same answer (spec-pinned):
