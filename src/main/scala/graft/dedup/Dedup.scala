@@ -76,6 +76,20 @@ object Dedup extends QueryModule {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
       org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
 
+  /** DuckDB `md5_number_lower` semantics: little-endian uint64 of MD5
+    * digest bytes 8..15. Used for the SIMHASH shingle hash so the whole
+    * simhash pipeline is oracle-expressible (xxhash64 has no DuckDB
+    * mirror; md5 is defined identically in both engines). The caller
+    * owns the digest instance (one per partition). */
+  private def md5Lower64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** `xxhash64(intLit, long, long)` fold semantics (seed 42, each value
     * hashed with the running hash as seed) — the band-key hash the old
     * column pipeline produced, now computed in the kernel: 64 inline
@@ -123,6 +137,8 @@ object Dedup extends QueryModule {
     val src = docs.select(col("doc_id"), lower(col("text")).as("t"))
       .repartition(numParts, col("doc_id"))
     src.mapPartitions { iter =>
+      // one digest instance per partition, reset per shingle (withSim)
+      val md = java.security.MessageDigest.getInstance("MD5")
       iter.flatMap { row =>
         val toks = row.getString(1).split(" ", -1)
         if (toks.length < ShingleK) Iterator.empty
@@ -130,6 +146,7 @@ object Dedup extends QueryModule {
           val seen = new java.util.HashSet[String]()
           val shingles = Seq.newBuilder[String]
           val hashes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+          val simHashes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
           val sb = new java.lang.StringBuilder(64)
           var i = 0
           while (i + ShingleK <= toks.length) {
@@ -143,7 +160,8 @@ object Dedup extends QueryModule {
             val sh = sb.toString
             if (seen.add(sh)) {
               shingles += sh
-              if (withSig || withSim) hashes += xxh64(sh)
+              if (withSig) hashes += xxh64(sh)
+              if (withSim) simHashes += md5Lower64(md, sh)
             }
             i += 1
           }
@@ -169,7 +187,7 @@ object Dedup extends QueryModule {
           }
           if (withSim) {
             val counts = new Array[Int](64)
-            hashes.foreach { h =>
+            simHashes.foreach { h =>
               var j = 0
               while (j < 64) {
                 counts(j) += ((h >>> j) & 1L).toInt
@@ -179,7 +197,7 @@ object Dedup extends QueryModule {
             var sim = 0L
             var j = 0
             while (j < 64) {
-              if (2 * counts(j) > hashes.length) sim |= (1L << j)
+              if (2 * counts(j) > simHashes.length) sim |= (1L << j)
               j += 1
             }
             out = out :+ sim
@@ -797,7 +815,31 @@ object Dedup extends QueryModule {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None
+      // The oracle needs NO banding: by pigeonhole, hamming <= 7 over
+      // 8 8-bit segments forces at least one equal segment, so the
+      // engine's banded candidate set is a superset of every qualifying
+      // pair — engine output ≡ all pairs at hamming <= 7. The shingle
+      // hash is md5_number_lower (defined identically in both engines),
+      // the bit votes a strict majority, and the per-pair hamming a sum
+      // of per-bit disagreements (no 64-bit assembly, so no signedness
+      // traps). Quadratic pair join is oracle-side only (sf0.01).
+      Some(s"""WITH sh0 AS ($shingleSetsSql),
+        sh AS (SELECT doc_id, unnest(ss) AS s FROM sh0),
+        hb AS (SELECT doc_id, md5_number_lower(s) AS h FROM sh),
+        votes AS (
+          SELECT doc_id, j,
+            SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+            COUNT(*) AS n
+          FROM hb CROSS JOIN range(0, 64) r(j)
+          GROUP BY doc_id, j),
+        bits AS (SELECT doc_id, j,
+            CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS b FROM votes)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 7
+      ORDER BY doc_a, doc_b""")
     ),
 
     QueryDef(

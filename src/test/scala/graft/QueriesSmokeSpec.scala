@@ -22,7 +22,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == Set("knn_lsh", "knn_ivf", "dedup_simhash", "q_approx_distinct"))
+    // the remaining three are approximate BY DESIGN (LSH/IVF recall,
+    // HLL error) — no exact SQL mirror exists even in principle;
+    // dedup_simhash graduated to oracle-exact via md5_number_lower
+    assert(noOracle == Set("knn_lsh", "knn_ivf", "q_approx_distinct"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {
