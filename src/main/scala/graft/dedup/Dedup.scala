@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *    probability is (1 - 0.5^2)^64 ~ 1e-8, so it too matches the
   *    brute-force oracle
   *  - SimHash (64-bit) with segment banding (8 x 8 bits; pigeonhole
-  *    guarantees recall for Hamming <= 7) — xxhash-based, rows-only
+  *    guarantees recall for Hamming <= 7) — md5-hashed shingles, so the
+  *    whole pipeline is oracle-exact against a banding-free SQL mirror
   *  - embedding cosine near-dup via exact angular blocking
   *    ([[AngularBlocking]]: cell equi-joins + triangle-inequality
   *    pruning, recall 1 by construction — never an all-pairs product)
@@ -790,9 +791,10 @@ object Dedup extends QueryModule {
     ),
 
     QueryDef(
-      // 64-bit SimHash over shingle hashes; 8 bands x 8 bits (pigeonhole:
-      // hamming <= 7 implies >= 1 equal segment). xxhash-based -> no SQL
-      // mirror; deterministic, rows-only checked + unit-tested.
+      // 64-bit SimHash over md5-hashed shingles; 8 bands x 8 bits
+      // (pigeonhole: hamming <= 7 implies >= 1 equal segment).
+      // Oracle-exact — see the oracle note below for the equivalence
+      // argument and its bucket-cap condition.
       "dedup_simhash",
       (s, dir) => {
         // bit-majority in the same narrow kernel pass as shingling (a
@@ -818,7 +820,12 @@ object Dedup extends QueryModule {
       // The oracle needs NO banding: by pigeonhole, hamming <= 7 over
       // 8 8-bit segments forces at least one equal segment, so the
       // engine's banded candidate set is a superset of every qualifying
-      // pair — engine output ≡ all pairs at hamming <= 7. The shingle
+      // pair — engine output ≡ all pairs at hamming <= 7, PROVIDED no
+      // segment bucket overflows bucketPairs' 10k skew cap (trivially
+      // true at gate scale; a corpus with >10k docs sharing one 8-bit
+      // segment value is mega-dup-dense and needs the dedup_clusters
+      // discipline — exact-dup contraction BEFORE pair enumeration —
+      // since its qualifying pair set is itself quadratic). The shingle
       // hash is md5_number_lower (defined identically in both engines),
       // the bit votes a strict majority, and the per-pair hamming a sum
       // of per-bit disagreements (no 64-bit assembly, so no signedness

@@ -189,11 +189,11 @@ object GraphQueries extends QueryModule {
   /** Node-count cap for the jaccard driver tier: pair work is
     * m²/2 · m/64 word-AND+popcounts (~34e9 at the cap — a couple of
     * seconds across a parallel stream) and bitset memory is m²/8 bytes
-    * (32 MB at the cap). Measured at 16k nodes / 146k edges: driver
-    * bitsets ~3 s end-to-end where the distributed wedge tier pays
-    * 42 s shuffling its (inherent) Σ d² ≈ 280M wedge rows — the wedge
-    * tier is the right shape ABOVE driver scale, but a dense graph
-    * under it is pure in-process win. */
+    * (32 MB at the cap). Measured at 16k nodes / 1.46M directed edges
+    * (avg degree ~91): driver bitsets ~3 s end-to-end where the
+    * distributed wedge tier pays 42 s shuffling its (inherent)
+    * Σ d² ≈ 280M wedge rows — the wedge tier is the right shape ABOVE
+    * driver scale, but a dense graph under it is pure in-process win. */
   private[graft] val JaccardNodeDriverCap = 16384
 
   /** spo_jaccard_neighbors body. Two tiers, chosen by capped-graph
