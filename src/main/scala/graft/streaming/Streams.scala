@@ -250,6 +250,50 @@ object StreamCorpus {
       graft.textfn.TextFunctions.qualityScore(col(textCol)))
 }
 
+/** Streaming face of the batch `token_budget`: per-source running token
+  * totals via `flatMapGroupsWithState`, emitting each doc that still
+  * fits ENTIRELY within its source's remaining budget (same fit rule as
+  * the batch operator: exclusive prefix + own tokens ≤ B).
+  *
+  * Semantics under streaming: a stream cannot sort the future, so each
+  * micro-batch is ranked by the SHARED quality score ((quality DESC,
+  * doc_id) — the batch operator's exact order; group iterators carry no
+  * order guarantee, so the sort is the operator's job, as in the
+  * sessionizer) and the cumulative carries across batches. The batch
+  * operator is the one-batch special case: feed everything in one batch
+  * and the kept set is EXACTLY the batch `token_budget` selection
+  * (spec-proven, including across a micro-batch split in quality order).
+  *
+  * State per source: ONE long (tokens consumed) — trivially bounded by
+  * the source dictionary.
+  */
+object StreamTokenBudget {
+
+  final case class DocTokens(source: String, doc_id: Long, quality: Double, n_tokens: Long)
+  final case class Kept(source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+
+  def keep(docs: Dataset[DocTokens], budget: Long): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[DocTokens], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val kept = Seq.newBuilder[Kept]
+          batch.toSeq.sortBy(d => (-d.quality, d.doc_id)).foreach { d =>
+            // EVERY doc advances the cumulative — the batch rule is
+            // "kept iff its inclusive prefix over ALL docs in order fits"
+            // (a skipped doc still consumes its slot in the order), so
+            // the stream must match or the two diverge at the boundary
+            cum += d.n_tokens
+            if (cum <= budget) kept += Kept(source, d.doc_id, d.n_tokens, cum)
+          }
+          state.update(cum)
+          kept.result().iterator
+      }
+  }
+}
+
 /** Streaming face of the batch `q_events_funnel`: per-user 4-slot
   * funnel state via `flatMapGroupsWithState`, emitting each stage the
   * FIRST time a user reaches it (with latency from the signup stage).

@@ -152,6 +152,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming token budget fed in quality order equals the batch selection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamTokenBudget._
+    val dir = "/root/testdata/sf0.001"
+    // the batch operator's order: (quality DESC, doc_id) within source
+    val docs = graft.operators.Tables(spark, dir).documents
+      .select(col("source"),
+        graft.textfn.TextFunctions.qualityScore(col("text")).as("q"),
+        col("doc_id"),
+        graft.textfn.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (_, q, id, _) => (-q, id) }
+      .map { case (src, q, id, n) => DocTokens(src, id, q, n) }
+    val input = MemoryStream[DocTokens]
+    val q = keep(input.toDS(), budget = 800L).writeStream
+      .format("memory").queryName("sbudget").outputMode("append").start()
+    try {
+      // split mid-stream: the per-source cumulative must carry
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("sbudget").as[Kept].collect()
+        .groupBy(_.source)
+        .map { case (s, ks) => s -> ((ks.length.toLong, ks.map(_.n_tokens).sum)) }
+      val batch = graft.SparkEntry.queries("token_budget")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated content") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
