@@ -995,6 +995,87 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // TPC-H Q7 shape (volume shipping): revenue flowing between two
+      // nations by ship year, in both directions. The fact side joins
+      // orders (fact-fact shuffle) once; supplier/customer/nation are
+      // broadcast dims; the two-nation restriction is a codegen'd
+      // disjunction over the joined row (it references BOTH sides, so
+      // it cannot push below the join — the dims' own IN-filters can
+      // and do).
+      "q7_volume_shipping",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val n1 = t.nation.filter(col("n_name").isin("NATION_3", "NATION_7"))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t.nation.filter(col("n_name").isin("NATION_3", "NATION_7"))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+        $revenueSql AS revenue, COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+        AND n2.n_name IN ('NATION_3', 'NATION_7')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+    ),
+
+    QueryDef(
+      // TPC-H Q10 shape (returned-item reporting): customers ranked by
+      // revenue lost to returns in one quarter's orders. One fact-fact
+      // shuffle (orders pre-filtered to the quarter), customer + nation
+      // broadcast, top 20 via TakeOrderedAndProject — never a global
+      // sort.
+      "q10_returned_items",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.filter(col("l_returnflag") === "R")
+          .join(t.orders.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+        $revenueSql AS revenue, COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    ),
+
+    QueryDef(
       // TPC-H Q14 shape: promotion revenue share for one ship quarter.
       // lineitem never shuffles — part is a broadcast dim — and the
       // shipdate range reaches the parquet scan as a pushed filter, so
