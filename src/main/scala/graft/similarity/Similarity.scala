@@ -73,17 +73,24 @@ object Similarity extends QueryModule {
   private def partitionTopK(s: org.apache.spark.sql.SparkSession,
                             data: org.apache.spark.sql.DataFrame,
                             queries: org.apache.spark.sql.DataFrame,
-                            k: Int): org.apache.spark.sql.DataFrame = {
+                            k: Int,
+                            labelFiltered: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // with labelFiltered, queries carry a third `label` column and a
+    // corpus row is scored for a query only on label match — the
+    // filtered-ANN shape: the predicate runs INSIDE the scorer, so one
+    // corpus pass still serves every query (vs one filtered scan each)
     val q = queries.collect().map(r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      (r.getLong(0), r.getSeq[Float](1).toArray,
+        if (labelFiltered) r.getInt(2) else 0)).sortBy(_._1)
     val qb = s.sparkContext.broadcast(q)
     val outSchema = StructType(Seq(
       StructField("qid", LongType), StructField("vec_id", LongType),
       StructField("cosine", DoubleType)))
     val idIdx = data.schema.fieldIndex("vec_id")
     val embIdx = data.schema.fieldIndex("embedding")
+    val labIdx = if (labelFiltered) data.schema.fieldIndex("label") else -1
     data.mapPartitions { rows =>
       val qs = qb.value
       // (cosine asc, vec_id desc) ordering so the heap root is the entry
@@ -93,10 +100,11 @@ object Similarity extends QueryModule {
       rows.foreach { row =>
         val id = row.getLong(idIdx)
         val emb = row.getSeq[Float](embIdx)
+        val rowLabel = if (labIdx >= 0) row.getInt(labIdx) else 0
         var qi = 0
         while (qi < qs.length) {
-          val (qid, qe) = qs(qi)
-          if (id != qid) {
+          val (qid, qe, qLabel) = qs(qi)
+          if (id != qid && (labIdx < 0 || rowLabel == qLabel)) {
             var dot = 0.0; var na = 0.0; var nb = 0.0
             var i = 0
             val n = math.min(qe.length, emb.length)
@@ -257,6 +265,36 @@ object Similarity extends QueryModule {
           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         FROM (SELECT qid, e.vec_id, ${cosineSql("qe", "embedding")} AS cosine
               FROM q, embeddings e WHERE e.vec_id <> qid) c) r
+      WHERE rk <= $K ORDER BY qid, rk""")
+    ),
+
+    QueryDef(
+      // FILTERED vector search — "top-k neighbors with the query's own
+      // label" (the tenant/language/domain-restricted ANN every vector
+      // store is asked for). The predicate evaluates INSIDE the scorer
+      // kernel, so one corpus pass serves all queries regardless of
+      // their filters (the naive form is one filtered scan per query);
+      // the big side still never shuffles, exactly as knn_bruteforce.
+      "knn_filtered",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val queries = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
+        val partials = partitionTopK(s, e, queries, K, labelFiltered = true)
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        partials
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= K)
+          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label
+          FROM embeddings WHERE vec_id < $NQueries)
+      SELECT qid, vec_id, cosine, rk FROM (
+        SELECT qid, vec_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM (SELECT qid, e.vec_id, ${cosineSql("qe", "embedding")} AS cosine
+              FROM q, embeddings e WHERE e.vec_id <> qid AND e.label = q.label) c) r
       WHERE rk <= $K ORDER BY qid, rk""")
     ),
 
