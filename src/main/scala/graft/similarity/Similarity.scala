@@ -430,6 +430,63 @@ object Similarity extends QueryModule {
     ),
 
     QueryDef(
+      // Int8 scalar quantization accounting — the embedding-STORAGE
+      // operator (4x smaller vectors is the difference between RAM and
+      // disk at 100 TB): per vector, symmetric scale = 127/max|x|,
+      // q_i = round(x_i·scale) ∈ [-127,127], reconstruction error
+      // Σ(x_i - q_i/scale)². Stateless per-row expressions — trivially
+      // linear, no shuffle before the final order. Cross-engine
+      // exactness: every fold (max|x|, Σerr²) is LEFT-TO-RIGHT in array
+      // index order on BOTH sides (Spark `aggregate` HOF ≡ DuckDB
+      // `list_reduce` — an unordered SUM over unnest would drift in the
+      // low bits), and round() is half-away-from-zero in both engines.
+      "embed_quantize",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        e.select(col("vec_id"), col("label"),
+            expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+              (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))""").as("max_abs"),
+            col("embedding"))
+          .select(col("vec_id"), col("label"), col("max_abs"),
+            // squared via self-multiplication, NOT pow(_, 2): libm pow
+            // may differ from the exact product by an ulp across engines
+            when(col("max_abs") === 0.0, lit(0.0)).otherwise(
+              expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                (a, x) -> a + (CAST(x AS DOUBLE)
+                  - round(CAST(x AS DOUBLE) * 127.0 / max_abs) * max_abs / 127.0)
+                  * (CAST(x AS DOUBLE)
+                  - round(CAST(x AS DOUBLE) * 127.0 / max_abs) * max_abs / 127.0))"""))
+              .as("sum_sq_err"),
+            expr("""aggregate(embedding, 0L,
+              (a, x) -> a + CASE WHEN max_abs > 0.0 AND
+                abs(round(CAST(x AS DOUBLE) * 127.0 / max_abs)) = 127.0
+                THEN 1 ELSE 0 END)""").as("n_saturated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH m AS (
+        SELECT vec_id, label, embedding,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+            (a, x) -> greatest(a, x)) AS max_abs
+        FROM embeddings)
+      SELECT vec_id, label, max_abs,
+        CASE WHEN max_abs = 0.0 THEN 0.0 ELSE
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE))),
+            (a, x) -> a + (x - round(x * 127.0 / max_abs) * max_abs / 127.0)
+                        * (x - round(x * 127.0 / max_abs) * max_abs / 127.0))
+        END AS sum_sq_err,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(embedding, x ->
+            CASE WHEN max_abs > 0.0 AND
+              abs(round(CAST(x AS DOUBLE) * 127.0 / max_abs)) = 127.0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (a, x) -> a + x) AS n_saturated
+      FROM m ORDER BY vec_id"""
+      )
+    ),
+
+    QueryDef(
       "embed_norm_stats",
       (s, dir) => {
         Tables(s, dir).embeddings
