@@ -1053,7 +1053,7 @@ object Relational extends QueryModule {
         t.lineitem.filter(col("l_returnflag") === "R")
           .join(t.orders.filter(
             col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
@@ -1070,7 +1070,7 @@ object Relational extends QueryModule {
       JOIN nation ON c_nationkey = n_nationkey
       WHERE l_returnflag = 'R'
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY c_custkey, c_name, n_name, c_acctbal
       ORDER BY revenue DESC, c_custkey LIMIT 20""")
     ),

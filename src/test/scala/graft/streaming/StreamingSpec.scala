@@ -175,6 +175,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val (b1, b2) = docs.splitAt(docs.length / 3)
       input.addData(b1.toSeq); q.processAllAvailable()
       input.addData(b2.toSeq); q.processAllAvailable()
+      // doc-level equality: the kept SET must be the per-source
+      // inclusive-prefix-fits selection, not just matching aggregates
+      val streamedIds = spark.table("sbudget").as[Kept].collect()
+        .map(k => (k.source, k.doc_id)).toSet
+      val expectedIds = docs.toSeq.groupBy(_.source).values.flatMap { ds =>
+        var cum = 0L
+        ds.flatMap { d =>
+          cum += d.n_tokens
+          if (cum <= 800L) Some((d.source, d.doc_id)) else None
+        }
+      }.toSet
+      assert(streamedIds == expectedIds)
+      // and the aggregates still match the batch operator
       val streamed = spark.table("sbudget").as[Kept].collect()
         .groupBy(_.source)
         .map { case (s, ks) => s -> ((ks.length.toLong, ks.map(_.n_tokens).sum)) }
