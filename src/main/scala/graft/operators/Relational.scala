@@ -1076,6 +1076,32 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // TPC-H Q13 shape (customer distribution): orders-per-customer
+      // histogram through a LEFT OUTER join — customers with zero
+      // orders MUST survive to the c_count=0 bucket, which is exactly
+      // what an inner join silently drops. Two-level aggregation: the
+      // inner one shuffles on custkey (AQE handles the hot-customer
+      // skew this query is famous for), the outer one reduces a
+      // histogram-sized set.
+      "q13_customer_distribution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    ),
+
+    QueryDef(
       // TPC-H Q14 shape: promotion revenue share for one ship quarter.
       // lineitem never shuffles — part is a broadcast dim — and the
       // shipdate range reaches the parquet scan as a pushed filter, so
