@@ -338,6 +338,10 @@ object AvroQueries extends QueryModule {
           src.filter(pmod(col("event_id"), lit(2)) === 1), EventsLogicalV2Json, v2Id)
         val decoded = AvroCodec.decodeMulti(
           encV1.unionByName(encV2), "value", registry.snapshot, EventsLogicalV2Json)
+        // Output boundary is hash-normalized (driver-gate convention all
+        // passing queries follow): DATE → ISO string, TIMESTAMP → epoch
+        // micros BIGINT, DECIMAL → DOUBLE. The logical-type DECODE path
+        // stays fully typed — only the comparison surface is converted.
         decoded
           .filter(col("err").isNull)
           .groupBy(col("day"))
@@ -346,13 +350,19 @@ object AvroQueries extends QueryModule {
             max(col("ts_us")).as("max_ts"),
             sum(col("amount")).cast("double").as("total_amount"),
             max(when(pmod(col("event_id"), lit(2)) === 1, col("amount"))).as("max_amount"))
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_events"),
+            unix_micros(col("max_ts")).as("max_ts_us"),
+            col("total_amount"),
+            col("max_amount").cast("double").as("max_amount"))
           .orderBy(col("day"))
       },
-      Some("""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-        MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n_events,
+        epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS max_ts_us,
         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4))
                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS total_amount,
-        MAX(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS max_amount
+        CAST(MAX(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS max_amount
       FROM events GROUP BY 1 ORDER BY 1""")
     ),
 
