@@ -44,20 +44,14 @@ object GraphQueries extends QueryModule {
   private[graft] def pagerank(s: org.apache.spark.sql.SparkSession, dir: String,
                               driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-    val names = t.select(col("subject").as("name"))
-      .unionByName(t.select(col("object").as("name")))
+    val g = T.staged(s, dir)
+    // distinct directed edges from the staged weighted edge list — the
+    // id resolution joins ran once at staging, not once per query
+    val edges = g.relationships
+      .select(col("source_id").as("src"), col("target_id").as("dst"))
       .distinct()
-    val objs = graft.operators.DenseIds.byOrder(names, "object_id", 1L, col("name"))
-      .persist(lvl)
-    val srcD = objs.select(col("name").as("subject"), col("object_id").as("src"))
-    val dstD = objs.select(col("name").as("object"), col("object_id").as("dst"))
-    val edges = t
-      .join(broadcast(srcD), "subject")
-      .join(broadcast(dstD), "object")
-      .select(col("src"), col("dst")).distinct()
       .localCheckpoint()
-    val nodes = objs.select(col("object_id").as("id"))
+    val nodes = g.dict.select(col("object_id").as("id"))
     // driver tier (the autoLabel discipline): ten distributed iterations
     // cost ~68 sub-second jobs of tiny-data joins (measured 4.7 s at
     // sf0.1); when the edge summary fits the driver, the identical
@@ -125,10 +119,9 @@ object GraphQueries extends QueryModule {
     */
   private[graft] def bfs(s: org.apache.spark.sql.SparkSession, dir: String,
                          driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-    val objs = T.idDictionary(t).persist(lvl)
-    val half = T.halfEdges(t, objs)
+    val g = T.staged(s, dir)
+    val objs = g.dict
+    val half = g.half
     val edges = half
       .select(col("a").as("src"), col("b").as("dst"))
       .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
@@ -226,11 +219,9 @@ object GraphQueries extends QueryModule {
                                       edgeCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     val tau = 0.5
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-    val objs = T.idDictionary(t).persist(lvl)
-    // persisted: the degree aggregate and the capped halfKept below
-    // both scan this distinct set
-    val half = T.halfEdges(t, objs).persist(lvl)
+    // staged canonical half-edge set — already persisted; the degree
+    // aggregate and the capped halfKept below both scan it
+    val half = T.staged(s, dir).half
     val und = half.select(col("a").as("x"), col("b").as("y"))
       .unionByName(half.select(col("b").as("x"), col("a").as("y")))
     val hot = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -323,28 +314,24 @@ object GraphQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "spo_objects",
-      (s, dir) => T.objects(T.triplesFromEvents(graft.operators.Tables(s, dir).events))
-        .orderBy(col("object_id")),
+      (s, dir) => T.staged(s, dir).objects.orderBy(col("object_id")),
       Some(s"$prelude SELECT object_id, name, object_type, first_seen_us FROM objs ORDER BY object_id")
     ),
 
     QueryDef(
       "spo_relationships",
-      (s, dir) => {
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        T.relationships(t, T.objects(t)).orderBy(col("source_id"), col("target_id"), col("predicate"))
-      },
+      (s, dir) => T.staged(s, dir).relationships
+        .orderBy(col("source_id"), col("target_id"), col("predicate")),
       Some(s"$prelude SELECT source_id, target_id, predicate, n FROM edges ORDER BY source_id, target_id, predicate")
     ),
 
     QueryDef(
       "spo_degree",
       (s, dir) => {
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        val objs = T.objects(t)
-        // persisted: the edge list feeds both the out- and in-degree aggs
-        val edges = T.relationships(t, objs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = T.staged(s, dir)
+        val objs = g.objects
+        // staged+persisted edge list feeds both the out- and in-degree aggs
+        val edges = g.relationships
         val out = edges.groupBy(col("source_id").as("object_id"))
           .agg(sum(col("n")).as("out_edges"), countDistinct(col("target_id")).as("out_neighbors"))
         val in = edges.groupBy(col("target_id").as("object_id"))
@@ -375,7 +362,7 @@ object GraphQueries extends QueryModule {
     QueryDef(
       "spo_predicate_stats",
       (s, dir) => {
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
+        val t = T.staged(s, dir).triples
         t.groupBy(col("predicate"))
           .agg(count(lit(1)).as("n_triples"),
             countDistinct(col("subject")).as("n_subjects"),
@@ -391,10 +378,9 @@ object GraphQueries extends QueryModule {
     QueryDef(
       "spo_two_hop",
       (s, dir) => {
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        // persisted: both sides of the self-join scan this distinct set
-        val hop = t.select(col("subject"), col("object")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // staged+persisted distinct (subject, object) set — both sides
+        // of the self-join scan it
+        val hop = T.staged(s, dir).so
         val back = hop.select(col("object"), col("subject").as("peer"))
         hop.join(back, "object")
           .filter(col("subject") =!= col("peer"))
@@ -426,19 +412,13 @@ object GraphQueries extends QueryModule {
       "spo_components",
       (s, dir) => {
         val tQ = System.nanoTime()
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // persisted: the triple stream (with its per-row JSON extraction)
-        // feeds both the dictionary build and the edge join
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-        // the component loop needs only (id, id) edges and the lean id
-        // dictionary (T.idDictionary — no first-seen aggregate, ids
-        // match the oracle's rank-by-name exactly). The canonical
-        // half-edge set is THE shared construction (T.halfEdges, also
-        // under triangles/jaccard/BFS): normalize pairs before the
+        // the component loop needs only the staged (id, id) half-edge
+        // set and the staged dictionary: normalize pairs before the
         // distinct (one dedup shuffle over half the rows), then mirror —
         // the union after distinct is shuffle-free.
-        val objs = T.idDictionary(t)
-        val halfE = T.halfEdges(t, objs)
+        val g = T.staged(s, dir)
+        val objs = g.dict
+        val halfE = g.half
           .select(col("a").as("src"), col("b").as("dst"))
         val undirected = halfE
           .unionByName(halfE.select(col("dst").as("src"), col("src").as("dst")))
@@ -503,10 +483,8 @@ object GraphQueries extends QueryModule {
       // degree aggregate shuffles on the same key as the self-join.
       "spo_cooccurrence",
       (s, dir) => {
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events)
-        // persisted: degree agg + both sides of the self-join scan this
-        val so = t.select(col("subject"), col("object")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // staged+persisted: degree agg + both sides of the self-join scan it
+        val so = T.staged(s, dir).so
         val hot = so.groupBy(col("subject")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") > MaxCoocDegree)
           .select(col("subject"))
@@ -544,14 +522,12 @@ object GraphQueries extends QueryModule {
       // total order over nodes yields the same per-corner counts.
       "spo_triangles",
       (s, dir) => {
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val t = T.triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-        val objs = T.idDictionary(t).persist(lvl)
-        // THE shared canonical half-edge set (T.halfEdges) — the kernel
-        // ([[Triangles.countPerNode]]) persists it for its degree
-        // aggregate + orientation join
-        Triangles.countPerNode(T.halfEdges(t, objs),
-            objs.select(col("object_id").as("id")))
+        // the staged canonical half-edge set — the kernel
+        // ([[Triangles.countPerNode]]) persists its own degree-oriented
+        // derivation of it
+        val g = T.staged(s, dir)
+        Triangles.countPerNode(g.half,
+            g.dict.select(col("object_id").as("id")))
           .select(col("id").as("object_id"), col("n_triangles"))
           .orderBy(col("object_id"))
       },

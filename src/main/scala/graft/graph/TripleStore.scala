@@ -30,6 +30,52 @@ import org.apache.spark.sql.functions._
   */
 object TripleStore {
 
+  /** The canonical graph artifacts every §2.2 query builds on, staged
+    * ONCE per (session, dataset) and persisted. Before this cache the
+    * suite re-ran the whole construction chain (triple extraction with
+    * its per-row JSON parse → rank-by-name dictionary sort → half-edge
+    * dedup shuffle) once per query — 11 queries × the same three
+    * shuffles. At 100 TB this staging is exactly what a production
+    * session does: materialize the dictionary + edge list as shared
+    * tables (the graph_scale probe stages them as parquet), and every
+    * downstream algorithm starts from the co-partitioned edge set.
+    * All members are lazy Spark plans — a query that only needs
+    * `triples` never pays for `relationships`.
+    */
+  final case class StagedGraph(
+      triples: DataFrame,   // persisted: JSON-extracted SPO stream
+      objects: DataFrame,   // persisted: dense-id dictionary + first_seen
+      dict: DataFrame,      // projection of objects (ids match by construction)
+      relationships: DataFrame, // persisted: weighted directed edges
+      half: DataFrame,      // persisted: canonical undirected (a<b) edges
+      so: DataFrame)        // persisted: distinct (subject, object) pairs
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedGraph]
+
+  /** Staged artifacts for `dir`'s events table, built at most once per
+    * (session, dir) — keyed on session identity so a restarted session
+    * (new executors, new block manager) never sees stale persisted
+    * blocks. Entries are bounded by the number of distinct datasets a
+    * session touches (in practice: one).
+    */
+  def staged(s: org.apache.spark.sql.SparkSession, dir: String): StagedGraph = {
+    val key = System.identityHashCode(s).toString + "|" + dir
+    stagedCache.computeIfAbsent(key, _ => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val t = triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+      val objs = objects(t).persist(lvl)
+      val dict = objs.select(col("object_id"), col("name"))
+      StagedGraph(
+        triples = t,
+        objects = objs,
+        dict = dict,
+        relationships = relationships(t, objs).persist(lvl),
+        half = halfEdges(t, dict).persist(lvl),
+        so = t.select(col("subject"), col("object")).distinct().persist(lvl))
+    })
+  }
+
   /** events → SPO triples: user --event_type--> prop-value entity.
     * Mirrors the reference's triple feed; `first_seen_us` plays the role
     * of the reference's wall-clock `created_at` but is deterministic.
