@@ -348,6 +348,48 @@ object Dedup extends QueryModule {
     }(Encoders.row(outSchema)).distinct()
   }
 
+  /** dedup_incremental body, cap-parameterized so the spec can exercise
+    * both regimes (the shipped corpus never comes near the cap — the
+    * inertness spec pins that; a synthetic degenerate band pins the
+    * capped behavior). Bands with more than `hotBandCap` BASE docs are
+    * excluded from candidate generation: a degenerate band pairing the
+    * whole base with the whole delta is quadratic, and (like
+    * spo_cooccurrence's MaxCoocDegree) a band shared by everything
+    * carries no similarity signal. The cap can make the engine miss
+    * pairs whose ONLY shared bands are hot — the oracle is uncapped
+    * brute force, so the gate is meaningful only while the cap is inert
+    * on the gated corpus, which DedupIncrementalCapSpec asserts.
+    */
+  private[graft] def incrementalDedup(docs: DataFrame, hotBandCap: Long = 10000L): DataFrame = {
+    val feats = shingleFeatures(docs, withSig = true, withSim = false)
+      .withColumn("is_delta", col("doc_id") % 7 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaBands = feats.filter(col("is_delta"))
+      .select(col("doc_id").as("delta_id"), explode(col("bands")).as("band_key"))
+    val baseBands = feats.filter(!col("is_delta"))
+      .select(col("doc_id").as("base_id"), explode(col("bands")).as("band_key"))
+    // skew guard: cap mirrors bucketPairs
+    val hot = baseBands.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotBandCap)
+      .select(col("band_key"))
+    val cands = deltaBands
+      .join(broadcast(hot), Seq("band_key"), "left_anti")
+      .join(baseBands, "band_key")
+      .select(col("base_id").as("doc_a"), col("delta_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, feats.select(col("doc_id"), col("ss")), "ss", JaccardTauShingles)
+      .select(col("doc_b").as("delta_id"), col("doc_a").as("base_id"), col("jaccard"))
+      .orderBy(col("delta_id"), col("base_id"))
+  }
+
+  /** Per-band BASE-doc counts for the incremental index — exposed for
+    * the cap-inertness spec. */
+  private[graft] def incrementalBandCounts(docs: DataFrame): DataFrame =
+    shingleFeatures(docs, withSig = true, withSim = false)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(explode(col("bands")).as("band_key"))
+      .groupBy(col("band_key")).agg(count(lit(1)).as("c"))
+
   private def jaccardPairsSql(setsCte: String, setCol: String, tau: Double,
                               idCol: String = "doc_id", outA: String = "doc_a", outB: String = "doc_b"): String = {
     val inter = s"len(list_intersect(a.$setCol, b.$setCol))"
@@ -755,29 +797,7 @@ object Dedup extends QueryModule {
       // 100 TB the base side is bucket-partitioned storage and the join
       // touches only buckets the delta's bands hit.
       "dedup_incremental",
-      (s, dir) => {
-        val feats = shingleFeatures(Tables(s, dir).documents,
-            withSig = true, withSim = false)
-          .withColumn("is_delta", col("doc_id") % 7 === 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deltaBands = feats.filter(col("is_delta"))
-          .select(col("doc_id").as("delta_id"), explode(col("bands")).as("band_key"))
-        val baseBands = feats.filter(!col("is_delta"))
-          .select(col("doc_id").as("base_id"), explode(col("bands")).as("band_key"))
-        // skew guard: a degenerate band key pairing the whole base with
-        // the whole delta would be quadratic; cap mirrors bucketPairs
-        val hot = baseBands.groupBy(col("band_key"))
-          .agg(count(lit(1)).as("c")).filter(col("c") > 10000)
-          .select(col("band_key"))
-        val cands = deltaBands
-          .join(broadcast(hot), Seq("band_key"), "left_anti")
-          .join(baseBands, "band_key")
-          .select(col("base_id").as("doc_a"), col("delta_id").as("doc_b"))
-          .distinct()
-        verifyJaccard(cands, feats.select(col("doc_id"), col("ss")), "ss", JaccardTauShingles)
-          .select(col("doc_b").as("delta_id"), col("doc_a").as("base_id"), col("jaccard"))
-          .orderBy(col("delta_id"), col("base_id"))
-      },
+      (s, dir) => incrementalDedup(Tables(s, dir).documents),
       Some(s"""WITH s AS ($shingleSetsSql),
         base AS (SELECT * FROM s WHERE doc_id % 7 <> 0),
         delta AS (SELECT * FROM s WHERE doc_id % 7 = 0)
