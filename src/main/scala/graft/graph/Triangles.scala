@@ -28,14 +28,18 @@ object Triangles {
   def countPerNode(half: DataFrame, nodes: DataFrame): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val h = half.persist(lvl)
-    // orientation key = degree * 2^32 + id: one comparable long, strict
-    // total order (ids unique, dictionary-scale < 2^32), degree-major.
+    // orientation key = struct(degree, id): degree-major strict total
+    // order (ids unique). A struct comparison instead of the previous
+    // packed `deg * 2^32 + id` long — the packed form silently stopped
+    // being a total order past id 2^32 or degree 2^31 (overflow / id
+    // bleeding into degree bits), which would drop or double-count
+    // triangles with no error; struct ordering has no range assumption.
     // The key table is node-dictionary-sized — broadcast, like the id
     // dictionary itself.
     val key = h.select(col("a").as("id"))
       .unionByName(h.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .select(col("id"), (col("deg") * lit(4294967296L) + col("id")).as("k"))
+      .select(col("id"), struct(col("deg"), col("id")).as("k"))
     val oriented = h
       .join(broadcast(key.select(col("id").as("a"), col("k").as("ka"))), "a")
       .join(broadcast(key.select(col("id").as("b"), col("k").as("kb"))), "b")

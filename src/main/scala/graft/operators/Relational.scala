@@ -976,8 +976,17 @@ object Relational extends QueryModule {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cohorts = ev.groupBy(col("user_id"))
           .agg(min(col("day")).as("cohort_day"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val active = ev.distinct()
-        active.join(broadcast(cohorts), "user_id")
+        // size-gated broadcast (the driver-tier discipline): the cohort
+        // table is user-dictionary-cardinality, not a fixed dim — an
+        // unconditional broadcast() hint would strip Spark's size-based
+        // fallback and OOM on a large user population instead of
+        // degrading to a shuffle join. Under the cap (~50 MB serialized)
+        // the event stream is never reshuffled for the enrichment.
+        val cohortsJoin =
+          if (cohorts.count() <= 2000000L) broadcast(cohorts) else cohorts
+        active.join(cohortsJoin, "user_id")
           .groupBy(col("cohort_day"),
             datediff(col("day"), col("cohort_day")).as("day_offset"))
           .agg(countDistinct(col("user_id")).as("n_active"))

@@ -80,10 +80,27 @@ object Similarity extends QueryModule {
     // with labelFiltered, queries carry a third `label` column and a
     // corpus row is scored for a query only on label match — the
     // filtered-ANN shape: the predicate runs INSIDE the scorer, so one
-    // corpus pass still serves every query (vs one filtered scan each)
+    // corpus pass still serves every query (vs one filtered scan each).
+    // Label accessors are resolved from the SCHEMA up front (loud
+    // IllegalArgumentException on a non-integral label column) instead
+    // of a positional getInt that would throw an opaque
+    // ClassCastException at runtime on a LongType/StringType label.
+    def labelReader(schema: StructType, what: String): Row => Int = {
+      val i = schema.fieldIndex("label")
+      schema.fields(i).dataType match {
+        case IntegerType => r => r.getInt(i)
+        case ShortType   => r => r.getShort(i).toInt
+        case ByteType    => r => r.getByte(i).toInt
+        case LongType    => r => r.getLong(i).toInt
+        case dt => throw new IllegalArgumentException(
+          s"$what label column must be integral for filtered kNN, got $dt")
+      }
+    }
+    val qLabelRead: Row => Int =
+      if (labelFiltered) labelReader(queries.schema, "query") else _ => 0
     val q = queries.collect().map(r =>
       (r.getLong(0), r.getSeq[Float](1).toArray,
-        if (labelFiltered) r.getInt(2) else 0)).sortBy(_._1)
+        if (labelFiltered) qLabelRead(r) else 0)).sortBy(_._1)
     val qb = s.sparkContext.broadcast(q)
     val outSchema = StructType(Seq(
       StructField("qid", LongType), StructField("vec_id", LongType),
@@ -91,6 +108,8 @@ object Similarity extends QueryModule {
     val idIdx = data.schema.fieldIndex("vec_id")
     val embIdx = data.schema.fieldIndex("embedding")
     val labIdx = if (labelFiltered) data.schema.fieldIndex("label") else -1
+    val dataLabelRead: Row => Int =
+      if (labelFiltered) labelReader(data.schema, "corpus") else _ => 0
     data.mapPartitions { rows =>
       val qs = qb.value
       // (cosine asc, vec_id desc) ordering so the heap root is the entry
@@ -100,7 +119,7 @@ object Similarity extends QueryModule {
       rows.foreach { row =>
         val id = row.getLong(idIdx)
         val emb = row.getSeq[Float](embIdx)
-        val rowLabel = if (labIdx >= 0) row.getInt(labIdx) else 0
+        val rowLabel = if (labIdx >= 0) dataLabelRead(row) else 0
         var qi = 0
         while (qi < qs.length) {
           val (qid, qe, qLabel) = qs(qi)
