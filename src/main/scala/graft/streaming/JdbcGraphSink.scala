@@ -1,0 +1,203 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, SQLException}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC upsert graph sink — the literal parity tier for the reference's
+  * Postgres store (`/root/reference/src/Database.cpp:41-79`,
+  * `Database.h:23-31`: prepared `INSERT ... ON CONFLICT DO NOTHING`
+  * into `objects` / `relationships`, ids resolved by name). The
+  * lakehouse-native answer remains [[ParquetGraphSink]]; this sink is
+  * what a user migrating the reference verbatim reaches for first — a
+  * relational store with serial ids, unique constraints, and
+  * conflict-ignoring upserts — re-expressed for `foreachBatch`:
+  *
+  *  - the reference's row-at-a-time prepared statements become per-batch
+  *    SET-oriented upserts: the micro-batch is aggregated to its distinct
+  *    objects and distinct (source, target, predicate) edges first, so
+  *    the database sees dictionary-sized writes, not the event stream;
+  *  - `ON CONFLICT DO NOTHING` becomes a NOT-EXISTS-guarded
+  *    `INSERT ... SELECT` (Derby has no ON CONFLICT clause), executed as
+  *    prepared JDBC batches from each partition — the standard Spark
+  *    JDBC sink shape (connection per partition, executeBatch);
+  *  - `first_seen_us` additionally folds a min on conflict (the
+  *    set-oriented strengthening of DO NOTHING), so the streamed store
+  *    agrees with the batch `TripleStore.objects` MIN(ts_us) regardless
+  *    of arrival order;
+  *  - at-least-once replay is refused by a batch log
+  *    (`graft_applied_batches`, written only AFTER the data phases
+  *    commit) — and even a partially-applied crashed batch replays
+  *    safely because every data statement is a conflict-ignoring no-op
+  *    on rows already present.
+  *
+  * Tested against embedded Derby (the JDBC store this container ships);
+  * on a cluster the URL points at a real database server (the
+  * reference's Postgres) and the code is unchanged — connections open
+  * per executor partition either way. Edge ids resolve by name INSIDE
+  * the insert statement, mirroring the reference's
+  * `select_object_id`-then-insert without the extra round trip.
+  */
+final class JdbcGraphSink(url: String) extends Serializable {
+
+  ensureSchema()
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Idempotent DDL — Derby has no CREATE TABLE IF NOT EXISTS; SQLState
+    * X0Y32 (object exists) is the no-op signal. */
+  private def ensureSchema(): Unit = withConn { c =>
+    def ddl(sql: String): Unit = {
+      val st = c.createStatement()
+      try st.executeUpdate(sql)
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    }
+    ddl("""CREATE TABLE graft_objects (
+        id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        object_name VARCHAR(512) NOT NULL,
+        object_type VARCHAR(64) NOT NULL,
+        first_seen_us BIGINT NOT NULL,
+        CONSTRAINT objects_unique_constraint UNIQUE (object_name))""")
+    ddl("""CREATE TABLE graft_relationships (
+        source_id BIGINT NOT NULL,
+        target_id BIGINT NOT NULL,
+        relationship_name VARCHAR(256) NOT NULL,
+        CONSTRAINT relationships_unique_constraint
+          UNIQUE (source_id, target_id, relationship_name))""")
+    ddl("CREATE TABLE graft_applied_batches (batch_id BIGINT PRIMARY KEY)")
+  }
+
+  /** foreachBatch body. Replays of fully-applied batches are refused by
+    * the batch log; replays of crashed partial batches re-run into
+    * conflict-ignoring statements. */
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    if (isApplied(batchId)) return
+    val u = url
+    // set-oriented: the stream never reaches the database row-at-a-time.
+    // Objects = both triple endpoints, min-ts'd within the batch;
+    // subjects and objects share the entity type the reference assigns
+    // on upsert (KafkaConsumerCallback.cpp:88-108 inserts both sides).
+    val objs = batch
+      .select(col("subject").as("object_name"), col("ts_us"))
+      .unionByName(batch.select(col("object").as("object_name"), col("ts_us")))
+      .groupBy(col("object_name"))
+      .agg(min(col("ts_us")).as("first_seen_us"))
+      .select(col("object_name"), lit("entity").as("object_type"), col("first_seen_us"))
+    val edges = batch
+      .select(col("subject"), col("object"), col("predicate"))
+      .distinct()
+
+    // phase 1: objects (must commit before edges resolve ids by name)
+    objs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val c = DriverManager.getConnection(u)
+      try {
+        c.setAutoCommit(false)
+        // min-fold on conflict, then insert-if-absent: the two-statement
+        // prepared upsert (Derby has neither ON CONFLICT nor LEAST)
+        val upd = c.prepareStatement(
+          """UPDATE graft_objects
+             SET first_seen_us = CASE WHEN ? < first_seen_us THEN ? ELSE first_seen_us END
+             WHERE object_name = ?""")
+        val ins = c.prepareStatement(
+          """INSERT INTO graft_objects(object_name, object_type, first_seen_us)
+             SELECT CAST(? AS VARCHAR(512)), CAST(? AS VARCHAR(64)), CAST(? AS BIGINT)
+             FROM SYSIBM.SYSDUMMY1
+             WHERE NOT EXISTS (SELECT 1 FROM graft_objects o WHERE o.object_name = ?)""")
+        try {
+          rows.foreach { r =>
+            val name = r.getString(0); val typ = r.getString(1); val ts = r.getLong(2)
+            upd.setLong(1, ts); upd.setLong(2, ts); upd.setString(3, name)
+            upd.addBatch()
+            ins.setString(1, name); ins.setString(2, typ); ins.setLong(3, ts)
+            ins.setString(4, name)
+            ins.addBatch()
+          }
+          upd.executeBatch()
+          ins.executeBatch()
+          c.commit()
+        } finally { upd.close(); ins.close() }
+      } finally c.close()
+    }
+
+    // phase 2: edges, ids resolved by name inside the guarded insert
+    edges.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val c = DriverManager.getConnection(u)
+      try {
+        c.setAutoCommit(false)
+        val ins = c.prepareStatement(
+          """INSERT INTO graft_relationships(source_id, target_id, relationship_name)
+             SELECT s.id, t.id, CAST(? AS VARCHAR(256))
+             FROM graft_objects s, graft_objects t
+             WHERE s.object_name = ? AND t.object_name = ?
+               AND NOT EXISTS (SELECT 1 FROM graft_relationships r
+                 WHERE r.source_id = s.id AND r.target_id = t.id
+                   AND r.relationship_name = CAST(? AS VARCHAR(256)))""")
+        try {
+          rows.foreach { r =>
+            val subj = r.getString(0); val obj = r.getString(1); val pred = r.getString(2)
+            ins.setString(1, pred); ins.setString(2, subj); ins.setString(3, obj)
+            ins.setString(4, pred)
+            ins.addBatch()
+          }
+          ins.executeBatch()
+          c.commit()
+        } finally ins.close()
+      } finally c.close()
+    }
+
+    // phase 3: the batch is durably applied — log it (the log write is
+    // the commit point; a crash before this line replays harmlessly)
+    withConn { c =>
+      val st = c.prepareStatement("INSERT INTO graft_applied_batches VALUES (?)")
+      try { st.setLong(1, batchId); st.executeUpdate() }
+      catch { case e: SQLException if e.getSQLState == "23505" => () }
+      finally st.close()
+    }
+  }
+
+  private def isApplied(batchId: Long): Boolean = withConn { c =>
+    val st = c.prepareStatement(
+      "SELECT 1 FROM graft_applied_batches WHERE batch_id = ?")
+    try { st.setLong(1, batchId); val rs = st.executeQuery(); rs.next() }
+    finally st.close()
+  }
+
+  /** Batch ids durably applied (ascending). */
+  def appliedBatchIds: Seq[Long] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SELECT batch_id FROM graft_applied_batches ORDER BY batch_id")
+      val b = Seq.newBuilder[Long]
+      while (rs.next()) b += rs.getLong(1)
+      b.result()
+    } finally st.close()
+  }
+
+  private def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  /** The stored objects table (serial ids, as the reference's store). */
+  def objects(spark: SparkSession): DataFrame =
+    readTable(spark, "graft_objects")
+      .select(col("ID").as("id"), col("OBJECT_NAME").as("object_name"),
+        col("OBJECT_TYPE").as("object_type"), col("FIRST_SEEN_US").as("first_seen_us"))
+
+  /** The stored relationships table, ids joined back to names so callers
+    * can compare against the batch graph without depending on insertion
+    * order of the serial ids. */
+  def relationshipsByName(spark: SparkSession): DataFrame = {
+    val o = objects(spark)
+    readTable(spark, "graft_relationships")
+      .select(col("SOURCE_ID").as("source_id"), col("TARGET_ID").as("target_id"),
+        col("RELATIONSHIP_NAME").as("predicate"))
+      .join(o.select(col("id").as("source_id"), col("object_name").as("subject")), "source_id")
+      .join(o.select(col("id").as("target_id"), col("object_name").as("object")), "target_id")
+      .select(col("subject"), col("predicate"), col("object"))
+  }
+}
