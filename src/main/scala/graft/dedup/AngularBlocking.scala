@@ -214,6 +214,30 @@ object AngularBlocking {
     * bit-identical to the brute-force `a.vec_id < b.vec_id` join at any
     * tau on any input.
     */
+  /** Session-staged blocking structure for `dir`'s embeddings table:
+    * the cell assignment (persisted) and per-cell (centroid, radius)
+    * stats are TAU-INDEPENDENT, so dedup_embedding / dedup_semantic /
+    * knn_join — which differ only in threshold — share one build
+    * instead of each re-assigning and re-aggregating the corpus. The
+    * production shape at scale: the assignment is a materialized
+    * column on the vector table; thresholds are query-time.
+    */
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Map[Int, (Array[Double], Double)])]
+
+  def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val key = System.identityHashCode(s).toString + "|" + dir
+    val (assigned, stats) = stagedCache.computeIfAbsent(key, _ => {
+      val vecs = graft.operators.Tables(s, dir).embeddings
+      val d = vecs.select(size(col("embedding")).as("d")).limit(1)
+        .agg(max(col("d"))).head.getInt(0)
+      val assigned = assign(vecs, 4, d, 7L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (assigned, cellStats(assigned, d))
+    })
+    pairsFromAssignment(assigned, stats, tau)
+  }
+
   def cosinePairs(spark: SparkSession, vecs: DataFrame, tau: Double,
                   nPlanes: Int = 4, dims: Int = -1, seed: Long = 7L): DataFrame = {
     // dims < 0: derive from the first row (one single-row job) rather
@@ -237,6 +261,15 @@ object AngularBlocking {
     val assigned = assign(vecs, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = cellStats(assigned, d)
+    pairsFromAssignment(assigned, stats, tau)
+  }
+
+  /** Tau-dependent tail of [[cosinePairs]]: bounded candidates → cell
+    * equi-join → codegen cosine verify, over a pre-built persisted
+    * assignment. */
+  private def pairsFromAssignment(assigned: DataFrame,
+                                  stats: Map[Int, (Array[Double], Double)],
+                                  tau: Double): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     val cands = candidates(assigned, stats, thetaTau)
       .select(col("vec_id").as("vec_x"), col("embedding").as("ex"),

@@ -927,8 +927,9 @@ object Dedup extends QueryModule {
       // a 100x scale-up).
       "dedup_embedding",
       (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        AngularBlocking.cosinePairs(s, e, CosineTau)
+        // session-staged assignment: the blocking structure is
+        // tau-independent, shared with dedup_semantic and knn_join
+        AngularBlocking.cosinePairsStaged(s, dir, CosineTau)
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -952,7 +953,7 @@ object Dedup extends QueryModule {
       "dedup_semantic",
       (s, dir) => {
         val pairs = AngularBlocking
-          .cosinePairs(s, Tables(s, dir).embeddings, SemanticTau)
+          .cosinePairsStaged(s, dir, SemanticTau)
           .select(col("vec_a"), col("vec_b"))
         val undirected = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))

@@ -426,8 +426,8 @@ object Similarity extends QueryModule {
       // and oracle-exact.
       "knn_join",
       (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        val pairs = graft.dedup.AngularBlocking.cosinePairs(s, e, KnnJoinTau)
+        // session-staged blocking assignment, shared with dedup_embedding
+        val pairs = graft.dedup.AngularBlocking.cosinePairsStaged(s, dir, KnnJoinTau)
         val sym = pairs
           .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cosine"))
           .unionByName(pairs
