@@ -222,19 +222,24 @@ object AngularBlocking {
     * production shape at scale: the assignment is a materialized
     * column on the vector table; thresholds are query-time.
     */
-  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Map[Int, (Array[Double], Double)])]
+  private val stagedCache = new graft.operators.SessionStaged[
+    (DataFrame, Map[Int, (Array[Double], Double)])]((s, dir) => {
+    val vecs = graft.operators.Tables(s, dir).embeddings
+    // empty-frame guard mirrors cosinePairs' null match: with zero rows
+    // the dims are irrelevant (assign never evaluates a row, stats are
+    // empty, pairs are empty) — but a bare getInt would NPE
+    val d = vecs.select(size(col("embedding")).as("d")).limit(1)
+      .agg(max(col("d"))).head.get(0) match {
+        case null => 1
+        case n: Integer => n.intValue()
+      }
+    val assigned = assign(vecs, 4, d, 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (assigned, cellStats(assigned, d))
+  })
 
   def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    val key = System.identityHashCode(s).toString + "|" + dir
-    val (assigned, stats) = stagedCache.computeIfAbsent(key, _ => {
-      val vecs = graft.operators.Tables(s, dir).embeddings
-      val d = vecs.select(size(col("embedding")).as("d")).limit(1)
-        .agg(max(col("d"))).head.getInt(0)
-      val assigned = assign(vecs, 4, d, 7L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (assigned, cellStats(assigned, d))
-    })
+    val (assigned, stats) = stagedCache.get(s, dir)
     pairsFromAssignment(assigned, stats, tau)
   }
 

@@ -73,18 +73,16 @@ object Dedup extends QueryModule {
   final case class StagedDocFeatures(feats: DataFrame, ws: DataFrame)
 
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StagedDocFeatures]
-
-  private[graft] def stagedDocFeatures(s: SparkSession, dir: String): StagedDocFeatures = {
-    val key = System.identityHashCode(s).toString + "|" + dir
-    stagedCache.computeIfAbsent(key, _ => {
+    new graft.operators.SessionStaged[StagedDocFeatures]((s, dir) => {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val docs = Tables(s, dir).documents
       StagedDocFeatures(
         feats = shingleFeatures(docs, withSig = true, withSim = true).persist(lvl),
         ws = wordSets(docs).persist(lvl))
     })
-  }
+
+  private[graft] def stagedDocFeatures(s: SparkSession, dir: String): StagedDocFeatures =
+    stagedCache.get(s, dir)
 
   /** doc_id + distinct lowercase word set. */
   private[graft] def wordSets(docs: DataFrame): DataFrame =

@@ -50,31 +50,25 @@ object TripleStore {
       half: DataFrame,      // persisted: canonical undirected (a<b) edges
       so: DataFrame)        // persisted: distinct (subject, object) pairs
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StagedGraph]
-
   /** Staged artifacts for `dir`'s events table, built at most once per
-    * (session, dir) — keyed on session identity so a restarted session
-    * (new executors, new block manager) never sees stale persisted
-    * blocks. Entries are bounded by the number of distinct datasets a
-    * session touches (in practice: one).
-    */
-  def staged(s: org.apache.spark.sql.SparkSession, dir: String): StagedGraph = {
-    val key = System.identityHashCode(s).toString + "|" + dir
-    stagedCache.computeIfAbsent(key, _ => {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val t = triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
-      val objs = objects(t).persist(lvl)
-      val dict = objs.select(col("object_id"), col("name"))
-      StagedGraph(
-        triples = t,
-        objects = objs,
-        dict = dict,
-        relationships = relationships(t, objs).persist(lvl),
-        half = halfEdges(t, dict).persist(lvl),
-        so = t.select(col("subject"), col("object")).distinct().persist(lvl))
-    })
-  }
+    * (session, dir) — keying/lifetime discipline in
+    * [[graft.operators.SessionStaged]]. */
+  private val stagedCache = new graft.operators.SessionStaged[StagedGraph]((s, dir) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val t = triplesFromEvents(graft.operators.Tables(s, dir).events).persist(lvl)
+    val objs = objects(t).persist(lvl)
+    val dict = objs.select(col("object_id"), col("name"))
+    StagedGraph(
+      triples = t,
+      objects = objs,
+      dict = dict,
+      relationships = relationships(t, objs).persist(lvl),
+      half = halfEdges(t, dict).persist(lvl),
+      so = t.select(col("subject"), col("object")).distinct().persist(lvl))
+  })
+
+  def staged(s: org.apache.spark.sql.SparkSession, dir: String): StagedGraph =
+    stagedCache.get(s, dir)
 
   /** events → SPO triples: user --event_type--> prop-value entity.
     * Mirrors the reference's triple feed; `first_seen_us` plays the role

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped staged-artifact cache — THE keying discipline for the
+  * staging tier (graph artifacts, dedup features, blocking assignments),
+  * extracted once so the three users cannot diverge.
+  *
+  * Keys are (session REFERENCE, dataset dir): SparkSession uses identity
+  * equality, so two live sessions can never collide (an
+  * identityHashCode-string key could), and a restarted session rebuilds
+  * rather than seeing persisted blocks of a stopped one. Entries are
+  * held strongly and never auto-evicted — bounded by the (session,
+  * dataset) pairs a process actually touches, which is one for the
+  * gate/bench drivers. A long-lived multi-session host calls [[clear]]
+  * between sessions; Spark drops a stopped session's persisted blocks
+  * with its executors either way, so stale entries cost driver-side
+  * plan objects, not cluster memory.
+  */
+final class SessionStaged[A](build: (SparkSession, String) => A) {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), A]
+
+  def get(s: SparkSession, dir: String): A =
+    cache.computeIfAbsent((s, dir), k => build(k._1, k._2))
+
+  /** Drop every entry (multi-session hosts, tests). Live-session
+    * entries rebuild on next access. */
+  def clear(): Unit = cache.clear()
+}

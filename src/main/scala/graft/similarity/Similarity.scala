@@ -91,7 +91,7 @@ object Similarity extends QueryModule {
         case IntegerType => r => r.getInt(i)
         case ShortType   => r => r.getShort(i).toInt
         case ByteType    => r => r.getByte(i).toInt
-        case LongType    => r => r.getLong(i).toInt
+        case LongType    => r => Math.toIntExact(r.getLong(i))
         case dt => throw new IllegalArgumentException(
           s"$what label column must be integral for filtered kNN, got $dt")
       }

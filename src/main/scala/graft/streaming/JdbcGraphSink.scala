@@ -37,9 +37,20 @@ import org.apache.spark.sql.functions._
   * per executor partition either way. Edge ids resolve by name INSIDE
   * the insert statement, mirroring the reference's
   * `select_object_id`-then-insert without the extra round trip.
+  *
+  * Identifier bounds: the relational tier bounds name lengths
+  * (object_name 512, predicate 256 — the reference's schema is bounded
+  * the same way); a row exceeding them fails LOUDLY with the offending
+  * value before any insert, instead of Derby's opaque truncation error
+  * mid-executeBatch. The batch log is scoped by `appId` (the
+  * Delta-`txnAppId` discipline): Spark numbers foreachBatch ids per
+  * QUERY, so two queries (or a checkpoint-reset restart) writing to one
+  * store must not share replay-refusal state — give each its own appId.
   */
-final class JdbcGraphSink(url: String) extends Serializable {
+final class JdbcGraphSink(url: String, appId: String = "graft")
+    extends Serializable {
 
+  require(appId.nonEmpty && appId.length <= 128, s"appId must be 1..128 chars: '$appId'")
   ensureSchema()
 
   private def withConn[A](f: Connection => A): A = {
@@ -68,7 +79,10 @@ final class JdbcGraphSink(url: String) extends Serializable {
         relationship_name VARCHAR(256) NOT NULL,
         CONSTRAINT relationships_unique_constraint
           UNIQUE (source_id, target_id, relationship_name))""")
-    ddl("CREATE TABLE graft_applied_batches (batch_id BIGINT PRIMARY KEY)")
+    ddl("""CREATE TABLE graft_applied_batches (
+        app_id VARCHAR(128) NOT NULL,
+        batch_id BIGINT NOT NULL,
+        PRIMARY KEY (app_id, batch_id))""")
   }
 
   /** foreachBatch body. Replays of fully-applied batches are refused by
@@ -77,6 +91,19 @@ final class JdbcGraphSink(url: String) extends Serializable {
   def merge(batch: DataFrame, batchId: Long): Unit = {
     if (isApplied(batchId)) return
     val u = url
+    // persisted: the objects and edges phases are two separate actions —
+    // without this the batch lineage (and a real source's offset fetch)
+    // re-runs per phase, and phase 2 would silently rely on the re-read
+    // being deterministic
+    val staged = batch
+      .select(col("subject"), col("predicate"), col("object"), col("ts_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergeStaged(staged, batchId, u)
+    } finally staged.unpersist()
+  }
+
+  private def mergeStaged(batch: DataFrame, batchId: Long, u: String): Unit = {
     // set-oriented: the stream never reaches the database row-at-a-time.
     // Objects = both triple endpoints, min-ts'd within the batch;
     // subjects and objects share the entity type the reference assigns
@@ -110,6 +137,9 @@ final class JdbcGraphSink(url: String) extends Serializable {
         try {
           rows.foreach { r =>
             val name = r.getString(0); val typ = r.getString(1); val ts = r.getLong(2)
+            require(name.length <= 512,
+              s"object_name exceeds VARCHAR(512) (${name.length} chars): " +
+                name.take(64) + "...")
             upd.setLong(1, ts); upd.setLong(2, ts); upd.setString(3, name)
             upd.addBatch()
             ins.setString(1, name); ins.setString(2, typ); ins.setLong(3, ts)
@@ -139,6 +169,9 @@ final class JdbcGraphSink(url: String) extends Serializable {
         try {
           rows.foreach { r =>
             val subj = r.getString(0); val obj = r.getString(1); val pred = r.getString(2)
+            require(pred.length <= 256,
+              s"predicate exceeds VARCHAR(256) (${pred.length} chars): " +
+                pred.take(64) + "...")
             ins.setString(1, pred); ins.setString(2, subj); ins.setString(3, obj)
             ins.setString(4, pred)
             ins.addBatch()
@@ -152,8 +185,8 @@ final class JdbcGraphSink(url: String) extends Serializable {
     // phase 3: the batch is durably applied — log it (the log write is
     // the commit point; a crash before this line replays harmlessly)
     withConn { c =>
-      val st = c.prepareStatement("INSERT INTO graft_applied_batches VALUES (?)")
-      try { st.setLong(1, batchId); st.executeUpdate() }
+      val st = c.prepareStatement("INSERT INTO graft_applied_batches VALUES (?, ?)")
+      try { st.setString(1, appId); st.setLong(2, batchId); st.executeUpdate() }
       catch { case e: SQLException if e.getSQLState == "23505" => () }
       finally st.close()
     }
@@ -161,17 +194,20 @@ final class JdbcGraphSink(url: String) extends Serializable {
 
   private def isApplied(batchId: Long): Boolean = withConn { c =>
     val st = c.prepareStatement(
-      "SELECT 1 FROM graft_applied_batches WHERE batch_id = ?")
-    try { st.setLong(1, batchId); val rs = st.executeQuery(); rs.next() }
-    finally st.close()
+      "SELECT 1 FROM graft_applied_batches WHERE app_id = ? AND batch_id = ?")
+    try {
+      st.setString(1, appId); st.setLong(2, batchId)
+      val rs = st.executeQuery(); rs.next()
+    } finally st.close()
   }
 
-  /** Batch ids durably applied (ascending). */
+  /** Batch ids durably applied by THIS sink's appId (ascending). */
   def appliedBatchIds: Seq[Long] = withConn { c =>
-    val st = c.createStatement()
+    val st = c.prepareStatement(
+      "SELECT batch_id FROM graft_applied_batches WHERE app_id = ? ORDER BY batch_id")
     try {
-      val rs = st.executeQuery(
-        "SELECT batch_id FROM graft_applied_batches ORDER BY batch_id")
+      st.setString(1, appId)
+      val rs = st.executeQuery()
       val b = Seq.newBuilder[Long]
       while (rs.next()) b += rs.getLong(1)
       b.result()

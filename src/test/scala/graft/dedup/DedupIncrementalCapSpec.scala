@@ -16,7 +16,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupIncrementalCapSpec extends AnyFunSuite with SparkFixture {
 
   test("hot-band cap is inert on every gated corpus SF") {
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.01 is the correctness gate's SF; sf0.1 is the bench SF — the
+    // cap must be inert at BOTH for engine/oracle equivalence to hold
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val maxBand = Dedup.incrementalBandCounts(
           graft.operators.Tables(spark, sf).documents)
         .agg(max(col("c"))).collect()(0).getLong(0)

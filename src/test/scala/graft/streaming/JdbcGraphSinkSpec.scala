@@ -82,5 +82,18 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
     // the store is unchanged even though the log accepts the new id
     restarted.merge(replayDf, restarted.appliedBatchIds.max + 1)
     assert(objsByName == expectObjs && edgesByName == expectEdges)
+
+    // a SECOND query writing to the same store has its own appId and
+    // its own batch numbering from 0: its batch 0 must NOT be refused
+    // by the first query's log (per-app replay scoping, the txnAppId
+    // discipline), and its conflict-ignoring writes leave shared rows
+    // intact
+    val firstAppLog = sink.appliedBatchIds
+    val secondQuery = new JdbcGraphSink(url, appId = "other-query")
+    assert(secondQuery.appliedBatchIds.isEmpty)
+    secondQuery.merge(replayDf, 0L)
+    assert(secondQuery.appliedBatchIds == Seq(0L))
+    assert(sink.appliedBatchIds == firstAppLog)
+    assert(objsByName == expectObjs && edgesByName == expectEdges)
   }
 }
