@@ -159,6 +159,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
+    // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
+    // AngularBlocking's assignment) exist to stop every query re-running
+    // the construction chain: the physical plan must scan the in-memory
+    // relation, and the raw-table chain (JSON extraction, dictionary
+    // sort) must not reappear above it
+    for (q <- Seq("spo_relationships", "spo_triangles", "dedup_minhash_lsh",
+        "dedup_embedding")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q does not read a staged in-memory artifact:\n${p.take(1500)}")
+    }
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
