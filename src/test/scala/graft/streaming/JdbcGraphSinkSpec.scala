@@ -96,4 +96,47 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
     assert(sink.appliedBatchIds == firstAppLog)
     assert(objsByName == expectObjs && edgesByName == expectEdges)
   }
+
+  test("a crashed partial batch replays to the correct final state") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_crash").toString
+    val url = s"jdbc:derby:$dbDir/graphdb;create=true"
+    val sink = new JdbcGraphSink(url)
+    val full = Seq(
+      ("user_1", "viewed", "k_10", 100L),
+      ("user_1", "bought", "k_11", 200L),
+      ("user_2", "viewed", "k_10", 50L))
+      .toDF("subject", "predicate", "object", "ts_us")
+
+    // simulate a crash mid-phase-1: only a SUBSET of the batch's objects
+    // got committed (with a later first_seen than the full batch holds),
+    // and no edges, and the batch was never logged
+    val partial = Seq(("user_1", "viewed", "k_10", 999L))
+      .toDF("subject", "predicate", "object", "ts_us")
+    sink.merge(partial, 0L)
+    // wipe the log entry to model "crashed before the commit point"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DELETE FROM graft_applied_batches")
+      finally st.close()
+    } finally c.close()
+
+    // the replayed FULL batch must converge: DO-NOTHING inserts fill the
+    // missing rows, the min-fold repairs the partial first_seen
+    sink.merge(full, 0L)
+    val objs = sink.objects(spark)
+      .select(org.apache.spark.sql.functions.col("object_name"),
+        org.apache.spark.sql.functions.col("first_seen_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(objs == Map(
+      "user_1" -> 100L, "user_2" -> 50L, "k_10" -> 50L, "k_11" -> 200L))
+    val edges = sink.relationshipsByName(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges == Set(
+      ("user_1", "viewed", "k_10"),
+      ("user_1", "bought", "k_11"),
+      ("user_2", "viewed", "k_10")))
+    assert(sink.appliedBatchIds == Seq(0L))
+  }
 }
