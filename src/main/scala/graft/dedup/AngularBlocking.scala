@@ -222,21 +222,28 @@ object AngularBlocking {
     * production shape at scale: the assignment is a materialized
     * column on the vector table; thresholds are query-time.
     */
+  /** Sampled embedding width, None for an empty frame (or a null
+    * sampled embedding — assign()'s per-row dims assert stays the loud
+    * backstop for a frame whose FIRST row is null but others aren't).
+    * One definition shared by the staged and unstaged paths so their
+    * empty-frame behavior cannot drift. */
+  private def deriveDims(vecs: DataFrame): Option[Int] =
+    vecs.select(size(col("embedding")).as("d")).limit(1)
+      .agg(max(col("d"))).head.get(0) match {
+        case null => None
+        case n: Integer => Some(n.intValue())
+      }
+
   private val stagedCache = new graft.operators.SessionStaged[
     (DataFrame, Map[Int, (Array[Double], Double)])]((s, dir) => {
     val vecs = graft.operators.Tables(s, dir).embeddings
-    // empty-frame guard mirrors cosinePairs' null match: with zero rows
-    // the dims are irrelevant (assign never evaluates a row, stats are
-    // empty, pairs are empty) — but a bare getInt would NPE
-    val d = vecs.select(size(col("embedding")).as("d")).limit(1)
-      .agg(max(col("d"))).head.get(0) match {
-        case null => 1
-        case n: Integer => n.intValue()
-      }
+    // empty frame: dims are irrelevant (assign never evaluates a row,
+    // stats are empty, pairs are empty) — any positive value works
+    val d = deriveDims(vecs).getOrElse(1)
     val assigned = assign(vecs, 4, d, 7L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (assigned, cellStats(assigned, d))
-  })
+  }, { case (assigned, _) => assigned.unpersist(); () })
 
   def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame = {
     val (assigned, stats) = stagedCache.get(s, dir)
@@ -245,24 +252,21 @@ object AngularBlocking {
 
   def cosinePairs(spark: SparkSession, vecs: DataFrame, tau: Double,
                   nPlanes: Int = 4, dims: Int = -1, seed: Long = 7L): DataFrame = {
-    // dims < 0: derive from the first row (one single-row job) rather
-    // than trust a caller-side constant — planes/centroids built for
-    // fewer dims than the vectors carry would bound in a truncated
-    // subspace. A longer vector later in the data trips assign()'s
-    // per-row assert loudly instead of losing recall silently. Derive
-    // from max over a 1-row limit so an EMPTY frame yields empty pairs
-    // (the pre-auto-derive behavior) instead of head() throwing, and a
-    // short first row can't undercut a longer one behind it within the
-    // sampled row.
+    // dims < 0: derive from the first row (one single-row job,
+    // [[deriveDims]] — shared with the staged path) rather than trust a
+    // caller-side constant — planes/centroids built for fewer dims than
+    // the vectors carry would bound in a truncated subspace. A longer
+    // vector later in the data trips assign()'s per-row assert loudly
+    // instead of losing recall silently. An EMPTY frame yields empty
+    // pairs instead of head() throwing.
     val d =
       if (dims > 0) dims
-      else vecs.select(size(col("embedding")).as("d")).limit(1)
-        .agg(max(col("d"))).head.get(0) match {
-          case null => return vecs.sparkSession.emptyDataFrame
-            .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cosine"))
-            .limit(0)
-          case n: Integer => n.intValue()
-        }
+      else deriveDims(vecs) match {
+        case None => return vecs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cosine"))
+          .limit(0)
+        case Some(n) => n
+      }
     val assigned = assign(vecs, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = cellStats(assigned, d)

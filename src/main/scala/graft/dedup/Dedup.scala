@@ -79,7 +79,7 @@ object Dedup extends QueryModule {
       StagedDocFeatures(
         feats = shingleFeatures(docs, withSig = true, withSim = true).persist(lvl),
         ws = wordSets(docs).persist(lvl))
-    })
+    }, f => { f.feats.unpersist(); f.ws.unpersist() })
 
   private[graft] def stagedDocFeatures(s: SparkSession, dir: String): StagedDocFeatures =
     stagedCache.get(s, dir)

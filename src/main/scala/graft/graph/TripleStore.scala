@@ -65,6 +65,9 @@ object TripleStore {
       relationships = relationships(t, objs).persist(lvl),
       half = halfEdges(t, dict).persist(lvl),
       so = t.select(col("subject"), col("object")).distinct().persist(lvl))
+  }, g => {
+    g.triples.unpersist(); g.objects.unpersist(); g.relationships.unpersist()
+    g.half.unpersist(); g.so.unpersist()
   })
 
   def staged(s: org.apache.spark.sql.SparkSession, dir: String): StagedGraph =

@@ -17,14 +17,26 @@ import org.apache.spark.sql.SparkSession
   * with its executors either way, so stale entries cost driver-side
   * plan objects, not cluster memory.
   */
-final class SessionStaged[A](build: (SparkSession, String) => A) {
+final class SessionStaged[A](build: (SparkSession, String) => A,
+                             teardown: A => Unit = (_: A) => ()) {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), A]
 
   def get(s: SparkSession, dir: String): A =
     cache.computeIfAbsent((s, dir), k => build(k._1, k._2))
 
-  /** Drop every entry (multi-session hosts, tests). Live-session
-    * entries rebuild on next access. */
-  def clear(): Unit = cache.clear()
+  /** Drop every entry (multi-session hosts, tests), running `teardown`
+    * on each value first — users pass an unpersist so a LIVE session's
+    * cached blocks are actually released rather than orphaned in its
+    * CacheManager (a rebuild after a teardown-less clear would persist
+    * a second full copy). Teardown failures (e.g. an already-stopped
+    * session) are ignored — a stopped session's blocks died with its
+    * executors. Live-session entries rebuild on next access. */
+  def clear(): Unit = {
+    val it = cache.values.iterator()
+    while (it.hasNext) {
+      try teardown(it.next()) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
 }

@@ -45,9 +45,13 @@ import org.apache.spark.sql.functions._
   * mid-executeBatch. The batch log is scoped by `appId` (the
   * Delta-`txnAppId` discipline): Spark numbers foreachBatch ids per
   * QUERY, so two queries (or a checkpoint-reset restart) writing to one
-  * store must not share replay-refusal state — give each its own appId.
+  * store must not share replay-refusal state. appId is REQUIRED — a
+  * default would make cross-query batch-id collision (silent data
+  * drop) the out-of-the-box behavior; derive it from the query name /
+  * checkpoint identity and keep it stable across restarts of the SAME
+  * query.
   */
-final class JdbcGraphSink(url: String, appId: String = "graft")
+final class JdbcGraphSink(url: String, appId: String)
     extends Serializable {
 
   require(appId.nonEmpty && appId.length <= 128, s"appId must be 1..128 chars: '$appId'")
@@ -83,6 +87,18 @@ final class JdbcGraphSink(url: String, appId: String = "graft")
         app_id VARCHAR(128) NOT NULL,
         batch_id BIGINT NOT NULL,
         PRIMARY KEY (app_id, batch_id))""")
+    // schema-version guard: a store whose batch log predates app_id
+    // scoping would otherwise fail every merge with an opaque 42X04 at
+    // the first isApplied() — refuse loudly at construction instead,
+    // with the migration spelled out
+    val rs = c.getMetaData.getColumns(null, null, "GRAFT_APPLIED_BATCHES", "APP_ID")
+    try require(rs.next(),
+      "graft_applied_batches exists without an app_id column (created by " +
+        "an older JdbcGraphSink): migrate with ALTER TABLE " +
+        "graft_applied_batches ADD COLUMN app_id VARCHAR(128) NOT NULL " +
+        "DEFAULT '<your appId>' and rebuild the primary key as " +
+        "(app_id, batch_id), or drop the table to restart the log")
+    finally rs.close()
   }
 
   /** foreachBatch body. Replays of fully-applied batches are refused by

@@ -28,7 +28,7 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
 
     val input = MemoryStream[(String, String, String, Long)]
     val stream = input.toDF().toDF("subject", "predicate", "object", "ts_us")
-    val sink = new JdbcGraphSink(url)
+    val sink = new JdbcGraphSink(url, appId = "spo-ingest")
     val q = stream.writeStream.foreachBatch(sink.merge _).start()
     try {
       // deliberately split so some entities span both batches — the
@@ -72,7 +72,7 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
 
     // restart: a FRESH sink on the same URL (no in-memory state) — the
     // batch log is durable, replay still refused
-    val restarted = new JdbcGraphSink(url)
+    val restarted = new JdbcGraphSink(url, appId = "spo-ingest")
     restarted.merge(replayDf, restarted.appliedBatchIds.max)
     assert(restarted.appliedBatchIds == sink.appliedBatchIds)
     assert(objsByName == expectObjs && edgesByName == expectEdges)
@@ -97,11 +97,27 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
     assert(objsByName == expectObjs && edgesByName == expectEdges)
   }
 
+  test("a pre-app_id batch log is refused loudly at construction") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_old").toString
+    val url = s"jdbc:derby:$dbDir/graphdb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE graft_applied_batches (batch_id BIGINT PRIMARY KEY)")
+      finally st.close()
+    } finally c.close()
+    val e = intercept[IllegalArgumentException] {
+      new JdbcGraphSink(url, appId = "any")
+    }
+    assert(e.getMessage.contains("older JdbcGraphSink"), e.getMessage)
+  }
+
   test("a crashed partial batch replays to the correct final state") {
     import spark.implicits._
     val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_crash").toString
     val url = s"jdbc:derby:$dbDir/graphdb;create=true"
-    val sink = new JdbcGraphSink(url)
+    val sink = new JdbcGraphSink(url, appId = "crash-test")
     val full = Seq(
       ("user_1", "viewed", "k_10", 100L),
       ("user_1", "bought", "k_11", 200L),
@@ -110,16 +126,19 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
 
     // simulate a crash mid-phase-1: only a SUBSET of the batch's objects
     // got committed (with a later first_seen than the full batch holds),
-    // and no edges, and the batch was never logged
+    // NO edges, and no log entry — built by running a 1-row merge, then
+    // doctoring the store back to the true partial state (edge and log
+    // entry removed)
     val partial = Seq(("user_1", "viewed", "k_10", 999L))
       .toDF("subject", "predicate", "object", "ts_us")
     sink.merge(partial, 0L)
-    // wipe the log entry to model "crashed before the commit point"
     val c = java.sql.DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      try st.executeUpdate("DELETE FROM graft_applied_batches")
-      finally st.close()
+      try {
+        st.executeUpdate("DELETE FROM graft_relationships")
+        st.executeUpdate("DELETE FROM graft_applied_batches")
+      } finally st.close()
     } finally c.close()
 
     // the replayed FULL batch must converge: DO-NOTHING inserts fill the
