@@ -44,6 +44,40 @@ object DevProbe {
 
     val what = sys.env.getOrElse("PROBE", "minhash")
     what match {
+      case "graph_scale_xl" =>
+        // DISTRIBUTED-tier probe: SCALE_K x (default 30) pushes the
+        // edge summary past every driver cap (2M edges), so components
+        // runs the propagation loop, BFS the frontier loop, pagerank
+        // the power iteration — the actual 100 TB code paths, which the
+        // 10x probe (still under the caps) never reaches. Jaccard's
+        // wedge tier is excluded by default (its measured 42 s at 10x
+        // is the reason the driver cap exists); set PROBE_JACCARD=1 to
+        // include it.
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evXl = spark.read.parquet(s"$sfDir/events.parquet")
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        val scaledXl = (0 until k).map { i =>
+          evXl.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("event_type"), col("value"),
+            concat(lit("{\"k\": "),
+              (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
+              lit("}")).as("props"))
+        }.reduce(_ unionByName _)
+        val tmpXl = java.nio.file.Files.createTempDirectory(s"graft_gsxl$k").toString
+        scaledXl.write.mode("overwrite").parquet(s"$tmpXl/events.parquet")
+        val qsXl = Seq("spo_components", "spo_triangles", "spo_bfs", "spo_pagerank") ++
+          (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
+        for (q <- qsXl) {
+          t(s"$q x$k") {
+            val n = SparkEntry.queries(q)(spark, tmpXl).count()
+            println(s"  $q x$k rows=$n")
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpXl))
+
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
         // disjoint user/key namespaces per copy (nodes AND edges scale
