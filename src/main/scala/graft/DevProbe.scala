@@ -11,6 +11,44 @@ object DevProbe {
     r
   }
 
+  /** Shared scaled-graph probe body: replicate `sfDir`'s events with
+    * disjoint user/key namespaces per copy (ONE replication builder for
+    * the 1x/10x and the xl probes — two copies could drift and measure
+    * differently-shaped graphs), stage as parquet, time each query.
+    * Staged temp dirs are reaped even when a probed query throws. */
+  private def probeScaledGraph(spark: SparkSession, sfDir: String,
+                               ks: Seq[Int], queries: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    // raw read keeps ts as INT64 nanos so the staged file round-trips
+    // through Tables.events' nanos-as-long path unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    def scaled(k: Int) = (0 until k).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"),
+        // props are {"k": <int>} — offset the key id so each copy's
+        // key namespace is disjoint (shared keys would go hot under
+        // replication and be capped away, changing the graph's shape)
+        concat(lit("{\"k\": "),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
+          lit("}")).as("props"))
+    }.reduce(_ unionByName _)
+    for (k <- ks) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
+      try {
+        scaled(k).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        for (q <- queries) {
+          t(s"$q x$k") {
+            val n = SparkEntry.queries(q)(spark, tmp).count()
+            println(s"  $q x$k rows=$n")
+          }
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -53,65 +91,19 @@ object DevProbe {
         // wedge tier is excluded by default (its measured 42 s at 10x
         // is the reason the driver cap exists); set PROBE_JACCARD=1 to
         // include it.
-        import org.apache.spark.sql.functions._
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val evXl = spark.read.parquet(s"$sfDir/events.parquet")
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
-        val scaledXl = (0 until k).map { i =>
-          evXl.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
-            col("ts"),
-            (col("user_id") + lit(i * 10000000L)).as("user_id"),
-            col("event_type"), col("value"),
-            concat(lit("{\"k\": "),
-              (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
-              lit("}")).as("props"))
-        }.reduce(_ unionByName _)
-        val tmpXl = java.nio.file.Files.createTempDirectory(s"graft_gsxl$k").toString
-        scaledXl.write.mode("overwrite").parquet(s"$tmpXl/events.parquet")
         val qsXl = Seq("spo_components", "spo_triangles", "spo_bfs", "spo_pagerank") ++
           (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
-        for (q <- qsXl) {
-          t(s"$q x$k") {
-            val n = SparkEntry.queries(q)(spark, tmpXl).count()
-            println(s"  $q x$k rows=$n")
-          }
-        }
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpXl))
+        probeScaledGraph(spark, sfDir, Seq(k), qsXl)
 
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
         // disjoint user/key namespaces per copy (nodes AND edges scale
         // ~10x, no cross-copy edges), stage as parquet, compare
         // wall-clock at 1x vs 10x
-        import org.apache.spark.sql.functions._
-        // raw read keeps ts as INT64 nanos so the staged file round-trips
-        // through Tables.events' nanos-as-long path unchanged
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        def scaled(k: Int) = (0 until k).map { i =>
-          ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
-            col("ts"),
-            (col("user_id") + lit(i * 10000000L)).as("user_id"),
-            col("event_type"), col("value"),
-            // props are {"k": <int>} — offset the key id so each copy's
-            // key namespace is disjoint (shared keys would go hot at 10x
-            // and be capped away, changing the graph's shape)
-            concat(lit("{\"k\": "),
-              (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
-              lit("}")).as("props"))
-        }.reduce(_ unionByName _)
-        for (k <- Seq(1, 10)) {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
-          scaled(k).write.mode("overwrite").parquet(s"$tmp/events.parquet")
-          for (q <- Seq("spo_components", "spo_triangles", "spo_jaccard_neighbors",
-              "spo_bfs", "spo_pagerank")) {
-            t(s"$q x$k") {
-              val n = SparkEntry.queries(q)(spark, tmp).count()
-              println(s"  $q x$k rows=$n")
-            }
-          }
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        }
+        probeScaledGraph(spark, sfDir, Seq(1, 10),
+          Seq("spo_components", "spo_triangles", "spo_jaccard_neighbors",
+            "spo_bfs", "spo_pagerank"))
 
       case "jaccard" =>
         import org.apache.spark.sql.functions._

@@ -222,11 +222,17 @@ object AngularBlocking {
     * production shape at scale: the assignment is a materialized
     * column on the vector table; thresholds are query-time.
     */
-  /** Sampled embedding width, None for an empty frame (or a null
-    * sampled embedding — assign()'s per-row dims assert stays the loud
-    * backstop for a frame whose FIRST row is null but others aren't).
-    * One definition shared by the staged and unstaged paths so their
-    * empty-frame behavior cannot drift. */
+  /** Null-embedding rows carry no similarity signal and are dropped up
+    * front — exactly what the brute-force oracle does (NULL cosine
+    * fails every >= tau predicate) — so the dims sample can never land
+    * on a null row and silently empty the result while real vectors
+    * sit behind it. One definition shared by the staged and unstaged
+    * paths so their behavior cannot drift. */
+  private def nonNullVecs(vecs: DataFrame): DataFrame =
+    vecs.filter(col("embedding").isNotNull)
+
+  /** Sampled embedding width over the non-null rows; None iff none
+    * exist (both paths then produce empty pairs). */
   private def deriveDims(vecs: DataFrame): Option[Int] =
     vecs.select(size(col("embedding")).as("d")).limit(1)
       .agg(max(col("d"))).head.get(0) match {
@@ -236,9 +242,9 @@ object AngularBlocking {
 
   private val stagedCache = new graft.operators.SessionStaged[
     (DataFrame, Map[Int, (Array[Double], Double)])]((s, dir) => {
-    val vecs = graft.operators.Tables(s, dir).embeddings
-    // empty frame: dims are irrelevant (assign never evaluates a row,
-    // stats are empty, pairs are empty) — any positive value works
+    val vecs = nonNullVecs(graft.operators.Tables(s, dir).embeddings)
+    // no non-null rows: dims are irrelevant (assign never evaluates a
+    // row, stats are empty, pairs are empty) — any positive value works
     val d = deriveDims(vecs).getOrElse(1)
     val assigned = assign(vecs, 4, d, 7L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -259,15 +265,16 @@ object AngularBlocking {
     // vector later in the data trips assign()'s per-row assert loudly
     // instead of losing recall silently. An EMPTY frame yields empty
     // pairs instead of head() throwing.
+    val vecsNN = nonNullVecs(vecs)
     val d =
       if (dims > 0) dims
-      else deriveDims(vecs) match {
+      else deriveDims(vecsNN) match {
         case None => return vecs.sparkSession.emptyDataFrame
           .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cosine"))
           .limit(0)
         case Some(n) => n
       }
-    val assigned = assign(vecs, nPlanes, d, seed)
+    val assigned = assign(vecsNN, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = cellStats(assigned, d)
     pairsFromAssignment(assigned, stats, tau)

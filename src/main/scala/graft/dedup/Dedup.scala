@@ -387,7 +387,15 @@ object Dedup extends QueryModule {
     * brute force, so the gate is meaningful only while the cap is inert
     * on the gated corpus, which DedupIncrementalCapSpec asserts.
     */
-  private[graft] def incrementalDedup(docs: DataFrame, hotBandCap: Long = 10000L): DataFrame =
+  /** Skew cap for incremental dedup's candidate join (and the default
+    * bucket cap in [[bucketPairs]]): ONE named constant so the engine,
+    * the QueryDef call site, and the inertness spec cannot drift — a
+    * cap tuned in one place with the spec still asserting the old value
+    * would re-open the silent engine/oracle divergence the spec exists
+    * to catch. */
+  private[graft] val IncrementalHotBandCap = 10000L
+
+  private[graft] def incrementalDedup(docs: DataFrame, hotBandCap: Long = IncrementalHotBandCap): DataFrame =
     incrementalDedupFromFeats(
       shingleFeatures(docs, withSig = true, withSim = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
@@ -839,7 +847,7 @@ object Dedup extends QueryModule {
       // 100 TB the base side is bucket-partitioned storage and the join
       // touches only buckets the delta's bands hit.
       "dedup_incremental",
-      (s, dir) => incrementalDedupFromFeats(stagedDocFeatures(s, dir).feats, 10000L),
+      (s, dir) => incrementalDedupFromFeats(stagedDocFeatures(s, dir).feats, IncrementalHotBandCap),
       Some(s"""WITH s AS ($shingleSetsSql),
         base AS (SELECT * FROM s WHERE doc_id % 7 <> 0),
         delta AS (SELECT * FROM s WHERE doc_id % 7 = 0)

@@ -35,7 +35,8 @@ final class SessionStaged[A](build: (SparkSession, String) => A,
   def clear(): Unit = {
     val it = cache.values.iterator()
     while (it.hasNext) {
-      try teardown(it.next()) catch { case _: Throwable => () }
+      try teardown(it.next())
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     cache.clear()
   }

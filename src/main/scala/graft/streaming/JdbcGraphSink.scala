@@ -32,11 +32,16 @@ import org.apache.spark.sql.functions._
   *    on rows already present.
   *
   * Tested against embedded Derby (the JDBC store this container ships);
-  * on a cluster the URL points at a real database server (the
-  * reference's Postgres) and the code is unchanged — connections open
-  * per executor partition either way. Edge ids resolve by name INSIDE
-  * the insert statement, mirroring the reference's
-  * `select_object_id`-then-insert without the extra round trip.
+  * on a cluster the URL points at a real database server and
+  * connections open per executor partition the same way. The sink's
+  * STRUCTURE (two set-oriented phases, app-scoped batch log, loud
+  * bounds) is dialect-independent; the two Derby spellings — the
+  * `SYSIBM.SYSDUMMY1` dummy table in the object upsert and the absence
+  * of ON CONFLICT — are what a Postgres port swaps for a plain
+  * `INSERT ... ON CONFLICT DO NOTHING` (the reference's own statement,
+  * Database.h:24). Edge ids resolve by name INSIDE the insert
+  * statement, mirroring the reference's `select_object_id`-then-insert
+  * without the extra round trip.
   *
   * Identifier bounds: the relational tier bounds name lengths
   * (object_name 512, predicate 256 — the reference's schema is bounded
@@ -88,17 +93,23 @@ final class JdbcGraphSink(url: String, appId: String)
         batch_id BIGINT NOT NULL,
         PRIMARY KEY (app_id, batch_id))""")
     // schema-version guard: a store whose batch log predates app_id
-    // scoping would otherwise fail every merge with an opaque 42X04 at
-    // the first isApplied() — refuse loudly at construction instead,
-    // with the migration spelled out
-    val rs = c.getMetaData.getColumns(null, null, "GRAFT_APPLIED_BATCHES", "APP_ID")
-    try require(rs.next(),
-      "graft_applied_batches exists without an app_id column (created by " +
-        "an older JdbcGraphSink): migrate with ALTER TABLE " +
-        "graft_applied_batches ADD COLUMN app_id VARCHAR(128) NOT NULL " +
-        "DEFAULT '<your appId>' and rebuild the primary key as " +
-        "(app_id, batch_id), or drop the table to restart the log")
-    finally rs.close()
+    // scoping would otherwise fail every merge with an opaque
+    // undefined-column error at the first isApplied() — refuse loudly
+    // at construction instead, with the migration spelled out. Probed
+    // with a zero-row SELECT rather than DatabaseMetaData.getColumns,
+    // whose identifier casing is dialect-specific (Derby stores
+    // uppercase, Postgres lowercase).
+    val probe = c.createStatement()
+    try probe.executeQuery("SELECT app_id FROM graft_applied_batches WHERE 0 = 1").close()
+    catch {
+      case _: SQLException => throw new IllegalArgumentException(
+        "graft_applied_batches exists without an app_id column (created by " +
+          "an older JdbcGraphSink): migrate with ALTER TABLE " +
+          "graft_applied_batches ADD COLUMN app_id VARCHAR(128) NOT NULL " +
+          "DEFAULT '<your appId>' and rebuild the primary key as " +
+          "(app_id, batch_id), or drop the table to restart the log")
+    }
+    finally probe.close()
   }
 
   /** foreachBatch body. Replays of fully-applied batches are refused by

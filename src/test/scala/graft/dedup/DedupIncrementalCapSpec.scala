@@ -23,9 +23,10 @@ class DedupIncrementalCapSpec extends AnyFunSuite with SparkFixture {
       val maxBand = Dedup.incrementalBandCounts(
           graft.operators.Tables(spark, sf).documents)
         .agg(max(col("c"))).collect()(0).getLong(0)
-      assert(maxBand <= 10000L,
-        s"$sf: hottest band has $maxBand base docs > cap 10000 — " +
-          "the uncapped oracle is no longer equivalent to the engine")
+      assert(maxBand <= Dedup.IncrementalHotBandCap,
+        s"$sf: hottest band has $maxBand base docs > cap " +
+          s"${Dedup.IncrementalHotBandCap} — the uncapped oracle is no " +
+          "longer equivalent to the engine")
     }
   }
 
