@@ -40,6 +40,24 @@ class StagingSpec extends AnyFunSuite with SparkFixture {
     assert(rows(g.so) == rows(t.select(col("subject"), col("object")).distinct()))
   }
 
+  test("SessionStaged builds once, tears down on clear, rebuilds after") {
+    var builds = 0
+    var tornDown = List.empty[String]
+    val cache = new graft.operators.SessionStaged[String]((_, dir) => {
+      builds += 1; s"artifact-$dir"
+    }, a => tornDown ::= a)
+    assert(cache.get(spark, "x") == "artifact-x")
+    assert(cache.get(spark, "x") == "artifact-x")
+    assert(builds == 1, "second get must hit the cache")
+    cache.get(spark, "y")
+    assert(builds == 2)
+    cache.clear()
+    assert(tornDown.toSet == Set("artifact-x", "artifact-y"),
+      "clear must run teardown on every entry")
+    assert(cache.get(spark, "x") == "artifact-x" && builds == 3,
+      "cleared entries rebuild on next access")
+  }
+
   test("staged dedup features equal the per-query kernel outputs") {
     val D = graft.dedup.Dedup
     val docs = graft.operators.Tables(spark, dirA).documents
