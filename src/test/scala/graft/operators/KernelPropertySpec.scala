@@ -4,10 +4,11 @@ import org.scalacheck.{Arbitrary, Gen}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Property-based checks of the shared JVM kernels that multiple
-  * operators lean on (no Spark session — these are the pure cores the
-  * distributed plans delegate to). Each property compares the kernel
-  * against an INDEPENDENT reference implementation over deterministic
+/** Property-based checks of the shared kernels that multiple operators
+  * lean on — the pure JVM cores the distributed plans delegate to, plus
+  * the DenseIds assignment primitive (the one Spark-side property every
+  * oracle id-match rests on). Each property compares the kernel against
+  * an INDEPENDENT reference implementation over deterministic
   * scalacheck samples (raw generators + seeds, like
   * FramingPropertySpec — the scalatest bridge isn't on the offline
   * classpath).
@@ -74,6 +75,27 @@ class KernelPropertySpec extends AnyFunSuite {
       val t3 = if (t2 < 0) -1L else minAfter("click", t2)
       val t4 = if (t3 < 0) -1L else minAfter("purchase", t3)
       assert(folded == Funnel.State(t1, t2, t3, t4), s"trial $trial evs=$evs")
+    }
+  }
+
+  test("DenseIds.byOrder == row_number() regardless of input partitioning") {
+    // the primitive every oracle id-match rests on: ids must equal the
+    // window-function rank for ANY physical layout of the input
+    val spark = graft.SparkFixture.session
+    import spark.implicits._
+    for (trial <- 0 until 5) {
+      val n = 50 + trial * 37
+      val names = sample(Gen.listOfN(n, strGen), 7000L + trial, Nil).distinct
+      for (parts <- Seq(1, 3, 32)) {
+        val df = names.toDF("name").repartition(parts)
+        val got = graft.operators.DenseIds
+          .byOrder(df, "id", 1L, org.apache.spark.sql.functions.col("name"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        // reference: Spark's own sort order (UTF8String binary), ranked
+        val expect = df.sort("name").collect().map(_.getString(0))
+          .zipWithIndex.map { case (s, i) => (s, i + 1L) }.toMap
+        assert(got == expect, s"trial $trial parts=$parts")
+      }
     }
   }
 
