@@ -87,6 +87,29 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs":$runs,"errors":$errCount,"sf":"$sfDir"}"""
+    // The full line (~5 KB at 95 queries) overflows the driver's stdout
+    // tail capture (BENCH_r04/r05 both recorded parsed:null with a
+    // 2000-char tail), so it goes to bench_out.json and an early stdout
+    // line, while the FINAL stdout line is a compact summary sized to fit
+    // any tail window: errors always inline, then top queries by time
+    // (3-decimal secs), an omitted-count/secs pair so the total is still
+    // reconstructible, and job counts for the top 20 only.
+    val byCost = results.toSeq.sortBy { case (_, (v, _, err)) =>
+      (if (err.isDefined) 0 else 1, -v)
+    }
+    val (inline, omitted) = byCost.splitAt(40)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsCompact = inline.map {
+      case (k, (v, _, None))    => s"\"" + k + "\":" + r3(v)
+      case (k, (v, _, Some(e))) => s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(e.take(80))}"}"""
+    }.mkString("{", ",", "}")
+    val jsCompact = byCost.take(20)
+      .map { case (k, (_, j, _)) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val omittedSec = omitted.map(_._2._1).sum
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"omitted":${omitted.size},"omitted_sec":${r3(omittedSec)},"jobs":$jsCompact,"runs":$runs,"errors":$errCount,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)
     System.out.flush()
     try {
@@ -95,6 +118,9 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
+    // compact summary LAST, after spark.stop(), so no teardown logging
+    // can push it out of a bounded tail capture
+    println(compactLine)
     System.out.flush()
     // the metric line is out; nothing that happens during JVM teardown
     // (listener-bus races, non-daemon threads) may change the verdict
