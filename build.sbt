@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt behaviors broke that (BENCH_r04-r06 `parsed: null`):
+// the forked program's stdout was routed through the logger (prefixing
+// every line with "[info] ") and sbt appended its own
+// "[success] Total time ..." banner after the program exited. Send the
+// forked JVM's output straight to stdout and drop the banner so the
+// bench's compact JSON line is the final, bare line of the stream.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,11 +64,14 @@ object Bench {
         val first = once()
         // a failed first run is reported as-is; retrying an error-path
         // query would double its (possibly destructive) side effects
-        val best =
-          if (first._3.isDefined || runs == 1) first
-          else (Iterator(first) ++ Iterator.fill(runs - 1)(once()))
-            .minBy(r => (r._3.isDefined, r._1))
-        name -> best
+        val all =
+          if (first._3.isDefined || runs == 1) Seq(first)
+          else first +: Seq.fill(runs - 1)(once())
+        val best = all.minBy(r => (r._3.isDefined, r._1))
+        // every run's wall time is kept for the artifact: a min-of-N
+        // number alone cannot distinguish warmup-then-steady from
+        // uniformly-slow (the r6 dedup_minhash_lsh 9.27 s question)
+        name -> (best, all.map(_._1))
       }
     def esc(s: String): String =
       s.flatMap {
@@ -77,16 +80,29 @@ object Bench {
         case c if c < ' '  => f"\\u${c.toInt}%04x"
         case c             => c.toString
       }
+    // truncate without splitting a surrogate pair: a dangling high
+    // surrogate would make the JSON string invalid for strict parsers
+    def safeTake(s: String, n: Int): String = {
+      val t = s.take(n)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
     val qs = results.map {
-      case (k, (v, _, None))    => s"\"" + k + "\":" + v
-      case (k, (v, _, Some(e))) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
+      case (k, ((v, _, None), _))    => s"\"" + k + "\":" + v
+      case (k, ((v, _, Some(e)), _)) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val js = results.map { case (k, (_, j, _)) => s"\"" + k + "\":" + j }
+    val js = results.map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
-    val errCount = results.values.count(_._3.isDefined)
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // all per-run wall times (full artifact only): warmup-vs-steady is
+    // visible per query instead of being erased by the min
+    val ra = results.map { case (k, (_, times)) =>
+      s"\"" + k + "\":" + times.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errCount = results.values.count(_._1._3.isDefined)
+    val total = if (results.nonEmpty) results.values.map(_._1._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs":$runs,"errors":$errCount,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"runs":$runs,"errors":$errCount,"sf":"$sfDir"}"""
     // The full line (~5 KB at 95 queries) overflows the driver's stdout
     // tail capture (BENCH_r04/r05 both recorded parsed:null with a
     // 2000-char tail), so it goes to bench_out.json and an early stdout
@@ -94,20 +110,32 @@ object Bench {
     // any tail window: errors always inline, then top queries by time
     // (3-decimal secs), an omitted-count/secs pair so the total is still
     // reconstructible, and job counts for the top 20 only.
-    val byCost = results.toSeq.sortBy { case (_, (v, _, err)) =>
+    val byCost = results.toSeq.sortBy { case (_, ((v, _, err), _)) =>
       (if (err.isDefined) 0 else 1, -v)
     }
-    val (inline, omitted) = byCost.splitAt(40)
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qsCompact = inline.map {
-      case (k, (v, _, None))    => s"\"" + k + "\":" + r3(v)
-      case (k, (v, _, Some(e))) => s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(e.take(80))}"}"""
-    }.mkString("{", ",", "}")
-    val jsCompact = byCost.take(20)
-      .map { case (k, (_, j, _)) => s"\"" + k + "\":" + j }
+    // inline entries are capped by a cumulative CHARACTER budget, not an
+    // entry count: with many failing queries each entry carries an
+    // ~120-char escaped error, and 40 such entries would overflow the
+    // 2000-char tail window the compact line exists to fit
+    val entryStrings = byCost.map {
+      case (k, ((v, _, None), _))    => s"\"" + k + "\":" + r3(v)
+      case (k, ((v, _, Some(e)), _)) =>
+        s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(safeTake(e, 80))}"}"""
+    }
+    val budget = 1500 // chars for the queries object; rest of line ~300
+    val inlineN = {
+      var acc = 0; var n = 0
+      while (n < entryStrings.size && acc + entryStrings(n).length + 1 <= budget) {
+        acc += entryStrings(n).length + 1; n += 1
+      }
+      n
+    }
+    val (inline, omitted) = byCost.splitAt(inlineN)
+    val qsCompact = entryStrings.take(inlineN).mkString("{", ",", "}")
+    val jsCompact = byCost.take(inlineN min 20)
+      .map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
-    val omittedSec = omitted.map(_._2._1).sum
+    val omittedSec = omitted.map(_._2._1._1).sum
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"omitted":${omitted.size},"omitted_sec":${r3(omittedSec)},"jobs":$jsCompact,"runs":$runs,"errors":$errCount,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)

@@ -45,7 +45,14 @@ object DevProbe {
             println(s"  $q x$k rows=$n")
           }
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      } finally {
+        // release THIS temp dir's staged artifacts before moving to the
+        // next scale: without the evict every staged graph/feature set
+        // of every probed copy stays persisted for the rest of the JVM,
+        // and later measurements pay its heap pressure
+        graft.operators.SessionStaged.evictAll(spark, tmp)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   }
 
@@ -176,6 +183,117 @@ object DevProbe {
               graft.dedup.Dedup.JaccardTauShingles).count()
             feats.unpersist()
             println(s"  x$k pairs=$n")
+          }
+        }
+
+      case "dedup_scale_xl" =>
+        // DISTRIBUTED-tier probe for the §2.4 dedup suite: SCALE_K x
+        // (default 30) pushes the corpus past the driver caps the 10x
+        // probe never crosses — ~1.8M docs means the mask-cluster tier
+        // exceeds MaskDriverCap (65536 groups) and runs the distributed
+        // propagation + star contraction, while minhash banding and
+        // incremental's bipartite band join process 30x the bucket
+        // volume on their one staged kernel pass. Copies carry per-copy
+        // token suffixes (not near-dups of each other), so true-pair
+        // structure scales exactly kx and output linearity is checkable.
+        import org.apache.spark.sql.functions._
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        val docs = graft.operators.Tables(spark, sfDir).documents
+        def scaledDocs(n: Int) = (0 until n).map { i =>
+          docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        val qsDd = Seq("dedup_minhash_lsh", "dedup_incremental",
+          "dedup_clusters", "dedup_simhash")
+        for (kk <- Seq(1, k)) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_dd$kk").toString
+          try {
+            scaledDocs(kk).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+            for (q <- qsDd) {
+              t(s"$q x$kk") {
+                val n = SparkEntry.queries(q)(spark, tmp).count()
+                println(s"  $q x$kk rows=$n")
+              }
+            }
+          } finally {
+            graft.operators.SessionStaged.evictAll(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
+      case "banding_recall" =>
+        // Empirical check of the banding miss-probability claim
+        // (Dedup.scala header: at tau=0.5 with 64 bands x 2 rows the
+        // miss probability is (1 - J^2)^64 ~ 1e-8 at J=0.5): plant one
+        // mutant per document at several TARGET jaccard levels (mutating
+        // a token kills ~3 shingles each side), compute each planted
+        // pair's EXACT shingle jaccard, and measure what fraction of
+        // pairs the band-bucket candidate generation catches, binned by
+        // exact J. Expected: recall ~1 at J >= tau (a miss at 1e-8 is
+        // unobservable at this N, so ANY miss fails the claim), decaying
+        // below tau per (1 - (1-(1-J^2)^64)) as J drops.
+        import org.apache.spark.sql.functions._
+        val docs0 = graft.operators.Tables(spark, sfDir).documents
+          .filter(size(split(col("text"), " ")) >= lit(40))
+        val levels = Seq(0.9, 0.8, 0.7, 0.6, 0.5, 0.4).zipWithIndex
+        val planted = levels.map { case (j, li) =>
+          // k mutated tokens spaced stride apart: J ~ (m-2-3k)/(m-2+3k)
+          // => k ~ (1-J)/(1+J) * (m-2) / 3
+          val toks = split(col("text"), " ")
+          val m = size(toks)
+          val kMut = greatest(lit(1),
+            round((lit(1.0) - lit(j)) / (lit(1.0) + lit(j)) * (m - 2) / 3.0).cast("int"))
+          val stride = greatest(lit(3), (m / kMut).cast("int"))
+          docs0.select(
+            (col("doc_id") + lit((li + 1) * 100000000L)).as("doc_id"),
+            concat_ws(" ", transform(toks, (t, i) =>
+              when(i % stride === 0 && (i / stride) < kMut,
+                concat(t, lit(s"zq$li"))).otherwise(t))).as("text"),
+            col("doc_id").as("orig_id"), lit(j).as("target_j"))
+        }.reduce(_ unionByName _)
+        val all = docs0.select(col("doc_id"), col("text"))
+          .unionByName(planted.select(col("doc_id"), col("text")))
+        val feats = t("features (orig + mutants)") {
+          val f = graft.dedup.Dedup.shingleFeatures(all, withSig = true, withSim = false)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println("  docs=" + f.count()); f
+        }
+        val pairs = t("exact jaccard per planted pair") {
+          val p = planted.select(col("orig_id"), col("doc_id").as("mut_id"), col("target_j"))
+            .join(feats.select(col("doc_id").as("orig_id"), col("ss").as("ss_a")), "orig_id")
+            .join(feats.select(col("doc_id").as("mut_id"), col("ss").as("ss_b")), "mut_id")
+            .withColumn("j_exact", org.apache.spark.sql.GraftSqlBridge.column(
+              graft.expressions.JaccardSorted(
+                org.apache.spark.sql.GraftSqlBridge.expression(array_sort(col("ss_a"))),
+                org.apache.spark.sql.GraftSqlBridge.expression(array_sort(col("ss_b"))))))
+            .select(col("orig_id"), col("mut_id"), col("target_j"), col("j_exact"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println("  planted_pairs=" + p.count()); p
+        }
+        val caught = t("banding candidates (restricted to planted)") {
+          val banded = feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
+          val cands = graft.dedup.Dedup.bucketPairs(banded, "band_key")
+          val c = cands.join(pairs,
+            (col("doc_a") === col("orig_id") && col("doc_b") === col("mut_id")) ||
+            (col("doc_a") === col("mut_id") && col("doc_b") === col("orig_id")))
+            .select(col("orig_id").as("c_orig"), col("mut_id").as("c_mut"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println("  caught_pairs=" + c.count()); c
+        }
+        t("recall by exact-jaccard bin") {
+          val binned = pairs
+            .join(caught, col("orig_id") === col("c_orig") && col("mut_id") === col("c_mut"),
+              "left_outer")
+            .withColumn("bin", floor(col("j_exact") * 10) / 10)
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("c_orig").isNotNull, 1L).otherwise(0L)).as("caught"))
+            .orderBy(col("bin").desc)
+            .collect()
+          binned.foreach { r =>
+            val bin = r.getDouble(0); val n = r.getLong(1); val c = r.getLong(2)
+            println(f"  J=[$bin%.1f,${bin + 0.1}%.1f) n=$n%7d caught=$c%7d recall=${c.toDouble / n}%.6f")
           }
         }
 

@@ -51,11 +51,39 @@ object Dedup extends QueryModule {
   // permutation family so (m * mult + i) stays under 2^62 (overflow-free)
   private val ShingleHashMod = 4294967291L
 
-  /** Deterministic odd multipliers in [1, 2^30) for the minhash family. */
-  private val PermMultipliers: Seq[Long] = {
-    val rnd = new scala.util.Random(20240612L)
-    Seq.fill(NumPerms)(rnd.nextInt(1 << 29).toLong * 2L + 1L)
-  }
+  /** Deterministic odd multipliers in [1, 2^30) for the minhash family.
+    * FROZEN literal table (generated once from
+    * `new scala.util.Random(20240612L)`, 128 draws of
+    * `nextInt(1 << 29) * 2 + 1`): the signature family is part of the
+    * persisted-feature contract (VectorIndex-style staged artifacts and
+    * any cross-version replay compare signatures bit-for-bit), so it
+    * must not depend on `scala.util.Random`'s stream remaining stable
+    * across Scala versions. DedupSpec pins first/last values. */
+  private[graft] val PermMultipliers: Seq[Long] = Seq(
+    418874083L, 128313197L, 571060123L, 552288185L, 249606615L, 730963943L,
+    923201637L, 582599L, 135393409L, 655553331L, 151989861L, 391229123L,
+    424014413L, 785881073L, 277381175L, 371237791L, 645234683L, 908402701L,
+    332085407L, 291024261L, 576952873L, 292523947L, 357898099L, 300796173L,
+    753246943L, 1529315L, 459407377L, 711420867L, 688320305L, 751891541L,
+    949157485L, 651149049L, 119288303L, 49312379L, 644871071L, 570921707L,
+    34685033L, 657951201L, 811389725L, 351289149L, 365085243L, 44517399L,
+    564193635L, 429585843L, 35482935L, 939832201L, 770520391L, 1040211021L,
+    957709897L, 151769109L, 83258577L, 586912687L, 308490373L, 59060345L,
+    1002952347L, 1051795151L, 375128875L, 711463313L, 922595541L, 729575677L,
+    156020697L, 582339685L, 380137161L, 155596603L, 863289767L, 43727877L,
+    918922743L, 387039709L, 155373179L, 879854643L, 915411893L, 988889987L,
+    1052730193L, 608269799L, 787854451L, 565635671L, 71615641L, 675520147L,
+    534345091L, 1022634155L, 650294191L, 592109385L, 267754085L, 427348439L,
+    284129883L, 266877091L, 952925891L, 869859437L, 66751837L, 1043613821L,
+    749137373L, 970656457L, 1034495759L, 727041677L, 112842897L, 173939417L,
+    139086623L, 753147057L, 348177155L, 564022855L, 11908163L, 335153191L,
+    506909359L, 184849395L, 715144465L, 167641227L, 158201403L, 104778667L,
+    134767843L, 648343963L, 1017261993L, 981466449L, 442933695L, 592422103L,
+    744397377L, 751881267L, 28786783L, 275515381L, 766137585L, 1049992131L,
+    762225473L, 1070157077L, 789383755L, 238168739L, 1040499145L, 832614869L,
+    236805895L, 273266925L)
+  require(PermMultipliers.size == NumPerms && PermMultipliers.forall(m =>
+    m % 2 == 1 && m > 0 && m < (1L << 30)), "frozen multiplier table corrupt")
 
   /** Session-staged per-doc dedup features for `dir`'s documents table
     * (the TripleStore.staged pattern applied to the dedup tier): ONE
@@ -349,7 +377,8 @@ object Dedup extends QueryModule {
     crossPairs.unionByName(intraPairs)
   }
 
-  private[graft] def bucketPairs(bucketed: DataFrame, keyCol: String, maxBucket: Int = 10000): DataFrame = {
+  private[graft] def bucketPairs(bucketed: DataFrame, keyCol: String,
+                                 maxBucket: Int = IncrementalHotBandCap.toInt): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val grouped = bucketed

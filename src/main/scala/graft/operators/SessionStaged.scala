@@ -19,11 +19,25 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionStaged[A](build: (SparkSession, String) => A,
                              teardown: A => Unit = (_: A) => ()) {
+  SessionStaged.register(this)
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), A]
 
   def get(s: SparkSession, dir: String): A =
     cache.computeIfAbsent((s, dir), k => build(k._1, k._2))
+
+  /** Drop ONE (session, dataset) entry, tearing it down (unpersist) if
+    * present. For hosts that sweep many datasets through one session —
+    * a scale probe staging N temp dirs would otherwise accumulate N
+    * persisted feature sets and tax every later measurement's heap. */
+  def evict(s: SparkSession, dir: String): Unit = {
+    val v = cache.remove((s, dir))
+    if (v != null) {
+      try teardown(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Drop every entry (multi-session hosts, tests), running `teardown`
     * on each value first — users pass an unpersist so a LIVE session's
@@ -40,4 +54,22 @@ final class SessionStaged[A](build: (SparkSession, String) => A,
     }
     cache.clear()
   }
+}
+
+/** Process-wide registry of every staged cache, so a host that is done
+  * with a dataset can release ALL its staged artifacts (graph, dedup
+  * features, blocking assignments) without knowing which tiers exist. */
+object SessionStaged {
+  private val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionStaged[_]]
+
+  private def register(s: SessionStaged[_]): Unit = { instances.add(s); () }
+
+  /** Evict (session, dir) from every staged cache in the process. */
+  def evictAll(s: SparkSession, dir: String): Unit =
+    instances.forEach(_.evict(s, dir))
+
+  /** Tear down every entry of every staged cache (multi-session hosts,
+    * heap-pressure experiments). Live sessions rebuild on next access. */
+  def clearAll(): Unit = instances.forEach(_.clear())
 }

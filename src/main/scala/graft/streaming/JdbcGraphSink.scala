@@ -100,16 +100,47 @@ final class JdbcGraphSink(url: String, appId: String)
     // whose identifier casing is dialect-specific (Derby stores
     // uppercase, Postgres lowercase).
     val probe = c.createStatement()
+    // only the undefined-column SQLStates mean "old schema" (Derby
+    // 42X04/42X14, Postgres and the SQL standard 42703); any other
+    // SQLException (connection dropped, permissions, lock timeout) is
+    // NOT a migration problem and must propagate as itself rather than
+    // be misdiagnosed. The cause is chained so the original state and
+    // message survive into the migration error.
     try probe.executeQuery("SELECT app_id FROM graft_applied_batches WHERE 0 = 1").close()
     catch {
-      case _: SQLException => throw new IllegalArgumentException(
-        "graft_applied_batches exists without an app_id column (created by " +
-          "an older JdbcGraphSink): migrate with ALTER TABLE " +
-          "graft_applied_batches ADD COLUMN app_id VARCHAR(128) NOT NULL " +
-          "DEFAULT '<your appId>' and rebuild the primary key as " +
-          "(app_id, batch_id), or drop the table to restart the log")
+      case e: SQLException
+          if Set("42X04", "42X14", "42703").contains(e.getSQLState) =>
+        throw new IllegalArgumentException(
+          "graft_applied_batches exists without an app_id column (created by " +
+            "an older JdbcGraphSink): migrate with ALTER TABLE " +
+            "graft_applied_batches ADD COLUMN app_id VARCHAR(128) NOT NULL " +
+            "DEFAULT '<your appId>' and rebuild the primary key as " +
+            "(app_id, batch_id), or drop the table to restart the log", e)
     }
     finally probe.close()
+  }
+
+  /** True if `e` or anything on its JDBC next-exception / cause chains
+    * is a unique-constraint violation (SQLState 23505). Derby surfaces
+    * a batch-mode duplicate as a BatchUpdateException whose STATE is a
+    * generic batch code with the 23505 chained behind it. */
+  private def isDupKey(e: SQLException): Boolean = {
+    var cur: Throwable = e
+    var seen = 0
+    while (cur != null && seen < 16) {
+      cur match {
+        case s: SQLException if s.getSQLState == "23505" => return true
+        case _ => ()
+      }
+      val next = cur match {
+        case s: SQLException if s.getNextException != null && (s.getNextException ne s) =>
+          s.getNextException
+        case _ => cur.getCause
+      }
+      cur = if (next eq cur) null else next
+      seen += 1
+    }
+    false
   }
 
   /** foreachBatch body. Replays of fully-applied batches are refused by
@@ -145,7 +176,14 @@ final class JdbcGraphSink(url: String, appId: String)
       .select(col("subject"), col("object"), col("predicate"))
       .distinct()
 
-    // phase 1: objects (must commit before edges resolve ids by name)
+    // phase 1: objects (must commit before edges resolve ids by name).
+    // The NOT-EXISTS guard is check-then-act: two concurrent sinks (or
+    // two partitions sharing a hot name) can both pass the probe and
+    // race to objects_unique_constraint. Batches therefore run in
+    // bounded chunks, and a chunk that trips 23505 rolls back and
+    // replays row-at-a-time with the conflict ignored — the loser's
+    // min-fold UPDATE re-runs after the conflict so no timestamp is
+    // lost to the race.
     objs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val c = DriverManager.getConnection(u)
       try {
@@ -161,26 +199,53 @@ final class JdbcGraphSink(url: String, appId: String)
              SELECT CAST(? AS VARCHAR(512)), CAST(? AS VARCHAR(64)), CAST(? AS BIGINT)
              FROM SYSIBM.SYSDUMMY1
              WHERE NOT EXISTS (SELECT 1 FROM graft_objects o WHERE o.object_name = ?)""")
+        def bindUpd(name: String, ts: Long): Unit = {
+          upd.setLong(1, ts); upd.setLong(2, ts); upd.setString(3, name)
+        }
+        def bindIns(name: String, typ: String, ts: Long): Unit = {
+          ins.setString(1, name); ins.setString(2, typ); ins.setLong(3, ts)
+          ins.setString(4, name)
+        }
         try {
-          rows.foreach { r =>
-            val name = r.getString(0); val typ = r.getString(1); val ts = r.getLong(2)
-            require(name.length <= 512,
-              s"object_name exceeds VARCHAR(512) (${name.length} chars): " +
-                name.take(64) + "...")
-            upd.setLong(1, ts); upd.setLong(2, ts); upd.setString(3, name)
-            upd.addBatch()
-            ins.setString(1, name); ins.setString(2, typ); ins.setLong(3, ts)
-            ins.setString(4, name)
-            ins.addBatch()
+          rows.grouped(500).foreach { chunk =>
+            val data = chunk.map { r =>
+              val name = r.getString(0)
+              require(name.length <= 512,
+                s"object_name exceeds VARCHAR(512) (${name.length} chars): " +
+                  name.take(64) + "...")
+              (name, r.getString(1), r.getLong(2))
+            }
+            data.foreach { case (name, typ, ts) =>
+              bindUpd(name, ts); upd.addBatch()
+              bindIns(name, typ, ts); ins.addBatch()
+            }
+            try { upd.executeBatch(); ins.executeBatch(); c.commit() }
+            catch {
+              case e: SQLException if isDupKey(e) =>
+                c.rollback(); upd.clearBatch(); ins.clearBatch()
+                data.foreach { case (name, typ, ts) =>
+                  bindUpd(name, ts); upd.executeUpdate()
+                  bindIns(name, typ, ts)
+                  try { ins.executeUpdate(); () }
+                  catch {
+                    case e2: SQLException if isDupKey(e2) =>
+                      // the concurrent winner inserted between our probe
+                      // and insert — fold our timestamp into their row
+                      bindUpd(name, ts); upd.executeUpdate(); ()
+                  }
+                }
+                c.commit()
+            }
           }
-          upd.executeBatch()
-          ins.executeBatch()
-          c.commit()
         } finally { upd.close(); ins.close() }
       } finally c.close()
     }
 
-    // phase 2: edges, ids resolved by name inside the guarded insert
+    // phase 2: edges, ids resolved by name inside the guarded insert.
+    // Same check-then-act race as phase 1 (NOT EXISTS vs
+    // relationships_unique_constraint under concurrent writers): chunked
+    // batches, 23505 → rollback + row-at-a-time replay ignoring the
+    // conflict (an edge already present is the upsert's no-op outcome).
     edges.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val c = DriverManager.getConnection(u)
       try {
@@ -193,18 +258,32 @@ final class JdbcGraphSink(url: String, appId: String)
                AND NOT EXISTS (SELECT 1 FROM graft_relationships r
                  WHERE r.source_id = s.id AND r.target_id = t.id
                    AND r.relationship_name = CAST(? AS VARCHAR(256)))""")
+        def bind(subj: String, obj: String, pred: String): Unit = {
+          ins.setString(1, pred); ins.setString(2, subj); ins.setString(3, obj)
+          ins.setString(4, pred)
+        }
         try {
-          rows.foreach { r =>
-            val subj = r.getString(0); val obj = r.getString(1); val pred = r.getString(2)
-            require(pred.length <= 256,
-              s"predicate exceeds VARCHAR(256) (${pred.length} chars): " +
-                pred.take(64) + "...")
-            ins.setString(1, pred); ins.setString(2, subj); ins.setString(3, obj)
-            ins.setString(4, pred)
-            ins.addBatch()
+          rows.grouped(500).foreach { chunk =>
+            val data = chunk.map { r =>
+              val pred = r.getString(2)
+              require(pred.length <= 256,
+                s"predicate exceeds VARCHAR(256) (${pred.length} chars): " +
+                  pred.take(64) + "...")
+              (r.getString(0), r.getString(1), pred)
+            }
+            data.foreach { case (subj, obj, pred) => bind(subj, obj, pred); ins.addBatch() }
+            try { ins.executeBatch(); c.commit() }
+            catch {
+              case e: SQLException if isDupKey(e) =>
+                c.rollback(); ins.clearBatch()
+                data.foreach { case (subj, obj, pred) =>
+                  bind(subj, obj, pred)
+                  try { ins.executeUpdate(); () }
+                  catch { case e2: SQLException if isDupKey(e2) => () }
+                }
+                c.commit()
+            }
           }
-          ins.executeBatch()
-          c.commit()
         } finally ins.close()
       } finally c.close()
     }

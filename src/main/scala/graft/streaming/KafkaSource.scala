@@ -102,3 +102,61 @@ object ConsumerErrors {
     else Fail
   }
 }
+
+/** The reference's producer-side delivery-report accounting —
+  * `KafkaDeliveryReportCb::dr_cb` (`/root/reference/src/
+  * KafkaDeliveryReportCb.cpp:5-15`): librdkafka invokes the callback
+  * once per message after the send is resolved, either delivered (log
+  * topic/partition/offset) or failed permanently after retries (log the
+  * error string). Re-expressed set-oriented: a producer run yields a
+  * FRAME of delivery reports (one row per message: topic, partition,
+  * offset, nullable err), and the callback's two branches become a
+  * classification column + per-(topic, outcome) counts — the
+  * aggregate a cluster operator actually monitors, instead of two log
+  * lines per message.
+  *
+  * On a real cluster the Spark Kafka sink has batch-commit semantics
+  * (a task's sends either all ack or the task fails and retries), so
+  * per-message reports come from the producer stand-ins
+  * ([[graft.avro.CsvProducer]] + a transport result) — the taxonomy is
+  * the parity layer, independent of which transport produced it.
+  */
+object DeliveryReport {
+
+  sealed trait Outcome
+  /** The broker acked the message (dr_cb's else branch). */
+  case object Delivered extends Outcome
+  /** Failed permanently after retries (dr_cb's `message.err()` branch). */
+  case object Failed extends Outcome
+
+  /** Per-message classification: a delivery error string (librdkafka's
+    * `errstr()`) marks permanent failure; absence means delivered. */
+  def classify(err: Option[String]): Outcome =
+    err match {
+      case None | Some("") => Delivered
+      case Some(_)         => Failed
+    }
+
+  /** The reference's two log lines, verbatim format
+    * (KafkaDeliveryReportCb.cpp:9 and :13). */
+  def formatLine(topic: String, partition: Int, offset: Long,
+                 err: Option[String]): String =
+    classify(err) match {
+      case Failed    => s"Message delivery failed: ${err.getOrElse("")}"
+      case Delivered => s"Message delivered to topic $topic [$partition] at offset $offset"
+    }
+
+  /** Set-oriented accounting over a delivery-report frame
+    * (`topic: string, partition: int, offset: long, err: string?`):
+    * per-topic delivered/failed counts plus the high-water offset of
+    * the delivered messages — one narrow aggregate per topic, scale-safe
+    * at any report volume. */
+  def account(reports: DataFrame): DataFrame =
+    reports
+      .withColumn("delivered", col("err").isNull || col("err") === lit(""))
+      .groupBy(col("topic"))
+      .agg(
+        sum(when(col("delivered"), 1L).otherwise(0L)).as("delivered_count"),
+        sum(when(!col("delivered"), 1L).otherwise(0L)).as("failed_count"),
+        max(when(col("delivered"), col("offset"))).as("max_delivered_offset"))
+}

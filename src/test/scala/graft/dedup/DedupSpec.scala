@@ -96,4 +96,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(set.forall(w => w == w.toLowerCase), "word set not lowercased")
     }
   }
+
+  test("frozen multiplier table pins the minhash signature family") {
+    // the signature family is part of the persisted-feature contract:
+    // any drift in the multipliers silently invalidates every staged /
+    // stored signature. First, last, and shape are pinned to the
+    // generated-once literal (seed 20240612L, scala.util.Random stream
+    // at generation time).
+    val m = Dedup.PermMultipliers
+    assert(m.size == 128)
+    assert(m.head == 418874083L)
+    assert(m(1) == 128313197L)
+    assert(m(126) == 236805895L)
+    assert(m.last == 273266925L)
+    assert(m.forall(x => x % 2 == 1 && x > 0 && x < (1L << 30)))
+    // 128 draws from a 2^29 space: all distinct (collision would halve
+    // a band's discriminating power)
+    assert(m.distinct.size == m.size)
+  }
 }

@@ -158,4 +158,69 @@ class JdbcGraphSinkSpec extends AnyFunSuite with SparkFixture {
       ("user_2", "viewed", "k_10")))
     assert(sink.appliedBatchIds == Seq(0L))
   }
+
+  test("two concurrent sinks with distinct appIds converge to the union graph") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_conc").toString
+    val url = s"jdbc:derby:$dbDir/graphdb;create=true"
+    // two independent streaming queries writing ONE store: overlapping
+    // entities and edges so the NOT-EXISTS check-then-act races are
+    // real — both sinks probe the same absent rows and the loser's
+    // 23505 must be resolved by the row-at-a-time replay, not crash the
+    // batch. Each sink logs under its own appId (per-query batch
+    // numbering), so neither refuses the other's batch ids.
+    val sinkA = new JdbcGraphSink(url, appId = "writer-A")
+    val sinkB = new JdbcGraphSink(url, appId = "writer-B")
+    // shared core: every (entity, edge) below is written by BOTH sinks
+    // with different timestamps; expected first_seen is the global min
+    val shared = (0 until 400).map(i => (s"user_$i", "viewed", s"k_${i % 50}"))
+    def batch(rows: Seq[(String, String, String)], tsBase: Long) =
+      rows.zipWithIndex.map { case ((s, p, o), i) => (s, p, o, tsBase + i) }
+        .toDF("subject", "predicate", "object", "ts_us")
+    val dfA = batch(shared, tsBase = 1000L)   // A writes earlier timestamps
+    val dfB = batch(shared, tsBase = 500000L)
+    val extraB = batch(Seq(("user_X", "bought", "k_0")), tsBase = 7L)
+
+    // interleave under a simultaneous-start barrier, several rounds so
+    // the duplicate-key window is actually hit
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def runner(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try { barrier.await(); body }
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    val ta = runner { (0L until 3L).foreach(b => sinkA.merge(dfA, b)) }
+    val tb = runner {
+      (0L until 3L).foreach(b => sinkB.merge(dfB, b))
+      sinkB.merge(extraB, 3L)
+    }
+    ta.join(120000); tb.join(120000)
+    assert(errs.isEmpty, s"concurrent merge failed: ${errs.peek()}")
+
+    // store == union batch graph, min-folded first_seen across writers
+    val objs = sinkA.objects(spark)
+      .select(org.apache.spark.sql.functions.col("object_name"),
+        org.apache.spark.sql.functions.col("first_seen_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expectFirstSeen = (dfA.unionByName(dfB).unionByName(extraB))
+      .select($"subject".as("n"), $"ts_us")
+      .unionByName(dfA.unionByName(dfB).unionByName(extraB)
+        .select($"object".as("n"), $"ts_us"))
+      .groupBy("n").agg(org.apache.spark.sql.functions.min("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(objs == expectFirstSeen)
+    val edges = sinkA.relationshipsByName(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges == (shared.toSet + (("user_X", "bought", "k_0"))))
+    // no duplicate objects slipped past the unique constraint
+    val names = sinkA.objects(spark).select("object_name")
+      .collect().map(_.getString(0))
+    assert(names.distinct.length == names.length)
+    // each writer's log is scoped to its own appId
+    assert(sinkA.appliedBatchIds == Seq(0L, 1L, 2L))
+    assert(sinkB.appliedBatchIds == Seq(0L, 1L, 2L, 3L))
+  }
 }

@@ -73,4 +73,40 @@ class KafkaSourceSpec extends AnyFunSuite with SparkFixture {
     assert(classifyThrowable(new RuntimeException(new UnknownTopicOrPartitionException)) == Fail)
     assert(classifyThrowable(new IllegalStateException("boom")) == Fail)
   }
+
+  test("producer delivery reports classify and account like the reference dr_cb") {
+    import DeliveryReport._
+    // per-message classification: err set => permanent failure
+    assert(classify(None) == Delivered)
+    assert(classify(Some("")) == Delivered)
+    assert(classify(Some("Broker: Message size too large")) == Failed)
+    // the reference's two log lines, byte-for-byte format
+    assert(formatLine("SPO_2", 3, 1042L, None) ==
+      "Message delivered to topic SPO_2 [3] at offset 1042")
+    assert(formatLine("SPO_2", 0, -1L, Some("Local: Message timed out")) ==
+      "Message delivery failed: Local: Message timed out")
+
+    // set-oriented accounting over synthetic outcomes: two topics, a
+    // mix of acks and permanent failures, null and empty err spellings
+    import spark.implicits._
+    val reports = Seq(
+      ("SPO_2", 0, 0L, None: Option[String]),
+      ("SPO_2", 0, 1L, None),
+      ("SPO_2", 1, 7L, Some("")),              // empty errstr == delivered
+      ("SPO_2", 1, 8L, Some("Local: Message timed out")),
+      ("audit", 0, 3L, None),
+      ("audit", 0, -1L, Some("Broker: Unknown topic or partition")),
+      ("audit", 0, -1L, Some("Broker: Unknown topic or partition")))
+      .toDF("topic", "partition", "offset", "err")
+    val acc = DeliveryReport.account(reports).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(acc("SPO_2") == ((3L, 1L, 7L)))  // 3 delivered, 1 failed, hwm 7
+    assert(acc("audit") == ((1L, 2L, 3L)))
+    // frame classification agrees with the scalar classifier row-by-row
+    val frameDelivered = DeliveryReport.account(reports)
+      .agg(org.apache.spark.sql.functions.sum("delivered_count")).head.getLong(0)
+    val scalarDelivered = reports.collect()
+      .count(r => classify(Option(r.getString(3))) == Delivered)
+    assert(frameDelivered == scalarDelivered)
+  }
 }
