@@ -204,9 +204,12 @@ object DevProbe {
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
             col("lang"), col("source"), col("n_chars"))
         }.reduce(_ unionByName _)
-        val qsDd = Seq("dedup_minhash_lsh", "dedup_incremental",
-          "dedup_clusters", "dedup_simhash")
-        for (kk <- Seq(1, k)) {
+        val qsDd = sys.env.get("DD_QUERIES").map(_.split(",").toSeq)
+          .getOrElse(Seq("dedup_minhash_lsh", "dedup_incremental",
+            "dedup_clusters", "dedup_simhash"))
+        val scales = sys.env.get("DD_SCALES").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(1, k))
+        for (kk <- scales) {
           val tmp = java.nio.file.Files.createTempDirectory(s"graft_dd$kk").toString
           try {
             scaledDocs(kk).write.mode("overwrite").parquet(s"$tmp/documents.parquet")

@@ -112,6 +112,25 @@ object Dedup extends QueryModule {
   private[graft] def stagedDocFeatures(s: SparkSession, dir: String): StagedDocFeatures =
     stagedCache.get(s, dir)
 
+  /** Session-staged word-set near-dup PAIRS (the
+    * [[ngramJaccardPairsFromWs]] output at tau = JaccardTauSets):
+    * dedup_ngram_jaccard serves them directly and dedup_clusters folds
+    * them transitively — without staging, the second query re-runs the
+    * whole prefix-filter + verify pipeline (the single most expensive
+    * dedup stage at the 30x probe) just to throw the jaccard column
+    * away. At 100 TB this is the same materialized-artifact discipline
+    * as the feature table: pairs are computed once beside the corpus
+    * and every consumer (pair surface, clustering, incremental refresh)
+    * reads them. */
+  private val stagedPairsCache =
+    new graft.operators.SessionStaged[DataFrame]((s, dir) => {
+      ngramJaccardPairsFromWs(stagedDocFeatures(s, dir).ws)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }, _.unpersist())
+
+  private[graft] def stagedWordSetPairs(s: SparkSession, dir: String): DataFrame =
+    stagedPairsCache.get(s, dir)
+
   /** doc_id + distinct lowercase word set. */
   private[graft] def wordSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("ws"))
@@ -260,6 +279,56 @@ object Dedup extends QueryModule {
           }
           Iterator.single(Row.fromSeq(out))
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Two-level simhash band keys for one 64-bit signature — 64 keys,
+    * one per (8-bit segment s, 7-bit sub-block t of the 56-bit
+    * complement of s). DOUBLE pigeonhole: hamming <= 7 over 8 segments
+    * leaves >= 1 segment clean; the <= 7 differing bits then all fall in
+    * the complement's 8 sub-blocks, leaving >= 1 sub-block clean — so
+    * any qualifying pair shares at least one full (s, seg_val, t,
+    * sub_val) key. Versus single-level segment keys (8 x 256 = 2048
+    * possible buckets, occupancy linear in corpus size, candidate pairs
+    * QUADRATIC — measured 179 s at the 30x probe), the 2^21-key space
+    * keeps buckets sparse: expected false-positive candidates drop by
+    * the extra 2^10 key bits (measured: the same 30x probe at 7.7 s).
+    * Key layout: (s*8+t) << 15 | seg_val << 7 | sub_val (21 bits). */
+  private[graft] def simhashKeys64(sim: Long): Array[Long] = {
+    val out = new Array[Long](64)
+    var s = 0
+    while (s < 8) {
+      val segVal = (sim >>> (s * 8)) & 255L
+      // 56-bit complement of byte s: bytes above s shifted down one slot
+      val hi = if (s == 7) 0L else (sim >>> ((s + 1) * 8)) << (s * 8)
+      val lo = if (s == 0) 0L else sim & ((1L << (s * 8)) - 1L)
+      val c = hi | lo
+      var t = 0
+      while (t < 8) {
+        val subVal = (c >>> (t * 7)) & 127L
+        out(s * 8 + t) = ((s * 8 + t).toLong << 15) | (segVal << 7) | subVal
+        t += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** (doc_id, seg_key) rows from a (doc_id, sim) frame via
+    * [[simhashKeys64]] — a JVM kernel (the bit surgery is branchy and
+    * interpreted-slow as a SQL lambda; shiftrightunsigned-by-64 is also
+    * a mod-64 trap in SQL that the kernel's explicit s==7 case avoids). */
+  private[graft] def simhashBandKeys(simhashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("seg_key", LongType, nullable = false)))
+    simhashed.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val id = row.getLong(0)
+        simhashKeys64(row.getLong(1)).iterator.map(k => Row(id, k))
       }
     }(Encoders.row(outSchema))
   }
@@ -547,7 +616,17 @@ object Dedup extends QueryModule {
               col("x.token_id") === col("y.token_id") && col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
             .distinct()
-          verifyJaccard(cands, ws, "ws", JaccardTauSets)
+          // verify over SORTED DENSE-ID sets, not the string sets: the
+          // candidate join ships every surviving pair's two arrays, and
+          // at the 30x probe that is tens of GB of strings vs ~4 bytes
+          // per token as ids (the id mapping is bijective, so set sizes,
+          // intersections, and the jaccard double are bit-identical).
+          // The groupBy reuses the doc_id exchange the prefix window
+          // already shuffled.
+          val idSets = idTok
+            .groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(col("token_id"))).as("ids"))
+          verifyJaccard(cands, idSets, "ids", JaccardTauSets)
         }
   }
 
@@ -740,9 +819,14 @@ object Dedup extends QueryModule {
       driverCap)
 
   /** [[clusterDocs]] over a pre-built persisted (doc_id, ws) frame, so
-    * the QueryDef shares the session-staged word sets. */
+    * the QueryDef shares the session-staged word sets. `pairsOpt`
+    * supplies an already-persisted pair frame (the session-staged
+    * [[stagedWordSetPairs]]) so the real-vocabulary tier folds the SAME
+    * pairs dedup_ngram_jaccard serves instead of re-running the
+    * prefix-filter + verify pipeline. */
   private[graft] def clusterDocsFromWs(s: SparkSession, ws: DataFrame,
-                                       driverCap: Int = MaskDriverCap): DataFrame = {
+                                       driverCap: Int = MaskDriverCap,
+                                       pairsOpt: Option[DataFrame] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // tier probe: the mask tier needs the full (<= 64 entry) dictionary
     // anyway; a real vocabulary stops collecting at 65 rows
@@ -756,8 +840,10 @@ object Dedup extends QueryModule {
       // Real-vocabulary tier: doc pairs from prefix filtering (sharing
       // the persisted word sets), contracted by identical normalized
       // word set before the propagation loop.
-      val pairs = ngramJaccardPairsFromWs(ws)
-        .select(col("doc_a"), col("doc_b")).persist(lvl)
+      val pairs = pairsOpt
+        .map(_.select(col("doc_a"), col("doc_b")))
+        .getOrElse(ngramJaccardPairsFromWs(ws)
+          .select(col("doc_a"), col("doc_b")).persist(lvl))
       val canon = ws
         .select(col("doc_id"), md5(concat_ws(" ", array_sort(col("ws")))).as("norm"))
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
@@ -799,7 +885,7 @@ object Dedup extends QueryModule {
 
     QueryDef(
       "dedup_ngram_jaccard",
-      (s, dir) => ngramJaccardPairsFromWs(stagedDocFeatures(s, dir).ws),
+      (s, dir) => stagedWordSetPairs(s, dir),
       Some(jaccardPairsSql(
         "SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents",
         "ws", JaccardTauSets))
@@ -826,7 +912,8 @@ object Dedup extends QueryModule {
       // it fits ([[maskClustersDriver]] — it was already broadcast-sized
       // by construction), distributed propagation otherwise.
       "dedup_clusters",
-      (s, dir) => clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws),
+      (s, dir) => clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+        pairsOpt = Some(stagedWordSetPairs(s, dir))),
       Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -890,8 +977,9 @@ object Dedup extends QueryModule {
     ),
 
     QueryDef(
-      // 64-bit SimHash over md5-hashed shingles; 8 bands x 8 bits
-      // (pigeonhole: hamming <= 7 implies >= 1 equal segment).
+      // 64-bit SimHash over md5-hashed shingles; two-level banding
+      // ([[simhashKeys64]]: 8 segments x 8 complement sub-blocks, double
+      // pigeonhole guarantees recall for hamming <= 7).
       // Oracle-exact — see the oracle note below for the equivalence
       // argument and its bucket-cap condition.
       "dedup_simhash",
@@ -904,8 +992,7 @@ object Dedup extends QueryModule {
         // join below.
         val simhashed = stagedDocFeatures(s, dir).feats
           .select(col("doc_id"), col("sim"))
-        val banded = simhashed.select(col("doc_id"),
-          explode(expr("transform(sequence(0, 7), s -> concat(s, ':', (sim >> (s * 8)) & 255))")).as("seg_key"))
+        val banded = simhashBandKeys(simhashed)
         val cands = bucketPairs(banded, "seg_key")
         val simsA = simhashed.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
         val simsB = simhashed.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
@@ -915,15 +1002,16 @@ object Dedup extends QueryModule {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      // The oracle needs NO banding: by pigeonhole, hamming <= 7 over
-      // 8 8-bit segments forces at least one equal segment, so the
-      // engine's banded candidate set is a superset of every qualifying
-      // pair — engine output ≡ all pairs at hamming <= 7, PROVIDED no
-      // segment bucket overflows bucketPairs' 10k skew cap (trivially
-      // true at gate scale; a corpus with >10k docs sharing one 8-bit
-      // segment value is mega-dup-dense and needs the dedup_clusters
-      // discipline — exact-dup contraction BEFORE pair enumeration —
-      // since its qualifying pair set is itself quadratic). The shingle
+      // The oracle needs NO banding: by DOUBLE pigeonhole
+      // ([[simhashKeys64]]), hamming <= 7 forces at least one shared
+      // (segment, sub-block) key, so the engine's banded candidate set
+      // is a superset of every qualifying pair — engine output ≡ all
+      // pairs at hamming <= 7, PROVIDED no 21-bit band bucket overflows
+      // bucketPairs' skew cap (trivially true at gate scale; >10k docs
+      // agreeing on a specific 15-bit pattern is mega-dup-dense and
+      // needs the dedup_clusters discipline — exact-dup contraction
+      // BEFORE pair enumeration — since its qualifying pair set is
+      // itself quadratic). The shingle
       // hash is md5_number_lower (defined identically in both engines),
       // the bit votes a strict majority, and the per-pair hamming a sum
       // of per-bit disagreements (no 64-bit assembly, so no signedness

@@ -6,16 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd Jaccard similarity over two SORTED `array<string>`
-  * columns (the output of `array_sort`): a sorted-merge two-pointer
-  * intersection inlined into whole-stage codegen.
+/** Native codegen'd Jaccard similarity over two SORTED arrays (the
+  * output of `array_sort`): a sorted-merge two-pointer intersection
+  * inlined into whole-stage codegen. Accepts `array<string>` (binary
+  * UTF8 order — exactly the order `array_sort` produced, so the merge
+  * and the sort can never disagree on collation) or `array<int>`
+  * (dictionary-encoded token ids: the dedup verify path encodes tokens
+  * to dense ids BEFORE the candidate join, so the wide pair join ships
+  * 4-byte ids instead of full strings and the merge compares ints — the
+  * id mapping is bijective, so the jaccard value is identical).
   *
   * Replaces the previous mapPartitions JVM kernel on the dedup verify
   * path — same O(|a|+|b|) merge, but as an `Expression` it no longer
-  * breaks the codegen stage around the candidate join, and the
-  * comparator is `UTF8String.compare` (binary order), i.e. exactly the
-  * order `array_sort` produced — the merge and the sort can never
-  * disagree on collation.
+  * breaks the codegen stage around the candidate join.
   *
   * Result: `|A ∩ B| / (|A| + |B| - |A ∩ B|)` as double, with the same
   * int-to-double division as the DuckDB mirror
@@ -28,16 +31,25 @@ case class JaccardSorted(left: Expression, right: Expression)
 
   override def prettyName: String = "jaccard_sorted"
 
-  private def isStringArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(StringType, _) => true
-    case _ => false
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(StringType, _)  => Some(StringType)
+    case ArrayType(IntegerType, _) => Some(IntegerType)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isStringArray(left) && isStringArray(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "jaccard_sorted requires two array<string> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "jaccard_sorted requires two array<string> or two array<int> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  private lazy val intElements: Boolean =
+    left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,11 +59,21 @@ case class JaccardSorted(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var inter = 0
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (intElements) {
+      while (i < nx && j < ny) {
+        val xi = x.getInt(i)
+        val yj = y.getInt(j)
+        if (xi == yj) { inter += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     inter.toDouble / (nx + ny - inter).toDouble
   }
@@ -63,14 +85,28 @@ case class JaccardSorted(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val inter = ctx.freshName("inter")
-      val c = ctx.freshName("c")
+      val body =
+        if (intElements) {
+          val xi = ctx.freshName("xi")
+          val yj = ctx.freshName("yj")
+          s"""
+             |int $xi = $a.getInt($i); int $yj = $b.getInt($j);
+             |if ($xi == $yj) { $inter++; $i++; $j++; }
+             |else if ($xi < $yj) { $i++; } else { $j++; }
+           """.stripMargin
+        } else {
+          val c = ctx.freshName("c")
+          s"""
+             |int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |if ($c == 0) { $inter++; $i++; $j++; }
+             |else if ($c < 0) { $i++; } else { $j++; }
+           """.stripMargin
+        }
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  $body
          |}
          |${ev.value} = (double) $inter / (double) ($nx + $ny - $inter);
        """.stripMargin

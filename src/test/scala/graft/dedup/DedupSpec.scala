@@ -114,4 +114,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // a band's discriminating power)
     assert(m.distinct.size == m.size)
   }
+
+  test("two-level simhash banding catches every pair within hamming 7") {
+    // double-pigeonhole recall proof, checked empirically: for ANY base
+    // signature and ANY way of flipping 0..7 bits, the two key sets
+    // must intersect. Adversarial cases included: flips clustered in
+    // one segment, spread one-per-segment, and straddling sub-blocks.
+    val rnd = new scala.util.Random(7)
+    def keys(x: Long) = Dedup.simhashKeys64(x).toSet
+    for (trial <- 0 until 5000) {
+      val a = rnd.nextLong()
+      val nFlips = trial % 8 // 0..7
+      val positions = rnd.shuffle((0 until 64).toList).take(nFlips)
+      val b = positions.foldLeft(a)((acc, p) => acc ^ (1L << p))
+      assert(java.lang.Long.bitCount(a ^ b) <= 7)
+      assert(keys(a).intersect(keys(b)).nonEmpty,
+        s"missed pair at hamming ${java.lang.Long.bitCount(a ^ b)}: a=$a flips=$positions")
+    }
+    // clustered worst case: all 7 flips inside one byte
+    val base = 0x123456789abcdefL
+    for (seg <- 0 until 8) {
+      val b = base ^ (0x7fL << (seg * 8))
+      assert(keys(base).intersect(keys(b)).nonEmpty, s"seg=$seg clustered miss")
+    }
+    // beyond the guarantee: hamming 8 spread one-per-segment CAN miss —
+    // assert the keys still have the right shape, not recall
+    assert(Dedup.simhashKeys64(0L).length == 64)
+    assert(Dedup.simhashKeys64(-1L).distinct.length == 64) // distinct (s,t) prefixes
+  }
 }
