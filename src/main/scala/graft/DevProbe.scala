@@ -301,11 +301,14 @@ object DevProbe {
         }
 
       case "corpus_scale" =>
-        // 10x scale sanity for the §2.9 corpus tier: replicate documents
+        // Scale sanity for the §2.9 corpus tier: replicate documents
         // with per-copy token suffixes (copies are not near-dups), stage
         // as parquet so the queries run their real scan path, and
-        // compare wall-clock at 1x vs 10x — linear operators should
-        // scale ~linearly in rows, never quadratically
+        // compare wall-clock across scales — linear operators should
+        // scale ~linearly in rows, never quadratically. CS_SCALES (e.g.
+        // "1,100" → ~50k vs ~5M docs at sf0.1) picks the scales,
+        // CS_QUERIES the queries; staged temp dirs are evicted + reaped
+        // per scale even when a probed query throws.
         import org.apache.spark.sql.functions._
         val docs = graft.operators.Tables(spark, sfDir).documents
         def scaled(k: Int) = (0 until k).map { i =>
@@ -313,16 +316,25 @@ object DevProbe {
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
             col("lang"), col("source"), col("n_chars"))
         }.reduce(_ unionByName _)
-        for (k <- Seq(1, 10)) {
+        val csScales = sys.env.get("CS_SCALES").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(1, 10))
+        val csQueries = sys.env.get("CS_QUERIES").map(_.split(",").toSeq)
+          .getOrElse(Seq("decontam_ngram", "pack_sequences", "sample_stratified",
+            "mix_domains", "token_budget"))
+        for (k <- csScales) {
           val tmp = java.nio.file.Files.createTempDirectory(s"graft_cs$k").toString
-          scaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-          for (q <- Seq("decontam_ngram", "pack_sequences", "sample_stratified", "mix_domains", "token_budget")) {
-            t(s"$q x$k") {
-              val n = SparkEntry.queries(q)(spark, tmp).count()
-              println(s"  $q x$k rows=$n")
+          try {
+            scaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+            for (q <- csQueries) {
+              t(s"$q x$k") {
+                val n = SparkEntry.queries(q)(spark, tmp).count()
+                println(s"  $q x$k rows=$n")
+              }
             }
+          } finally {
+            graft.operators.SessionStaged.evictAll(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
         }
 
       case "objects" =>
