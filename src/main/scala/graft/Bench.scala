@@ -45,6 +45,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: SPARK_GRAFT_ONLY=name1,name2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // truncate without splitting a surrogate pair: a dangling high
+    // surrogate would make the JSON string invalid for strict parsers
+    def safeTake(s: String, n: Int): String = {
+      val t = s.take(n)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
     // A query that crashes is recorded with its wall time AND an "err"
     // message — never as a normal-looking number.
     val results = SparkEntry.queries
@@ -58,7 +64,7 @@ object Bench {
           val t0 = System.nanoTime()
           val err =
             try { fn(spark, sfDir).count(); None }
-            catch { case t: Throwable => Some(t.toString.take(200)) }
+            catch { case t: Throwable => Some(safeTake(t.toString, 200)) }
           ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0, err)
         }
         val first = once()
@@ -80,12 +86,6 @@ object Bench {
         case c if c < ' '  => f"\\u${c.toInt}%04x"
         case c             => c.toString
       }
-    // truncate without splitting a surrogate pair: a dangling high
-    // surrogate would make the JSON string invalid for strict parsers
-    def safeTake(s: String, n: Int): String = {
-      val t = s.take(n)
-      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
-    }
     val qs = results.map {
       case (k, ((v, _, None), _))    => s"\"" + k + "\":" + v
       case (k, ((v, _, Some(e)), _)) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
@@ -107,37 +107,37 @@ object Bench {
     // tail capture (BENCH_r04/r05 both recorded parsed:null with a
     // 2000-char tail), so it goes to bench_out.json and an early stdout
     // line, while the FINAL stdout line is a compact summary sized to fit
-    // any tail window: errors always inline, then top queries by time
-    // (3-decimal secs), an omitted-count/secs pair so the total is still
-    // reconstructible, and job counts for the top 20 only.
+    // that tail window: errors inline first (until truncation), then top
+    // queries by time (3-decimal secs), an omitted-count/secs pair so
+    // the total is still reconstructible, and job counts for the
+    // inlined top <= 20.
     val byCost = results.toSeq.sortBy { case (_, ((v, _, err), _)) =>
       (if (err.isDefined) 0 else 1, -v)
     }
-    // inline entries are capped by a cumulative CHARACTER budget, not an
-    // entry count: with many failing queries each entry carries an
-    // ~120-char escaped error, and 40 such entries would overflow the
-    // 2000-char tail window the compact line exists to fit
     val entryStrings = byCost.map {
       case (k, ((v, _, None), _))    => s"\"" + k + "\":" + r3(v)
       case (k, ((v, _, Some(e)), _)) =>
         s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(safeTake(e, 80))}"}"""
     }
-    val budget = 1500 // chars for the queries object; rest of line ~300
-    val inlineN = {
-      var acc = 0; var n = 0
-      while (n < entryStrings.size && acc + entryStrings(n).length + 1 <= budget) {
-        acc += entryStrings(n).length + 1; n += 1
-      }
-      n
-    }
-    val (inline, omitted) = byCost.splitAt(inlineN)
-    val qsCompact = entryStrings.take(inlineN).mkString("{", ",", "}")
-    val jsCompact = byCost.take(inlineN min 20)
-      .map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
-      .mkString("{", ",", "}")
-    val omittedSec = omitted.map(_._2._1._1).sum
-    val compactLine =
+    // The inline count is chosen against the length of the WHOLE
+    // rendered line, not a per-section budget: the jobs object and the
+    // fixed skeleton cost ~600 chars at 95 queries, and a queries-only
+    // budget overflowed the 2000-char tail by ~80 chars in round 7's
+    // own artifact.
+    def compactFor(n: Int): String = {
+      val omitted = byCost.drop(n)
+      val qsCompact = entryStrings.take(n).mkString("{", ",", "}")
+      val jsCompact = byCost.take(n min 20)
+        .map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
+        .mkString("{", ",", "}")
+      val omittedSec = omitted.map(_._2._1._1).sum
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"omitted":${omitted.size},"omitted_sec":${r3(omittedSec)},"jobs":$jsCompact,"runs":$runs,"errors":$errCount,"sf":"$sfDir","full":"bench_out.json"}"""
+    }
+    val tailWindow = 1900 // driver tail is 2000 chars; headroom for prefixes
+    val compactLine = (byCost.size to 0 by -1).iterator
+      .map(compactFor)
+      .find(_.length <= tailWindow)
+      .getOrElse(compactFor(0))
     println(line)
     System.out.flush()
     try {

@@ -49,8 +49,13 @@ object DevProbe {
         // release THIS temp dir's staged artifacts before moving to the
         // next scale: without the evict every staged graph/feature set
         // of every probed copy stays persisted for the rest of the JVM,
-        // and later measurements pay its heap pressure
+        // and later measurements pay its heap pressure. The registry
+        // evict handles the staged caches; clearCache sweeps the
+        // pipelines' INTERNAL persists (ranked/sorted/canon frames the
+        // queries persist mid-plan) — safe here because every probe
+        // query ran against this tmp dir, so nothing cached is live.
         graft.operators.SessionStaged.evictAll(spark, tmp)
+        spark.sqlContext.clearCache()
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     }
@@ -188,14 +193,19 @@ object DevProbe {
 
       case "dedup_scale_xl" =>
         // DISTRIBUTED-tier probe for the §2.4 dedup suite: SCALE_K x
-        // (default 30) pushes the corpus past the driver caps the 10x
-        // probe never crosses — ~1.8M docs means the mask-cluster tier
-        // exceeds MaskDriverCap (65536 groups) and runs the distributed
-        // propagation + star contraction, while minhash banding and
+        // (default 30) replicates sf0.1's 5,000 docs into 150k. Real
+        // text has a vocabulary far beyond 64 tokens, so clusters runs
+        // the REAL-VOCAB tier — prefix-filtered pair generation (28.9M
+        // verified pairs at x30, well past any broadcast-sized driver
+        // solve) feeding the distributed propagation loop — while
+        // minhash banding, simhash's two-level banded join, and
         // incremental's bipartite band join process 30x the bucket
-        // volume on their one staged kernel pass. Copies carry per-copy
-        // token suffixes (not near-dups of each other), so true-pair
-        // structure scales exactly kx and output linearity is checkable.
+        // volume on their one staged kernel pass. (The mask tier is
+        // unreachable on real text by construction; its distributed
+        // sibling is exercised in DedupSpec with driverCap = 0 on
+        // synthetic corpora.) Copies carry per-copy token suffixes (not
+        // near-dups of each other), so true-pair structure scales
+        // exactly kx and output linearity is checkable.
         import org.apache.spark.sql.functions._
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
         val docs = graft.operators.Tables(spark, sfDir).documents
@@ -220,7 +230,10 @@ object DevProbe {
               }
             }
           } finally {
+            // registry evict + full cache sweep (internal mid-plan
+            // persists included) — all cached data is tmp-dir-scoped
             graft.operators.SessionStaged.evictAll(spark, tmp)
+            spark.sqlContext.clearCache()
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }
@@ -332,7 +345,10 @@ object DevProbe {
               }
             }
           } finally {
+            // registry evict + full cache sweep (internal mid-plan
+            // persists included) — all cached data is tmp-dir-scoped
             graft.operators.SessionStaged.evictAll(spark, tmp)
+            spark.sqlContext.clearCache()
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }

@@ -823,10 +823,13 @@ object Dedup extends QueryModule {
     * supplies an already-persisted pair frame (the session-staged
     * [[stagedWordSetPairs]]) so the real-vocabulary tier folds the SAME
     * pairs dedup_ngram_jaccard serves instead of re-running the
-    * prefix-filter + verify pipeline. */
+    * prefix-filter + verify pipeline. It is a THUNK, resolved only
+    * after the vocabulary probe picks the real-vocab tier — a mask-tier
+    * corpus must not pay the staged pair build (whose vocabSize count
+    * is an eager Spark job) for pairs it never reads. */
   private[graft] def clusterDocsFromWs(s: SparkSession, ws: DataFrame,
                                        driverCap: Int = MaskDriverCap,
-                                       pairsOpt: Option[DataFrame] = None): DataFrame = {
+                                       pairsOpt: Option[() => DataFrame] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // tier probe: the mask tier needs the full (<= 64 entry) dictionary
     // anyway; a real vocabulary stops collecting at 65 rows
@@ -841,7 +844,7 @@ object Dedup extends QueryModule {
       // the persisted word sets), contracted by identical normalized
       // word set before the propagation loop.
       val pairs = pairsOpt
-        .map(_.select(col("doc_a"), col("doc_b")))
+        .map(_.apply().select(col("doc_a"), col("doc_b")))
         .getOrElse(ngramJaccardPairsFromWs(ws)
           .select(col("doc_a"), col("doc_b")).persist(lvl))
       val canon = ws
@@ -913,7 +916,7 @@ object Dedup extends QueryModule {
       // by construction), distributed propagation otherwise.
       "dedup_clusters",
       (s, dir) => clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-        pairsOpt = Some(stagedWordSetPairs(s, dir))),
+        pairsOpt = Some(() => stagedWordSetPairs(s, dir))),
       Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id

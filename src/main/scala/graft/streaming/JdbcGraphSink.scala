@@ -181,15 +181,20 @@ final class JdbcGraphSink(url: String, appId: String)
     // two partitions sharing a hot name) can both pass the probe and
     // race to objects_unique_constraint. Batches therefore run in
     // bounded chunks, and a chunk that trips 23505 rolls back and
-    // replays row-at-a-time with the conflict ignored — the loser's
-    // min-fold UPDATE re-runs after the conflict so no timestamp is
-    // lost to the race.
+    // replays row-at-a-time with the conflict ignored. Statement ORDER
+    // inside a chunk is insert-if-absent FIRST, min-fold UPDATE second:
+    // with the fold first, a concurrent writer committing between our
+    // no-op fold (row absent) and our skipped insert (row now present)
+    // would silently strand its larger first_seen_us with no 23505 to
+    // trigger the replay — insert-then-fold makes the fold
+    // unconditional, so every writer's timestamp lands regardless of
+    // interleaving.
     objs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val c = DriverManager.getConnection(u)
       try {
         c.setAutoCommit(false)
-        // min-fold on conflict, then insert-if-absent: the two-statement
-        // prepared upsert (Derby has neither ON CONFLICT nor LEAST)
+        // insert-if-absent, then min-fold: the two-statement prepared
+        // upsert (Derby has neither ON CONFLICT nor LEAST)
         val upd = c.prepareStatement(
           """UPDATE graft_objects
              SET first_seen_us = CASE WHEN ? < first_seen_us THEN ? ELSE first_seen_us END
@@ -216,23 +221,23 @@ final class JdbcGraphSink(url: String, appId: String)
               (name, r.getString(1), r.getLong(2))
             }
             data.foreach { case (name, typ, ts) =>
-              bindUpd(name, ts); upd.addBatch()
               bindIns(name, typ, ts); ins.addBatch()
+              bindUpd(name, ts); upd.addBatch()
             }
-            try { upd.executeBatch(); ins.executeBatch(); c.commit() }
+            try { ins.executeBatch(); upd.executeBatch(); c.commit() }
             catch {
               case e: SQLException if isDupKey(e) =>
                 c.rollback(); upd.clearBatch(); ins.clearBatch()
                 data.foreach { case (name, typ, ts) =>
-                  bindUpd(name, ts); upd.executeUpdate()
                   bindIns(name, typ, ts)
                   try { ins.executeUpdate(); () }
                   catch {
                     case e2: SQLException if isDupKey(e2) =>
                       // the concurrent winner inserted between our probe
-                      // and insert — fold our timestamp into their row
-                      bindUpd(name, ts); upd.executeUpdate(); ()
+                      // and insert — the fold below lands our timestamp
+                      ()
                   }
+                  bindUpd(name, ts); upd.executeUpdate()
                 }
                 c.commit()
             }

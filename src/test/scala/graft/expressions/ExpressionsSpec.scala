@@ -24,6 +24,59 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     n.zip(s).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("jaccard_sorted over array<int> equals the string-set result under a bijective id map") {
+    import spark.implicits._
+    // hand-built sorted id sets incl. edge shapes: identical, disjoint,
+    // single-element overlap, negative ids (ordering still int order)
+    val cases = Seq(
+      (Seq(1, 2, 3), Seq(1, 2, 3), 1.0),
+      (Seq(1, 2), Seq(3, 4), 0.0),
+      (Seq(-5, 0, 7), Seq(-5, 9, 11), 1.0 / 5.0),
+      (Seq(1), Seq(1), 1.0),
+      (Seq(1, 2, 3, 4), Seq(2, 3), 0.5)
+    )
+    val df = cases.zipWithIndex
+      .map { case ((a, b, exp), i) => (i, a, b, exp) }
+      .toDF("i", "a", "b", "expected")
+    val out = df.withColumn("j", GraftSqlBridge.column(JaccardSorted(
+        GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b")))))
+      .select("i", "j", "expected").collect()
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"case ${r.getInt(0)}"))
+    // and against the dedup path's own derivation: dense-rank the words
+    // of real docs, compare int-set jaccard to string-set jaccard
+    val docs = graft.operators.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), array_sort(array_distinct(split(lower(col("text")), " "))).as("ws"))
+      .limit(30)
+    val tok = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val ids = tok.select(col("w")).distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("w"))).cast("int"))
+    val idSets = tok.join(ids, "w").groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tid"))).as("ids"))
+    val joined = docs.join(idSets, "doc_id")
+    val both = joined.select(col("doc_id").as("a_id"), col("ws").as("wa"), col("ids").as("ia"))
+      .crossJoin(joined.select(col("doc_id").as("b_id"), col("ws").as("wb"), col("ids").as("ib")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("js", GraftSqlBridge.column(JaccardSorted(
+        GraftSqlBridge.expression(col("wa")), GraftSqlBridge.expression(col("wb")))))
+      .withColumn("ji", GraftSqlBridge.column(JaccardSorted(
+        GraftSqlBridge.expression(col("ia")), GraftSqlBridge.expression(col("ib")))))
+      .select("js", "ji").collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("jaccard_sorted rejects mixed array<int>/array<string> arguments") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), Seq("a", "b"))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.withColumn("j", GraftSqlBridge.column(JaccardSorted(
+        GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b")))))
+        .collect()
+    }
+    assert(e.getMessage.contains("jaccard_sorted") || e.getMessage.contains("DATATYPE"))
+  }
+
   test("confluent_schema_id extracts CP1 ids and nulls bad frames") {
     import spark.implicits._
     GraftSqlBridge.registerFunctions(spark)
