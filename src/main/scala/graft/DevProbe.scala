@@ -11,6 +11,27 @@ object DevProbe {
     r
   }
 
+  /** Guarded between-scales cache release: registry evict + full
+    * clearCache, failures swallowed so a sweep problem can neither skip
+    * the caller's temp-dir delete nor mask a probed query's exception. */
+  private def sweepCaches(spark: SparkSession, tmp: String): Unit =
+    try {
+      graft.operators.SessionStaged.evictAll(spark, tmp)
+      spark.sqlContext.clearCache()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The replication offsets assume source ids stay BELOW the per-copy
+    * namespace stride — a corpus whose ids reach the stride would
+    * silently collide copies and corrupt the linearity/recall numbers
+    * the probes exist to measure. */
+  private def requireIdHeadroom(df: org.apache.spark.sql.DataFrame,
+                                idCol: String, stride: Long): Unit = {
+    val mx = df.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col(idCol))).head.getLong(0)
+    require(mx < stride,
+      s"$idCol reaches $mx >= replication stride $stride: scaled copies would collide")
+  }
+
   /** Shared scaled-graph probe body: replicate `sfDir`'s events with
     * disjoint user/key namespaces per copy (ONE replication builder for
     * the 1x/10x and the xl probes — two copies could drift and measure
@@ -23,6 +44,8 @@ object DevProbe {
     // through Tables.events' nanos-as-long path unchanged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    requireIdHeadroom(ev, "event_id", 100000000L)
+    requireIdHeadroom(ev, "user_id", 10000000L)
     def scaled(k: Int) = (0 until k).map { i =>
       ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
         col("ts"),
@@ -54,8 +77,10 @@ object DevProbe {
         // pipelines' INTERNAL persists (ranked/sorted/canon frames the
         // queries persist mid-plan) — safe here because every probe
         // query ran against this tmp dir, so nothing cached is live.
-        graft.operators.SessionStaged.evictAll(spark, tmp)
-        spark.sqlContext.clearCache()
+        // The sweep is guarded so a cache failure (e.g. a session a
+        // probed query already killed) can neither skip the temp-dir
+        // delete nor mask the query's own exception.
+        sweepCaches(spark, tmp)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     }
@@ -209,6 +234,7 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
         val docs = graft.operators.Tables(spark, sfDir).documents
+        requireIdHeadroom(docs, "doc_id", 10000000L)
         def scaledDocs(n: Int) = (0 until n).map { i =>
           docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
@@ -230,10 +256,9 @@ object DevProbe {
               }
             }
           } finally {
-            // registry evict + full cache sweep (internal mid-plan
-            // persists included) — all cached data is tmp-dir-scoped
-            graft.operators.SessionStaged.evictAll(spark, tmp)
-            spark.sqlContext.clearCache()
+            // guarded cache sweep (internal mid-plan persists included)
+            // — all cached data is tmp-dir-scoped
+            sweepCaches(spark, tmp)
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }
@@ -252,6 +277,7 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val docs0 = graft.operators.Tables(spark, sfDir).documents
           .filter(size(split(col("text"), " ")) >= lit(40))
+        requireIdHeadroom(docs0, "doc_id", 100000000L)
         val levels = Seq(0.9, 0.8, 0.7, 0.6, 0.5, 0.4).zipWithIndex
         val planted = levels.map { case (j, li) =>
           // k mutated tokens spaced stride apart: J ~ (m-2-3k)/(m-2+3k)
@@ -290,9 +316,13 @@ object DevProbe {
         val caught = t("banding candidates (restricted to planted)") {
           val banded = feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
           val cands = graft.dedup.Dedup.bucketPairs(banded, "band_key")
+          // equi-join only: bucketPairs emits doc_a < doc_b and every
+          // mutant id carries a +1e8 offset above its original, so
+          // (doc_a=orig, doc_b=mut) is the only satisfiable orientation
+          // — an OR over both orders would force a nested-loop join of
+          // all candidates against all planted pairs
           val c = cands.join(pairs,
-            (col("doc_a") === col("orig_id") && col("doc_b") === col("mut_id")) ||
-            (col("doc_a") === col("mut_id") && col("doc_b") === col("orig_id")))
+            col("doc_a") === col("orig_id") && col("doc_b") === col("mut_id"))
             .select(col("orig_id").as("c_orig"), col("mut_id").as("c_mut"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           println("  caught_pairs=" + c.count()); c
@@ -324,6 +354,7 @@ object DevProbe {
         // per scale even when a probed query throws.
         import org.apache.spark.sql.functions._
         val docs = graft.operators.Tables(spark, sfDir).documents
+        requireIdHeadroom(docs, "doc_id", 10000000L)
         def scaled(k: Int) = (0 until k).map { i =>
           docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
@@ -345,10 +376,9 @@ object DevProbe {
               }
             }
           } finally {
-            // registry evict + full cache sweep (internal mid-plan
-            // persists included) — all cached data is tmp-dir-scoped
-            graft.operators.SessionStaged.evictAll(spark, tmp)
-            spark.sqlContext.clearCache()
+            // guarded cache sweep (internal mid-plan persists included)
+            // — all cached data is tmp-dir-scoped
+            sweepCaches(spark, tmp)
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }

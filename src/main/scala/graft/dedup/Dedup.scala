@@ -623,9 +623,12 @@ object Dedup extends QueryModule {
           // intersections, and the jaccard double are bit-identical).
           // The groupBy reuses the doc_id exchange the prefix window
           // already shuffled.
+          // no sort here: verifyJaccard array_sorts its set column
+          // itself, so pre-sorting would sort every array twice on the
+          // hottest dedup stage
           val idSets = idTok
             .groupBy(col("doc_id"))
-            .agg(sort_array(collect_list(col("token_id"))).as("ids"))
+            .agg(collect_list(col("token_id")).as("ids"))
           verifyJaccard(cands, idSets, "ids", JaccardTauSets)
         }
   }

@@ -19,10 +19,13 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionStaged[A](build: (SparkSession, String) => A,
                              teardown: A => Unit = (_: A) => ()) {
-  SessionStaged.register(this)
-
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), A]
+
+  // register LAST: publishing `this` before `cache` is assigned would
+  // let a concurrent evictAll/clearAll sweep reach a
+  // partially-constructed instance and NPE on the null map
+  SessionStaged.register(this)
 
   def get(s: SparkSession, dir: String): A =
     cache.computeIfAbsent((s, dir), k => build(k._1, k._2))

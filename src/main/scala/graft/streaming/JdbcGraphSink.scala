@@ -229,13 +229,19 @@ final class JdbcGraphSink(url: String, appId: String)
               case e: SQLException if isDupKey(e) =>
                 c.rollback(); upd.clearBatch(); ins.clearBatch()
                 data.foreach { case (name, typ, ts) =>
+                  // per-row SAVEPOINT around the racy insert: Derby
+                  // leaves a transaction usable after a failed
+                  // statement, but PostgreSQL (this sink's documented
+                  // port target) aborts it — rolling back to the
+                  // savepoint keeps the replay dialect-independent
                   bindIns(name, typ, ts)
-                  try { ins.executeUpdate(); () }
+                  val sp = c.setSavepoint()
+                  try { ins.executeUpdate(); c.releaseSavepoint(sp) }
                   catch {
                     case e2: SQLException if isDupKey(e2) =>
                       // the concurrent winner inserted between our probe
                       // and insert — the fold below lands our timestamp
-                      ()
+                      c.rollback(sp)
                   }
                   bindUpd(name, ts); upd.executeUpdate()
                 }
@@ -282,9 +288,13 @@ final class JdbcGraphSink(url: String, appId: String)
               case e: SQLException if isDupKey(e) =>
                 c.rollback(); ins.clearBatch()
                 data.foreach { case (subj, obj, pred) =>
+                  // per-row savepoint: see the phase-1 replay note
                   bind(subj, obj, pred)
-                  try { ins.executeUpdate(); () }
-                  catch { case e2: SQLException if isDupKey(e2) => () }
+                  val sp = c.setSavepoint()
+                  try { ins.executeUpdate(); c.releaseSavepoint(sp) }
+                  catch {
+                    case e2: SQLException if isDupKey(e2) => c.rollback(sp)
+                  }
                 }
                 c.commit()
             }
