@@ -20,16 +20,23 @@ object DevProbe {
       spark.sqlContext.clearCache()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** The replication offsets assume source ids stay BELOW the per-copy
-    * namespace stride — a corpus whose ids reach the stride would
-    * silently collide copies and corrupt the linearity/recall numbers
-    * the probes exist to measure. */
+  /** The replication offsets assume source ids sit in [0, stride) —
+    * an id at/above the stride (or a negative one) would silently
+    * collide copies and corrupt the linearity/recall numbers the
+    * probes exist to measure. `idExpr` is a Column so JSON-extracted
+    * key ids can be checked the same way as physical id columns; an
+    * empty table passes trivially (null min/max). */
   private def requireIdHeadroom(df: org.apache.spark.sql.DataFrame,
-                                idCol: String, stride: Long): Unit = {
-    val mx = df.agg(org.apache.spark.sql.functions.max(
-      org.apache.spark.sql.functions.col(idCol))).head.getLong(0)
-    require(mx < stride,
-      s"$idCol reaches $mx >= replication stride $stride: scaled copies would collide")
+                                label: String,
+                                idExpr: org.apache.spark.sql.Column,
+                                stride: Long): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val r = df.agg(min(idExpr.cast("long")).as("mn"), max(idExpr.cast("long")).as("mx")).head
+    if (!r.isNullAt(0)) {
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      require(mn >= 0 && mx < stride,
+        s"$label spans [$mn, $mx] outside [0, $stride): scaled copies would collide")
+    }
   }
 
   /** Shared scaled-graph probe body: replicate `sfDir`'s events with
@@ -44,8 +51,12 @@ object DevProbe {
     // through Tables.events' nanos-as-long path unchanged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    requireIdHeadroom(ev, "event_id", 100000000L)
-    requireIdHeadroom(ev, "user_id", 10000000L)
+    requireIdHeadroom(ev, "event_id", col("event_id"), 100000000L)
+    requireIdHeadroom(ev, "user_id", col("user_id"), 10000000L)
+    // the third replicated namespace: props' {"k": <int>} key id,
+    // offset per copy by only 10000
+    requireIdHeadroom(ev, "props.$.k",
+      get_json_object(col("props"), "$.k"), 10000L)
     def scaled(k: Int) = (0 until k).map { i =>
       ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
         col("ts"),
@@ -234,7 +245,7 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
         val docs = graft.operators.Tables(spark, sfDir).documents
-        requireIdHeadroom(docs, "doc_id", 10000000L)
+        requireIdHeadroom(docs, "doc_id", col("doc_id"), 10000000L)
         def scaledDocs(n: Int) = (0 until n).map { i =>
           docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
@@ -277,7 +288,7 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val docs0 = graft.operators.Tables(spark, sfDir).documents
           .filter(size(split(col("text"), " ")) >= lit(40))
-        requireIdHeadroom(docs0, "doc_id", 100000000L)
+        requireIdHeadroom(docs0, "doc_id", col("doc_id"), 100000000L)
         val levels = Seq(0.9, 0.8, 0.7, 0.6, 0.5, 0.4).zipWithIndex
         val planted = levels.map { case (j, li) =>
           // k mutated tokens spaced stride apart: J ~ (m-2-3k)/(m-2+3k)
@@ -354,7 +365,7 @@ object DevProbe {
         // per scale even when a probed query throws.
         import org.apache.spark.sql.functions._
         val docs = graft.operators.Tables(spark, sfDir).documents
-        requireIdHeadroom(docs, "doc_id", 10000000L)
+        requireIdHeadroom(docs, "doc_id", col("doc_id"), 10000000L)
         def scaled(k: Int) = (0 until k).map { i =>
           docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),

@@ -122,14 +122,22 @@ object Dedup extends QueryModule {
     * as the feature table: pairs are computed once beside the corpus
     * and every consumer (pair surface, clustering, incremental refresh)
     * reads them. */
+  /** Staged pair frame + the pipeline's INTERNAL persists (the prefix
+    * frame, verify's sorted sets), tracked so eviction releases the
+    * whole build, not just the top-level frame. */
+  private[graft] case class StagedPairs(pairs: DataFrame, internals: Seq[DataFrame])
+
   private val stagedPairsCache =
-    new graft.operators.SessionStaged[DataFrame]((s, dir) => {
-      ngramJaccardPairsFromWs(stagedDocFeatures(s, dir).ws)
+    new graft.operators.SessionStaged[StagedPairs]((s, dir) => {
+      val internals = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val pairs = ngramJaccardPairsFromWs(stagedDocFeatures(s, dir).ws,
+          track = df => { internals += df; () })
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }, _.unpersist())
+      StagedPairs(pairs, internals.toList)
+    }, sp => { sp.pairs.unpersist(); sp.internals.foreach(_.unpersist()); () })
 
   private[graft] def stagedWordSetPairs(s: SparkSession, dir: String): DataFrame =
-    stagedPairsCache.get(s, dir)
+    stagedPairsCache.get(s, dir).pairs
 
   /** doc_id + distinct lowercase word set. */
   private[graft] def wordSets(docs: DataFrame): DataFrame =
@@ -348,11 +356,15 @@ object Dedup extends QueryModule {
     * JVM code (see [[jaccardKernel]]) instead of the interpreted
     * `array_intersect`, which is ~10x on wide sets.
     */
-  private[graft] def verifyJaccard(cands: DataFrame, sets: DataFrame, setCol: String, tau: Double): DataFrame = {
+  private[graft] def verifyJaccard(cands: DataFrame, sets: DataFrame, setCol: String, tau: Double,
+                                   track: DataFrame => Unit = _ => ()): DataFrame = {
     // persisted: referenced three times below (sizes + both pair sides);
-    // without it the upstream set construction re-runs per reference
+    // without it the upstream set construction re-runs per reference.
+    // `track` reports internal persists to callers that stage the
+    // result, so eviction can release them too.
     val sorted = sets.select(col("doc_id"), array_sort(col(setCol)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(sorted)
     val sizes = sorted.select(col("doc_id"), size(col("s")).as("n"))
     val prefiltered = cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
@@ -579,7 +591,8 @@ object Dedup extends QueryModule {
   /** [[ngramJaccardPairs]] over a pre-built (doc_id, ws) frame, so
     * callers that already materialized the word sets (dedup_clusters)
     * share one scan instead of re-tokenizing the corpus. */
-  private[graft] def ngramJaccardPairsFromWs(ws: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairsFromWs(ws: DataFrame,
+                                             track: DataFrame => Unit = _ => ()): DataFrame = {
     val tok = ws.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("token"))
         val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val vocabSize = dfreq.count() // one tiny job; picks the plan tier
@@ -612,6 +625,7 @@ object Dedup extends QueryModule {
             // persisted: both sides of the candidate self-join read this,
             // and exchange reuse does not always cover a self-join
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          track(ranked)
           val cands = ranked.as("x").join(ranked.as("y"),
               col("x.token_id") === col("y.token_id") && col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -629,7 +643,7 @@ object Dedup extends QueryModule {
           val idSets = idTok
             .groupBy(col("doc_id"))
             .agg(collect_list(col("token_id")).as("ids"))
-          verifyJaccard(cands, idSets, "ids", JaccardTauSets)
+          verifyJaccard(cands, idSets, "ids", JaccardTauSets, track)
         }
   }
 

@@ -63,16 +63,31 @@ final class SessionStaged[A](build: (SparkSession, String) => A,
   * with a dataset can release ALL its staged artifacts (graph, dedup
   * features, blocking assignments) without knowing which tiers exist. */
 object SessionStaged {
+  // weak references: the three shipped caches are object singletons,
+  // but the class is a generic utility — a caller constructing one per
+  // test or per job must not leak it (plus its map and captured
+  // closures) into an append-only process-wide list forever. Cleared
+  // refs are pruned on every sweep.
   private val instances =
-    new java.util.concurrent.ConcurrentLinkedQueue[SessionStaged[_]]
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[SessionStaged[_]]]
 
-  private def register(s: SessionStaged[_]): Unit = { instances.add(s); () }
+  private def register(s: SessionStaged[_]): Unit = {
+    instances.add(new java.lang.ref.WeakReference(s)); ()
+  }
+
+  private def sweep(f: SessionStaged[_] => Unit): Unit = {
+    val it = instances.iterator()
+    while (it.hasNext) {
+      val inst = it.next().get()
+      if (inst == null) it.remove() else f(inst)
+    }
+  }
 
   /** Evict (session, dir) from every staged cache in the process. */
-  def evictAll(s: SparkSession, dir: String): Unit =
-    instances.forEach(_.evict(s, dir))
+  def evictAll(s: SparkSession, dir: String): Unit = sweep(_.evict(s, dir))
 
   /** Tear down every entry of every staged cache (multi-session hosts,
     * heap-pressure experiments). Live sessions rebuild on next access. */
-  def clearAll(): Unit = instances.forEach(_.clear())
+  def clearAll(): Unit = sweep(_.clear())
 }

@@ -121,15 +121,15 @@ final class JdbcGraphSink(url: String, appId: String)
   }
 
   /** True if `e` or anything on its JDBC next-exception / cause chains
-    * is a unique-constraint violation (SQLState 23505). Derby surfaces
-    * a batch-mode duplicate as a BatchUpdateException whose STATE is a
-    * generic batch code with the 23505 chained behind it. */
-  private def isDupKey(e: SQLException): Boolean = {
+    * carries one of `states`. Derby surfaces a batch-mode failure as a
+    * BatchUpdateException whose STATE is a generic batch code with the
+    * real SQLState chained behind it. */
+  private def hasSqlState(e: SQLException, states: Set[String]): Boolean = {
     var cur: Throwable = e
     var seen = 0
     while (cur != null && seen < 16) {
       cur match {
-        case s: SQLException if s.getSQLState == "23505" => return true
+        case s: SQLException if states.contains(s.getSQLState) => return true
         case _ => ()
       }
       val next = cur match {
@@ -142,6 +142,18 @@ final class JdbcGraphSink(url: String, appId: String)
     }
     false
   }
+
+  private def isDupKey(e: SQLException): Boolean = hasSqlState(e, Set("23505"))
+
+  /** Concurrency aborts the chunk replay should also absorb: deadlock
+    * victims (Derby/standard 40001, Postgres 40P01) and Derby lock-wait
+    * timeouts (40XL1/40XL2). Same scenario class as the 23505 race —
+    * two writers interleaving on overlapping keys — and the same
+    * correct response: roll the chunk back and replay it row-at-a-time
+    * (single-row statements take one lock at a time, so the replay
+    * cannot re-deadlock on lock ORDER). */
+  private def isConcurrencyAbort(e: SQLException): Boolean =
+    hasSqlState(e, Set("23505", "40001", "40P01", "40XL1", "40XL2"))
 
   /** foreachBatch body. Replays of fully-applied batches are refused by
     * the batch log; replays of crashed partial batches re-run into
@@ -226,7 +238,7 @@ final class JdbcGraphSink(url: String, appId: String)
             }
             try { ins.executeBatch(); upd.executeBatch(); c.commit() }
             catch {
-              case e: SQLException if isDupKey(e) =>
+              case e: SQLException if isConcurrencyAbort(e) =>
                 c.rollback(); upd.clearBatch(); ins.clearBatch()
                 data.foreach { case (name, typ, ts) =>
                   // per-row SAVEPOINT around the racy insert: Derby
@@ -285,7 +297,7 @@ final class JdbcGraphSink(url: String, appId: String)
             data.foreach { case (subj, obj, pred) => bind(subj, obj, pred); ins.addBatch() }
             try { ins.executeBatch(); c.commit() }
             catch {
-              case e: SQLException if isDupKey(e) =>
+              case e: SQLException if isConcurrencyAbort(e) =>
                 c.rollback(); ins.clearBatch()
                 data.foreach { case (subj, obj, pred) =>
                   // per-row savepoint: see the phase-1 replay note
