@@ -159,6 +159,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q8 broadcasts every dimension and pushes the type/date filters") {
+    val p = plan("q8_market_share")
+    // at most the one lineitem-orders fact-fact join may shuffle
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      "q8: more than the one orders fact-fact join shuffles")
+    assert(p.contains("BroadcastHashJoin"), "q8: dimensions not broadcast")
+    assert(!p.contains("CartesianProduct"), "q8 planned a cartesian")
+    assert(p.contains("EqualTo(p_type,STANDARD)"), "q8: p_type not pushed to the part scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "q8: order date window not pushed")
+  }
+
+  test("q22 anti-joins on custkey with the threshold as a broadcast scalar") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), "q22: no anti join in the plan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "q22: recency filter not pushed to the orders scan")
+    // the scalar threshold joins as a 1-row broadcast (BNLJ or bhj), never
+    // a shuffle of customer against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q22: threshold not broadcast")
+  }
+
+  test("q15 joins the scalar max as a broadcast, never shuffling the revenue table against it") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q15: scalar max not broadcast")
+    assert(!p.contains("CartesianProduct"), "q15 planned a cartesian")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "q15: quarter window not pushed to the scan")
+  }
+
+  test("q17 plans the correlated average as one partkey-join, part broadcast") {
+    val p = plan("q17_small_qty_revenue")
+    // at most the lineitem-vs-per-part-threshold join may sort-merge
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      "q17: more than the threshold self-join shuffles")
+    assert(p.contains("BroadcastHashJoin"), "q17: part dimension not broadcast")
+    assert(!p.contains("CartesianProduct"), "q17 planned a cartesian")
+  }
+
+  test("q21 collapses the exists/not-exists self-joins into one keyed aggregation") {
+    val p = plan("q21_waiting_supplier")
+    // one fact-fact join (lineitem x F-orders); the textbook plan has three
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      "q21: lineitem self-joins resurfaced")
+    assert(p.contains("BroadcastHashJoin"), "q21: supplier not broadcast")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), "q21: order status not pushed to the orders scan")
+    assert(p.contains("Expand"), "q21: multi-countDistinct did not plan as a single expand aggregate")
+  }
+
   test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
     // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
     // AngularBlocking's assignment) exist to stop every query re-running
