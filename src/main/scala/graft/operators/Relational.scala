@@ -1226,6 +1226,12 @@ object Relational extends QueryModule {
           .select(col("n_nationkey").as("c_nk"))
         val suppNat = t.nation
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        // restrict customer to the region BEFORE broadcasting: the hash
+        // table ships ~1/5 of the customers and the fact path pays one
+        // probe instead of two
+        val amerCust = t.customer
+          .join(amer, col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"))
         t.lineitem
           .join(broadcast(t.part.filter(col("p_type") === "STANDARD")),
             col("l_partkey") === col("p_partkey"))
@@ -1233,8 +1239,7 @@ object Relational extends QueryModule {
               .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(amer), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -1285,8 +1290,7 @@ object Relational extends QueryModule {
       (s, dir) => {
         val t = Tables(s, dir)
         val avgBal = t.customer.filter(col("c_acctbal") > 0)
-          .agg((sum(col("c_acctbal").cast(Money)).cast("double") /
-            count(lit(1)).cast("double")).as("avg_bal"))
+          .agg(davg(col("c_acctbal")).as("avg_bal"))
         t.customer
           .join(t.orders
               .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
@@ -1298,11 +1302,11 @@ object Relational extends QueryModule {
           .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
           .orderBy(col("cust_group"))
       },
-      Some("""SELECT SUBSTRING(c_name, 17, 2) AS cust_group, COUNT(*) AS n_cust,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      Some(s"""SELECT SUBSTRING(c_name, 17, 2) AS cust_group, COUNT(*) AS n_cust,
+        ${sqlSum("c_acctbal")} AS total_bal
       FROM customer c
       WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          SELECT ${sqlAvg("c_acctbal")}
           FROM customer WHERE c_acctbal > 0)
         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
           AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -1360,8 +1364,7 @@ object Relational extends QueryModule {
         val t = Tables(s, dir)
         val thr = t.lineitem
           .groupBy(col("l_partkey").as("t_pk"))
-          .agg((lit(0.2) * (sum(col("l_quantity").cast(Money)).cast("double") /
-            count(lit(1)).cast("double"))).as("qty_thr"))
+          .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_thr"))
         t.lineitem
           .join(thr, col("l_partkey") === col("t_pk"))
           .filter(col("l_quantity") < col("qty_thr"))
@@ -1371,13 +1374,12 @@ object Relational extends QueryModule {
             (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
           .orderBy(col("p_brand"))
       },
-      Some("""SELECT p_brand, COUNT(*) AS n_small,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      Some(s"""SELECT p_brand, COUNT(*) AS n_small,
+        ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       JOIN (SELECT l_partkey AS t_pk,
-              0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
-                CAST(COUNT(*) AS DOUBLE)) AS qty_thr
+              0.2 * (${sqlAvg("l_quantity")}) AS qty_thr
             FROM lineitem GROUP BY l_partkey) a ON l_partkey = t_pk
       WHERE l_quantity < qty_thr
       GROUP BY p_brand ORDER BY p_brand""")

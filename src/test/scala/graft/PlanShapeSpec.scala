@@ -162,7 +162,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("q8 broadcasts every dimension and pushes the type/date filters") {
     val p = plan("q8_market_share")
     // at most the one lineitem-orders fact-fact join may shuffle
-    assert(p.split("SortMergeJoin").length - 1 <= 1,
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
       "q8: more than the one orders fact-fact join shuffles")
     assert(p.contains("BroadcastHashJoin"), "q8: dimensions not broadcast")
     assert(!p.contains("CartesianProduct"), "q8 planned a cartesian")
@@ -191,7 +191,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("q17 plans the correlated average as one partkey-join, part broadcast") {
     val p = plan("q17_small_qty_revenue")
     // at most the lineitem-vs-per-part-threshold join may sort-merge
-    assert(p.split("SortMergeJoin").length - 1 <= 1,
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
       "q17: more than the threshold self-join shuffles")
     assert(p.contains("BroadcastHashJoin"), "q17: part dimension not broadcast")
     assert(!p.contains("CartesianProduct"), "q17 planned a cartesian")
@@ -200,7 +200,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("q21 collapses the exists/not-exists self-joins into one keyed aggregation") {
     val p = plan("q21_waiting_supplier")
     // one fact-fact join (lineitem x F-orders); the textbook plan has three
-    assert(p.split("SortMergeJoin").length - 1 <= 1,
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
       "q21: lineitem self-joins resurfaced")
     assert(p.contains("BroadcastHashJoin"), "q21: supplier not broadcast")
     assert(p.contains("EqualTo(o_orderstatus,F)"), "q21: order status not pushed to the orders scan")
