@@ -274,6 +274,145 @@ object DevProbe {
           }
         }
 
+      case "sim_scale_xl" =>
+        // DISTRIBUTED-tier probe for the §2.5 similarity suite (and the
+        // embedding half of §2.4): SCALE_K x (default 30) replicates
+        // sf0.1's 2,000 vectors. Each copy i is transformed by a
+        // deterministic per-copy sign-flip pattern — an ORTHOGONAL
+        // transform, so within-copy geometry (norms, pairwise cosines)
+        // is preserved exactly while cross-copy cosines collapse to
+        // ~N(0, 1/dim) noise, far below every threshold in the suite.
+        // True-neighbor structure therefore scales exactly kx (checkable
+        // output linearity), while angular blocking's cell join, the
+        // WindowGroupLimit top-k, and IVF's two-pass Lloyd's process kx
+        // the vector volume.
+        import org.apache.spark.sql.functions._
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        val emb = graft.operators.Tables(spark, sfDir).embeddings
+        requireIdHeadroom(emb, "vec_id", col("vec_id"), 10000000L)
+        def scaledEmb(n: Int) = (0 until n).map { i =>
+          emb.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, p) =>
+              x * (pmod(hash(lit(i), p), lit(2)) * lit(2) - lit(1)).cast("float"))
+              .as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+        val qsSim = sys.env.get("SIM_QUERIES").map(_.split(",").toSeq)
+          .getOrElse(Seq("knn_join", "dedup_embedding", "dedup_semantic",
+            "knn_ivf", "knn_bruteforce"))
+        val simScales = sys.env.get("SIM_SCALES").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(1, k))
+        for (kk <- simScales) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_sim$kk").toString
+          try {
+            scaledEmb(kk).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+            for (q <- qsSim) {
+              t(s"$q x$kk") {
+                val n = SparkEntry.queries(q)(spark, tmp).count()
+                println(s"  $q x$kk rows=$n")
+              }
+            }
+            // Planted-recall leg. The shipped taus (0.3/0.4) sit only
+            // ~2.4-3.2 sigma above the cross-copy cosine noise floor
+            // (sigma ~ 1/sqrt(dim) = 0.125), so at those cuts the
+            // isotropic corpus REALLY has ~0.8% of all pairs qualifying
+            // — quadratic output is the correct answer there, and the
+            // query leg above measures wall against that output. The
+            // corpus's own structure dies by tau 0.65 (14 pairs at 0.5,
+            // 1 at 0.6, 0 at 0.65 among the 2M base pairs), so for an
+            // exact-linearity check we PLANT it: every 10th base vector
+            // gets a deterministic element-wise +/-10% perturbed twin
+            // (cos(v, v.*m) = (0.9+0.2w)/sqrt(0.81+0.4w) >= 0.995 for
+            // ANY v, w = mass fraction on the 1.1 dims) at
+            // vec_id + 5e6. At tau 0.95 the planted twin is the only
+            // structure above the cut (measured: corpus max pairwise
+            // ~0.6; sign-flip cross-copy noise reached 0.8 on 3 of
+            // 1.7e9 pairs at x30), so the SAME shared kernel the three
+            // cosine queries run (cosinePairsStaged) must return
+            // EXACTLY 200 x kk rows — recall 1 on real structure, zero
+            // noise admission, at every scale.
+            val plantTau = sys.env.getOrElse("SIM_PLANT_TAU", "0.95").toDouble
+            val tmpPlant = java.nio.file.Files.createTempDirectory(s"graft_simp$kk").toString
+            try {
+              val base = scaledEmb(kk)
+              val twins = base
+                .filter(pmod(col("vec_id") % lit(10000000L), lit(10)) === 0)
+                .select(
+                  (col("vec_id") + lit(5000000L)).as("vec_id"),
+                  transform(col("embedding"), (x, p) =>
+                    x * (lit(1.0) + lit(0.1) *
+                      (pmod(hash(col("vec_id"), p), lit(2)) * lit(2) - lit(1))).cast("float"))
+                    .as("embedding"),
+                  col("label"))
+              base.unionByName(twins)
+                .write.mode("overwrite").parquet(s"$tmpPlant/embeddings.parquet")
+              t(s"kernel_planted tau=$plantTau x$kk") {
+                val n = graft.dedup.AngularBlocking
+                  .cosinePairsStaged(spark, tmpPlant, plantTau).count()
+                println(s"  kernel_planted x$kk rows=$n expected=${200 * kk}")
+              }
+            } finally {
+              sweepCaches(spark, tmpPlant)
+              org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpPlant))
+            }
+          } finally {
+            sweepCaches(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
+      case "rel_scale_xl" =>
+        // At-scale probe for the §2.3 relational tier: replicate the
+        // FACT tables (lineitem, orders) SCALE_K x (default 10) with
+        // disjoint orderkey namespaces while every dimension stays at
+        // 1 x — exactly how a 100 TB TPC-H grows (facts scale, dims
+        // don't). Customer/part/supplier keys are reused across copies
+        // (the same customers place k x the orders), so broadcast hash
+        // tables keep their 1 x size while fact-side shuffles carry k x
+        // the volume. Because copies are disjoint in orderkey and
+        // otherwise identical, per-order structure (Q18's HAVING
+        // qualifiers, Q21's sole-late suppliers, Q17's per-part
+        // averages) is preserved per copy: row counts of order-grained
+        // outputs scale EXACTLY k x, and group-grained aggregates keep
+        // their row count with k x the sums — both checkable.
+        import org.apache.spark.sql.functions._
+        val k = sys.env.getOrElse("SCALE_K", "10").toInt
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        requireIdHeadroom(ord, "o_orderkey", col("o_orderkey"), 10000000L)
+        def scaledLi(n: Int) = (0 until n).map { i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+        }.reduce(_ unionByName _)
+        def scaledOrd(n: Int) = (0 until n).map { i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+        }.reduce(_ unionByName _)
+        val qsRel = sys.env.get("REL_QUERIES").map(_.split(",").toSeq)
+          .getOrElse(Seq("q1_pricing_summary", "q3_shipping_priority",
+            "q5_local_supplier", "q8_market_share", "q17_small_qty_revenue",
+            "q18_large_orders", "q21_waiting_supplier"))
+        val relScales = sys.env.get("REL_SCALES").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(1, k))
+        for (kk <- relScales) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_rel$kk").toString
+          try {
+            scaledLi(kk).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+            scaledOrd(kk).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+            for (d <- Seq("region", "nation", "customer", "supplier", "part"))
+              spark.read.parquet(s"$sfDir/$d.parquet")
+                .write.mode("overwrite").parquet(s"$tmp/$d.parquet")
+            for (q <- qsRel) {
+              t(s"$q x$kk") {
+                val n = SparkEntry.queries(q)(spark, tmp).count()
+                println(s"  $q x$kk rows=$n")
+              }
+            }
+          } finally {
+            sweepCaches(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
       case "banding_recall" =>
         // Empirical check of the banding miss-probability claim
         // (Dedup.scala header: at tau=0.5 with 64 bands x 2 rows the
