@@ -20,6 +20,21 @@ object DevProbe {
       spark.sqlContext.clearCache()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Shared per-scale scaffold for the table-replication probes: stage
+    * the scaled tables into a temp dir, run the probe body, then sweep
+    * caches and reap the dir even when the body throws — the hygiene
+    * that has needed three review-pass fixes now lives in one place. */
+  private def withScaledTmp(spark: SparkSession, prefix: String, scales: Seq[Int])(
+      write: (Int, String) => Unit)(body: (Int, String) => Unit): Unit =
+    for (kk <- scales) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$prefix$kk").toString
+      try { write(kk, tmp); body(kk, tmp) }
+      finally {
+        sweepCaches(spark, tmp)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+
   /** The replication offsets assume source ids sit in [0, stride) —
     * an id at/above the stride (or a negative one) would silently
     * collide copies and corrupt the linearity/recall numbers the
@@ -256,21 +271,14 @@ object DevProbe {
             "dedup_clusters", "dedup_simhash"))
         val scales = sys.env.get("DD_SCALES").map(_.split(",").toSeq.map(_.toInt))
           .getOrElse(Seq(1, k))
-        for (kk <- scales) {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_dd$kk").toString
-          try {
-            scaledDocs(kk).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-            for (q <- qsDd) {
-              t(s"$q x$kk") {
-                val n = SparkEntry.queries(q)(spark, tmp).count()
-                println(s"  $q x$kk rows=$n")
-              }
+        withScaledTmp(spark, "dd", scales) { (kk, tmp) =>
+          scaledDocs(kk).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        } { (kk, tmp) =>
+          for (q <- qsDd) {
+            t(s"$q x$kk") {
+              val n = SparkEntry.queries(q)(spark, tmp).count()
+              println(s"  $q x$kk rows=$n")
             }
-          } finally {
-            // guarded cache sweep (internal mid-plan persists included)
-            // — all cached data is tmp-dir-scoped
-            sweepCaches(spark, tmp)
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }
 
@@ -289,7 +297,10 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
         val emb = graft.operators.Tables(spark, sfDir).embeddings
-        requireIdHeadroom(emb, "vec_id", col("vec_id"), 10000000L)
+        // stride 5M, not the 10M copy offset: the planted leg puts twins
+        // at base id + 5M INSIDE each copy's namespace, so a base id at
+        // or above 5M would collide with a twin (or the next copy)
+        requireIdHeadroom(emb, "vec_id", col("vec_id"), 5000000L)
         def scaledEmb(n: Int) = (0 until n).map { i =>
           emb.select(
             (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
@@ -303,16 +314,19 @@ object DevProbe {
             "knn_ivf", "knn_bruteforce"))
         val simScales = sys.env.get("SIM_SCALES").map(_.split(",").toSeq.map(_.toInt))
           .getOrElse(Seq(1, k))
-        for (kk <- simScales) {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_sim$kk").toString
-          try {
-            scaledEmb(kk).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-            for (q <- qsSim) {
-              t(s"$q x$kk") {
-                val n = SparkEntry.queries(q)(spark, tmp).count()
-                println(s"  $q x$kk rows=$n")
-              }
+        // one planted twin per 10 base vectors, counted from the actual
+        // corpus (not sf0.1's 2,000) so the recall check is exact at
+        // any SPARK_GRAFT_SF_DIR
+        val plantPerCopy = emb.filter(pmod(col("vec_id"), lit(10)) === 0).count()
+        withScaledTmp(spark, "sim", simScales) { (kk, tmp) =>
+          scaledEmb(kk).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        } { (kk, tmp) =>
+          for (q <- qsSim) {
+            t(s"$q x$kk") {
+              val n = SparkEntry.queries(q)(spark, tmp).count()
+              println(s"  $q x$kk rows=$n")
             }
+          }
             // Planted-recall leg. The shipped taus (0.3/0.4) sit only
             // ~2.4-3.2 sigma above the cross-copy cosine noise floor
             // (sigma ~ 1/sqrt(dim) = 0.125), so at those cuts the
@@ -330,12 +344,14 @@ object DevProbe {
             // ~0.6; sign-flip cross-copy noise reached 0.8 on 3 of
             // 1.7e9 pairs at x30), so the SAME shared kernel the three
             // cosine queries run (cosinePairsStaged) must return
-            // EXACTLY 200 x kk rows — recall 1 on real structure, zero
-            // noise admission, at every scale.
+            // EXACTLY plantPerCopy x kk rows — recall 1 on real
+            // structure, zero noise admission, at every scale.
             val plantTau = sys.env.getOrElse("SIM_PLANT_TAU", "0.95").toDouble
-            val tmpPlant = java.nio.file.Files.createTempDirectory(s"graft_simp$kk").toString
-            try {
-              val base = scaledEmb(kk)
+            withScaledTmp(spark, "simp", Seq(kk)) { (_, tmpPlant) =>
+              // re-read the query leg's staged parquet: the planted leg
+              // then measures bit-identical base data by construction,
+              // and the scaled union/transform isn't rebuilt
+              val base = spark.read.parquet(s"$tmp/embeddings.parquet")
               val twins = base
                 .filter(pmod(col("vec_id") % lit(10000000L), lit(10)) === 0)
                 .select(
@@ -347,19 +363,13 @@ object DevProbe {
                   col("label"))
               base.unionByName(twins)
                 .write.mode("overwrite").parquet(s"$tmpPlant/embeddings.parquet")
+            } { (_, tmpPlant) =>
               t(s"kernel_planted tau=$plantTau x$kk") {
                 val n = graft.dedup.AngularBlocking
                   .cosinePairsStaged(spark, tmpPlant, plantTau).count()
-                println(s"  kernel_planted x$kk rows=$n expected=${200 * kk}")
+                println(s"  kernel_planted x$kk rows=$n expected=${plantPerCopy * kk}")
               }
-            } finally {
-              sweepCaches(spark, tmpPlant)
-              org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpPlant))
             }
-          } finally {
-            sweepCaches(spark, tmp)
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-          }
         }
 
       case "rel_scale_xl" =>
@@ -380,7 +390,11 @@ object DevProbe {
         val k = sys.env.getOrElse("SCALE_K", "10").toInt
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        // both replicated namespaces guarded: an orphan lineitem row
+        // with an out-of-range orderkey would pass an orders-only check
+        // and silently attach to the wrong copy's order
         requireIdHeadroom(ord, "o_orderkey", col("o_orderkey"), 10000000L)
+        requireIdHeadroom(li, "l_orderkey", col("l_orderkey"), 10000000L)
         def scaledLi(n: Int) = (0 until n).map { i =>
           li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
         }.reduce(_ unionByName _)
@@ -393,23 +407,18 @@ object DevProbe {
             "q18_large_orders", "q21_waiting_supplier"))
         val relScales = sys.env.get("REL_SCALES").map(_.split(",").toSeq.map(_.toInt))
           .getOrElse(Seq(1, k))
-        for (kk <- relScales) {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_rel$kk").toString
-          try {
-            scaledLi(kk).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-            scaledOrd(kk).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
-            for (d <- Seq("region", "nation", "customer", "supplier", "part"))
-              spark.read.parquet(s"$sfDir/$d.parquet")
-                .write.mode("overwrite").parquet(s"$tmp/$d.parquet")
-            for (q <- qsRel) {
-              t(s"$q x$kk") {
-                val n = SparkEntry.queries(q)(spark, tmp).count()
-                println(s"  $q x$kk rows=$n")
-              }
+        withScaledTmp(spark, "rel", relScales) { (kk, tmp) =>
+          scaledLi(kk).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+          scaledOrd(kk).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+          for (d <- Seq("region", "nation", "customer", "supplier", "part"))
+            spark.read.parquet(s"$sfDir/$d.parquet")
+              .write.mode("overwrite").parquet(s"$tmp/$d.parquet")
+        } { (kk, tmp) =>
+          for (q <- qsRel) {
+            t(s"$q x$kk") {
+              val n = SparkEntry.queries(q)(spark, tmp).count()
+              println(s"  $q x$kk rows=$n")
             }
-          } finally {
-            sweepCaches(spark, tmp)
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }
 
