@@ -249,6 +249,48 @@ object TextQueries extends QueryModule {
         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       FROM documents GROUP BY source, lang ORDER BY source, lang""")
+    ),
+
+    QueryDef(
+      // Per-doc rarity signal (the CCNet-style "how surprising is this
+      // document" building block): each document's 3 rarest corpus
+      // tokens by document frequency. Shape at scale: the corpus df is
+      // ONE map-side-combined aggregate over distinct (doc, token)
+      // pairs, the df joins back on the token key (both sides shuffle
+      // on tok — co-partitioned), the per-doc top-3 is a rank filter
+      // Spark executes as WindowGroupLimit (partial top-k before the
+      // shuffle), and the doc count rides along as a one-row broadcast.
+      // Exactness: rarity is ORDERED by the integer df (ties on token
+      // text), and the surfaced ratio is one bigint/double division per
+      // output row — no float aggregation anywhere.
+      "text_rare_tokens",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+        toks.join(dfreq, "tok")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"), col("df"),
+            (col("df") / col("n_docs")).as("df_ratio"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents) u),
+        dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+          FROM toks GROUP BY tok),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+      SELECT doc_id, tok, df, df / n_docs AS df_ratio, rk FROM (
+        SELECT t.doc_id, t.tok, d.df,
+          CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+            ORDER BY d.df, t.tok) AS BIGINT) AS rk
+        FROM toks t JOIN dfreq d USING (tok)) x, n
+      WHERE rk <= 3 ORDER BY doc_id, rk""")
     )
   )
 }

@@ -207,6 +207,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Expand"), "q21: multi-countDistinct did not plan as a single expand aggregate")
   }
 
+  test("text_rare_tokens ranks with a map-side WindowGroupLimit and broadcasts the doc count") {
+    val p = plan("text_rare_tokens")
+    assert(p.contains("WindowGroupLimit"), "rare-tokens top-3 not partial before the shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "doc-count scalar not broadcast")
+    assert(!p.contains("CartesianProduct"), "text_rare_tokens planned a cartesian")
+  }
+
   test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
     // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
     // AngularBlocking's assignment) exist to stop every query re-running
