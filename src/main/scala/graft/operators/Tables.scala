@@ -20,14 +20,30 @@ final class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and floor-convert to a micros
-    * timestamp — the same truncation DuckDB applies, so oracle
-    * comparisons stay exact.
+  /** `events.ts` has shipped in two vintages of the driver's generator:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as long via the legacy conf and floor-convert to micros,
+    * the same truncation DuckDB applies) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ.
+    * Dispatch on the type the reader actually produced and normalize to
+    * a session-tz TIMESTAMP: every consumer (`unix_micros`, window(),
+    * as-of arithmetic) and the DuckDB oracle (`epoch_us`) then sees the
+    * identical micros instant, because the session timezone is pinned
+    * UTC by every entrypoint.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
