@@ -251,6 +251,14 @@ object AngularBlocking {
     (assigned, cellStats(assigned, d))
   }, { case (assigned, _) => assigned.unpersist(); () })
 
+  /** Materialize the staged assignment for `dir` (the builder's
+    * cellStats pass is an action, so getting the entry builds it) —
+    * lets a host time staging separately from the queries that probe
+    * it. */
+  private[graft] def warmStaged(s: SparkSession, dir: String): Unit = {
+    stagedCache.get(s, dir); ()
+  }
+
   def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame = {
     val (assigned, stats) = stagedCache.get(s, dir)
     pairsFromAssignment(assigned, stats, tau)
