@@ -1433,6 +1433,306 @@ object Relational extends QueryModule {
             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
               AND l3.l_shipdate > o_orderdate + INTERVAL 180 DAY)) w
       GROUP BY s_name ORDER BY numwait DESC, s_name""")
+    ),
+
+    QueryDef(
+      // TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+      // the supplier(s) in one region achieving the minimum supply cost,
+      // via a correlated-min subquery. The schema has no partsupp table,
+      // so the part-supplier catalog is DERIVED from shipment history:
+      // cost(part, supp) = MIN(l_extendedprice) over their lineitems — a
+      // fact aggregation on the composite key (one shuffle), after which
+      // everything is dimension-sized: qualifying parts and the
+      // region-restricted supplier roster broadcast, and the per-part
+      // minimum (part-cardinality) broadcasts back for the equality
+      // probe. Cost stays DECIMAL(18,2) end-to-end, so the min-equality
+      // join is exact in both engines — never a double comparison.
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ps = t.lineitem
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice").cast(Money)).as("cost_dec"))
+        val parts = t.part
+          .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"))
+        val euro = t.supplier
+          .join(broadcast(t.nation
+              .join(t.region.filter(col("r_name") === "EUROPE"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val offers = ps
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+        // correlated min as a per-part window over the ALREADY-aggregated
+        // offers (part x region-supplier cardinality) — one lineitem
+        // scan total, vs the self-join form's second scan + re-aggregate;
+        // decimal equality keeps ties exactly like the oracle's = MIN()
+        offers
+          .withColumn("min_cost",
+            min(col("cost_dec")).over(Window.partitionBy(col("p_partkey"))))
+          .filter(col("cost_dec") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("cost_dec").cast("double").as("cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      },
+      Some("""WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+          MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey,
+        CAST(ps.cost_dec AS DOUBLE) AS cost
+      FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        AND ps.cost_dec = (
+          SELECT MIN(ps2.cost_dec) FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+    ),
+
+    QueryDef(
+      // TPC-H Q9 shape (product-type profit by nation and year): profit
+      // per supplier nation per order year over a name-matched part
+      // subset. No ps_supplycost in the schema, so line cost is modeled
+      // as half the part's retail price per unit: profit =
+      // disc_price - 0.5 * l_quantity * p_retailprice. Both terms are
+      // exact decimal sums surfaced as doubles, combined with one
+      // halving (exact in binary) and one subtraction — bit-identical
+      // cross-engine, no decimal-literal scale hazards. Plan: part
+      // filter broadcasts into the lineitem scan, supplier/nation
+      // broadcast, one fact shuffle for the orders join, one for the
+      // 25-nation x 7-year aggregate.
+      "q9_product_profit",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part.filter(col("p_name").like("%widget%"))
+              .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg((sum(discPrice).cast("double") -
+            dsumProd(col("l_quantity"), col("p_retailprice")) / lit(2.0))
+            .as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT n_name AS nation,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+        CAST(SUM($discPriceSql) AS DOUBLE) -
+          ${sqlSumProd("l_quantity", "p_retailprice")} / 2.0 AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+      ORDER BY nation, o_year DESC""")
+    ),
+
+    QueryDef(
+      // TPC-H Q11 shape (important stock): per-part value of the
+      // shipments sourced from one region's suppliers, keeping parts
+      // above a fixed fraction of the total — the group-by with a
+      // global-scalar HAVING. The scalar is an aggregate OF the
+      // per-part aggregate (exact decimal sum both levels), broadcast
+      // back as a one-row frame. Like q15/q17, the fact side is scanned
+      // and pre-aggregated once per branch: DataFrame self-reference
+      // re-aliases attribute ids, so exchange reuse cannot dedupe the
+      // two branches (measured: 0 ReusedExchange) — the at-scale answer
+      // is staging the per-part aggregate, not a plan trick. Both
+      // engines compare the same two doubles derived from the same
+      // exact decimals, so the > cut is bit-deterministic.
+      "q11_important_stock",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val asia = t.supplier
+          .join(broadcast(t.nation
+              .join(t.region.filter(col("r_name") === "ASIA"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val perPart = t.lineitem
+          .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(Money)).as("val_dec"))
+        val total = perPart.agg(sum(col("val_dec")).cast("double").as("total_value"))
+        perPart
+          .crossJoin(broadcast(total))
+          .filter(col("val_dec").cast("double") > col("total_value") * lit(0.001))
+          .select(col("l_partkey"), col("val_dec").cast("double").as("stock_value"))
+          .orderBy(col("stock_value").desc, col("l_partkey"))
+      },
+      Some("""WITH pv AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(val_dec AS DOUBLE) AS stock_value
+      FROM pv
+      WHERE CAST(val_dec AS DOUBLE) >
+        (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM pv) * 0.001
+      ORDER BY stock_value DESC, l_partkey""")
+    ),
+
+    QueryDef(
+      // TPC-H Q12 shape (shipping-mode priority split): per category,
+      // how many late-shipped lines belong to critical-priority orders
+      // vs the rest. No l_shipmode/l_commitdate in the schema: the
+      // category is l_returnflag and "late" is shipped >60 days after
+      // the order date within one year. One fact-fact join on orderkey
+      // (both sides date-pruned at the scan), then a 3-row conditional
+      // aggregate — the CASE runs inside the first (partial) agg, so
+      // the shuffle carries 3 keys x 2 longs.
+      "q12_priority_latency",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val crit = col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH"
+        t.lineitem
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    QueryDef(
+      // TPC-H Q16 shape (supplier count by part attribute, with an
+      // excluded-supplier subquery): distinct suppliers per (brand,
+      // type, size) over the shipment-derived part-supplier catalog,
+      // excluding a problem-supplier set (negative account balance
+      // stands in for the benchmark's complaint-comment scan — same
+      // NOT IN machinery, a column the schema actually has). The
+      // catalog distinct and the count-distinct both shuffle on
+      // composite keys; the exclusion set is supplier-sized and anti-
+      // joins broadcast; part attributes broadcast onto the catalog.
+      "q16_supplier_cnt",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val catalog = t.lineitem
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = t.supplier
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        catalog
+          .join(broadcast(excluded),
+            col("l_suppkey") === col("s_suppkey"), "leftanti")
+          .join(broadcast(t.part
+              .filter(col("p_type") =!= "PROMO" &&
+                col("p_size").isin(1, 10, 20, 30, 40, 50))
+              .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type <> 'PROMO' AND p_size IN (1, 10, 20, 30, 40, 50)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    ),
+
+    QueryDef(
+      // TPC-H Q20 shape (suppliers with excess stock of a named part
+      // family): suppliers in one region whose shipped quantity of
+      // 'red %' parts in 1996 ran far above typical — the nested
+      // part-subquery -> per-(supplier, part) aggregate -> threshold ->
+      // semi-join-to-supplier pipeline. No ps_availqty: the threshold
+      // is 2x the global mean per-pair quantity (an aggregate OF the
+      // aggregate, one-row broadcast), mirroring Q20's 0.5*sum(qty)
+      // correlation. Quantities aggregate as exact decimals; the
+      // threshold compare is double-vs-double from identical exact
+      // operands. The red-part filter broadcasts into the date-pruned
+      // fact scan, once per branch (threshold + probe — the q15/q17
+      // per-branch-scan shape; self-reference re-aliasing defeats
+      // exchange reuse); the final roster is supplier-sized.
+      "q20_top_suppliers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val red = t.part.filter(col("p_name").like("red%")).select(col("p_partkey"))
+        val pairQty = t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity").cast(Money)).as("qty_dec"))
+        val thr = pairQty.agg(
+          (sum(col("qty_dec")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_qty"))
+        val heavy = pairQty
+          .crossJoin(broadcast(thr))
+          .filter(col("qty_dec").cast("double") > col("mean_qty") * lit(2.0))
+          .select(col("l_suppkey")).distinct()
+        t.supplier
+          .join(broadcast(t.nation
+              .join(t.region.filter(col("r_name") === "EUROPE"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "leftsemi")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH pq AS (
+        SELECT l_suppkey, l_partkey,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey)
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND s_suppkey IN (
+        SELECT l_suppkey FROM pq
+        WHERE CAST(qty_dec AS DOUBLE) >
+          (SELECT CAST(SUM(qty_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           FROM pq) * 2.0)
+      ORDER BY s_suppkey""")
     )
   )
 }

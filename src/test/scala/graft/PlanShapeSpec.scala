@@ -215,6 +215,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), "text_rare_tokens planned a cartesian")
   }
 
+  test("q2 derives the catalog in ONE fact scan; correlated min is a part-window") {
+    val p = plan("q2_min_cost_supplier")
+    // the self-join form re-scanned lineitem and re-aggregated for the
+    // per-part minimum; the window form must not (5 scans = lineitem +
+    // the four dimension tables; count the FormattedMode DETAIL headers,
+    // the tree section prints each scan a second time)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).length <= 5,
+      "q2: the correlated-min branch re-scans the fact table")
+    assert(p.contains("Window"), "q2: per-part min is not a window")
+    assert(!p.contains("SortMergeJoin"), "q2: a dimension join degenerated to sort-merge")
+  }
+
+  test("q9 broadcasts all four dimensions; only orders shuffles against the fact") {
+    val p = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "q9: dimensions not broadcast")
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      "q9: more than the one orders fact-fact join shuffles")
+    assert(p.contains("StringContains(p_name,widget)"),
+      "q9: part-name filter not pushed to the part scan")
+  }
+
+  test("q11/q20 broadcast the scalar threshold, never shuffling against it") {
+    for ((q, c) <- Seq("q11_important_stock" -> "r_name", "q20_top_suppliers" -> "p_name")) {
+      val p = plan(q)
+      // the one-row scalar joins as a broadcast nested-loop (cross of a
+      // single row) or broadcast hash — a shuffled join against a scalar
+      // would re-partition the whole aggregate
+      assert(!p.contains("CartesianProduct"), s"$q planned a true cartesian")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles against the scalar")
+      assert(p.contains(c), s"$q lost its dimension filter")
+    }
+  }
+
+  test("q12 keeps the CASE split inside partial aggregation; date window pushed") {
+    val p = plan("q12_priority_latency")
+    assert(p.contains("partial_sum"), "q12: no map-side partial aggregation")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "q12: ship window not pushed")
+  }
+
+  test("q16 anti-joins the excluded suppliers as a broadcast") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "q16: exclusion is not an anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q16: exclusion set / part attributes not broadcast")
+  }
+
   test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
     // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
     // AngularBlocking's assignment) exist to stop every query re-running
