@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted minhash band index: build over the base corpus once, probe
+  * with each delta batch many times.
+  *
+  * `dedup_incremental` computes BOTH sides' band keys per run — right
+  * for a one-shot query, wrong for the production daily-ingest loop
+  * where the 100 TB base corpus is indexed once and only the (small)
+  * delta is featurized per batch. This index persists two halves under
+  * one directory (the VectorIndex build/probe discipline applied to the
+  * dedup tier):
+  *
+  *  - `bands/` — the base posting list (band_key, doc_id), written
+  *    `partitionBy("shard")` with shard = pmod(band_key, nShards), so
+  *    each band shard IS a parquet partition directory;
+  *  - `features/` — (doc_id, ss) base shingle sets for the exact
+  *    verification join.
+  *
+  * The at-scale payoff mirrors the IVF probe: a delta batch's bands
+  * cover a bounded set of shards, the probe derives that set
+  * driver-side (≤ nShards ints — driver-sized by construction) and the
+  * posting scan is PARTITION PRUNING, not a filter — disk read scales
+  * with the delta's shard coverage, never the full posting list. The
+  * candidate join stays bipartite (delta bands × pruned base postings,
+  * never base × base), with the same hot-band skew cap as the inline
+  * query; verification is the shared sorted-merge Jaccard kernel.
+  *
+  * Band→shard assignment is a pure function of the band key, so a
+  * band's full posting count lives in exactly one shard and the
+  * hot-band cap computed over the pruned scan equals the cap the
+  * inline query computes over the full posting list — the spec pins
+  * probe ≡ `dedup_incremental` on the same corpus split.
+  */
+object BandIndex {
+
+  /** Featurize `docs` with the frozen minhash family and persist the
+    * sharded posting list + verification features. Deterministic: same
+    * docs + nShards → identical postings and shard assignment. */
+  def build(s: SparkSession, docs: DataFrame, indexDir: String,
+            nShards: Int = 64): Unit = {
+    val feats = Dedup.shingleFeatures(docs, withSig = true, withSim = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
+        .withColumn("shard",
+          pmod(col("band_key"), lit(nShards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$indexDir/bands")
+      feats.select(col("doc_id"), col("ss"))
+        .write.mode("overwrite").parquet(s"$indexDir/features")
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Near-dup (delta_id, base_id, jaccard) pairs of `delta` against the
+    * indexed base, reading only the posting shards the delta's bands
+    * hit. `nShards` must match the build. Delta doc_ids are assumed
+    * disjoint from base doc_ids (they are new arrivals). */
+  def probe(s: SparkSession, indexDir: String, delta: DataFrame,
+            tau: Double = Dedup.JaccardTauShingles,
+            hotBandCap: Long = Dedup.IncrementalHotBandCap,
+            nShards: Int = 64): DataFrame = {
+    // no persist: probe returns a LAZY frame (house query contract), so
+    // a scoped persist would be evicted before execution ever runs. The
+    // delta kernel is re-run once per consumer (shard probe, candidate
+    // bands, verification sets) — delta is batch-sized by contract, and
+    // a host probing the same delta repeatedly stages it like the
+    // session caches stage the corpus features.
+    val dfeats = Dedup.shingleFeatures(delta, withSig = true, withSim = false)
+    val dbands = dfeats
+      .select(col("doc_id").as("delta_id"), explode(col("bands")).as("band_key"))
+    // driver-side shard selection: the distinct shard list is bounded
+    // by nShards regardless of corpus or delta size
+    val needed = dbands
+      .select(pmod(col("band_key"), lit(nShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    // shard is a PARTITION column of bands/ — isin() prunes at planning
+    val pruned = s.read.parquet(s"$indexDir/bands")
+      .filter(col("shard").isin(needed.map(Int.box): _*))
+    // skew cap over the pruned postings ≡ over the full list: a band's
+    // postings live in exactly one shard, and every shard a delta band
+    // maps to is in the scan
+    val hot = pruned.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotBandCap)
+      .select(col("band_key"))
+    val cands = dbands
+      .join(broadcast(hot), Seq("band_key"), "left_anti")
+      .join(pruned.select(col("doc_id").as("base_id"), col("band_key")),
+        "band_key")
+      .select(col("base_id").as("doc_a"), col("delta_id").as("doc_b"))
+      .distinct()
+    val sets = s.read.parquet(s"$indexDir/features")
+      .unionByName(dfeats.select(col("doc_id"), col("ss")))
+    Dedup.verifyJaccard(cands, sets, "ss", tau)
+      .select(col("doc_b").as("delta_id"), col("doc_a").as("base_id"),
+        col("jaccard"))
+      .orderBy(col("delta_id"), col("base_id"))
+  }
+}
