@@ -54,6 +54,22 @@ object DevProbe {
     }
   }
 
+  /** Corpus replicator shared by the dedup-tier probes: copy i offsets
+    * doc_ids by 10M (headroom-checked) and suffixes every token with
+    * `xi`, so copies are NOT near-dups of each other — true-pair
+    * structure scales exactly n× and output linearity is checkable. */
+  private def replicatedDocs(spark: SparkSession,
+                             docs: org.apache.spark.sql.DataFrame,
+                             n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    requireIdHeadroom(docs, "doc_id", col("doc_id"), 10000000L)
+    (0 until n).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Shared scaled-graph probe body: replicate `sfDir`'s events with
     * disjoint user/key namespaces per copy (ONE replication builder for
     * the 1x/10x and the xl probes — two copies could drift and measure
@@ -260,12 +276,7 @@ object DevProbe {
         import org.apache.spark.sql.functions._
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
         val docs = graft.operators.Tables(spark, sfDir).documents
-        requireIdHeadroom(docs, "doc_id", col("doc_id"), 10000000L)
-        def scaledDocs(n: Int) = (0 until n).map { i =>
-          docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ unionByName _)
+        def scaledDocs(n: Int) = replicatedDocs(spark, docs, n)
         val qsDd = sys.env.get("DD_QUERIES").map(_.split(",").toSeq)
           .getOrElse(Seq("dedup_minhash_lsh", "dedup_incremental",
             "dedup_clusters", "dedup_simhash"))
@@ -279,6 +290,52 @@ object DevProbe {
               val n = SparkEntry.queries(q)(spark, tmp).count()
               println(s"  $q x$kk rows=$n")
             }
+          }
+        }
+
+      case "band_index_xl" =>
+        // Build-once/probe-many probe for the persisted BandIndex: at
+        // each scale, build the index over the base split (the one-time
+        // 100 TB cost), then time (a) the full daily-delta probe — whose
+        // win over dedup_incremental is skipping base featurization
+        // entirely — and (b) a single-doc probe, the dedup-on-ingest
+        // serving case where the sharded posting layout turns the scan
+        // into partition pruning (64 band keys hit ≤64 of nShards
+        // partitions regardless of corpus size). Shard coverage is
+        // printed so the pruned fraction is in the record next to the
+        // wall time.
+        import org.apache.spark.sql.functions._
+        val k = sys.env.getOrElse("SCALE_K", "10").toInt
+        val nShards = sys.env.getOrElse("BI_SHARDS", "1024").toInt
+        val docs = graft.operators.Tables(spark, sfDir).documents
+        val scales = sys.env.get("BI_SCALES").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(1, k))
+        withScaledTmp(spark, "bi", scales) { (kk, tmp) =>
+          replicatedDocs(spark, docs, kk)
+            .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        } { (kk, tmp) =>
+          val all = graft.operators.Tables(spark, tmp).documents
+          val base = all.filter(col("doc_id") % 7 =!= 0)
+          val delta = all.filter(col("doc_id") % 7 === 0)
+          val idx = s"$tmp/bandidx"
+          t(s"bi_build x$kk") {
+            graft.dedup.BandIndex.build(spark, base, idx, nShards)
+          }
+          t(s"bi_probe_delta x$kk") {
+            val n = graft.dedup.BandIndex.probe(spark, idx, delta,
+              nShards = nShards).count()
+            println(s"  probe_delta x$kk pairs=$n")
+          }
+          val one = delta.orderBy(col("doc_id")).limit(1)
+          t(s"bi_probe_one x$kk") {
+            val n = graft.dedup.BandIndex.probe(spark, idx, one,
+              nShards = nShards).count()
+            val cov = graft.dedup.Dedup
+              .shingleFeatures(one, withSig = true, withSim = false)
+              .select(explode(col("bands")).as("b"))
+              .select(pmod(col("b"), lit(nShards.toLong)).cast("int"))
+              .distinct().count()
+            println(s"  probe_one x$kk pairs=$n shards=$cov/$nShards")
           }
         }
 
