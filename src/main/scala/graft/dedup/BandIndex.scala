@@ -40,7 +40,20 @@ object BandIndex {
     * sharded posting list + verification features. Deterministic: same
     * docs + nShards → identical postings and shard assignment. */
   def build(s: SparkSession, docs: DataFrame, indexDir: String,
-            nShards: Int = 64): Unit = {
+            nShards: Int = 64): Unit =
+    writeIndex(docs, indexDir, nShards, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold `docs` INTO an existing index — the ingest loop's growth step
+    * (see [[graft.streaming.StreamNearDedup]]). An at-least-once replay
+    * may append a doc's rows twice; [[probe]] tolerates duplicate
+    * postings and features (candidates are distinct'd, verification
+    * sets dedup on doc_id), so duplicates cost bytes, not correctness. */
+  def append(s: SparkSession, docs: DataFrame, indexDir: String,
+             nShards: Int = 64): Unit =
+    writeIndex(docs, indexDir, nShards, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIndex(docs: DataFrame, indexDir: String, nShards: Int,
+                         mode: org.apache.spark.sql.SaveMode): Unit = {
     val feats = Dedup.shingleFeatures(docs, withSig = true, withSim = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -54,10 +67,10 @@ object BandIndex {
         .withColumn("shard",
           pmod(col("band_key"), lit(nShards.toLong)).cast("int"))
         .repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard")
+        .write.mode(mode).partitionBy("shard")
         .parquet(s"$indexDir/bands")
       feats.select(col("doc_id"), col("ss"))
-        .write.mode("overwrite").parquet(s"$indexDir/features")
+        .write.mode(mode).parquet(s"$indexDir/features")
     } finally { feats.unpersist(); () }
   }
 
@@ -106,9 +119,12 @@ object BandIndex {
     // candidate cardinality.
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // dropDuplicates: a replayed append may have written a doc's
+    // feature row twice; duplicate set rows would duplicate its pairs
     val sets = s.read.parquet(s"$indexDir/features")
       .unionByName(dfeats.select(col("doc_id"), col("ss")))
       .join(candIds, Seq("doc_id"), "leftsemi")
+      .dropDuplicates("doc_id")
     Dedup.verifyJaccard(cands, sets, "ss", tau)
       .select(col("doc_b").as("delta_id"), col("doc_a").as("base_id"),
         col("jaccard"))

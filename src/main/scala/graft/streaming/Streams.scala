@@ -121,6 +121,52 @@ object StreamDedup {
       eventTimeCol, delay, Seq("norm_md5"))
 }
 
+/** Streaming NEAR-dup on ingest: each document micro-batch probes the
+  * persisted [[graft.dedup.BandIndex]] for near-dups against everything
+  * ingested before it, writes the pair report under its batch id, then
+  * folds the batch into the index so later batches dedup against it —
+  * the daily-ingest loop `dedup_incremental` models, run continuously.
+  *
+  * Delivery contract (at-least-once replay safe, in batch order — the
+  * engine serializes micro-batches, so a replay is always of the LAST
+  * uncommitted batch):
+  *  - pairs are delta-vs-HISTORY only: candidates whose base side is in
+  *    the probing batch itself are excluded. That keeps the two crash
+  *    windows idempotent — a crash after the output write replays with
+  *    the batch not yet excluded-relevant (identical output rewritten),
+  *    a crash after the index append replays with the batch already in
+  *    the index (the self-exclusion discards exactly those rows).
+  *    Intra-batch dedup is the batch's own inline dedup pass, not this
+  *    sink's job.
+  *  - output overwrites `outDir/batch_id=<id>` — replays rewrite
+  *    identical content instead of appending duplicates;
+  *  - a replayed index append may double a doc's postings; probe
+  *    tolerates that (distinct candidates, doc_id-deduped sets).
+  */
+object StreamNearDedup {
+
+  /** `foreachBatch` body. The index at `indexDir` must exist (built
+    * over the base corpus with the same `nShards`). */
+  def sink(indexDir: String, outDir: String, nShards: Int = 64,
+           tau: Double = graft.dedup.Dedup.JaccardTauShingles)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val s = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val own = b.select(col("doc_id").as("base_id"))
+      graft.dedup.BandIndex.probe(s, indexDir, b, tau, nShards = nShards)
+        .join(broadcast(own), Seq("base_id"), "left_anti")
+        .select(col("delta_id"), col("base_id"), col("jaccard"))
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      graft.dedup.BandIndex.append(s, b, indexDir, nShards)
+    } finally { b.unpersist(); () }
+  }
+
+  /** All pairs reported so far, with their batch id. */
+  def pairs(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+}
+
 /** Watermarked stream-stream join: purchases join the same user's views
   * within a bounded lookback — the streaming form of the batch as-of /
   * interval join. Both sides carry watermarks AND the join condition
