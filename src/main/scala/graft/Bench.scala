@@ -43,6 +43,9 @@ object Bench {
     // on whichever query happens to run first (measured: ~3-6 s of the
     // first query's wall time is one-time JVM warmup, not query cost)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // optional dev filter, declared BEFORE staging so a filtered run
+    // can skip tiers its queries never read
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // staged-artifact build, TIMED and reported separately ("staging" in
     // the artifact): the shared feature/graph artifacts are
     // maintained-beside-the-corpus indexes at 100 TB — building one
@@ -52,29 +55,38 @@ object Bench {
     // under min-of-2 whenever the second run also caught session noise).
     // Decomposing the measurement keeps every per-query number a
     // steady-state probe while staging stays visible in the artifact.
-    def stageTier(name: String)(body: => Unit): (String, Double) = {
+    // A staging FAILURE is recorded with an err marker — a silently
+    // swallowed failure would report ~0 s here and quietly re-land the
+    // tier cost inside the first query that rebuilds the cache inline,
+    // recreating exactly the variance this phase eliminates.
+    def stageTier(name: String)(body: => Unit): (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      name -> ((System.nanoTime() - t0) / 1e9)
+      val err =
+        try { body; None }
+        catch { case t: Throwable => Some(t.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val staging = Seq(
-      stageTier("graph") {
-        val g = graft.graph.TripleStore.staged(spark, sfDir)
-        g.triples.count(); g.objects.count(); g.relationships.count()
-        g.half.count(); g.so.count(); ()
-      },
-      stageTier("dedup_features") {
-        val f = graft.dedup.Dedup.stagedDocFeatures(spark, sfDir)
-        f.feats.count(); f.ws.count(); ()
-      },
-      stageTier("wordset_pairs") {
-        graft.dedup.Dedup.stagedWordSetPairs(spark, sfDir).count(); ()
-      },
-      stageTier("angular") {
-        graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
-      })
-    // optional dev filter: SPARK_GRAFT_ONLY=name1,name2
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_ONLY dev runs skip staging entirely: a one-query dev
+    // loop should not pay ~14 s of unrelated tier builds; first-touch
+    // staging inside the selected query is the accepted dev tradeoff
+    val staging: Seq[(String, Double, Option[String])] =
+      if (only.isDefined) Nil
+      else Seq(
+        stageTier("graph") {
+          val g = graft.graph.TripleStore.staged(spark, sfDir)
+          g.triples.count(); g.objects.count(); g.relationships.count()
+          g.half.count(); g.so.count(); ()
+        },
+        stageTier("dedup_features") {
+          val f = graft.dedup.Dedup.stagedDocFeatures(spark, sfDir)
+          f.feats.count(); f.ws.count(); ()
+        },
+        stageTier("wordset_pairs") {
+          graft.dedup.Dedup.stagedWordSetPairs(spark, sfDir).count(); ()
+        },
+        stageTier("angular") {
+          graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
+        })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers
     def safeTake(s: String, n: Int): String = {
@@ -133,7 +145,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1._1).sum else 0.0
     val stagingSec = staging.map(_._2).sum
     val stagingJson = staging
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .map {
+        case (k, v, None)    => s"\"" + k + "\":" + r3(v)
+        case (k, v, Some(e)) => s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(e)}"}"""
+      }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"staging":$stagingJson,"staging_sec":${r3(stagingSec)},"runs":$runs,"errors":$errCount,"sf":"$sfDir"}"""

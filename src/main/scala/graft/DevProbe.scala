@@ -330,13 +330,18 @@ object DevProbe {
           t(s"bi_probe_one x$kk") {
             val n = graft.dedup.BandIndex.probe(spark, idx, one,
               nShards = nShards).count()
-            val cov = graft.dedup.Dedup
-              .shingleFeatures(one, withSig = true, withSim = false)
-              .select(explode(col("bands")).as("b"))
-              .select(pmod(col("b"), lit(nShards.toLong)).cast("int"))
-              .distinct().count()
-            println(s"  probe_one x$kk pairs=$n shards=$cov/$nShards")
+            println(s"  probe_one x$kk pairs=$n")
           }
+          // coverage OUTSIDE the timed block: it re-scans the delta and
+          // re-runs the feature kernel, and its cost scales with the
+          // corpus via the orderBy/limit — inside t() it would bias the
+          // very flatness claim the probe exists to measure
+          val cov = graft.dedup.Dedup
+            .shingleFeatures(one, withSig = true, withSim = false)
+            .select(explode(col("bands")).as("b"))
+            .select(pmod(col("b"), lit(nShards.toLong)).cast("int"))
+            .distinct().count()
+          println(s"  probe_one x$kk shards=$cov/$nShards")
         }
 
       case "sim_scale_xl" =>

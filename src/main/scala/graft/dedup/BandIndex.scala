@@ -56,22 +56,32 @@ object BandIndex {
                          mode: org.apache.spark.sql.SaveMode): Unit = {
     val feats = Dedup.shingleFeatures(docs, withSig = true, withSim = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // repartition on the partition column before the write: without
-      // it every write task holds rows of every shard and emits one
-      // file per (task, shard) — measured 71 s at sf0.1 x 1024 shards
-      // (~32k tiny files, pure filesystem overhead) vs 3.5-7.5 s with
-      // the shuffle, which also co-locates each shard's postings (one
-      // file per shard, the layout a 100 TB cluster wants anyway)
-      feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
-        .withColumn("shard",
-          pmod(col("band_key"), lit(nShards.toLong)).cast("int"))
-        .repartition(col("shard"))
-        .write.mode(mode).partitionBy("shard")
-        .parquet(s"$indexDir/bands")
-      feats.select(col("doc_id"), col("ss"))
-        .write.mode(mode).parquet(s"$indexDir/features")
-    } finally { feats.unpersist(); () }
+    try writeFeats(feats, indexDir, nShards, mode)
+    finally { feats.unpersist(); () }
+  }
+
+  /** [[append]] over a pre-built delta feature frame the caller already
+    * holds (and has persisted — both writes below consume it). */
+  private[graft] def appendFeats(feats: DataFrame, indexDir: String,
+                                 nShards: Int): Unit =
+    writeFeats(feats, indexDir, nShards, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeFeats(feats: DataFrame, indexDir: String, nShards: Int,
+                         mode: org.apache.spark.sql.SaveMode): Unit = {
+    // repartition on the partition column before the write: without
+    // it every write task holds rows of every shard and emits one
+    // file per (task, shard) — measured 71 s at sf0.1 x 1024 shards
+    // (~32k tiny files, pure filesystem overhead) vs 3.5-7.5 s with
+    // the shuffle, which also co-locates each shard's postings (one
+    // file per shard, the layout a 100 TB cluster wants anyway)
+    feats.select(col("doc_id"), explode(col("bands")).as("band_key"))
+      .withColumn("shard",
+        pmod(col("band_key"), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard")
+      .parquet(s"$indexDir/bands")
+    feats.select(col("doc_id"), col("ss"))
+      .write.mode(mode).parquet(s"$indexDir/features")
   }
 
   /** Near-dup (delta_id, base_id, jaccard) pairs of `delta` against the
@@ -81,14 +91,22 @@ object BandIndex {
   def probe(s: SparkSession, indexDir: String, delta: DataFrame,
             tau: Double = Dedup.JaccardTauShingles,
             hotBandCap: Long = Dedup.IncrementalHotBandCap,
-            nShards: Int = 64): DataFrame = {
-    // no persist: probe returns a LAZY frame (house query contract), so
-    // a scoped persist would be evicted before execution ever runs. The
-    // delta kernel is re-run once per consumer (shard probe, candidate
-    // bands, verification sets) — delta is batch-sized by contract, and
-    // a host probing the same delta repeatedly stages it like the
-    // session caches stage the corpus features.
-    val dfeats = Dedup.shingleFeatures(delta, withSig = true, withSim = false)
+            nShards: Int = 64): DataFrame =
+    // no persist here: probe returns a LAZY frame (house query
+    // contract), so a scoped persist would be evicted before execution
+    // ever runs. The delta kernel is re-run once per consumer — delta
+    // is batch-sized by contract; a host that consumes the probe
+    // eagerly (the streaming sink) featurizes once itself, persists,
+    // and calls [[probeFeats]]/[[appendFeats]] directly.
+    probeFeats(s, indexDir,
+      Dedup.shingleFeatures(delta, withSig = true, withSim = false),
+      tau, hotBandCap, nShards)
+
+  /** [[probe]] over a pre-built (doc_id, ss, bands) delta feature
+    * frame (the `shingleFeatures(withSig = true)` shape). */
+  private[graft] def probeFeats(s: SparkSession, indexDir: String,
+                                dfeats: DataFrame, tau: Double,
+                                hotBandCap: Long, nShards: Int): DataFrame = {
     val dbands = dfeats
       .select(col("doc_id").as("delta_id"), explode(col("bands")).as("band_key"))
     // driver-side shard selection: the distinct shard list is bounded
@@ -101,9 +119,12 @@ object BandIndex {
       .filter(col("shard").isin(needed.map(Int.box): _*))
     // skew cap over the pruned postings ≡ over the full list: a band's
     // postings live in exactly one shard, and every shard a delta band
-    // maps to is in the scan
+    // maps to is in the scan. countDistinct, not count: a replayed
+    // append doubles a doc's postings, and a duplicate-inflated count
+    // crossing the cap would silently drop a real band — breaking
+    // append's "duplicates cost bytes, not correctness" contract
     val hot = pruned.groupBy(col("band_key"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > hotBandCap)
+      .agg(countDistinct(col("doc_id")).as("c")).filter(col("c") > hotBandCap)
       .select(col("band_key"))
     val cands = dbands
       .join(broadcast(hot), Seq("band_key"), "left_anti")

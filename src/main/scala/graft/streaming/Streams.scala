@@ -151,15 +151,24 @@ object StreamNearDedup {
            tau: Double = graft.dedup.Dedup.JaccardTauShingles)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
-    val b = batch.persist()
+    // featurize ONCE per batch: the 128-perm signature kernel is the
+    // CPU-dominant stage (Dedup.scala's measured note), and the lazy
+    // probe() would otherwise re-run it per consumer (shard collect,
+    // candidate bands, verification sets) plus a fourth time in
+    // append. Both sink actions run while the persist is live.
+    val feats = graft.dedup.Dedup
+      .shingleFeatures(batch, withSig = true, withSim = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val own = b.select(col("doc_id").as("base_id"))
-      graft.dedup.BandIndex.probe(s, indexDir, b, tau, nShards = nShards)
+      val own = feats.select(col("doc_id").as("base_id"))
+      graft.dedup.BandIndex
+        .probeFeats(s, indexDir, feats, tau,
+          graft.dedup.Dedup.IncrementalHotBandCap, nShards)
         .join(broadcast(own), Seq("base_id"), "left_anti")
         .select(col("delta_id"), col("base_id"), col("jaccard"))
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-      graft.dedup.BandIndex.append(s, b, indexDir, nShards)
-    } finally { b.unpersist(); () }
+      graft.dedup.BandIndex.appendFeats(feats, indexDir, nShards)
+    } finally { feats.unpersist(); () }
   }
 
   /** All pairs reported so far, with their batch id. */
