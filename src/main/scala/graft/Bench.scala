@@ -86,6 +86,9 @@ object Bench {
         },
         stageTier("angular") {
           graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
+        },
+        stageTier("band_index") {
+          graft.dedup.BandIndex.stagedBaseIndex(spark, sfDir); ()
         })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers
