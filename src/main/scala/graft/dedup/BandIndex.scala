@@ -136,7 +136,7 @@ object BandIndex {
       .distinct().collect().map(_.getInt(0)).sorted
     // shard is a PARTITION column of bands/ — isin() prunes at planning
     val pruned = s.read.parquet(s"$indexDir/bands")
-      .filter(col("shard").isin(needed.map(Int.box): _*))
+      .filter(col("shard").isin(needed.toIndexedSeq.map(Int.box): _*))
     // skew cap over the pruned postings ≡ over the full list: a band's
     // postings live in exactly one shard, and every shard a delta band
     // maps to is in the scan. countDistinct, not count: a replayed

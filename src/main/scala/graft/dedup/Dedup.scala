@@ -347,6 +347,30 @@ object Dedup extends QueryModule {
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t
         WHERE len(toks) >= $ShingleK"""
 
+  /** Banding-free simhash-pair oracle (all pairs at hamming <= 7 of the
+    * majority-vote simhash over md5_number_lower'd shingles) — shared
+    * by `dedup_simhash` and the multimodal container roundtrip
+    * `mm_dedup_phash`, whose carried perceptual hash IS the simhash by
+    * construction, so one oracle string gates both. */
+  private[graft] val SimhashPairsOracleSql: String =
+    s"""WITH sh0 AS ($shingleSetsSql),
+        sh AS (SELECT doc_id, unnest(ss) AS s FROM sh0),
+        hb AS (SELECT doc_id, md5_number_lower(s) AS h FROM sh),
+        votes AS (
+          SELECT doc_id, j,
+            SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+            COUNT(*) AS n
+          FROM hb CROSS JOIN range(0, 64) r(j)
+          GROUP BY doc_id, j),
+        bits AS (SELECT doc_id, j,
+            CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS b FROM votes)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 7
+      ORDER BY doc_a, doc_b"""
+
   /** Brute-force delta×base oracle shared by `dedup_incremental` and
     * its prebuilt-index serving form `dedup_indexed` — one string, so
     * the two queries are gated against literally the same reference. */
@@ -1058,23 +1082,7 @@ object Dedup extends QueryModule {
       // the bit votes a strict majority, and the per-pair hamming a sum
       // of per-bit disagreements (no 64-bit assembly, so no signedness
       // traps). Quadratic pair join is oracle-side only (sf0.01).
-      Some(s"""WITH sh0 AS ($shingleSetsSql),
-        sh AS (SELECT doc_id, unnest(ss) AS s FROM sh0),
-        hb AS (SELECT doc_id, md5_number_lower(s) AS h FROM sh),
-        votes AS (
-          SELECT doc_id, j,
-            SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-            COUNT(*) AS n
-          FROM hb CROSS JOIN range(0, 64) r(j)
-          GROUP BY doc_id, j),
-        bits AS (SELECT doc_id, j,
-            CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS b FROM votes)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-      FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 7
-      ORDER BY doc_a, doc_b""")
+      Some(SimhashPairsOracleSql)
     ),
 
     QueryDef(

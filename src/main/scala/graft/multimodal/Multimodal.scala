@@ -73,6 +73,25 @@ object Multimodal extends QueryModule {
         unhex(md5(col("text")))))
       .drop("text")
 
+  /** 8-byte big-endian binary from a long (two's complement via hex). */
+  private def be8(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
+
+  /** Synthetic container "GRFP" carrying a decode-time PERCEPTUAL HASH:
+    * 4-byte magic | 8-byte phash (big-endian) | 16-byte payload. Real
+    * media pipelines compute a pHash from decoded pixels at ingest and
+    * carry it in sidecar metadata; the codec being stubbed here, the
+    * stand-in value is the doc's content simhash (already
+    * oracle-verified by `dedup_simhash`), so near-dup documents
+    * genuinely land within hamming 7 of each other and the downstream
+    * banded join is exercised on real similarity structure — not on
+    * avalanche-hash noise that would never collide. */
+  def withPhashBlobs(docsWithSim: DataFrame): DataFrame =
+    docsWithSim.select(col("doc_id"),
+      concat(
+        lit("GRFP".getBytes("UTF-8")),
+        be8(col("sim")),
+        unhex(md5(col("doc_id").cast("string")))).as("pblob"))
+
   /** Audio metadata struct parsed from the container header. */
   def extractAudioMeta(blobs: DataFrame): DataFrame =
     blobs.select(
@@ -151,6 +170,38 @@ object Multimodal extends QueryModule {
         CAST(widx * sample_rate AS BIGINT) AS start_sample,
         CAST(LEAST(sample_rate, n_samples - widx * sample_rate) AS BIGINT) AS window_samples
       FROM w ORDER BY doc_id, window_idx""")
+    ),
+
+    QueryDef(
+      // Perceptual-hash near-dup over binary media containers: parse
+      // the carried 64-bit pHash back out of the "GRFP" header (two
+      // big-endian 4-byte reads reassembled with shift/or — column
+      // expressions only, payload bytes untouched) and run the SAME
+      // two-level hamming banding + exact bit_count verify as
+      // dedup_simhash. The carried hash IS the doc's simhash (see
+      // [[withPhashBlobs]] — the honest codec stand-in), so output ≡
+      // dedup_simhash and one oracle string gates both; what this query
+      // adds to the inventory is the binary container roundtrip feeding
+      // the shared dedup machinery — the image-dedup pipeline shape
+      // with the pixel hash swapped for a content hash.
+      "mm_dedup_phash",
+      (s, dir) => {
+        val sims = graft.dedup.Dedup.stagedDocFeatures(s, dir).feats
+          .select(col("doc_id"), col("sim"))
+        val hashed = withPhashBlobs(sims).select(col("doc_id"),
+          shiftleft(beField(col("pblob"), 5), 32)
+            .bitwiseOR(beField(col("pblob"), 9)).as("sim"))
+        val banded = graft.dedup.Dedup.simhashBandKeys(hashed)
+        val cands = graft.dedup.Dedup.bucketPairs(banded, "seg_key")
+        val a = hashed.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+        val b = hashed.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+        cands.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+          .filter(col("hamming") <= 7)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(graft.dedup.Dedup.SimhashPairsOracleSql)
     )
   )
 }
