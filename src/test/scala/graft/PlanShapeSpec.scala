@@ -262,6 +262,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q16: exclusion set / part attributes not broadcast")
   }
 
+  test("text_bm25 scores in-scan (no token explode) and plans top-k, not a global sort") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "bm25: top-20 is a global sort")
+    // tf must be codegen'd array expressions inside the projection — a
+    // Generate (explode) of token rows would shuffle the whole corpus's
+    // tokens to rank 20 docs
+    assert(!p.contains("Generate"), "bm25: token explode resurfaced")
+    assert(!p.contains("SortMergeJoin"), "bm25: stats join degenerated to shuffle")
+  }
+
+  test("mm_dedup_phash bands via equi-join on parsed hashes, never a pair product") {
+    val p = plan("mm_dedup_phash")
+    assert(!p.contains("CartesianProduct"), "phash: all-pairs product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "phash: all-pairs NLJ")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "phash: staged feature artifact not read")
+  }
+
   test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
     // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
     // AngularBlocking's assignment) exist to stop every query re-running
