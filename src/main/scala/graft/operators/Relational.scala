@@ -427,6 +427,32 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // The OTHER mergeable sketch a 100 TB aggregation layer needs
+      // beside HLL: approximate percentiles. approx_percentile is
+      // Spark's KLL-style quantile summary — map-side partial sketches
+      // merge associatively, so the shuffle carries one sketch per
+      // group per partition, never the value multiset (an exact
+      // percentile shuffles every row to its group, which is why
+      // q_median_order is the small-group path and THIS is the scale
+      // path). Approximate by design → rows-only in the driver gate;
+      // the accuracy bound vs the exact percentile is spec-asserted
+      // (QueriesSmokeSpec), mirroring q_approx_distinct's discipline.
+      "q_approx_quantiles",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(2500)).as("p50_approx"),
+            percentile_approx(col("o_totalprice"), lit(0.95), lit(2500)).as("p95_approx"),
+            expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            expr("percentile(o_totalprice, 0.95)").as("p95_exact"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      None
+    ),
+
+    QueryDef(
       // stream-enrichment shape: fact stream joined to a broadcast
       // dimension, then aggregated
       "q_enrich_events",

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Every SURVEY.md §2 operator runs end-to-end at sf0.001 and yields a
@@ -22,10 +23,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the remaining three are approximate BY DESIGN (LSH/IVF recall,
-    // HLL error) — no exact SQL mirror exists even in principle;
-    // dedup_simhash graduated to oracle-exact via md5_number_lower
-    assert(noOracle == Set("knn_lsh", "knn_ivf", "q_approx_distinct"))
+    // the remaining four are approximate BY DESIGN (LSH/IVF recall,
+    // HLL error, KLL quantile error) — no exact SQL mirror exists even
+    // in principle; dedup_simhash graduated to oracle-exact via
+    // md5_number_lower
+    assert(noOracle == Set("knn_lsh", "knn_ivf", "q_approx_distinct",
+      "q_approx_quantiles"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {
@@ -35,6 +38,31 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       val exact = r.getLong(r.fieldIndex("exact_orders")).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("q_approx_quantiles stays within rank-error of the exact percentiles") {
+    // percentile_approx(accuracy=2500) bounds RANK error by 1/2500; on
+    // value space assert against the exact p45/p55 (p90/p99) envelope —
+    // a generous translation of the rank bound that still catches a
+    // broken sketch merge
+    val df = SparkEntry.queries("q_approx_quantiles")(spark, dir)
+    val exact = graft.operators.Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.45)").as("lo50"),
+        expr("percentile(o_totalprice, 0.55)").as("hi50"),
+        expr("percentile(o_totalprice, 0.90)").as("lo95"),
+        expr("percentile(o_totalprice, 0.99)").as("hi95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    df.collect().foreach { r =>
+      val e = exact(r.getString(0))
+      val p50 = r.getDouble(r.fieldIndex("p50_approx"))
+      val p95 = r.getDouble(r.fieldIndex("p95_approx"))
+      assert(p50 >= e.getDouble(e.fieldIndex("lo50")) &&
+        p50 <= e.getDouble(e.fieldIndex("hi50")), s"p50 $p50 outside envelope")
+      assert(p95 >= e.getDouble(e.fieldIndex("lo95")) &&
+        p95 <= e.getDouble(e.fieldIndex("hi95")), s"p95 $p95 outside envelope")
     }
   }
 
