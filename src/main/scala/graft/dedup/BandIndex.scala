@@ -45,13 +45,29 @@ object BandIndex {
   private val stagedIdx = new graft.operators.SessionStaged[String](
     (s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
-      build(s, graft.operators.Tables(s, dir).documents
-        .filter(col("doc_id") % 7 =!= 0), tmp)
+      try
+        // reuse the session-staged feature pass instead of re-running
+        // the CPU-dominant 128-perm kernel over 6/7 of the corpus — the
+        // gate and bench stage exactly these columns moments earlier
+        writeFeats(Dedup.stagedDocFeatures(s, dir).feats
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("ss"), col("bands")),
+          tmp, 64, org.apache.spark.sql.SaveMode.Overwrite)
+      catch {
+        case t: Throwable => deleteDir(tmp); throw t
+      }
       tmp
     },
-    idx =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
-      catch { case scala.util.control.NonFatal(_) => () })
+    deleteDir)
+
+  // staged index dirs must not outlive the JVM: nothing else evicts the
+  // cache on a normal gate/bench/test exit, and each run would orphan a
+  // full parquet index under /tmp
+  Runtime.getRuntime.addShutdownHook(new Thread(() => stagedIdx.clear()))
+
+  private def deleteDir(idx: String): Unit =
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    catch { case scala.util.control.NonFatal(_) => () }
 
   private[graft] def stagedBaseIndex(s: SparkSession, dir: String): String =
     stagedIdx.get(s, dir)
