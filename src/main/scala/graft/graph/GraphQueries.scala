@@ -196,6 +196,118 @@ object GraphQueries extends QueryModule {
     }
   }
 
+  /** Peel-round bound shared by both kcore tiers AND the unrolled
+    * oracle: the engine fails LOUDLY if the peel has not reached its
+    * fixpoint within this many rounds — exactly where the fixed-depth
+    * oracle would silently diverge. Measured on the shipped graphs:
+    * 1-5 rounds at every SF. */
+  private[graft] val KcoreMaxPeels = 12
+
+  /** spo_kcore body — iterative k-core peel of the undirected entity
+    * graph. K is DATA-ADAPTIVE and exactly mirrored in the oracle:
+    * K = max(1, (3 * ceil(2E/V)) / 4) in pure integer arithmetic, so
+    * both engines derive the identical threshold from the identical
+    * graph (a fixed K is degenerate across scale factors: the shipped
+    * graphs' min degree ranges 3..38, so any constant either peels
+    * nothing or empties the graph at some SF). Two tiers on the
+    * bfs/pagerank discipline: edges under `driverCap` peel in-process
+    * (the per-round work is a degree histogram over a driver-sized
+    * edge list); above it, a checkpointed loop of
+    * degree-filter -> both-endpoint edge restriction, each round one
+    * shuffle on the node key. Output: (object_id, core_deg) for core
+    * survivors, core_deg = within-core degree >= K.
+    */
+  private[graft] def kcore(s: org.apache.spark.sql.SparkSession, dir: String,
+                           driverCap: Long = 2000000L,
+                           kOverride: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val g = T.staged(s, dir)
+    val half = g.half // distinct undirected (a < b), no self-loops
+    val und = half.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val e2 = und.count() // = 2E
+    val v = und.select(col("src")).distinct().count()
+    if (v == 0) {
+      Seq.empty[(Long, Long)].toDF("object_id", "core_deg")
+    } else {
+      val k = kOverride.getOrElse(math.max(1L, (((e2 + v - 1) / v) * 3) / 4))
+      if (e2 / 2 <= driverCap) {
+        // driver tier: in-process peel over the collected edge list —
+        // the same integer comparisons as the distributed loop, so the
+        // tiers agree bit-for-bit (spec-pinned)
+        val edgeArr = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        edgeArr.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        }
+        val alive = scala.collection.mutable.HashSet.empty[Long] ++ adj.keys
+        var rounds = 0
+        var changed = true
+        while (changed && rounds <= KcoreMaxPeels) {
+          val drop = alive.filter(n => adj(n).count(alive.contains) < k)
+          changed = drop.nonEmpty
+          if (changed) { alive --= drop; rounds += 1 }
+        }
+        require(!changed, s"kcore did not converge in $KcoreMaxPeels peels")
+        alive.toSeq.sorted
+          .map(n => (n, adj(n).count(alive.contains).toLong))
+          .toDF("object_id", "core_deg")
+          .orderBy(col("object_id"))
+      } else {
+        // distributed tier: each round is one degree aggregate + one
+        // both-endpoints restriction; lineage truncated per round
+        var e = und
+        var prevCount = e2
+        var rounds = 0
+        var converged = false
+        while (!converged && rounds <= KcoreMaxPeels) {
+          val alive = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select(col("src").as("id"))
+            .localCheckpoint()
+          val kept = e
+            .join(alive.select(col("id").as("src")), "src")
+            .join(alive.select(col("id").as("dst")), "dst")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+          val n = kept.count()
+          converged = n == prevCount
+          if (!converged) { e = kept; prevCount = n; rounds += 1 }
+        }
+        require(converged, s"kcore did not converge in $KcoreMaxPeels peels")
+        e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("core_deg"))
+          .select(col("src").as("object_id"), col("core_deg"))
+          .orderBy(col("object_id"))
+      }
+    }
+  }
+
+  /** 12-round unrolled peel oracle — exact because the engine asserts
+    * fixpoint within [[KcoreMaxPeels]] rounds (the BFS maxRounds
+    * discipline: bounded unrolling + a loud engine-side bound). */
+  private val KcoreOracleSql: Option[String] = Some {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor three times — 12 inlined rounds
+    // explode to 3^12 scans of the base relation ("too many open files")
+    val rounds = (1 to KcoreMaxPeels).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1}
+           GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kk)),
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           JOIN a$i x ON e.src = x.id JOIN a$i y ON e.dst = y.id)"""
+    }.mkString(",\n")
+    s"""$prelude,
+      ue AS (SELECT LEAST(source_id, target_id) AS a,
+                    GREATEST(source_id, target_id) AS b
+             FROM edges WHERE source_id <> target_id GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue UNION ALL SELECT b, a FROM ue),
+      vc AS (SELECT COUNT(DISTINCT src) AS v, COUNT(*) AS e2 FROM e0),
+      kk AS (SELECT GREATEST(1, (((e2 + v - 1) // GREATEST(v, 1)) * 3) // 4) AS k FROM vc),
+      $rounds
+    SELECT src AS object_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e$KcoreMaxPeels GROUP BY src ORDER BY object_id"""
+  }
+
   /** Node-count cap for the jaccard driver tier: pair work is
     * m²/2 · m/64 word-AND+popcounts (~34e9 at the cap — a couple of
     * seconds across a parallel stream) and bitset memory is m²/8 bytes
@@ -572,6 +684,18 @@ object GraphQueries extends QueryModule {
             WHERE r.dist < 50)
           SELECT id, MIN(dist) AS dist FROM r GROUP BY id)
       SELECT id AS object_id, dist FROM reach ORDER BY object_id""")
+    ),
+
+    QueryDef(
+      // K-CORE decomposition — the graph-mining density primitive
+      // (community seeds, influence pruning): iteratively peel nodes
+      // below the adaptive threshold until fixpoint. Body in [[kcore]]
+      // (two tiers, adaptive K, loud 12-round bound); the oracle
+      // unrolls the same 12 peels, exact because the engine refuses to
+      // answer past the bound.
+      "spo_kcore",
+      (s, dir) => kcore(s, dir),
+      KcoreOracleSql
     ),
 
     QueryDef(
