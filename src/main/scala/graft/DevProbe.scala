@@ -195,6 +195,51 @@ object DevProbe {
         t("spo_triangles") {
           println("  rows=" + SparkEntry.queries("spo_triangles")(spark, sfDir).count())
         }
+      case "bandidx" =>
+        // decompose dedup_indexed's probe wall: staging, candidate
+        // generation, full probe — steady-state = later runs
+        import org.apache.spark.sql.functions._
+        import graft.dedup.{BandIndex, Dedup}
+        val feats = t("stage feats") { Dedup.stagedDocFeatures(spark, sfDir) }
+        t("feats count") { feats.feats.count() }
+        val idx = t("stage index") { BandIndex.stagedBaseIndex(spark, sfDir) }
+        val dfeats = feats.feats.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("ss"), col("bands"))
+        def probe() = BandIndex.probeRel(idx.bands, idx.features, dfeats,
+          Dedup.JaccardTauShingles, Dedup.IncrementalHotBandCap, 64)
+        (1 to 4).foreach { i =>
+          t(s"probe run $i") { println("  rows=" + probe().count()) }
+        }
+        // candidate stage alone: everything through cands.distinct()
+        val dbands = dfeats.select(col("doc_id").as("delta_id"),
+          explode(col("bands")).as("band_key"))
+        (1 to 2).foreach { i =>
+          t(s"needed collect $i") {
+            dbands.select(pmod(col("band_key"), lit(64L)).cast("int").as("shard"))
+              .distinct().collect()
+          }
+        }
+        val pruned = idx.bands
+        (1 to 2).foreach { i =>
+          t(s"buckets+cands $i") {
+            val matched = pruned
+              .join(broadcast(dbands), "band_key")
+              .join(broadcast(dfeats.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+            val n = matched.groupBy(col("band_key"))
+              .agg(collect_set(col("doc_id")).as("ids"),
+                collect_set(col("delta_id")).as("delta_ids"))
+              .filter(size(col("ids")) <= Dedup.IncrementalHotBandCap)
+              .select(explode(col("ids")).as("doc_a"), col("delta_ids"))
+              .select(col("doc_a"), explode(col("delta_ids")).as("doc_b"))
+              .count()
+            println("  cands=" + n)
+          }
+        }
+        (1 to 2).foreach { i =>
+          t(s"features scan $i") {
+            println("  featrows=" + idx.features.count())
+          }
+        }
       case "minhash" =>
         import org.apache.spark.sql.functions._
         val feats = t("feats build+persist") {

@@ -1037,8 +1037,16 @@ object Dedup extends QueryModule {
       // other shared artifacts, so the gate and bench probe a built
       // index rather than paying construction per run.
       "dedup_indexed",
-      (s, dir) => BandIndex.probe(s, BandIndex.stagedBaseIndex(s, dir),
-        Tables(s, dir).documents.filter(col("doc_id") % 7 === 0)),
+      // probeFeats over the session-staged (persisted) delta features —
+      // the same staging the inline query gets; probe() would re-run
+      // the 128-perm kernel over the delta once per consumer reference
+      (s, dir) => {
+        val idx = BandIndex.stagedBaseIndex(s, dir)
+        BandIndex.probeRel(idx.bands, idx.features,
+          stagedDocFeatures(s, dir).feats.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), col("ss"), col("bands")),
+          JaccardTauShingles, IncrementalHotBandCap, 64)
+      },
       Some(IncrementalOracleSql)
     ),
 

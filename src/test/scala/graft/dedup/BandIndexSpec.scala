@@ -54,6 +54,32 @@ class BandIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hot-band cap is replay-invariant: probe after a crash-after-append replay equals first delivery") {
+    import spark.implicits._
+    // identical texts: the delta doc shares ALL 64 bands with every
+    // base doc, and each shared band has exactly |base| = 3 postings.
+    // With cap = 3 every band sits AT the cap on first delivery; after
+    // a crash-after-append replay the batch's own postings would push
+    // every band to 4 > cap and silently drop all pairs — unless the
+    // probe excludes the batch's own doc_ids from the cap counts.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val base = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    val delta = Seq((10L, text)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx_replay").toString
+    try {
+      BandIndex.build(spark, base, tmp)
+      def probe() = asMap(BandIndex.probeFeats(spark, tmp,
+        Dedup.shingleFeatures(delta, withSig = true, withSim = false),
+        tau = 0.9, hotBandCap = 3L, nShards = 64))
+      val first = probe()
+      assert(first == Map((10L, 1L) -> 1.0, (10L, 2L) -> 1.0, (10L, 3L) -> 1.0))
+      BandIndex.append(spark, delta, tmp) // crash window: appended, output not yet re-read
+      assert(probe() == first)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("rebuilding the index is deterministic") {
     withIndex { a =>
       withIndex { b =>
