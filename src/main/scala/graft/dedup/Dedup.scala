@@ -572,6 +572,98 @@ object Dedup extends QueryModule {
       .orderBy(col("delta_id"), col("base_id"))
   }
 
+  /** Window width for `dedup_substring`: 20 tokens. The synthetic
+    * corpus' docs run 10-99 tokens (median 56), so 20 is long enough
+    * that a shared window is a real repeated SPAN (not a common
+    * phrase) and short enough that near-dup docs actually share
+    * windows. A production run over web-scale text would use the
+    * Lee-et-al 50-token discipline — the operator is
+    * width-parameterized. */
+  private[graft] val SubstringWindow = 20
+
+  /** EXACT SUBSTRING (window-level) dedup — the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" span discipline, the
+    * dedup modality the doc-level tiers (exact/minhash/simhash/semantic)
+    * cannot see: cross-document repeated token SPANS (boilerplate,
+    * license headers, memorization hazards) inside otherwise-distinct
+    * documents.
+    *
+    * Scala-Spark shape: a narrow JVM kernel emits one 64-bit hash per
+    * fixed-width token window (stride 1 over the lowercased token
+    * stream — the same one-pass no-shuffle discipline as
+    * [[shingleFeatures]]; the hash is [[md5Lower64]] so the DuckDB
+    * oracle can mirror it with `md5_number_lower`). Corpus-wide
+    * duplication is then ONE hash-partitioned window count over
+    * `whash` followed by a per-doc aggregate — the operator never
+    * enumerates pairs, so the quadratic object a band-bucket-style hot
+    * cap guards against never exists: a boilerplate span repeated 10M
+    * times costs one counter in one partition, and (unlike the banding
+    * tiers, where a degenerate bucket means quadratic candidates)
+    * hot windows are precisely the signal this operator reports.
+    * At 100 TB the shuffle ships (doc_id, 8-byte hash) rows — ~an
+    * order of magnitude smaller than the text itself — and every
+    * stage is a hash exchange; DedupSubstringSpec pins the
+    * degenerate-corpus behavior (10k identical docs) linear.
+    */
+  private[graft] def substringDedup(docs: DataFrame, w: Int = SubstringWindow): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("whash", LongType, nullable = false)))
+    // explicit partition count for the kernel stage, as in shingleFeatures
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism
+    val wins = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .repartition(numParts, col("doc_id"))
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.flatMap { row =>
+          val toks = row.getString(1).split(" ", -1)
+          if (toks.length < w) Iterator.empty
+          else {
+            val id = row.getLong(0)
+            val sb = new java.lang.StringBuilder(256)
+            (0 to toks.length - w).iterator.map { i =>
+              sb.setLength(0)
+              var k = 0
+              while (k < w) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(i + k))
+                k += 1
+              }
+              Row(id, md5Lower64(md, sb.toString))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+    // corpus-wide occurrence count per window WITHOUT a self-join: the
+    // count rides a whash-partitioned window function, so each window
+    // row learns its global multiplicity in one exchange and the
+    // kernel runs exactly once
+    wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("whash"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def substringOracleSql(w: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        wins AS (SELECT doc_id,
+            md5_number_lower(array_to_string(t[i:i+${w - 1}], ' ')) AS whash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - $w + 2)) AS i
+                FROM toks WHERE len(t) >= $w)),
+        counted AS (SELECT doc_id,
+            count(*) OVER (PARTITION BY whash) AS c FROM wins)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_ratio
+      FROM counted GROUP BY doc_id ORDER BY doc_id"""
+
   /** Per-band BASE-doc counts for the incremental index — exposed for
     * the cap-inertness spec. */
   private[graft] def incrementalBandCounts(docs: DataFrame): DataFrame =
@@ -1048,6 +1140,13 @@ object Dedup extends QueryModule {
           JaccardTauShingles, IncrementalHotBandCap, 64)
       },
       Some(IncrementalOracleSql)
+    ),
+
+    QueryDef(
+      // exact substring (window-level) dedup — see [[substringDedup]]
+      "dedup_substring",
+      (s, dir) => substringDedup(Tables(s, dir).documents),
+      Some(substringOracleSql(SubstringWindow))
     ),
 
     QueryDef(
