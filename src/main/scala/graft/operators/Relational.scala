@@ -416,11 +416,29 @@ object Relational extends QueryModule {
       // mergeable sketch, no giant shuffle of raw keys.
       "q_approx_distinct",
       (s, dir) => {
-        Tables(s, dir).lineitem
-          .groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+        // The sketch and the exact count aggregate SEPARATELY, joined on
+        // the 3-row group key: one combined agg forces the HLL buffer
+        // (411 longs) through the count-distinct expand rewrite's
+        // per-(flag, orderkey) partial aggregate — ~150k groups each
+        // dragging the full sketch, measured 2.8 s vs 0.6 s split. (The
+        // old combined form benched fast only because count() pruned
+        // the unused aggregate expressions; the quality gate below
+        // makes every run compute what the query claims to compute.)
+        val li = Tables(s, dir).lineitem
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx.join(exact, "l_returnflag")
+          // driver-visible quality gate: the measured relative error is
+          // an output COLUMN and a row violating the spec bound (the
+          // same 0.05 QueriesSmokeSpec asserts) vanishes — a sketch
+          // collapse flips the rows-only check instead of hiding in
+          // specs
+          .withColumn("rel_err",
+            abs(col("approx_orders") - col("exact_orders")).cast("double") /
+              col("exact_orders").cast("double"))
+          .filter(col("rel_err") < 0.05)
           .orderBy(col("l_returnflag"))
       },
       None
@@ -439,6 +457,17 @@ object Relational extends QueryModule {
       // (QueriesSmokeSpec), mirroring q_approx_distinct's discipline.
       "q_approx_quantiles",
       (s, dir) => {
+        // driver-visible quality gate: the sound RANK-space envelope
+        // (QueriesSmokeSpec's exact order statistics at p±0.05, discrete
+        // ranks — an interpolated envelope is unsound for small groups)
+        // rides the output as [lo, hi] columns, and a group whose
+        // sketch escapes its envelope vanishes, flipping the driver's
+        // rows-only check. sort_array(collect_list) is gate
+        // instrumentation on the SAME per-group value multiset the
+        // exact-percentile columns already shuffle — the sketch columns
+        // alone remain the 100 TB path.
+        def rankStat(idx: org.apache.spark.sql.Column) =
+          element_at(col("vals"), (idx.cast("int") + 1))
         Tables(s, dir).orders
           .groupBy(col("o_orderpriority"))
           .agg(
@@ -446,7 +475,19 @@ object Relational extends QueryModule {
             percentile_approx(col("o_totalprice"), lit(0.95), lit(2500)).as("p95_approx"),
             expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
             expr("percentile(o_totalprice, 0.95)").as("p95_exact"),
-            count(lit(1)).as("n_orders"))
+            count(lit(1)).as("n_orders"),
+            sort_array(collect_list(col("o_totalprice"))).as("vals"))
+          .withColumn("p50_lo", rankStat(floor((col("n_orders") - 1) * lit(0.45))))
+          .withColumn("p50_hi", rankStat(least(
+            (col("n_orders") - 1).cast("double"),
+            ceil((col("n_orders") - 1) * lit(0.55)))))
+          .withColumn("p95_lo", rankStat(floor((col("n_orders") - 1) * lit(0.90))))
+          .withColumn("p95_hi", rankStat(least(
+            (col("n_orders") - 1).cast("double"),
+            ceil((col("n_orders") - 1) * lit(1.0)))))
+          .filter(col("p50_approx").between(col("p50_lo"), col("p50_hi")) &&
+            col("p95_approx").between(col("p95_lo"), col("p95_hi")))
+          .drop("vals")
           .orderBy(col("o_orderpriority"))
       },
       None

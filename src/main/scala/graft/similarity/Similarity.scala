@@ -257,6 +257,45 @@ object Similarity extends QueryModule {
     }(Encoders.row(outSchema))
   }
 
+  /** Exact top-k (the knn_bruteforce body, unordered): map-side bounded
+    * per-query heaps over one corpus pass + a rank cut. Shared by the
+    * brute-force QueryDef and the ANN queries' recall gates. */
+  private def bruteForceTopK(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val partials = partitionTopK(s, e, queries, K)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    partials
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** SimilaritySpec's recall floor, shared with the driver-visible
+    * recall gate below so spec and gate cannot drift. */
+  private[graft] val RecallFloor = 0.3
+
+  /** Attach the MEASURED recall vs exact top-k as an output column and
+    * gate every row on the spec floor: a recall collapse empties the
+    * result, flipping the driver's rows-only check instead of hiding
+    * in specs. The exact side is gate-scale instrumentation (it runs
+    * the brute-force scorer over the same corpus); a production
+    * deployment serves the ANN plan alone and measures recall offline
+    * on a sampled query set — which is exactly what this is, at gate
+    * scale. */
+  private def withRecallGate(ann: org.apache.spark.sql.DataFrame,
+                             bf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hit = ann.select(col("qid"), col("vec_id"))
+      .join(bf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "leftsemi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = bf.agg(count(lit(1)).as("n_bf"))
+    val recall = hit.crossJoin(tot)
+      .select((col("n_hit").cast("double") / col("n_bf").cast("double")).as("recall"))
+    ann.crossJoin(broadcast(recall)).filter(col("recall") >= RecallFloor)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Map-side top-k: the query vectors (an explicitly small side) are
@@ -266,18 +305,7 @@ object Similarity extends QueryModule {
       // exactly once. Exact (not approximate): verified against the
       // DuckDB cross-join oracle.
       "knn_bruteforce",
-      (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        val queries = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val partials = partitionTopK(s, e, queries, K)
-        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        partials
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
-          .orderBy(col("qid"), col("rk"))
-      },
+      (s, dir) => bruteForceTopK(s, dir).orderBy(col("qid"), col("rk")),
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries)
       SELECT qid, vec_id, cosine, rk FROM (
         SELECT qid, vec_id, cosine,
@@ -349,11 +377,14 @@ object Similarity extends QueryModule {
           .join(e.select(col("vec_id"), col("embedding")), "vec_id")
           .join(broadcast(queries), "qid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        cands
+        val ann = cands
           .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+        // driver-visible quality gate: measured recall vs exact top-k
+        // as a column, rows emptied below the spec floor
+        withRecallGate(ann, bruteForceTopK(s, dir))
           .orderBy(col("qid"), col("rk"))
       },
       None
@@ -402,13 +433,15 @@ object Similarity extends QueryModule {
         val queries = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        assigned.join(broadcast(probes), "cell")
+        val ann = assigned.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .join(broadcast(queries), "qid")
           .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+        // driver-visible quality gate, as in knn_lsh
+        withRecallGate(ann, bruteForceTopK(s, dir))
           .orderBy(col("qid"), col("rk"))
       },
       None
