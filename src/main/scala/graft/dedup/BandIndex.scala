@@ -33,8 +33,66 @@ import org.apache.spark.sql.functions._
   * hot-band cap computed over the pruned scan equals the cap the
   * inline query computes over the full posting list — the spec pins
   * probe ≡ `dedup_incremental` on the same corpus split.
+  *
+  * GROWTH LIFECYCLE: both halves live under a GENERATION directory
+  * (`gen=N/bands`, `gen=N/features`) selected by a `_commit` record —
+  * the [[graft.streaming.ParquetGraphSink]] compaction discipline
+  * applied to posting shards. [[append]] accumulates one file set per
+  * batch inside the current generation (the streaming ingest loop);
+  * [[compact]] folds the generation into `gen=N+1` with duplicate
+  * postings/features (from at-least-once replayed appends) dropped,
+  * flips the commit via temp-file + ATOMIC_MOVE, then reaps the old
+  * generation. A crash before the flip leaves readers on the intact
+  * old generation and a re-run overwrites the same next generation; a
+  * crash after the flip leaves only invisible leftovers. Single-writer
+  * (the foreachBatch driver thread), like the stream itself.
   */
 object BandIndex {
+
+  private def commitPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_commit")
+
+  /** Committed generation; 0 before any compaction. */
+  private[graft] def currentGen(indexDir: String): Long = {
+    val p = commitPath(indexDir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.stripPrefix("gen=").toLong
+  }
+
+  private[graft] def bandsPath(indexDir: String): String =
+    s"$indexDir/gen=${currentGen(indexDir)}/bands"
+
+  private[graft] def featuresPath(indexDir: String): String =
+    s"$indexDir/gen=${currentGen(indexDir)}/features"
+
+  /** Fold the current generation into the next: duplicate postings and
+    * feature rows (replayed appends) dropped, each shard's postings
+    * rewritten as one co-located file set instead of one per append.
+    * Readers flip atomically via the commit record; the old generation
+    * is reaped only after the flip. */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val gen = currentGen(indexDir)
+    val next = gen + 1
+    // Overwrite mode: a crashed earlier attempt at this generation is
+    // replaced wholesale before any reader can see it
+    s.read.parquet(s"$indexDir/gen=$gen/bands")
+      .select(col("doc_id"), col("band_key"), col("shard")).distinct()
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$indexDir/gen=$next/bands")
+    s.read.parquet(s"$indexDir/gen=$gen/features")
+      .dropDuplicates("doc_id")
+      .repartition(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/gen=$next/features")
+    val tmp = java.nio.file.Paths.get(indexDir, "_commit.tmp")
+    java.nio.file.Files.write(tmp, s"gen=$next".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, commitPath(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteDir(s"$indexDir/gen=$gen")
+  }
 
   /** Session-staged index over `dir`'s BASE split (doc_id % 7 != 0 —
     * the same split `dedup_incremental` models as yesterday's corpus),
@@ -63,8 +121,8 @@ object BandIndex {
           .filter(col("doc_id") % 7 =!= 0)
           .select(col("doc_id"), col("ss"), col("bands")),
           tmp, 64, org.apache.spark.sql.SaveMode.Overwrite)
-        StagedIndex(tmp, s.read.parquet(s"$tmp/bands"),
-          s.read.parquet(s"$tmp/features"))
+        StagedIndex(tmp, s.read.parquet(bandsPath(tmp)),
+          s.read.parquet(featuresPath(tmp)))
       } catch {
         case t: Throwable => deleteDir(tmp); throw t
       }
@@ -126,7 +184,7 @@ object BandIndex {
         pmod(col("band_key"), lit(nShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .write.mode(mode).partitionBy("shard")
-      .parquet(s"$indexDir/bands")
+      .parquet(bandsPath(indexDir))
     // repartition(col) is an AQE coalesce target: the write emits
     // advisory-sized files (few at bench scale, ~64 MB targets on a
     // cluster) instead of one tiny file per upstream kernel partition —
@@ -134,7 +192,7 @@ object BandIndex {
     // overhead
     feats.select(col("doc_id"), col("ss"))
       .repartition(col("doc_id"))
-      .write.mode(mode).parquet(s"$indexDir/features")
+      .write.mode(mode).parquet(featuresPath(indexDir))
   }
 
   /** Near-dup (delta_id, base_id, jaccard) pairs of `delta` against the
@@ -174,8 +232,8 @@ object BandIndex {
   private[graft] def probeFeats(s: SparkSession, indexDir: String,
                                 dfeats: DataFrame, tau: Double,
                                 hotBandCap: Long, nShards: Int): DataFrame =
-    probeRel(s.read.parquet(s"$indexDir/bands"),
-      s.read.parquet(s"$indexDir/features"), dfeats, tau, hotBandCap, nShards)
+    probeRel(s.read.parquet(bandsPath(indexDir)),
+      s.read.parquet(featuresPath(indexDir)), dfeats, tau, hotBandCap, nShards)
 
   /** [[probeFeats]] over pre-read index relations — the staged
     * QueryDef path, where the relations' file listing and footers are

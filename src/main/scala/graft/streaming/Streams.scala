@@ -146,9 +146,21 @@ object StreamDedup {
 object StreamNearDedup {
 
   /** `foreachBatch` body. The index at `indexDir` must exist (built
-    * over the base corpus with the same `nShards`). */
+    * over the base corpus with the same `nShards`).
+    *
+    * `compactEvery` > 0 folds the index's posting shards every N
+    * batches ([[graft.dedup.BandIndex.compact]]): each append leaves
+    * one file set per batch inside the current generation, so an
+    * unbounded ingest run otherwise accumulates a small-files problem
+    * in every shard — the same reason [[ParquetGraphSink]] compacts
+    * its batch directories. Compaction runs AFTER the append, on the
+    * same single-writer foreachBatch thread; a crash anywhere in it
+    * leaves the committed generation intact (see BandIndex), and a
+    * replay of the appended batch probes identically against a
+    * compacted or uncompacted index (spec-pinned). */
   def sink(indexDir: String, outDir: String, nShards: Int = 64,
-           tau: Double = graft.dedup.Dedup.JaccardTauShingles)
+           tau: Double = graft.dedup.Dedup.JaccardTauShingles,
+           compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     // featurize ONCE per batch: the 128-perm signature kernel is the
@@ -168,6 +180,8 @@ object StreamNearDedup {
         .select(col("delta_id"), col("base_id"), col("jaccard"))
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       graft.dedup.BandIndex.appendFeats(feats, indexDir, nShards)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        graft.dedup.BandIndex.compact(s, indexDir)
     } finally { feats.unpersist(); () }
   }
 

@@ -80,11 +80,75 @@ class BandIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a compacted index probes identically, folds replayed duplicates, and keeps pruning") {
+    withIndex { idx =>
+      // grow the index the way the streaming sink does, with a replayed
+      // (duplicate) append — compaction must fold the duplicates
+      val d = delta
+      BandIndex.append(spark, d, idx)
+      BandIndex.append(spark, d, idx) // crash-after-append replay
+      val before = asMap(BandIndex.probe(spark, idx, d))
+      val genBefore = BandIndex.currentGen(idx)
+      def files(p: String) =
+        org.apache.commons.io.FileUtils.listFiles(new java.io.File(p),
+          Array("parquet"), true).size
+      val filesBefore = files(idx)
+      BandIndex.compact(spark, idx)
+      assert(BandIndex.currentGen(idx) == genBefore + 1)
+      assert(!new java.io.File(s"$idx/gen=$genBefore").exists,
+        "old generation not reaped")
+      assert(files(idx) < filesBefore,
+        s"compaction did not reduce file count (${files(idx)} vs $filesBefore)")
+      // duplicates folded: every (band_key, doc_id) posting is unique
+      val postings = spark.read.parquet(BandIndex.bandsPath(idx))
+      assert(postings.count() ==
+        postings.select(col("band_key"), col("doc_id")).distinct().count())
+      // probe output identical through the flip
+      assert(asMap(BandIndex.probe(spark, idx, d)) == before)
+      // and the posting scan is still partition-pruned
+      val df = BandIndex.probe(spark, idx, d.orderBy(col("doc_id")).limit(1))
+      df.count()
+      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val scan = leaves.find(_.contains("bands")).getOrElse(leaves.mkString("\n"))
+      assert(scan.contains("PartitionFilters:") && scan.contains("shard"),
+        scan.take(800))
+    }
+  }
+
+  test("streaming sink with periodic compaction reports the same pairs") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val mk = (ids: Seq[Long]) => ids.map(id => (id, text)).toDF("doc_id", "text")
+    def runStream(compactEvery: Int): Map[Long, Set[(Long, Long)]] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snd_cmp").toString
+      try {
+        BandIndex.build(spark, mk(Seq(1L, 2L)), s"$tmp/idx")
+        val sink = graft.streaming.StreamNearDedup.sink(
+          s"$tmp/idx", s"$tmp/out", compactEvery = compactEvery)
+        sink(mk(Seq(10L)), 0L)
+        sink(mk(Seq(11L)), 1L)
+        sink(mk(Seq(12L)), 2L)
+        graft.streaming.StreamNearDedup.pairs(spark, s"$tmp/out")
+          .collect()
+          // batch_id is a partition-directory column: discovery types it int
+          .groupBy(_.getAs[Number]("batch_id").longValue)
+          .map { case (b, rs) => b ->
+            rs.map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"))).toSet }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    val without = runStream(compactEvery = 0)
+    val withCmp = runStream(compactEvery = 1)
+    assert(without.nonEmpty && without.values.exists(_.nonEmpty))
+    assert(withCmp == without)
+  }
+
   test("rebuilding the index is deterministic") {
     withIndex { a =>
       withIndex { b =>
         def postings(p: String) =
-          spark.read.parquet(s"$p/bands")
+          spark.read.parquet(BandIndex.bandsPath(p))
             .select(col("band_key"), col("doc_id"), col("shard"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         assert(postings(a) == postings(b))
