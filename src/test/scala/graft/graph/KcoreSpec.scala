@@ -74,10 +74,15 @@ class KcoreSpec extends AnyFunSuite with SparkFixture {
     // path long enough that k=2 peeling needs > KcoreMaxPeels rounds
     // (ends peel inward one layer per round); the engine must refuse —
     // this is the boundary where the unrolled oracle would diverge
+    // both tiers: the driver peel and the distributed loop count rounds
+    // independently, so the past-bound refusal is pinned on each
     val dir = cascadeDir(40)
-    val e = intercept[IllegalArgumentException] {
-      GraphQueries.kcore(spark, dir, kOverride = Some(2L)).collect()
+    for (cap <- Seq(2000000L /* driver tier */, 0L /* distributed tier */)) {
+      val e = intercept[IllegalArgumentException] {
+        GraphQueries.kcore(spark, dir, driverCap = cap,
+          kOverride = Some(2L)).collect()
+      }
+      assert(e.getMessage.contains("converge"), s"cap=$cap")
     }
-    assert(e.getMessage.contains("converge"))
   }
 }
