@@ -116,33 +116,57 @@ object Bench {
     // Map iteration order: hash order put an arbitrary query first —
     // whichever absorbed residual session effects — and the artifact
     // could not show it. The order is recorded in the emitted line.
-    val results = SparkEntry.allDefs
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Option[String]) = {
+      // settle the heap between runs so an allocation-heavy query's
+      // garbage doesn't tax its successors' measurements
+      System.gc()
+      val j0 = jobCounter.get()
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(safeTake(t.toString, 200)) }
+      ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0, err)
+    }
+    val firstPass = SparkEntry.allDefs
       .map(d => d.name -> d.fn)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        def once(): (Double, Long, Option[String]) = {
-          // settle the heap between runs so an allocation-heavy query's
-          // garbage doesn't tax its successors' measurements
-          System.gc()
-          val j0 = jobCounter.get()
-          val t0 = System.nanoTime()
-          val err =
-            try { fn(spark, sfDir).count(); None }
-            catch { case t: Throwable => Some(safeTake(t.toString, 200)) }
-          ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0, err)
-        }
-        val first = once()
+        val first = timeOne(name, fn)
         // a failed first run is reported as-is; retrying an error-path
         // query would double its (possibly destructive) side effects
         val all =
           if (first._3.isDefined || runs == 1) Seq(first)
-          else first +: Seq.fill(runs - 1)(once())
-        val best = all.minBy(r => (r._3.isDefined, r._1))
+          else first +: Seq.fill(runs - 1)(timeOne(name, fn))
         // every run's wall time is kept for the artifact: a min-of-N
         // number alone cannot distinguish warmup-then-steady from
         // uniformly-slow (the r6 dedup_minhash_lsh 9.27 s question)
-        name -> (best, all.map(_._1))
+        (name, fn, all)
       }
+    // Outlier re-probe: a host-level stall lasting tens of seconds covers
+    // BOTH back-to-back runs of whichever query it lands on, so min-of-N
+    // cannot filter it (observed same-session: one run stamped
+    // avro_to_json at [6.3, 9.0] s, the next q_events_window at
+    // [2.4, 2.1] s — different query each time, 0.2-0.6 s steady-state
+    // in isolation). Any query whose min sits far above the suite
+    // median gets ONE extra probe after the suite finishes — by then
+    // the stall has passed and a genuinely heavy query just reproduces
+    // its number. All probe times land in runs_all, so the artifact
+    // still shows the stalled runs.
+    val mins = firstPass.collect {
+      case (_, _, all) if all.head._3.isEmpty => all.map(_._1).min
+    }.sorted
+    val median = if (mins.isEmpty) 0.0 else mins(mins.length / 2)
+    val outlierFloor = math.max(1.0, 4.0 * median)
+    val results = firstPass.map { case (name, fn, all) =>
+      val errored = all.exists(_._3.isDefined)
+      val withProbe =
+        if (!errored && runs > 1 && all.map(_._1).min > outlierFloor)
+          all :+ timeOne(name, fn)
+        else all
+      val best = withProbe.minBy(r => (r._3.isDefined, r._1))
+      name -> (best, withProbe.map(_._1))
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"'           => "\\\""

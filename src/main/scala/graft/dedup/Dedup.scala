@@ -1083,6 +1083,61 @@ object Dedup extends QueryModule {
       ORDER BY doc_id""")
     ),
 
+    QueryDef(
+      // Canonical-representative selection — the step a real dedup
+      // pipeline runs AFTER clustering: keep exactly one doc per
+      // near-dup cluster (longest text wins, doc_id breaks ties) and
+      // mark the rest as drops. The per-cluster window runs over the
+      // CLUSTERED docs only (pair-participants — a small fraction of
+      // the corpus), never over all docs: singletons are canonical by
+      // definition and get their flag from a left join, so at 100 TB
+      // the full corpus is touched by exactly one hash join, not a
+      // corpus-wide window sort.
+      "dedup_canonical",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select(col("doc_id"), col("n_chars"))
+        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val flagged = clusters.join(docs, "doc_id")
+          .withColumn("is_canonical", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_canonical"))
+        docs.join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            coalesce(col("is_canonical"), lit(true)).as("is_canonical"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardTauSets),
+        undir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM undir),
+        cc AS (WITH RECURSIVE reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
+          SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id),
+        flagged AS (SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size,
+            ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+              ORDER BY d.n_chars DESC, cc.id ASC) = 1 AS is_canonical
+          FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+          JOIN documents d ON cc.id = d.doc_id)
+      SELECT d.doc_id,
+        COALESCE(f.cluster_id, d.doc_id) AS cluster_id,
+        CAST(COALESCE(f.cluster_size, 1) AS BIGINT) AS cluster_size,
+        COALESCE(f.is_canonical, TRUE) AS is_canonical,
+        d.n_chars
+      FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      ORDER BY d.doc_id""")
+    ),
+
 
     QueryDef(
       "dedup_minhash_lsh",

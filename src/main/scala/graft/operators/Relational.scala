@@ -865,6 +865,37 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // time-RANGE frame: per event, the same user's activity over the
+      // PRECEDING HOUR — count and decimal-exact spend, frame keyed on
+      // event time (micros), not row position, so bursts with many rows
+      // per instant are handled by peer semantics identically in both
+      // engines. One shuffle on user_id; the frame sort is per-partition.
+      // At 100 TB this is the plan you want: no self-join (the naive
+      // range-join rewrite is events⋈events), state bounded by the
+      // 1-hour frame per user.
+      "q_range_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("spend_1h", sum(col("value").cast(Money)).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("n_1h"), col("spend_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")
+    ),
+
+    QueryDef(
       // the same as-of semantics through graft's NATIVE plan node
       // (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
       // SparkPlan) instead of a window rewrite. Semantics: latest view

@@ -263,6 +263,49 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // Temperature-scaled domain mixing (τ = 0.5): the multilingual /
+      // multi-domain sampling rule w_i ∝ n_i^τ that upweights small
+      // domains relative to proportional sampling. τ = 0.5 is sqrt —
+      // chosen deliberately because IEEE-754 sqrt is CORRECTLY ROUNDED,
+      // so Spark and the oracle agree bit-for-bit without the libm
+      // last-ulp risk a general pow() carries; the one 6dp round (the
+      // text_bm25 discipline) then pins the decimal weight, and the
+      // weight SUM is decimal-exact so the share denominator cannot
+      // drift with summation order. Per-source summary is tiny (one row
+      // per domain) — at 100 TB this is a groupBy + a window over the
+      // summary, never a second corpus pass. Budget = half the corpus;
+      // expected_docs caps at the domain size (LEAST), which is where
+      // sqrt-flattening visibly bites small domains' caps.
+      "mix_temperature",
+      (s, dir) => {
+        val all = Window.partitionBy()
+        Tables(s, dir).documents
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .withColumn("share", col("w").cast("double") / sum(col("w")).over(all).cast("double"))
+          .withColumn("budget", sum(col("n_docs")).over(all).cast("double") * lit(0.5))
+          .withColumn("expected_docs",
+            least(col("n_docs"), round(col("share") * col("budget")).cast("long")))
+          .select(col("source"), col("n_docs"), col("w").cast("double").as("w"),
+            col("share"), col("expected_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      wt AS (SELECT source, n_docs,
+          CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        FROM stats),
+      r AS (SELECT source, n_docs, w,
+          CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share,
+          CAST(SUM(n_docs) OVER () AS DOUBLE) * 0.5 AS budget
+        FROM wt)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(w AS DOUBLE) AS w, share,
+        LEAST(CAST(n_docs AS BIGINT), CAST(ROUND(share * budget) AS BIGINT)) AS expected_docs
+      FROM r ORDER BY source""")
+    ),
+
+    QueryDef(
       // Benchmark decontamination: flag corpus docs sharing any 8-token
       // shingle with a held-out benchmark set (here: doc_id % 29 = 0,
       // standing in for an eval suite). The benchmark side is distinct

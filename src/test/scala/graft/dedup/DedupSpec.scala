@@ -142,4 +142,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.simhashKeys64(0L).length == 64)
     assert(Dedup.simhashKeys64(-1L).distinct.length == 64) // distinct (s,t) prefixes
   }
+
+  test("canonical selection keeps exactly one best doc per cluster") {
+    // sf0.01: the planted near-dup bins give real multi-doc clusters;
+    // sf0.001's corpus may cluster to all-singletons and prove nothing
+    val big = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("dedup_canonical")(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val total = graft.operators.Tables(spark, big).documents.count()
+    assert(rows.length.toLong == total, "partition: every doc labeled exactly once")
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.exists(_._2.length > 1), "expected at least one multi-doc cluster")
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid: not exactly one canonical")
+      assert(members.forall(_._3.toInt == members.length),
+        s"cluster $cid: cluster_size != member count")
+      val canon = members.find(_._4).get
+      // longest text wins, doc_id breaks ties
+      val best = members.minBy(m => (-m._5, m._1))
+      assert(canon._1 == best._1, s"cluster $cid: canonical ${canon._1} != best ${best._1}")
+    }
+    // cluster labels agree with dedup_clusters for every clustered doc
+    val clusterLabels = graft.SparkEntry.queries("dedup_clusters")(spark, big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._3 > 1).foreach { case (doc, cid, _, _, _) =>
+      assert(clusterLabels.get(doc).contains(cid), s"doc $doc cluster label drifted")
+    }
+  }
 }

@@ -157,4 +157,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       if (r.getAs[Double]("rate") >= 1.0) assert(kept == n, s"rate-1 source must keep all: $r")
     }
   }
+
+  test("temperature mixing flattens toward small domains and respects caps") {
+    val rows = run("mix_temperature").collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum to ${shares.sum}")
+    rows.foreach { r =>
+      val exp = r.getAs[Long]("expected_docs")
+      assert(exp >= 0L && exp <= r.getAs[Long]("n_docs"), r.toString)
+    }
+    // sqrt-flattening: per-doc sampling mass decreases with domain size,
+    // so any smaller domain must get a strictly higher share/n ratio
+    val perDoc = rows.map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("share") / r.getAs[Long]("n_docs")))
+    for (Seq((nA, mA), (nB, mB)) <- perDoc.sortBy(_._1).toSeq.combinations(2))
+      if (nA < nB) assert(mA > mB, s"per-doc mass not flattened: ($nA,$mA) vs ($nB,$mB)")
+  }
 }
