@@ -220,6 +220,139 @@ object Similarity extends QueryModule {
     cents
   }
 
+  /** L2-normalized copy of an embedding (zero vector stays zero).
+    * PQ trains and scans on normalized vectors so ADC's L2 ranking is
+    * the suite's cosine ranking: for unit vectors,
+    * ||q - x||² = 2 - 2·cos(q, x). */
+  private[similarity] def normalized(emb: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](emb.length)
+    var n = 0.0
+    var i = 0
+    while (i < a.length) { val x = emb(i).toDouble; a(i) = x; n += x * x; i += 1 }
+    val inv = if (n > 0.0) 1.0 / math.sqrt(n) else 0.0
+    i = 0
+    while (i < a.length) { a(i) *= inv; i += 1 }
+    a
+  }
+
+  /** Subspace start offsets for an M-way product split of `dims`
+    * dimensions (the last subspace absorbs any remainder). */
+  private[similarity] def pqOffsets(dims: Int, m: Int): Array[Int] = {
+    val sub = dims / m
+    Array.tabulate(m + 1)(i => if (i == m) dims else i * sub)
+  }
+
+  /** Nearest-centroid code per subspace (squared L2 over the slice,
+    * first-minimum tiebreak — the same rule everywhere, so encode,
+    * training assignment, and the spec's reconstruction agree). */
+  private[similarity] def pqEncode(books: Array[Array[Array[Double]]],
+                                   offs: Array[Int], v: Array[Double]): Array[Int] = {
+    val code = new Array[Int](books.length)
+    var m = 0
+    while (m < books.length) {
+      val cents = books(m)
+      val lo = offs(m); val hi = offs(m + 1)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0
+        var i = lo
+        while (i < hi) { val t = v(i) - cents(c)(i - lo); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(m) = best
+      m += 1
+    }
+    code
+  }
+
+  /** ADC lookup table for one query: lut(m)(c) = ||q_m - centroid||²,
+    * so an encoded vector's approximate distance is Σ_m lut(m)(code(m))
+    * — M table lookups instead of a dims-wide dot product. */
+  private[similarity] def adcLut(books: Array[Array[Array[Double]]],
+                                 offs: Array[Int], q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(books.length) { m =>
+      val lo = offs(m); val hi = offs(m + 1)
+      books(m).map { cent =>
+        var d = 0.0
+        var i = lo
+        while (i < hi) { val t = q(i) - cent(i - lo); d += t * t; i += 1 }
+        d
+      }
+    }
+
+  /** Product-quantization codebooks: M subspaces × kSub centroids over
+    * L2-NORMALIZED vectors, trained with the coarseCentroids discipline
+    * (one job per Lloyd iteration, map-side partial sums, fixed-order
+    * driver merge for deterministic float summation) — but across ALL
+    * subspaces in that single pass, so M-way PQ training costs the same
+    * job count as one coarse quantizer. Init: the kSub lowest-vec_id
+    * vectors, sliced. */
+  private[similarity] def pqCodebooks(s: org.apache.spark.sql.SparkSession,
+                                      data: org.apache.spark.sql.DataFrame,
+                                      m: Int, kSub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val embIdx = data.schema.fieldIndex("embedding")
+    val init = data.orderBy(col("vec_id")).limit(kSub).collect()
+      .map(r => normalized(r.getSeq[Float](embIdx)))
+    require(init.nonEmpty, "pqCodebooks: empty corpus")
+    val dims = init.head.length
+    val offs = pqOffsets(dims, m)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => init.map(v => v.slice(offs(mi), offs(mi + 1))))
+    val partialSchema = StructType(Seq(
+      StructField("part", IntegerType), StructField("m", IntegerType),
+      StructField("cell", IntegerType), StructField("cnt", LongType),
+      StructField("vsum", ArrayType(DoubleType, containsNull = false))))
+    for (_ <- 0 until iters) {
+      val bb = s.sparkContext.broadcast(books)
+      val partials = data.mapPartitions { rows =>
+        val bs = bb.value
+        val sums = Array.tabulate(m)(mi => new Array[Array[Double]](bs(mi).length))
+        val counts = Array.tabulate(m)(mi => new Array[Long](bs(mi).length))
+        rows.foreach { row =>
+          val v = normalized(row.getSeq[Float](embIdx))
+          val code = pqEncode(bs, offs, v)
+          var mi = 0
+          while (mi < m) {
+            val c = code(mi)
+            if (sums(mi)(c) == null) sums(mi)(c) = new Array[Double](offs(mi + 1) - offs(mi))
+            val acc = sums(mi)(c)
+            var i = 0
+            while (i < acc.length) { acc(i) += v(offs(mi) + i); i += 1 }
+            counts(mi)(c) += 1L
+            mi += 1
+          }
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        (0 until m).iterator.flatMap { mi =>
+          (0 until counts(mi).length).iterator.filter(counts(mi)(_) > 0).map(c =>
+            Row(pid, mi, c, counts(mi)(c), (sums(mi)(c).toSeq: Seq[Double])))
+        }
+      }(Encoders.row(partialSchema)).collect() // m x kSub x P tiny rows
+      val next = books.map(_.map(_.clone()))
+      val totals = Array.tabulate(m)(mi => new Array[Long](books(mi).length))
+      val accs = Array.tabulate(m)(mi => new Array[Array[Double]](books(mi).length))
+      partials.sortBy(r => (r.getInt(1), r.getInt(2), r.getInt(0))).foreach { r =>
+        val mi = r.getInt(1); val c = r.getInt(2)
+        val vs = r.getSeq[Double](4)
+        if (accs(mi)(c) == null) accs(mi)(c) = new Array[Double](vs.length)
+        var i = 0
+        while (i < vs.length) { accs(mi)(c)(i) += vs(i); i += 1 }
+        totals(mi)(c) += r.getLong(3)
+      }
+      for (mi <- 0 until m; c <- books(mi).indices if totals(mi)(c) > 0) {
+        var i = 0
+        while (i < accs(mi)(c).length) { next(mi)(c)(i) = accs(mi)(c)(i) / totals(mi)(c); i += 1 }
+      }
+      books = next
+    }
+    books
+  }
+
   private[similarity] def nearestCell(cs: Array[Array[Double]], emb: Seq[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -441,6 +574,95 @@ object Similarity extends QueryModule {
           .filter(col("rk") <= K)
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
         // driver-visible quality gate, as in knn_lsh
+        withRecallGate(ann, bruteForceTopK(s, dir))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None
+    ),
+
+    QueryDef(
+      // Product-quantization ANN (PQ + ADC + exact re-rank): the
+      // memory-compression scale path the other two ANN variants lack —
+      // 8 subspaces x 16 centroids encode each 64-dim float vector in
+      // 8 BYTES (32x), which at 100 TB of embeddings is the difference
+      // between codes-in-RAM and vectors-on-disk. One kernel pass scans
+      // the corpus with per-query ADC lookup tables (M table adds per
+      // candidate instead of a 64-wide dot product) keeping bounded
+      // per-query heaps of the 32 best approximate candidates; only
+      // those are re-ranked with exact cosine. Vectors are normalized
+      // so ADC's L2 order IS cosine order (||q-x||² = 2-2cos). Training
+      // is deterministic (fixed init, fixed-order float merges) -> the
+      // rows-only gate is stable; recall is both spec-asserted and
+      // driver-visible via the same measured-recall gate as knn_lsh.
+      "knn_pq",
+      (s, dir) => {
+        val M = 8; val Ksub = 16; val Rerank = 32
+        val e = Tables(s, dir).embeddings
+        val vecs = e.select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val books = pqCodebooks(s, vecs, M, Ksub, iters = 2)
+        val qRows = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), normalized(r.getSeq[Float](1)))).sortBy(_._1)
+        val bb = s.sparkContext.broadcast(books)
+        val qb = s.sparkContext.broadcast(qRows)
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val candSchema = StructType(Seq(
+          StructField("qid", LongType), StructField("vec_id", LongType),
+          StructField("approx", DoubleType)))
+        val idIdx = vecs.schema.fieldIndex("vec_id")
+        val embIdx = vecs.schema.fieldIndex("embedding")
+        val cands = vecs.mapPartitions { rows =>
+          val bs = bb.value
+          val qs = qb.value
+          val dims = if (qs.nonEmpty) qs(0)._2.length else 0
+          val offs = pqOffsets(dims, M)
+          val luts = qs.map(q => adcLut(bs, offs, q._2))
+          // max-heap on (approx, vec_id): the root is the candidate to
+          // evict, so the kept set is exactly the Rerank smallest
+          val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, d) => (d, id) }
+          val heaps = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+          rows.foreach { row =>
+            val id = row.getLong(idIdx)
+            val v = normalized(row.getSeq[Float](embIdx))
+            val code = pqEncode(bs, offs, v)
+            var qi = 0
+            while (qi < qs.length) {
+              if (id != qs(qi)._1) {
+                var d = 0.0
+                var mi = 0
+                while (mi < M) { d += luts(qi)(mi)(code(mi)); mi += 1 }
+                val h = heaps(qi)
+                if (h.size < Rerank) h.enqueue((id, d))
+                else {
+                  val (wid, wd) = h.head
+                  if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((id, d)) }
+                }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.iterator.map { case (id, d) => Row(qs(qi)._1, id, d) }
+          }
+        }(Encoders.row(candSchema))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+        val candIds = cands
+          .withColumn("rka", row_number().over(wA))
+          .filter(col("rka") <= Rerank)
+          .select(col("qid"), col("vec_id"))
+        val queries = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        val ann = candIds
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(queries), "qid")
+          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= K)
+          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
         withRecallGate(ann, bruteForceTopK(s, dir))
           .orderBy(col("qid"), col("rk"))
       },

