@@ -171,7 +171,13 @@ object DevProbe {
         // is the reason the driver cap exists); set PROBE_JACCARD=1 to
         // include it.
         val k = sys.env.getOrElse("SCALE_K", "30").toInt
-        val qsXl = Seq("spo_components", "spo_triangles", "spo_bfs", "spo_pagerank") ++
+        val qsXl = Seq("spo_components", "spo_triangles", "spo_bfs", "spo_pagerank",
+          // kcore past the 2M-edge driver cap runs the distributed
+          // per-round degree-aggregate + both-endpoint restriction
+          // loop — the only §2.2 loop the 10x probe (under the cap)
+          // never reaches; disjoint replication keeps 2E/V and hence
+          // the adaptive K unchanged, so peel depth matches base
+          "spo_kcore") ++
           (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
         probeScaledGraph(spark, sfDir, Seq(k), qsXl)
 

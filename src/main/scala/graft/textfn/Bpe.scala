@@ -1,0 +1,143 @@
+package graft.textfn
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer — REAL iterative merges, not the
+  * ceil(len/4) estimate [[TextFunctions.subtokenCount]] uses (that
+  * estimate stays the oracle-exact path for `text_tokens` /
+  * `token_budget` / `pack_sequences`; this is the tokenizer-faithful
+  * complement, `text_tokens_bpe`).
+  *
+  * No published vocab ships in this environment (offline resolution),
+  * so merges are TRAINED ON THE CORPUS ITSELF — which is also the
+  * honest 100 TB design: a domain-matched vocab from one capped
+  * word-frequency aggregate beats a fixed foreign vocab, and the
+  * training input is a driver-sized summary (top [[VocabCap]] words by
+  * count — one map-side-combinable groupBy, the same summary-collect
+  * discipline as the dedup centroids), never the corpus. Training cost
+  * on the driver is O(nMerges × vocab × wordLen), independent of
+  * corpus size; learned merge ranks broadcast as a small table.
+  *
+  * Encoding is embarrassingly parallel: the standard lowest-rank-first
+  * merge loop per word (GPT-2-style rank priority), memoized per
+  * partition — Zipf's law makes the distinct-word working set tiny
+  * relative to token count, so the amortized cost per token approaches
+  * a hash probe. BpeSpec pins the rank-priority encoder bit-identical
+  * to the in-training-order reference encoder ([[encodeInOrder]] — the
+  * original Sennrich formulation), the classic toy-corpus merge
+  * sequence, lossless reconstruction, and training determinism.
+  */
+object Bpe {
+
+  /** Merges learned per training run. 256 is deliberately small: the
+    * point is faithful merge MECHANICS, and at this size driver
+    * training is sub-second while still compressing the synthetic
+    * corpus measurably past the per-character floor. */
+  val NumMerges = 256
+
+  /** Word-frequency summary cap — the driver-sized training input. */
+  val VocabCap = 4096
+
+  /** Learn `nMerges` merges from a (word, freq) summary. Deterministic:
+    * best pair by (weighted count DESC, left ASC, right ASC); stops
+    * early when no pair occurs twice (merging a count-1 pair would be
+    * pure memorization of one word). */
+  def train(wordFreq: Seq[(String, Long)], nMerges: Int = NumMerges): Vector[(String, String)] = {
+    // each word as its symbol sequence; chars are the initial symbols
+    var vocab: Array[(Array[String], Long)] =
+      wordFreq.iterator
+        .filter(_._1.nonEmpty)
+        .map { case (w, f) => (w.map(_.toString).toArray, f) }
+        .toArray
+    val merges = Vector.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < nMerges && !exhausted) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.iterator.filter(_._2 >= 2L).reduceOption { (a, b) =>
+        val cmp = java.lang.Long.compare(a._2, b._2)
+        if (cmp > 0) a
+        else if (cmp < 0) b
+        else {
+          val l = a._1._1.compareTo(b._1._1)
+          if (l < 0) a
+          else if (l > 0) b
+          else if (a._1._2.compareTo(b._1._2) <= 0) a
+          else b
+        }
+      }
+      best match {
+        case None => exhausted = true
+        case Some((pair, _)) =>
+          merges += pair
+          vocab = vocab.map { case (syms, f) => (mergeOnce(syms, pair), f) }
+          made += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One left-to-right greedy pass replacing every adjacent `pair`
+    * occurrence (overlaps resolve leftmost-first: "aaa" + (a,a) →
+    * [aa, a]). */
+  private[textfn] def mergeOnce(syms: Array[String], pair: (String, String)): Array[String] = {
+    if (syms.length < 2) syms
+    else {
+      val out = new mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+          out += syms(i) + syms(i + 1)
+          i += 2
+        } else {
+          out += syms(i)
+          i += 1
+        }
+      }
+      out.toArray
+    }
+  }
+
+  /** Reference encoder: apply merges IN TRAINING ORDER (the original
+    * Sennrich formulation). Equivalent to [[encode]] — a merge only
+    * creates adjacencies involving its new symbol, and any learned pair
+    * containing that symbol necessarily ranks later — and the spec pins
+    * the equivalence rather than trusting the argument. */
+  def encodeInOrder(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { p => syms = mergeOnce(syms, p) }
+    syms
+  }
+
+  /** Production encoder: repeatedly merge ALL occurrences of the
+    * lowest-rank adjacent pair (rank = training position). O(len ×
+    * merges-applied) with a tiny constant; callers memoize per word. */
+  def encode(word: String, ranks: collection.Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else {
+        syms = mergeOnce(syms, bestPair)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+}

@@ -366,6 +366,113 @@ object TextQueries extends QueryModule {
         6) AS score
       FROM tf, s
       ORDER BY score DESC, doc_id LIMIT 20""")
+    ),
+
+    QueryDef(
+      // TOKENIZER-FAITHFUL token counts: real BPE merges (graft.textfn
+      // Bpe — train on the corpus's own capped word-frequency summary,
+      // broadcast merge ranks, rank-priority encode in the partition
+      // kernel with per-word memoization; design rationale in Bpe's
+      // scaladoc and SURVEY §2.6). `text_tokens`' ceil(len/4) estimate
+      // stays the oracle-exact budget path; this entry measures how the
+      // estimate tracks a real tokenizer (n_est beside n_bpe).
+      // Iterative data-dependent merges have no SQL mirror → rows-only,
+      // with the §2 quality-gate discipline made driver-visible three
+      // ways: a word whose merged symbols fail to reconstruct it
+      // (kernel bug) zeroes the doc's row via the bad-word filter; a
+      // doc escaping the structural envelope n_words ≤ n_bpe ≤
+      // n_chars_tok vanishes; and a training collapse (garbage merges
+      // compress nothing) empties the WHOLE result through the
+      // corpus-ratio gate, flipping the driver's rows-only check.
+      // BpeSpec pins the encoder ≡ the in-training-order reference,
+      // the classic toy merge sequence, and training determinism.
+      "text_tokens_bpe",
+      (s, dir) => {
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val docs = Tables(s, dir).documents
+        // driver-sized training input: top-VocabCap words by count —
+        // one map-side-combined aggregate + TakeOrdered, deterministic
+        // (count DESC, word ASC), never the corpus
+        val wordFreq = docs
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+          .limit(Bpe.VocabCap)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ranksBc = s.sparkContext.broadcast(
+          Bpe.train(wordFreq).zipWithIndex.toMap)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_words", LongType, nullable = false),
+          StructField("n_chars_tok", LongType, nullable = false),
+          StructField("n_bpe", LongType, nullable = false),
+          StructField("n_est", LongType, nullable = false),
+          StructField("bad_words", LongType, nullable = false)))
+        // explicit partition count for the CPU-heavy stage — the
+        // shingleFeatures repartition rationale (AQE would coalesce a
+        // bare repartition(col) of ~MBs of text to one partition)
+        val numParts = s.sparkContext.defaultParallelism
+        val src = docs
+          .select(col("doc_id"), lower(col("text")).as("t"),
+            subtokenCount(col("text")).as("n_est"))
+          .repartition(numParts, col("doc_id"))
+        val perDoc = src.mapPartitions { iter =>
+          val ranks = ranksBc.value
+          // memo value = encoded token count, NEGATED when the merged
+          // symbols fail to reconstruct the word (checked once per
+          // distinct word; nonempty words encode to >= 1 token so the
+          // sign is never ambiguous)
+          val memo = new java.util.HashMap[String, Integer]()
+          iter.map { row =>
+            val toks = row.getString(1).split(" ", -1)
+            var nWords = 0L; var nChars = 0L; var nBpe = 0L; var bad = 0L
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              if (w.nonEmpty) {
+                var v = memo.get(w)
+                if (v == null) {
+                  val enc = Bpe.encode(w, ranks)
+                  val ok = enc.mkString == w
+                  v = Integer.valueOf(if (ok) enc.length else -enc.length)
+                  memo.put(w, v)
+                }
+                nWords += 1; nChars += w.length
+                if (v.intValue() < 0) { bad += 1; nBpe -= v.intValue() }
+                else nBpe += v.intValue()
+              }
+              i += 1
+            }
+            Row(row.getLong(0), nWords, nChars, nBpe, row.getLong(2), bad)
+          }
+        }(Encoders.row(outSchema))
+        val ratio = perDoc.agg(
+          (sum(col("n_chars_tok")).cast("double") /
+            sum(col("n_bpe")).cast("double")).as("corpus_chars_per_bpe"))
+        perDoc.crossJoin(broadcast(ratio))
+          .filter(col("bad_words") === 0L &&
+            col("n_bpe").between(col("n_words"), col("n_chars_tok")) &&
+            col("corpus_chars_per_bpe") > MinBpeCompression)
+          .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+            col("n_bpe"), col("n_est"),
+            round(col("corpus_chars_per_bpe"), 6).as("corpus_chars_per_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      None
     )
   )
+
+  /** Corpus-level compression floor for `text_tokens_bpe`'s quality
+    * gate: trained merges must shrink the corpus at least 30% past the
+    * one-token-per-character floor. Measured 4.51 chars/token at
+    * sf0.01: the synthetic corpus has only 31 distinct words, so 256
+    * merges SATURATE and every word encodes to one token (4.51 = mean
+    * word length) — faithful tokenizer behavior on a tiny vocab, and
+    * the spec exercises genuine subword splits on scalacheck corpora
+    * whose vocabs don't saturate. A training collapse lands at exactly
+    * 1.0, far below the floor. */
+  private val MinBpeCompression = 1.3
 }

@@ -23,12 +23,14 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the remaining five are approximate BY DESIGN (LSH/IVF/PQ recall,
-    // HLL error, KLL quantile error) — no exact SQL mirror exists even
-    // in principle; dedup_simhash graduated to oracle-exact via
-    // md5_number_lower
+    // the remaining six have no exact SQL mirror even in principle:
+    // five approximate BY DESIGN (LSH/IVF/PQ recall, HLL error, KLL
+    // quantile error) plus text_tokens_bpe, whose iterative
+    // data-dependent merges no SQL engine expresses (BpeSpec pins the
+    // encoder against an independent reference instead);
+    // dedup_simhash graduated to oracle-exact via md5_number_lower
     assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq",
-      "q_approx_distinct", "q_approx_quantiles"))
+      "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {
