@@ -75,8 +75,11 @@ object DevProbe {
     * the 1x/10x and the xl probes — two copies could drift and measure
     * differently-shaped graphs), stage as parquet, time each query.
     * Staged temp dirs are reaped even when a probed query throws. */
-  private def probeScaledGraph(spark: SparkSession, sfDir: String,
-                               ks: Seq[Int], queries: Seq[String]): Unit = {
+  /** Stage a k× disjoint-namespace replication of events under a temp
+    * dir (nodes AND edges scale k×, no cross-copy edges, per-node
+    * degree flat). Caller owns the returned dir: sweepCaches + delete.
+    */
+  private def stageScaledEvents(spark: SparkSession, sfDir: String, k: Int): String = {
     import org.apache.spark.sql.functions._
     // raw read keeps ts as INT64 nanos so the staged file round-trips
     // through Tables.events' nanos-as-long path unchanged
@@ -88,7 +91,7 @@ object DevProbe {
     // offset per copy by only 10000
     requireIdHeadroom(ev, "props.$.k",
       get_json_object(col("props"), "$.k"), 10000L)
-    def scaled(k: Int) = (0 until k).map { i =>
+    val scaled = (0 until k).map { i =>
       ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(i * 10000000L)).as("user_id"),
@@ -100,10 +103,16 @@ object DevProbe {
           (get_json_object(col("props"), "$.k").cast("long") + lit(i * 10000L)).cast("string"),
           lit("}")).as("props"))
     }.reduce(_ unionByName _)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
+    scaled.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  private def probeScaledGraph(spark: SparkSession, sfDir: String,
+                               ks: Seq[Int], queries: Seq[String]): Unit = {
     for (k <- ks) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
+      val tmp = stageScaledEvents(spark, sfDir, k)
       try {
-        scaled(k).write.mode("overwrite").parquet(s"$tmp/events.parquet")
         for (q <- queries) {
           t(s"$q x$k") {
             val n = SparkEntry.queries(q)(spark, tmp).count()
@@ -180,6 +189,40 @@ object DevProbe {
           "spo_kcore") ++
           (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
         probeScaledGraph(spark, sfDir, Seq(k), qsXl)
+
+      case "kcore_xl" =>
+        // Dedicated distributed-k-core probe (VERDICT r9 item 3). Two
+        // regimes per scale, both FORCED onto the distributed tier
+        // (driverCap = 0) for apples-to-apples walls:
+        //  - adaptive K (the shipped query): at sf0.1 the peel cascades
+        //    to the EMPTY fixpoint (data-dependent, oracle-mirrored), so
+        //    the loop runs its full cascade but rows=0 makes the output
+        //    check vacuous under replication (30 x 0 = 0);
+        //  - K = 2: keeps a large core, so output linearity under
+        //    disjoint replication (rows_k = k * rows_1) is pinned on a
+        //    NONEMPTY result, and the per-round both-endpoint
+        //    restriction carries ~all edges — the heavier loop.
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        def runK(dir: String, tag: String, kOv: Option[Long]): Long =
+          t(s"kcore $tag") {
+            val n = graft.graph.GraphQueries
+              .kcore(spark, dir, driverCap = 0L, kOverride = kOv).count()
+            println(s"  rows=$n")
+            n
+          }
+        val a1 = runK(sfDir, "1x distributed adaptiveK", None)
+        val b1 = runK(sfDir, "1x distributed K=2", Some(2L))
+        val tmp = stageScaledEvents(spark, sfDir, k)
+        try {
+          val ak = runK(tmp, s"x$k distributed adaptiveK", None)
+          val bk = runK(tmp, s"x$k distributed K=2", Some(2L))
+          println(s"  linearity: adaptiveK x$k=$ak expect=${k * a1}; K=2 x$k=$bk expect=${k * b1}")
+          require(ak == k * a1 && bk == k * b1,
+            s"kcore output not linear under disjoint replication")
+        } finally {
+          sweepCaches(spark, tmp)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
 
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
@@ -663,8 +706,8 @@ object DevProbe {
           SparkEntry.queries("spo_objects")(spark, sfDir).count()
         }
       case q =>
-        t(s"$q total") { SparkEntry.queries(q)(spark, sfDir).count() }
-        t(s"$q 2nd run") { SparkEntry.queries(q)(spark, sfDir).count() }
+        t(s"$q total") { println("  rows=" + SparkEntry.queries(q)(spark, sfDir).count()) }
+        t(s"$q 2nd run") { println("  rows=" + SparkEntry.queries(q)(spark, sfDir).count()) }
     }
     spark.stop()
   }
