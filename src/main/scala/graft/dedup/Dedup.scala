@@ -664,6 +664,92 @@ object Dedup extends QueryModule {
           CAST(count(*) AS DOUBLE) AS dup_ratio
       FROM counted GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Containment threshold as an EXACT fraction (4/5 = 0.8), kept in
+    * integer numerator/denominator form: both the prefix length and the
+    * verify threshold are computed in pure integer arithmetic
+    * (`5*inter >= 4*|S_a|`), so no FP-ceil rounding can shorten a
+    * prefix below the completeness bound and no libm threshold can
+    * drift between engines — the kcore adaptive-K discipline applied
+    * to similarity. */
+  private[graft] val ContainTauNum = 4L
+  private[graft] val ContainTauDen = 5L
+
+  /** CONTAINMENT dedup — the ASYMMETRIC near-dup modality every
+    * Jaccard-style tier misses: doc a CONTAINED in doc b
+    * (C(a,b) = |S_a ∩ S_b| / |S_a| over distinct 3-shingles). A short
+    * quote, abstract, or repost embedded in a much larger container
+    * has C ≈ 1 but Jaccard ≈ |a|/|b| — arbitrarily far below any
+    * symmetric threshold, invisible to minhash banding (whose band
+    * collisions need agreement on BOTH sets' minima).
+    *
+    * Scale shape — the PPJoin prefix filter adapted to containment:
+    * if C(a,b) >= t then b misses at most |S_a| - ceil(t|S_a|) of a's
+    * shingles, so ANY |S_a| - ceil(t|S_a|) + 1 of them must hit b.
+    * Each doc therefore probes the full posting index with only its
+    * p = n - ceil(tn) + 1 RAREST shingles (ascending corpus df, the
+    * one aggregate this stages): candidate volume is the sum of the
+    * SHORTEST posting lists rather than all of them, which for
+    * Zipfian shingle frequencies is near-linear in corpus size. The
+    * probe is one vocabulary-bounded df aggregate, one per-doc
+    * bounded window (rank within doc), one shuffle join onto the
+    * postings, and an exact sorted-set verify — no all-pairs product
+    * anywhere, and (unlike the banded tiers) no recall knob: the
+    * prefix bound makes candidate generation COMPLETE, so the output
+    * is oracle-exact by construction, not spec-bounded. */
+  private[graft] def containmentPairsFromFeats(featsIn: DataFrame): DataFrame = {
+    val ss = featsIn.select(col("doc_id"), col("ss"))
+    val exploded = ss.select(col("doc_id"), size(col("ss")).as("n"),
+      explode(col("ss")).as("sh"))
+    // corpus shingle document frequency — vocabulary-bounded aggregate
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // prefix length in EXACT integer arithmetic: p = n - ceil(t*n) + 1
+    // with ceil(4n/5) = floorDiv(4n + 4, 5). Spark's `/` on longs is
+    // TRUE division (double), so floorDiv is spelled (x - pmod(x,d))/d:
+    // the numerator is an exact multiple of d, making the double
+    // division exact — no FP rounding can shorten a prefix below the
+    // completeness bound.
+    val x = col("n") * lit(ContainTauNum) + lit(ContainTauDen - 1)
+    val ceilTn = ((x - pmod(x, lit(ContainTauDen))) / lit(ContainTauDen)).cast("long")
+    val prefixLen = col("n") - ceilTn + lit(1)
+    val probe = exploded.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
+    val postings = exploded.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("sh"))
+    val cands = probe.join(postings, "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      // size prune before the set join: b holds >= ceil(t*n_a) distinct
+      // shingles of a, so |S_b| must reach it (integer form)
+      .filter(col("n_b") * lit(ContainTauDen) >= col("n_a") * lit(ContainTauNum))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sorted = ss.select(col("doc_id"), array_sort(col("ss")).as("s"))
+    cands
+      .join(sorted.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .filter(col("inter") * lit(ContainTauDen) >= size(col("set_a")) * lit(ContainTauNum))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / size(col("set_a")).cast("double")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force ordered-pair containment oracle; the integer-form
+    * threshold mirrors [[containmentPairsFromFeats]] exactly. */
+  private[graft] val ContainmentOracleSql: String =
+    s"""WITH s AS ($shingleSetsSql),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+          CAST(len(a.ss) AS BIGINT) AS n_a
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      FROM p WHERE inter * $ContainTauDen >= n_a * $ContainTauNum
+      ORDER BY doc_a, doc_b"""
+
   /** Per-band BASE-doc counts for the incremental index — exposed for
     * the cap-inertness spec. */
   private[graft] def incrementalBandCounts(docs: DataFrame): DataFrame =
@@ -1202,6 +1288,15 @@ object Dedup extends QueryModule {
       "dedup_substring",
       (s, dir) => substringDedup(Tables(s, dir).documents),
       Some(substringOracleSql(SubstringWindow))
+    ),
+
+    QueryDef(
+      // ordered containment pairs (a contained in b) — asymmetric
+      // near-dup detection over the session-staged shingle features;
+      // prefix-complete candidates, so oracle-exact (not recall-bounded)
+      "dedup_containment",
+      (s, dir) => containmentPairsFromFeats(stagedDocFeatures(s, dir).feats),
+      Some(ContainmentOracleSql)
     ),
 
     QueryDef(

@@ -169,4 +169,54 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(clusterLabels.get(doc).contains(cid), s"doc $doc cluster label drifted")
     }
   }
+
+  /** Ordered brute-force containment over a feature frame's collected
+    * shingle sets — the executable spec both containment tests share. */
+  private def bruteContainment(feats: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Double)] = {
+    val sets = feats.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b
+      inter = (sa & sb).size
+      if inter * Dedup.ContainTauDen >= sa.size * Dedup.ContainTauNum
+    } yield (a, b, inter.toDouble / sa.size)).toSet
+  }
+
+  test("containment prefix probe equals ordered brute force on the corpus") {
+    val docs = graft.operators.Tables(spark, dir).documents
+    val feats = Dedup.shingleFeatures(docs, withSig = false, withSim = false)
+    val out = Dedup.containmentPairsFromFeats(feats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == bruteContainment(feats))
+  }
+
+  test("containment sees the doc-inside-doc pair jaccard structurally misses") {
+    import spark.implicits._
+    // doc 100 (8 tokens) embedded verbatim inside doc 101 (38 tokens):
+    // every shingle of 100 appears in 101 (containment 1.0) while their
+    // jaccard is ~|a|/|b|, far under every symmetric threshold
+    val contained = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler1 = (1 to 15).map(i => s"pre$i").mkString(" ")
+    val filler2 = (1 to 15).map(i => s"post$i").mkString(" ")
+    val docs = Seq(
+      (100L, contained),
+      (101L, s"$filler1 $contained $filler2"),
+      (102L, (1 to 20).map(i => s"other$i").mkString(" ")),
+      (103L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val feats = Dedup.shingleFeatures(docs, withSig = false, withSim = false)
+    val out = Dedup.containmentPairsFromFeats(feats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == bruteContainment(feats))
+    // the planted asymmetric pair, both fully-contained directions
+    assert(out.contains((100L, 101L, 1.0)), "contained-in-container missed")
+    assert(out.contains((103L, 100L, 1.0)), "3-token prefix doc missed")
+    assert(!out.exists(t => t._1 == 101L && t._2 == 100L),
+      "container must not count as contained")
+    // jaccard genuinely misses the planted pair at the shingle tau
+    val sets = feats.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val jac = (sets(100L) & sets(101L)).size.toDouble / (sets(100L) | sets(101L)).size
+    assert(jac < Dedup.JaccardTauShingles, s"planted pair not asymmetric enough: $jac")
+  }
 }
