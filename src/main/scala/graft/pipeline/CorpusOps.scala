@@ -474,6 +474,36 @@ object CorpusOps extends QueryModule {
       FROM p LEFT JOIN v ON v.user_id = p.user_id
         AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 60 SECOND
       GROUP BY p.event_id, p.user_id ORDER BY p.event_id""")
+    ),
+
+    QueryDef(
+      // Deterministic TRAIN/VAL/TEST split: held-out assignment must be
+      // a pure function of document IDENTITY — never RNG state,
+      // partition layout, or visit order — or the val set drifts across
+      // reruns and incremental ingests and quietly leaks into training.
+      // bucket = first hex byte of md5("split:" || doc_id): train
+      // < 'e6' (230/256 ≈ 89.8%), val < 'f3' (13/256 ≈ 5.1%), else
+      // test. Lowercase-hex string comparison is bytewise-identical in
+      // both engines ('0'..'9' < 'a'..'f' in ASCII), and the whole
+      // operator is row-local column arithmetic: zero shuffle at any
+      // scale, and adding documents never reassigns an existing one.
+      "sample_hash_split",
+      (s, dir) => {
+        val b = substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+          1, 2)
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            when(b < lit("e6"), "train")
+              .when(b < lit("f3"), "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")
     )
   )
 }

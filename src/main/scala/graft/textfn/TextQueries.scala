@@ -462,6 +462,57 @@ object TextQueries extends QueryModule {
           .orderBy(col("doc_id"))
       },
       None
+    ),
+
+    QueryDef(
+      // LM-based quality scoring (the CCNet perplexity-filter shape):
+      // per-doc negative log-likelihood under a unigram LM whose
+      // probabilities come from the corpus itself (perplexity =
+      // exp(avg_nll); the monotone NLL is emitted directly so no
+      // second libm op touches an ACCUMULATED value). Cross-engine
+      // float discipline, extending the bm25 precedent to per-token
+      // sums: ln() is the only libm op and it runs once per DISTINCT
+      // WORD (vocab-bounded), its 6dp round is cast to DECIMAL so the
+      // per-doc sum is order-independent and exact (a double sum's
+      // low bits would depend on Spark's nondeterministic aggregation
+      // order), and avg_nll is one double division per output row. At
+      // 100 TB: two aggregates (vocab counts, per-doc sum) + one
+      // broadcast of the vocab table; for a web-scale vocabulary the
+      // broadcast hint drops and the Zipf tail caps into an OOV
+      // bucket — the plan shape (aggregate, small-side join,
+      // aggregate) is unchanged.
+      "text_perplexity",
+      (s, dir) => {
+        val words = Tables(s, dir).documents
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        val cnt = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum(col("c")).as("total"))
+        val vocab = cnt.crossJoin(broadcast(tot))
+          .select(col("w"),
+            round(log(col("total").cast("double") / col("c").cast("double")), 6)
+              .cast("decimal(18,6)").as("nll"))
+        words.join(broadcast(vocab), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("nll")).cast("decimal(28,6)").as("sum_nll"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_nll"),
+            (col("sum_nll").cast("double") / col("n_tokens").cast("double"))
+              .as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+      t AS (SELECT SUM(c) AS total FROM c),
+      v AS (SELECT w,
+          CAST(ROUND(ln(CAST(total AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM c, t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(nll) AS DECIMAL(28,6)) AS sum_nll,
+        CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+      FROM w JOIN v USING (w)
+      GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 

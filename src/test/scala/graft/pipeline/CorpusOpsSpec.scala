@@ -174,4 +174,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     for (Seq((nA, mA), (nB, mB)) <- perDoc.sortBy(_._1).toSeq.combinations(2))
       if (nA < nB) assert(mA > mB, s"per-doc mass not flattened: ($nA,$mA) vs ($nB,$mB)")
   }
+
+  test("hash split is identity-stable, exhaustive, and near its design fractions") {
+    // sf0.01: 500 docs give the binomial room to show the 90/5/5 design
+    val big = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("sample_hash_split")(spark, big).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val total = graft.operators.Tables(spark, big).documents.count()
+    assert(rows.length.toLong == total, "every doc assigned exactly once")
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / rows.length).toMap
+    assert(math.abs(frac("train") - 230.0 / 256) < 0.05, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 13.0 / 256) < 0.03, s"val $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 13.0 / 256) < 0.03, s"test $frac")
+    // identity-stability: the sf0.001 corpus is a different dataset, but
+    // any doc_id appearing in both must land in the SAME split — the
+    // assignment is a function of identity, not of corpus membership
+    val small = SparkEntry.queries("sample_hash_split")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigMap = rows.toMap
+    val shared = small.keySet.intersect(bigMap.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(id => assert(small(id) == bigMap(id), s"doc $id reassigned"))
+  }
 }
