@@ -702,6 +702,18 @@ object Dedup extends QueryModule {
       explode(col("ss")).as("sh"))
     // corpus shingle document frequency — vocabulary-bounded aggregate
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // dense shingle ids in RARITY order (ascending df, shingle tiebreak;
+    // the ngramJaccard real-vocab discipline): the id ORDER is the
+    // prefix order, and every downstream stage — prefix rank, candidate
+    // join, sorted-merge verify — ships and compares 4-byte ids instead
+    // of ~20-char shingle strings (measured on the jaccard tier: tens
+    // of GB of strings at the 30x probe vs 4 bytes/token; the mapping
+    // is bijective, so sizes and intersections are bit-identical)
+    val dict = graft.operators.DenseIds
+      .byOrder(dfreq, "sid", 0L, col("df"), col("sh"))
+      .select(col("sh"), col("sid").cast("int").as("sid"))
+    val idTok = exploded.join(broadcast(dict), "sh")
+      .select(col("doc_id"), col("n"), col("sid"))
     // prefix length in EXACT integer arithmetic: p = n - ceil(t*n) + 1
     // with ceil(4n/5) = floorDiv(4n + 4, 5). Spark's `/` on longs is
     // TRUE division (double), so floorDiv is spelled (x - pmod(x,d))/d:
@@ -711,26 +723,33 @@ object Dedup extends QueryModule {
     val x = col("n") * lit(ContainTauNum) + lit(ContainTauDen - 1)
     val ceilTn = ((x - pmod(x, lit(ContainTauDen))) / lit(ContainTauDen)).cast("long")
     val prefixLen = col("n") - ceilTn + lit(1)
-    val probe = exploded.join(dfreq, "sh")
+    val probe = idTok
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("sid"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
-    val postings = exploded.select(col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("sh"))
-    val cands = probe.join(postings, "sh")
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sid"))
+    val postings = idTok.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("sid"))
+    val cands = probe.join(postings, "sid")
       .filter(col("doc_a") =!= col("doc_b"))
       // size prune before the set join: b holds >= ceil(t*n_a) distinct
       // shingles of a, so |S_b| must reach it (integer form)
       .filter(col("n_b") * lit(ContainTauDen) >= col("n_a") * lit(ContainTauNum))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val sorted = ss.select(col("doc_id"), array_sort(col("ss")).as("s"))
+    // persisted: both verify joins read it, and a self-referenced
+    // aggregate is not always covered by exchange reuse
+    // (ContextCleaner reclaims it when the plan dies)
+    val idSets = idTok.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sid"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
-      .join(sorted.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
-      .join(sorted.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .join(idSets.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
+      .join(idSets.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expressions.IntersectSizeSorted(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("set_a")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("set_b")))).cast("long"))
       .filter(col("inter") * lit(ContainTauDen) >= size(col("set_a")) * lit(ContainTauNum))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / size(col("set_a")).cast("double")).as("containment"))

@@ -66,6 +66,41 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("intersect_size_sorted equals array_intersect size on both element types") {
+    import spark.implicits._
+    // string arrays over the real corpus
+    val docs = graft.operators.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), array_sort(array_distinct(split(lower(col("text")), " "))).as("ws"))
+      .limit(40)
+    val pairs = docs.select(col("doc_id").as("a"), col("ws").as("wa"))
+      .crossJoin(docs.select(col("doc_id").as("b"), col("ws").as("wb")))
+      .filter(col("a") < col("b"))
+    def inter(la: String, lb: String) = GraftSqlBridge.column(IntersectSizeSorted(
+      GraftSqlBridge.expression(col(la)), GraftSqlBridge.expression(col(lb))))
+    val viaNative = pairs.withColumn("i", inter("wa", "wb"))
+      .select("a", "b", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    val viaSql = pairs.withColumn("i", expr("size(array_intersect(wa, wb))"))
+      .select("a", "b", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    assert(viaNative.length == viaSql.length && viaNative.nonEmpty)
+    viaNative.zip(viaSql).foreach { case (x, y) => assert(x == y) }
+    // int arrays incl. edge shapes: identical, disjoint, empty,
+    // single-overlap, negative ids
+    val intCases = Seq(
+      (Array(1, 2, 3), Array(1, 2, 3), 3),
+      (Array(1, 2, 3), Array(4, 5, 6), 0),
+      (Array.empty[Int], Array(1, 2), 0),
+      (Array(-5, 0, 7), Array(-5, 8), 1),
+      (Array(2), Array(1, 2, 3), 1))
+    val idf = intCases.zipWithIndex
+      .map { case ((a, b, e), i) => (i, a.toSeq, b.toSeq, e) }
+      .toDF("id", "ia", "ib", "expect")
+    idf.withColumn("i", inter("ia", "ib")).collect().foreach { r =>
+      assert(r.getAs[Int]("i") == r.getAs[Int]("expect"), s"case ${r.getAs[Int]("id")}")
+    }
+  }
+
   test("jaccard_sorted rejects mixed array<int>/array<string> arguments") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), Seq("a", "b"))).toDF("a", "b")
