@@ -46,7 +46,7 @@ object DevProbe {
                                 idExpr: org.apache.spark.sql.Column,
                                 stride: Long): Unit = {
     import org.apache.spark.sql.functions.{max, min}
-    val r = df.agg(min(idExpr.cast("long")).as("mn"), max(idExpr.cast("long")).as("mx")).head
+    val r = df.agg(min(idExpr.cast("long")).as("mn"), max(idExpr.cast("long")).as("mx")).head()
     if (!r.isNullAt(0)) {
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       require(mn >= 0 && mx < stride,
@@ -70,15 +70,11 @@ object DevProbe {
     }.reduce(_ unionByName _)
   }
 
-  /** Shared scaled-graph probe body: replicate `sfDir`'s events with
-    * disjoint user/key namespaces per copy (ONE replication builder for
-    * the 1x/10x and the xl probes — two copies could drift and measure
-    * differently-shaped graphs), stage as parquet, time each query.
-    * Staged temp dirs are reaped even when a probed query throws. */
   /** Stage a k× disjoint-namespace replication of events under a temp
-    * dir (nodes AND edges scale k×, no cross-copy edges, per-node
-    * degree flat). Caller owns the returned dir: sweepCaches + delete.
-    */
+    * dir (ONE replication builder for the 1x/10x and the xl probes —
+    * two copies could drift and measure differently-shaped graphs;
+    * nodes AND edges scale k×, no cross-copy edges, per-node degree
+    * flat). Caller owns the returned dir: sweepCaches + delete. */
   private def stageScaledEvents(spark: SparkSession, sfDir: String, k: Int): String = {
     import org.apache.spark.sql.functions._
     // raw read keeps ts as INT64 nanos so the staged file round-trips

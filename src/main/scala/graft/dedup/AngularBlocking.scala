@@ -235,7 +235,7 @@ object AngularBlocking {
     * exist (both paths then produce empty pairs). */
   private def deriveDims(vecs: DataFrame): Option[Int] =
     vecs.select(size(col("embedding")).as("d")).limit(1)
-      .agg(max(col("d"))).head.get(0) match {
+      .agg(max(col("d"))).head().get(0) match {
         case null => None
         case n: Integer => Some(n.intValue())
       }

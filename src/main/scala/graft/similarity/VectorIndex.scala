@@ -84,7 +84,7 @@ object VectorIndex {
     val needed: Array[Int] = qCells.flatMap(_._3).distinct.sorted
     // cell is a PARTITION column of vectors/ — isin() prunes at planning
     val pruned = s.read.parquet(s"$indexDir/vectors")
-      .filter(col("cell").isin(needed.map(Int.box): _*))
+      .filter(col("cell").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(needed.map(Int.box)): _*))
     val bq = s.sparkContext.broadcast(qCells)
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types._
