@@ -429,6 +429,104 @@ object Similarity extends QueryModule {
     ann.crossJoin(broadcast(recall)).filter(col("recall") >= RecallFloor)
   }
 
+  /** knn_ivfpq body, parameterized so the spec can dial both
+    * approximations to exhaustive (nProbe = nCells, rerank >= corpus)
+    * and assert exact equality with brute force. */
+  private[similarity] def ivfpq(s: org.apache.spark.sql.SparkSession, dir: String,
+                                nCells: Int, nProbe: Int,
+                                m: Int, kSub: Int, rerank: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val e = Tables(s, dir).embeddings
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = coarseCentroids(s, vecs, nCells, iters = 2)
+    val assigned = assignCells(s, vecs, centroids)
+    val books = pqCodebooks(s, vecs, m, kSub, iters = 2)
+    // probe list: nProbe nearest cells per query in the RAW space the
+    // coarse quantizer was trained in (the knn_ivf rule verbatim)
+    val qRaw = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val probeSets: Map[Long, Set[Int]] = qRaw.map { case (qid, qe) =>
+      qid -> centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(c.length, qe.length)
+        while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
+        (ci, d)
+      }.sortBy { case (ci, d) => (d, ci) }.take(nProbe).map(_._1).toSet
+    }.toMap
+    // ADC scan restricted to each query's probed cells: the same
+    // bounded-heap kernel as knn_pq, but a row only costs a query its
+    // M table adds when the row's CELL is in that query's probe set —
+    // at scale the cell is a partition key and unprobed cells are
+    // never read at all
+    val qNorm = qRaw.map { case (qid, qe) => (qid, normalized(qe)) }
+    val bb = s.sparkContext.broadcast(books)
+    val qb = s.sparkContext.broadcast(qNorm)
+    val pb = s.sparkContext.broadcast(probeSets)
+    val candSchema = StructType(Seq(
+      StructField("qid", LongType), StructField("vec_id", LongType),
+      StructField("approx", DoubleType)))
+    val idIdx = assigned.schema.fieldIndex("vec_id")
+    val embIdx = assigned.schema.fieldIndex("embedding")
+    val cellIdx = assigned.schema.fieldIndex("cell")
+    val cands = assigned.mapPartitions { rows =>
+      val bs = bb.value
+      val qs = qb.value
+      val probes = pb.value
+      val dims = if (qs.nonEmpty) qs(0)._2.length else 0
+      val offs = pqOffsets(dims, m)
+      val luts = qs.map(q => adcLut(bs, offs, q._2))
+      val qCells = qs.map(q => probes(q._1))
+      val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, d) => (d, id) }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+      rows.foreach { row =>
+        val id = row.getLong(idIdx)
+        val cell = row.getInt(cellIdx)
+        val v = normalized(row.getSeq[Float](embIdx))
+        val code = pqEncode(bs, offs, v)
+        var qi = 0
+        while (qi < qs.length) {
+          if (id != qs(qi)._1 && qCells(qi).contains(cell)) {
+            var d = 0.0
+            var mi = 0
+            while (mi < m) { d += luts(qi)(mi)(code(mi)); mi += 1 }
+            val h = heaps(qi)
+            if (h.size < rerank) h.enqueue((id, d))
+            else {
+              val (wid, wd) = h.head
+              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((id, d)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (id, d) => Row(qs(qi)._1, id, d) }
+      }
+    }(Encoders.row(candSchema))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+    val candIds = cands
+      .withColumn("rka", row_number().over(wA))
+      .filter(col("rka") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    val ann = candIds
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+    withRecallGate(ann, bruteForceTopK(s, dir))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Map-side top-k: the query vectors (an explicitly small side) are
@@ -665,6 +763,31 @@ object Similarity extends QueryModule {
           .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
         withRecallGate(ann, bruteForceTopK(s, dir))
           .orderBy(col("qid"), col("rk"))
+      },
+      None
+    ),
+
+    QueryDef(
+      // IVF + PQ composed — the production serving shape (FAISS
+      // IndexIVFPQ): the coarse quantizer PRUNES (only nProbe/nCells of
+      // the corpus is touched per query) and the product quantizer
+      // COMPRESSES (8-byte codes, ADC table adds instead of 64-wide
+      // dots), so at 100 TB a query reads a quarter of the cells and
+      // never the float vectors until the final Rerank-sized exact
+      // re-rank. Codes encode the full normalized vector, not the
+      // cell residual (FAISS's by_residual=false switch): one ADC
+      // table per query instead of one per (query, probed cell), and
+      // full reuse of the trained knn_pq codebooks' discipline —
+      // deterministic training, so the rows-only gate is stable.
+      // Recall compounds (cell pruning x code quantization); the spec
+      // pins EXACT equality with brute force at nProbe = nCells and
+      // Rerank >= corpus, so both approximations demonstrably vanish
+      // when dialed to exhaustive.
+      "knn_ivfpq",
+      (s, dir) => {
+        val nCells = 16; val nProbe = 4
+        val M = 8; val Ksub = 16; val Rerank = 32
+        ivfpq(s, dir, nCells, nProbe, M, Ksub, Rerank)
       },
       None
     ),

@@ -29,7 +29,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     // data-dependent merges no SQL engine expresses (BpeSpec pins the
     // encoder against an independent reference instead);
     // dedup_simhash graduated to oracle-exact via md5_number_lower
-    assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq",
+    assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
       "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe"))
   }
 

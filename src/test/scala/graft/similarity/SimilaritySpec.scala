@@ -34,6 +34,38 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ivf == ivf2, "knn_ivf not deterministic")
   }
 
+  test("knn_ivfpq recalls through BOTH approximations and is exact when exhaustive") {
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id"))))
+    val bfSet = bf.toSet
+    val ann = SparkEntry.queries("knn_ivfpq")(spark, dir).collect()
+    val annSet = ann.map(r =>
+      (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    // compounded recall (cell pruning x code quantization) still clears
+    // the shared floor, and the measured-recall gate column agrees
+    val recall = (bfSet & annSet).size.toDouble / bfSet.size
+    assert(recall >= 0.3, s"recall $recall")
+    ann.headOption.foreach { r =>
+      val gate = r.getDouble(r.fieldIndex("recall"))
+      assert(math.abs(gate - recall) < 1e-9, s"gate $gate vs measured $recall")
+    }
+    // determinism
+    val ann2 = SparkEntry.queries("knn_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    assert(annSet == ann2, "knn_ivfpq not deterministic")
+    // dial both approximations to exhaustive: probe every cell, re-rank
+    // a corpus-sized candidate set -> the exact-cosine re-rank must
+    // reproduce brute-force top-k EXACTLY (ids, cosines, ranks)
+    val exhaustive = Similarity
+      .ivfpq(spark, dir, nCells = 16, nProbe = 16, m = 8, kSub = 16, rerank = 1000000)
+      .select("qid", "vec_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val bfFull = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .select("qid", "vec_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(exhaustive == bfFull, "exhaustive ivfpq != brute force")
+  }
+
   test("knn_pq: ADC distance equals the reconstructed-vector distance exactly") {
     // the ADC identity: summing lut(m)(code(m)) must be the SAME
     // arithmetic as the squared L2 between the query and the DECODED
