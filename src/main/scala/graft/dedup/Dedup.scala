@@ -712,8 +712,12 @@ object Dedup extends QueryModule {
     val dict = graft.operators.DenseIds
       .byOrder(dfreq, "sid", 0L, col("df"), col("sh"))
       .select(col("sh"), col("sid").cast("int").as("sid"))
+    // persisted: probe, postings, and the verify sets all read this —
+    // without it the explode + dict join re-runs once per subtree
+    // (ContextCleaner reclaims it when the plan dies)
     val idTok = exploded.join(broadcast(dict), "sh")
       .select(col("doc_id"), col("n"), col("sid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length in EXACT integer arithmetic: p = n - ceil(t*n) + 1
     // with ceil(4n/5) = floorDiv(4n + 4, 5). Spark's `/` on longs is
     // TRUE division (double), so floorDiv is spelled (x - pmod(x,d))/d:
