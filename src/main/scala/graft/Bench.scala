@@ -103,6 +103,10 @@ object Bench {
         },
         stageTier("band_index") {
           graft.dedup.BandIndex.stagedBaseIndex(spark, sfDir); ()
+        },
+        stageTier("containment_ids") {
+          val (idTok, idSets) = graft.dedup.Dedup.stagedContainment(spark, sfDir)
+          idTok.count(); idSets.count(); ()
         })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers

@@ -100,7 +100,15 @@ object DevProbe {
           lit("}")).as("props"))
     }.reduce(_ unionByName _)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_gs$k").toString
-    scaled.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // a failed staging write (disk-full at x30 writes 30x the base
+    // events) must not leak the temp dir the caller never learns about
+    try scaled.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    catch {
+      case t: Throwable =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
     tmp
   }
 

@@ -696,28 +696,57 @@ object Dedup extends QueryModule {
     * anywhere, and (unlike the banded tiers) no recall knob: the
     * prefix bound makes candidate generation COMPLETE, so the output
     * is oracle-exact by construction, not spec-bounded. */
-  private[graft] def containmentPairsFromFeats(featsIn: DataFrame): DataFrame = {
+  /** Containment's id-encoded frames: `idTok` (doc_id, set size, dense
+    * shingle id — one row per doc-shingle) and `idSets` (per-doc sorted
+    * id arrays for the verify). Dense ids are assigned in RARITY order
+    * (ascending df, shingle tiebreak; the ngramJaccard real-vocab
+    * discipline): the id ORDER is the prefix order, and every
+    * downstream stage — prefix rank, candidate join, sorted-merge
+    * verify — ships and compares 4-byte ids instead of ~20-char shingle
+    * strings (measured on the jaccard tier: tens of GB of strings at
+    * the 30x probe vs 4 bytes/token; the mapping is bijective, so sizes
+    * and intersections are bit-identical). Both frames are persisted —
+    * each is read by 2-3 downstream subtrees — and OWNED by the caller:
+    * the staged cache unpersists them on evict (CacheManager holds
+    * strong references, so nothing is reclaimed implicitly; repeat
+    * builds in un-staged spec runs are deduped by CacheManager's
+    * same-plan check only when the dict RDD is shared, hence the
+    * staging). */
+  private[graft] def containmentIdFrames(featsIn: DataFrame): (DataFrame, DataFrame) = {
     val ss = featsIn.select(col("doc_id"), col("ss"))
     val exploded = ss.select(col("doc_id"), size(col("ss")).as("n"),
       explode(col("ss")).as("sh"))
     // corpus shingle document frequency — vocabulary-bounded aggregate
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // dense shingle ids in RARITY order (ascending df, shingle tiebreak;
-    // the ngramJaccard real-vocab discipline): the id ORDER is the
-    // prefix order, and every downstream stage — prefix rank, candidate
-    // join, sorted-merge verify — ships and compares 4-byte ids instead
-    // of ~20-char shingle strings (measured on the jaccard tier: tens
-    // of GB of strings at the 30x probe vs 4 bytes/token; the mapping
-    // is bijective, so sizes and intersections are bit-identical)
     val dict = graft.operators.DenseIds
       .byOrder(dfreq, "sid", 0L, col("df"), col("sh"))
       .select(col("sh"), col("sid").cast("int").as("sid"))
-    // persisted: probe, postings, and the verify sets all read this —
-    // without it the explode + dict join re-runs once per subtree
-    // (ContextCleaner reclaims it when the plan dies)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idTok = exploded.join(broadcast(dict), "sh")
       .select(col("doc_id"), col("n"), col("sid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    val idSets = idTok.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sid"))).as("s"))
+      .persist(lvl)
+    (idTok, idSets)
+  }
+
+  /** Session-staged containment id frames (the stagedDocFeatures
+    * discipline): the gate and bench run every query at least twice,
+    * and each un-staged invocation would rebuild the dictionary and
+    * re-persist fresh copies of both frames (a new DenseIds RDD per
+    * call defeats CacheManager's same-plan dedup). */
+  private val stagedContainCache =
+    new graft.operators.SessionStaged[(DataFrame, DataFrame)]((s, dir) =>
+      containmentIdFrames(stagedDocFeatures(s, dir).feats),
+      { case (idTok, idSets) => idTok.unpersist(); idSets.unpersist(); () })
+
+  private[graft] def stagedContainment(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stagedContainCache.get(s, dir)
+
+  /** Prefix probe + verify over prebuilt id frames — the per-run cost
+    * once the id artifacts are staged. */
+  private[graft] def containmentFromIdFrames(idTok: DataFrame, idSets: DataFrame): DataFrame = {
     // prefix length in EXACT integer arithmetic: p = n - ceil(t*n) + 1
     // with ceil(4n/5) = floorDiv(4n + 4, 5). Spark's `/` on longs is
     // TRUE division (double), so floorDiv is spelled (x - pmod(x,d))/d:
@@ -741,12 +770,6 @@ object Dedup extends QueryModule {
       .filter(col("n_b") * lit(ContainTauDen) >= col("n_a") * lit(ContainTauNum))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // persisted: both verify joins read it, and a self-referenced
-    // aggregate is not always covered by exchange reuse
-    // (ContextCleaner reclaims it when the plan dies)
-    val idSets = idTok.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("sid"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(idSets.select(col("doc_id").as("doc_a"), col("s").as("set_a")), "doc_a")
       .join(idSets.select(col("doc_id").as("doc_b"), col("s").as("set_b")), "doc_b")
@@ -758,6 +781,13 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / size(col("set_a")).cast("double")).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** One-shot build + probe over an arbitrary feature frame (the spec
+    * entry point; the QueryDef goes through [[stagedContainment]]). */
+  private[graft] def containmentPairsFromFeats(featsIn: DataFrame): DataFrame = {
+    val (idTok, idSets) = containmentIdFrames(featsIn)
+    containmentFromIdFrames(idTok, idSets)
   }
 
   /** Brute-force ordered-pair containment oracle; the integer-form
@@ -1318,7 +1348,10 @@ object Dedup extends QueryModule {
       // near-dup detection over the session-staged shingle features;
       // prefix-complete candidates, so oracle-exact (not recall-bounded)
       "dedup_containment",
-      (s, dir) => containmentPairsFromFeats(stagedDocFeatures(s, dir).feats),
+      (s, dir) => {
+        val (idTok, idSets) = stagedContainment(s, dir)
+        containmentFromIdFrames(idTok, idSets)
+      },
       Some(ContainmentOracleSql)
     ),
 

@@ -429,39 +429,48 @@ object Similarity extends QueryModule {
     ann.crossJoin(broadcast(recall)).filter(col("recall") >= RecallFloor)
   }
 
-  /** knn_ivfpq body, parameterized so the spec can dial both
-    * approximations to exhaustive (nProbe = nCells, rerank >= corpus)
-    * and assert exact equality with brute force. */
-  private[similarity] def ivfpq(s: org.apache.spark.sql.SparkSession, dir: String,
-                                nCells: Int, nProbe: Int,
-                                m: Int, kSub: Int, rerank: Int): org.apache.spark.sql.DataFrame = {
+  /** The ONE ADC scan + exact re-rank behind knn_pq AND knn_ivfpq:
+    * train PQ codebooks, scan with per-query ADC tables and bounded
+    * per-query heaps, exact-cosine re-rank of the `rerank` best. With
+    * `ivf = Some((nCells, nProbe))` a coarse quantizer assigns cells
+    * first and a row is scored for a query ONLY when the row's cell is
+    * in that query's probe set; rows in cells NO query probes skip
+    * even the normalize/encode (at scale the cell is a partition key
+    * and unprobed cells are never read at all). knn_pq is the
+    * `ivf = None` degenerate (every row in one always-probed cell), so
+    * the heap tie-break, candidate window, and re-rank tail exist
+    * exactly once. */
+  private[similarity] def pqAdcTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+                                    m: Int, kSub: Int, rerank: Int,
+                                    ivf: Option[(Int, Int)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val e = Tables(s, dir).embeddings
     val vecs = e.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = coarseCentroids(s, vecs, nCells, iters = 2)
-    val assigned = assignCells(s, vecs, centroids)
     val books = pqCodebooks(s, vecs, m, kSub, iters = 2)
-    // probe list: nProbe nearest cells per query in the RAW space the
-    // coarse quantizer was trained in (the knn_ivf rule verbatim)
     val qRaw = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-    val probeSets: Map[Long, Set[Int]] = qRaw.map { case (qid, qe) =>
-      qid -> centroids.zipWithIndex.map { case (c, ci) =>
-        var d = 0.0
-        var i = 0
-        val n = math.min(c.length, qe.length)
-        while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
-        (ci, d)
-      }.sortBy { case (ci, d) => (d, ci) }.take(nProbe).map(_._1).toSet
-    }.toMap
-    // ADC scan restricted to each query's probed cells: the same
-    // bounded-heap kernel as knn_pq, but a row only costs a query its
-    // M table adds when the row's CELL is in that query's probe set —
-    // at scale the cell is a partition key and unprobed cells are
-    // never read at all
+    // probe list: nProbe nearest cells per query in the RAW space the
+    // coarse quantizer was trained in (the knn_ivf rule verbatim)
+    val (data, probeSets) = ivf match {
+      case Some((nCells, nProbe)) =>
+        val centroids = coarseCentroids(s, vecs, nCells, iters = 2)
+        val ps: Map[Long, Set[Int]] = qRaw.map { case (qid, qe) =>
+          qid -> centroids.zipWithIndex.map { case (c, ci) =>
+            var d = 0.0
+            var i = 0
+            val n = math.min(c.length, qe.length)
+            while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
+            (ci, d)
+          }.sortBy { case (ci, d) => (d, ci) }.take(nProbe).map(_._1).toSet
+        }.toMap
+        (assignCells(s, vecs, centroids), ps)
+      case None =>
+        (vecs.withColumn("cell", lit(0)),
+          qRaw.map { case (qid, _) => qid -> Set(0) }.toMap)
+    }
     val qNorm = qRaw.map { case (qid, qe) => (qid, normalized(qe)) }
     val bb = s.sparkContext.broadcast(books)
     val qb = s.sparkContext.broadcast(qNorm)
@@ -469,10 +478,10 @@ object Similarity extends QueryModule {
     val candSchema = StructType(Seq(
       StructField("qid", LongType), StructField("vec_id", LongType),
       StructField("approx", DoubleType)))
-    val idIdx = assigned.schema.fieldIndex("vec_id")
-    val embIdx = assigned.schema.fieldIndex("embedding")
-    val cellIdx = assigned.schema.fieldIndex("cell")
-    val cands = assigned.mapPartitions { rows =>
+    val idIdx = data.schema.fieldIndex("vec_id")
+    val embIdx = data.schema.fieldIndex("embedding")
+    val cellIdx = data.schema.fieldIndex("cell")
+    val cands = data.mapPartitions { rows =>
       val bs = bb.value
       val qs = qb.value
       val probes = pb.value
@@ -480,28 +489,32 @@ object Similarity extends QueryModule {
       val offs = pqOffsets(dims, m)
       val luts = qs.map(q => adcLut(bs, offs, q._2))
       val qCells = qs.map(q => probes(q._1))
+      // a row in a cell NO query probes must not pay the encode
+      val probedAll = qCells.foldLeft(Set.empty[Int])(_ ++ _)
       val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, d) => (d, id) }
       val heaps = Array.fill(qs.length)(
         scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
       rows.foreach { row =>
-        val id = row.getLong(idIdx)
         val cell = row.getInt(cellIdx)
-        val v = normalized(row.getSeq[Float](embIdx))
-        val code = pqEncode(bs, offs, v)
-        var qi = 0
-        while (qi < qs.length) {
-          if (id != qs(qi)._1 && qCells(qi).contains(cell)) {
-            var d = 0.0
-            var mi = 0
-            while (mi < m) { d += luts(qi)(mi)(code(mi)); mi += 1 }
-            val h = heaps(qi)
-            if (h.size < rerank) h.enqueue((id, d))
-            else {
-              val (wid, wd) = h.head
-              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((id, d)) }
+        if (probedAll.contains(cell)) {
+          val id = row.getLong(idIdx)
+          val v = normalized(row.getSeq[Float](embIdx))
+          val code = pqEncode(bs, offs, v)
+          var qi = 0
+          while (qi < qs.length) {
+            if (id != qs(qi)._1 && qCells(qi).contains(cell)) {
+              var d = 0.0
+              var mi = 0
+              while (mi < m) { d += luts(qi)(mi)(code(mi)); mi += 1 }
+              val h = heaps(qi)
+              if (h.size < rerank) h.enqueue((id, d))
+              else {
+                val (wid, wd) = h.head
+                if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((id, d)) }
+              }
             }
+            qi += 1
           }
-          qi += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
@@ -526,6 +539,14 @@ object Similarity extends QueryModule {
     withRecallGate(ann, bruteForceTopK(s, dir))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** knn_ivfpq body, parameterized so the spec can dial both
+    * approximations to exhaustive (nProbe = nCells, rerank >= corpus)
+    * and assert exact equality with brute force. */
+  private[similarity] def ivfpq(s: org.apache.spark.sql.SparkSession, dir: String,
+                                nCells: Int, nProbe: Int,
+                                m: Int, kSub: Int, rerank: Int): org.apache.spark.sql.DataFrame =
+    pqAdcTopK(s, dir, m, kSub, rerank, Some((nCells, nProbe)))
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -693,77 +714,11 @@ object Similarity extends QueryModule {
       // rows-only gate is stable; recall is both spec-asserted and
       // driver-visible via the same measured-recall gate as knn_lsh.
       "knn_pq",
-      (s, dir) => {
-        val M = 8; val Ksub = 16; val Rerank = 32
-        val e = Tables(s, dir).embeddings
-        val vecs = e.select(col("vec_id"), col("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val books = pqCodebooks(s, vecs, M, Ksub, iters = 2)
-        val qRows = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), normalized(r.getSeq[Float](1)))).sortBy(_._1)
-        val bb = s.sparkContext.broadcast(books)
-        val qb = s.sparkContext.broadcast(qRows)
-        import org.apache.spark.sql.{Encoders, Row}
-        import org.apache.spark.sql.types._
-        val candSchema = StructType(Seq(
-          StructField("qid", LongType), StructField("vec_id", LongType),
-          StructField("approx", DoubleType)))
-        val idIdx = vecs.schema.fieldIndex("vec_id")
-        val embIdx = vecs.schema.fieldIndex("embedding")
-        val cands = vecs.mapPartitions { rows =>
-          val bs = bb.value
-          val qs = qb.value
-          val dims = if (qs.nonEmpty) qs(0)._2.length else 0
-          val offs = pqOffsets(dims, M)
-          val luts = qs.map(q => adcLut(bs, offs, q._2))
-          // max-heap on (approx, vec_id): the root is the candidate to
-          // evict, so the kept set is exactly the Rerank smallest
-          val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, d) => (d, id) }
-          val heaps = Array.fill(qs.length)(
-            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
-          rows.foreach { row =>
-            val id = row.getLong(idIdx)
-            val v = normalized(row.getSeq[Float](embIdx))
-            val code = pqEncode(bs, offs, v)
-            var qi = 0
-            while (qi < qs.length) {
-              if (id != qs(qi)._1) {
-                var d = 0.0
-                var mi = 0
-                while (mi < M) { d += luts(qi)(mi)(code(mi)); mi += 1 }
-                val h = heaps(qi)
-                if (h.size < Rerank) h.enqueue((id, d))
-                else {
-                  val (wid, wd) = h.head
-                  if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((id, d)) }
-                }
-              }
-              qi += 1
-            }
-          }
-          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-            h.iterator.map { case (id, d) => Row(qs(qi)._1, id, d) }
-          }
-        }(Encoders.row(candSchema))
-        val wA = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
-        val candIds = cands
-          .withColumn("rka", row_number().over(wA))
-          .filter(col("rka") <= Rerank)
-          .select(col("qid"), col("vec_id"))
-        val queries = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        val ann = candIds
-          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-          .join(broadcast(queries), "qid")
-          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
-        withRecallGate(ann, bruteForceTopK(s, dir))
-          .orderBy(col("qid"), col("rk"))
-      },
+      // the ivf = None degenerate of the shared [[pqAdcTopK]] kernel:
+      // one always-probed cell, so every row is ADC-scored for every
+      // query — the whole-corpus compression regime, heap tie-break
+      // and re-rank tail shared with knn_ivfpq by construction
+      (s, dir) => pqAdcTopK(s, dir, m = 8, kSub = 16, rerank = 32, ivf = None),
       None
     ),
 

@@ -475,7 +475,12 @@ object TextQueries extends QueryModule {
       // WORD (vocab-bounded), its 6dp round is cast to DECIMAL so the
       // per-doc sum is order-independent and exact (a double sum's
       // low bits would depend on Spark's nondeterministic aggregation
-      // order), and avg_nll is one double division per output row. At
+      // order), and avg_nll is one double division per output row.
+      // Residual cross-engine risk — accepted, same class as bm25's:
+      // a word whose true ln lands within ~1 ulp of a 0.5e-6 rounding
+      // boundary could round differently under JVM Math.log vs
+      // DuckDB's libm; per-word probability ~1e-9, surfaced loudly by
+      // the gate's hash compare rather than hidden. At
       // 100 TB: two aggregates (vocab counts, per-doc sum) + one
       // broadcast of the vocab table; for a web-scale vocabulary the
       // broadcast hint drops and the Zipf tail caps into an OOV
