@@ -190,7 +190,12 @@ object DevProbe {
           // loop — the only §2.2 loop the 10x probe (under the cap)
           // never reaches; disjoint replication keeps 2E/V and hence
           // the adaptive K unchanged, so peel depth matches base
-          "spo_kcore") ++
+          "spo_kcore",
+          // sssp past the cap runs the distributed relax-join +
+          // min-aggregate rounds; the seed lives in copy 0, so (like
+          // BFS) output rows match the 1x run exactly while the
+          // relax joins carry k x the edges
+          "spo_sssp") ++
           (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
         probeScaledGraph(spark, sfDir, Seq(k), qsXl)
 

@@ -196,6 +196,113 @@ object GraphQueries extends QueryModule {
     }
   }
 
+  /** Relaxation-round bound shared by both sssp tiers AND the unrolled
+    * oracle (the KcoreMaxPeels discipline): the engine fails LOUDLY if
+    * the Bellman-Ford fixpoint is not reached within this many rounds —
+    * exactly where the fixed-depth oracle would silently truncate.
+    * Rounds needed = the max hop count over weighted-shortest paths
+    * (a cheap long route can take MORE hops than the hop-minimal one),
+    * measured 4-7 on the shipped graphs. */
+  private[graft] val SsspMaxRounds = 30
+
+  /** spo_sssp body — single-source WEIGHTED shortest paths from entity
+    * 1 over the undirected entity graph. Edge weight
+    * w = 1 + (a + b) mod 7: the shipped triples carry no cost column,
+    * so weights derive deterministically from the endpoint ids —
+    * INTEGER weights, so both engines' relaxation arithmetic is exact
+    * (no float adds to drift). The bfs/kcore two-tier discipline:
+    * under `driverCap` the SAME bounded Jacobi relaxation runs
+    * in-process (identical integer comparisons, so the tiers agree
+    * bit-for-bit); above it each round is one relax-join + one
+    * min-aggregate, lineage-checkpointed. Both tiers require the
+    * (round <= bound)-th round to confirm the fixpoint, mirroring the
+    * oracle's [[SsspMaxRounds]] unrolled MATERIALIZED rounds. */
+  private[graft] def sssp(s: org.apache.spark.sql.SparkSession, dir: String,
+                          driverCap: Long = 2000000L,
+                          maxRounds: Int = SsspMaxRounds): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val g = T.staged(s, dir)
+    val half = g.half
+    val wCol = lit(1L) + pmod(col("a") + col("b"), lit(7L))
+    val edges = half.select(col("a").as("src"), col("b").as("dst"), wCol.as("w"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst"), wCol.as("w")))
+      .localCheckpoint()
+    val seed = 1L
+    val seedRows = g.dict.filter(col("object_id") === seed)
+      .select(col("object_id").as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    if (seedRows.count() == 0) {
+      seedRows.select(col("id").as("object_id"), col("dist"))
+    } else if (edges.count() / 2 <= driverCap) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dist = scala.collection.mutable.HashMap(seed -> 0L)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds <= maxRounds) {
+        // Jacobi round: every relax reads the PREVIOUS round's dists,
+        // exactly like the oracle's d_k built from d_{k-1}
+        val updates = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (u, v, w) =>
+          dist.get(u).foreach { du =>
+            val nd = du + w
+            if (nd < dist.getOrElse(v, Long.MaxValue) &&
+                nd < updates.getOrElse(v, Long.MaxValue)) updates(v) = nd
+          }
+        }
+        converged = updates.isEmpty
+        if (!converged) { updates.foreach { case (v, nd) => dist(v) = nd }; rounds += 1 }
+      }
+      require(converged, s"sssp did not converge in $maxRounds rounds")
+      dist.toSeq.toDF("object_id", "dist").orderBy(col("object_id"))
+    } else {
+      var dist = seedRows
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds <= maxRounds) {
+        val next = dist.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        // converged iff the round added no node and improved no dist
+        converged = next.join(dist, Seq("id", "dist"), "left_anti")
+          .limit(1).count() == 0
+        if (!converged) { dist = next; rounds += 1 }
+      }
+      require(converged, s"sssp did not converge in $maxRounds rounds")
+      dist.select(col("id").as("object_id"), col("dist"))
+        .orderBy(col("object_id"))
+    }
+  }
+
+  /** [[SsspMaxRounds]]-round unrolled Jacobi relaxation oracle — exact
+    * because the engine asserts fixpoint within the bound (the
+    * kcore-oracle discipline). */
+  private val SsspOracleSql: Option[String] = Some {
+    val rounds = (1 to SsspMaxRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+          SELECT id, dist FROM d${i - 1}
+          UNION ALL
+          SELECT u.dst AS id, d.dist + u.w AS dist
+          FROM d${i - 1} d JOIN undir u ON d.id = u.src) x
+        GROUP BY id)"""
+    }.mkString(",\n")
+    s"""$prelude,
+      undir AS (
+        SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+          SELECT source_id AS src, target_id AS dst FROM edges
+          WHERE source_id <> target_id
+          UNION
+          SELECT target_id, source_id FROM edges
+          WHERE source_id <> target_id) p),
+      d0 AS (SELECT CAST(object_id AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        FROM objs WHERE object_id = 1),
+      $rounds
+      SELECT id AS object_id, CAST(dist AS BIGINT) AS dist
+      FROM d$SsspMaxRounds ORDER BY object_id"""
+  }
+
   /** Peel-round bound shared by both kcore tiers AND the unrolled
     * oracle: the engine fails LOUDLY if the peel has not reached its
     * fixpoint within this many rounds — exactly where the fixed-depth
@@ -696,6 +803,17 @@ object GraphQueries extends QueryModule {
       "spo_kcore",
       (s, dir) => kcore(s, dir),
       KcoreOracleSql
+    ),
+
+    QueryDef(
+      // Single-source WEIGHTED shortest paths (Bellman-Ford rounds) —
+      // the cost-aware sibling of spo_bfs: hop-minimal and cost-minimal
+      // routes genuinely differ here (integer weights 1..7 from the
+      // endpoint ids). Body in [[sssp]] (two tiers, loud round bound);
+      // the oracle unrolls the same Jacobi rounds.
+      "spo_sssp",
+      (s, dir) => sssp(s, dir),
+      SsspOracleSql
     ),
 
     QueryDef(
