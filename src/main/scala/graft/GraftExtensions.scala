@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.JaccardSorted(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("intersect_size_sorted"),
+      new ExpressionInfo(classOf[graft.expressions.IntersectSizeSorted].getName, "intersect_size_sorted"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "intersect_size_sorted expects exactly 2 arguments")
+        graft.expressions.IntersectSizeSorted(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("confluent_schema_id"),
       new ExpressionInfo(classOf[graft.expressions.ConfluentSchemaId].getName, "confluent_schema_id"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

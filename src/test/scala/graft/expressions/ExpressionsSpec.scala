@@ -101,6 +101,13 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("intersect_size_sorted is SQL-callable after registration") {
+    val r = spark.sql(
+      "SELECT intersect_size_sorted(array(1, 3, 5), array(3, 4, 5)) AS i")
+      .collect()(0).getInt(0)
+    assert(r == 2)
+  }
+
   test("jaccard_sorted rejects mixed array<int>/array<string> arguments") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), Seq("a", "b"))).toDF("a", "b")
