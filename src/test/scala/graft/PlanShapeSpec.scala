@@ -280,6 +280,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "phash: staged feature artifact not read")
   }
 
+  test("containment candidates are an equi-join on dense ids with a codegen verify") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), "containment: all-pairs product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "containment: all-pairs NLJ")
+    // the verify runs the native sorted-merge, not array_intersect's
+    // hash-set builtin
+    assert(p.contains("intersect_size_sorted"), "containment: native verify lost")
+    // probe and verify read the staged id frames
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "containment: staged id frames not read")
+  }
+
+  test("text_perplexity joins only against broadcast summaries") {
+    val p = plan("text_perplexity")
+    // the vocab join and the one-row total must both broadcast — a
+    // shuffled join against either re-partitions the whole token stream
+    assert(!p.contains("SortMergeJoin"), "perplexity: summary join shuffled")
+    assert(p.contains("BroadcastExchange"), "perplexity: no broadcast at all")
+    assert(!p.contains("CartesianProduct"), "perplexity: true cartesian")
+  }
+
+  test("sample_hash_split is scan -> project -> sort, with no join or aggregation") {
+    val p = plan("sample_hash_split")
+    assert(!p.contains("Join"), "hash split: a join appeared in a row-local op")
+    assert(!p.contains("HashAggregate"), "hash split: an aggregate appeared")
+    // only the one gate-ordering range sort may exchange — no hash
+    // repartitioning anywhere (formatted plans list operators twice,
+    // so substring counting would double-count)
+    assert(!p.contains("hashpartitioning"), "hash split: hash shuffle appeared")
+  }
+
+  test("q_range_window shuffles once on user_id and frames by time range") {
+    val p = plan("q_range_window")
+    assert(!p.contains("Join"), "range window rewrote into a self-join")
+    assert(p.contains("RangeFrame"), "range frame lost (row frame planned?)")
+  }
+
   test("staged-tier queries read persisted artifacts, not a rebuilt chain") {
     // the staging caches (TripleStore.staged / Dedup.stagedDocFeatures /
     // AngularBlocking's assignment) exist to stop every query re-running
