@@ -195,7 +195,11 @@ object DevProbe {
           // min-aggregate rounds; the seed lives in copy 0, so (like
           // BFS) output rows match the 1x run exactly while the
           // relax joins carry k x the edges
-          "spo_sssp") ++
+          "spo_sssp",
+          // lpa as shipped (tier dispatch applies; the forced
+          // distributed loop has its own lpa_xl probe); disjoint
+          // copies keep labels within copies — rows scale k x
+          "spo_lpa") ++
           (if (sys.env.contains("PROBE_JACCARD")) Seq("spo_jaccard_neighbors") else Nil)
         probeScaledGraph(spark, sfDir, Seq(k), qsXl)
 
@@ -231,6 +235,35 @@ object DevProbe {
         } finally {
           sweepCaches(spark, tmp)
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+
+      case "lpa_xl" =>
+        // Forced-distributed LPA probe (the kcore_xl discipline): both
+        // scales run the per-round join + two-aggregation loop via
+        // driverCap = 0, so the 1x-vs-k x comparison measures the
+        // actual 100 TB code path; disjoint replication keeps labels
+        // within copies, so rows must scale exactly k x.
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        def runLpa(dir: String, tag: String): Long =
+          t(s"lpa $tag") {
+            import org.apache.spark.sql.functions._
+            val half = graft.graph.TripleStore.staged(spark, dir).half
+            val und = half.select(col("a").as("src"), col("b").as("dst"))
+              .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+            val n = graft.graph.GraphQueries
+              .lpa(und, graft.graph.GraphQueries.LpaRounds, driverCap = 0L).count()
+            println(s"  rows=$n")
+            n
+          }
+        val l1 = runLpa(sfDir, "1x distributed")
+        val ltmp = stageScaledEvents(spark, sfDir, k)
+        try {
+          val lk = runLpa(ltmp, s"x$k distributed")
+          println(s"  linearity: x$k=$lk expect=${k * l1}")
+          require(lk == k * l1, "lpa output not linear under disjoint replication")
+        } finally {
+          sweepCaches(spark, ltmp)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ltmp))
         }
 
       case "graph_scale" =>
@@ -702,6 +735,43 @@ object DevProbe {
           } finally {
             // guarded cache sweep (internal mid-plan persists included)
             // — all cached data is tmp-dir-scoped
+            sweepCaches(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
+      case "hh_xl" =>
+        // text_heavy_hitters at 1x vs HH_K x (default 100) IDENTITY
+        // replication (text unchanged, doc_id offset): per-token counts
+        // and the corpus total both scale k x, so the heavy-hitter SET
+        // is invariant by construction — the probe require-checks that
+        // invariance while the input grows 100 x. The interesting
+        // measurements: wall (two corpus scans, should track input
+        // size) and the MG summary staying slots x partitions no matter
+        // the scale (the sketch's whole claim).
+        import org.apache.spark.sql.functions._
+        val hdocs = graft.operators.Tables(spark, sfDir).documents
+        requireIdHeadroom(hdocs, "doc_id", col("doc_id"), 10000000L)
+        val hhK = sys.env.getOrElse("HH_K", "100").toInt
+        def hhScaled(k: Int) = (0 until k).map { i =>
+          hdocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        var base: Set[(String, Long)] = Set.empty
+        for (k <- Seq(1, hhK)) {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_hh$k").toString
+          try {
+            hhScaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+            t(s"text_heavy_hitters x$k") {
+              val rows = SparkEntry.queries("text_heavy_hitters")(spark, tmp)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+              println(s"  x$k hh=${rows.size}")
+              if (k == 1) base = rows
+              else require(rows == base.map { case (t, c) => (t, c * k) },
+                s"heavy-hitter set not invariant under identity replication: " +
+                  s"x$k=${rows.size} vs x1=${base.size}")
+            }
+          } finally {
             sweepCaches(spark, tmp)
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }

@@ -403,3 +403,61 @@ object StreamFunnel {
       }
   }
 }
+
+/** Streaming face of the batch `text_heavy_hitters` CANDIDATE pass:
+  * hash-sharded Misra-Gries state over a token stream (the live
+  * stopword/boilerplate monitor — "which tokens are flooding the feed
+  * right now" without per-key state for the whole vocabulary).
+  *
+  * Each token routes by hash to one of `nShards` persistent group
+  * states, so every occurrence of a given token folds into the SAME
+  * summary — the superset guarantee survives sharding (a token with
+  * global count > n/phi holds at least that share of its own shard's
+  * substream, so slots >= phi retains it there) while total state stays
+  * bounded at nShards x slots counters and the fold parallelizes across
+  * executors. The transition is THE batch kernel's [[graft.textfn
+  * .MisraGries.fold]] — one definition, both surfaces.
+  *
+  * Per batch, each touched shard re-emits its full current summary —
+  * survivor estimates plus a (tok = null) substream-total marker, the
+  * same summary shape the batch kernel's partitions emit — tagged with
+  * the shard id, so "latest batch per shard" reconstructs the candidate
+  * union downstream. Estimates are sketch-bounded (never overcounting,
+  * undershooting <= substream_n/(slots+1)); exact numbers remain the
+  * batch verify pass's job, exactly as in the batch operator. The fold
+  * order within a shard is pinned by `seq`, making a split feed equal a
+  * single-batch feed bit-for-bit (spec-pinned).
+  */
+object StreamHeavyHitters {
+
+  final case class Tok(seq: Long, tok: String)
+  final case class Summary(shard: Int, tok: String, est: Long, substream_n: Long)
+
+  /** Persisted shard summary: parallel survivor/estimate arrays (a
+    * state-store-friendly flat shape) + the substream length. */
+  final case class MgState(toks: Array[String], ests: Array[Long], n: Long)
+
+  def candidates(toks: Dataset[Tok], slots: Int, nShards: Int): Dataset[Summary] = {
+    import toks.sparkSession.implicits._
+    toks
+      .groupByKey(t => math.floorMod(t.tok.##, nShards))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[Tok], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(Array.empty, Array.empty, 0L))
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          st.toks.indices.foreach(i => m.put(st.toks(i), st.ests(i)))
+          var n = st.n
+          batch.toSeq.sortBy(_.seq).foreach { t =>
+            graft.textfn.MisraGries.fold(m, t.tok, slots)
+            n += 1
+          }
+          // deterministic state layout: survivors sorted by token
+          val keys = new Array[String](m.size)
+          m.keySet().toArray(keys)
+          java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+          state.update(MgState(keys, keys.map(k => m.get(k).longValue()), n))
+          (keys.iterator.map(t => Summary(shard, t, m.get(t).longValue(), n)) ++
+            Iterator.single(Summary(shard, null, 0L, n)))
+      }
+  }
+}

@@ -518,8 +518,91 @@ object TextQueries extends QueryModule {
         CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
       FROM w JOIN v USING (w)
       GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // EXACT corpus heavy hitters with sketch-bounded state (the
+      // stopword/boilerplate census a curation pipeline runs before
+      // choosing filter lists). The naive form — groupBy every distinct
+      // token — shuffles the whole vocabulary; at 100 TB that is
+      // billions of keys moved to find the ~dozens that matter. This
+      // runs the two-pass Misra-Gries discipline instead: pass 1 is a
+      // narrow partition kernel keeping at most `HhSlots` counters per
+      // partition (classic MG decrement — by pigeonhole any token with
+      // global count > n/HhPhi exceeds the local n_p/HhPhi share in
+      // some partition, and HhSlots >= HhPhi makes MG retain it there,
+      // so the union of partition survivors is a SUPERSET of the true
+      // heavy hitters — never a miss); pass 2 semi-joins the corpus
+      // against the driver-sized candidate set (<= HhSlots x partitions
+      // rows BY CONSTRUCTION, the documented bounded-collect tier) and
+      // counts EXACTLY, so the output is oracle-exact — the sketch only
+      // bounds state, it never touches reported numbers. Threshold is
+      // count > n/HhPhi with n measured in the same kernel pass
+      // (per-partition marker rows), not a second corpus scan.
+      "text_heavy_hitters",
+      (s, dir) => heavyHitters(Tables(s, dir).documents, HhPhi, HhSlots),
+      Some(s"""WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM toks)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+      HAVING COUNT(*) > (SELECT n FROM tot) / $HhPhi
+      ORDER BY cnt DESC, tok""")
     )
   )
+
+  /** Frequency threshold for `text_heavy_hitters`: report tokens with
+    * count > n/HhPhi. 256 puts the bar at ~0.4% of the corpus — the
+    * stopword regime (measured: 30 survivors at sf0.01 AND sf0.1, the
+    * Zipf head is scale-stable). Double-typed so the threshold compare
+    * is exact-identical in Spark and DuckDB. */
+  private[textfn] val HhPhi = 256.0
+
+  /** Misra-Gries counters per partition. Must be >= HhPhi for the
+    * no-false-negative guarantee; 4x headroom keeps the candidate set
+    * comfortably past the bound without growing the driver collect
+    * beyond slots x partitions. */
+  private[textfn] val HhSlots = 1024
+
+  /** `text_heavy_hitters` body, parameterized so specs can engineer
+    * corpora and adversarial partition layouts. Two corpus passes, no
+    * full-vocabulary shuffle: MG candidate kernel (+ per-partition
+    * token-count markers), then an exact count over the broadcast
+    * candidate semi-join. */
+  private[textfn] def heavyHitters(
+      docs: org.apache.spark.sql.DataFrame, phi: Double, slots: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val s = docs.sparkSession
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+    val sumSchema = StructType(Seq(
+      StructField("tok", StringType, nullable = true), // null = count marker
+      StructField("n", LongType, nullable = false)))
+    // driver-sized summary: <= (slots + 1) rows per partition
+    val summary = toks.mapPartitions { iter =>
+      // the MG transition itself lives in [[MisraGries.fold]], shared
+      // with the streaming face (StreamHeavyHitters)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var n = 0L
+      while (iter.hasNext) {
+        MisraGries.fold(m, iter.next().getString(0), slots)
+        n += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Row](m.size + 1)
+      val keys = m.keySet().iterator()
+      while (keys.hasNext) out += Row(keys.next(), 0L)
+      out += Row(null, n)
+      out.iterator
+    }(Encoders.row(sumSchema)).collect()
+    val total = summary.iterator.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val cands = summary.iterator.filterNot(_.isNullAt(0)).map(_.getString(0))
+      .toArray.distinct.toIndexedSeq
+    val candDf = s.createDataset(cands)(Encoders.STRING).toDF("tok")
+    toks.join(broadcast(candDf), Seq("tok"), "leftsemi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > total / phi)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 
   /** Corpus-level compression floor for `text_tokens_bpe`'s quality
     * gate: trained merges must shrink the corpus at least 30% past the

@@ -331,6 +331,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavy hitters verify by broadcast semi-join, never a vocabulary-wide shuffle join") {
+    val p = plan("text_heavy_hitters")
+    // the exact-count pass must semi-join the corpus tokens against the
+    // driver-sized MG candidate set as a broadcast — a SortMergeJoin
+    // here means the whole vocabulary shuffles, which is exactly what
+    // the sketch pass exists to avoid
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate semi-join is not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "verify pass degenerated to a shuffle join")
+    // the count that IS shuffled is candidates-only, map-side combined
+    assert(p.contains("partial_count"), "no partial aggregation on the verify count")
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

@@ -42,4 +42,46 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
         s"doc $id perplexity $ppl outside [${total.toDouble / cMax}, $total]")
     }
   }
+
+  private def exactHh(rows: Seq[String], phi: Double): Seq[(String, Long)] = {
+    val toks = rows.flatMap(_.toLowerCase.split(" ", -1))
+    val n = toks.size
+    toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 > n / phi)
+      .sortBy { case (t, c) => (-c, t) }
+  }
+
+  test("heavy hitters equal the exact full-groupBy answer on the real corpus") {
+    val texts = graft.operators.Tables(spark, dir).documents.collect()
+      .map(_.getAs[String]("text")).toSeq
+    val got = SparkEntry.queries("text_heavy_hitters")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == exactHh(texts, 256.0), s"got ${got.take(5)}...")
+    assert(got.nonEmpty, "sf0.001 corpus should have stopword-regime heavy hitters")
+  }
+
+  test("MG candidates never miss: adversarial spread + tiny slots still finds every heavy hitter") {
+    import spark.implicits._
+    // one target token holding ~1/6 of the corpus, diluted by a long
+    // tail of one-off fillers that keeps every MG map at capacity and
+    // the decrement pressure constant; round-robin partitioning spreads
+    // the target so no partition sees a concentrated run. slots = 8 at
+    // phi = 6 is the minimal-headroom regime (slots >= phi just holds).
+    val target = Seq.fill(250)("hot")
+    val fillers = (0 until 1000).map(i => s"f$i")
+    val words = new scala.util.Random(7).shuffle(target ++ fillers)
+    val docs = words.grouped(5).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq
+      .toDF("doc_id", "text").repartition(16)
+    val got = TextQueries.heavyHitters(docs, phi = 6.0, slots = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("hot" -> 250L), s"got $got")
+  }
+
+  test("a uniform corpus has no heavy hitters: empty result, not a crash") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"u$i v$i"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.heavyHitters(docs, phi = 256.0, slots = 1024).isEmpty)
+  }
 }
