@@ -43,6 +43,44 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("naive-bayes classifier matches an independent driver reference and beats the prior") {
+    // reference: the same multiclass NB recurrence in plain Scala —
+    // integer counts, Laplace +1, ln rounded 6dp to BigDecimal,
+    // decimal per-class sums, argmax ties to the LARGER lang string
+    val docs = graft.operators.Tables(spark, dir).documents.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq))
+    val langs = docs.map(_._2).distinct.sorted
+    val dBy = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cBy = langs.map { l =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      docs.filter(_._2 == l).foreach(_._3.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L)))
+      l -> m
+    }.toMap
+    val v = docs.flatMap(_._3).distinct.length.toLong
+    val nBy = cBy.view.mapValues(_.values.sum).toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val priors = langs.map(l => l -> r6(math.log(dBy(l).toDouble / docs.length))).toMap
+    val expected = docs.map { case (id, lang, ws) =>
+      val best = langs.map { l =>
+        val s = ws.map(w => r6(math.log((cBy(l).getOrElse(w, 0L) + 1).toDouble /
+          (nBy(l) + v).toDouble))).sum + priors(l)
+        (s, l)
+      }.max // (score, lang) — ties to the larger lang, the struct-max rule
+      (id, ws.size.toLong, best._2, lang)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_nb_langid")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // learned signal: accuracy must beat the majority-class prior (the
+    // synthetic corpus's langs share one vocabulary, so the ceiling is
+    // low — but a classifier that can't beat the prior learned nothing)
+    val acc = got.count(r => r._3 == r._4).toDouble / got.length
+    val majority = dBy.values.max.toDouble / docs.length
+    assert(acc > majority, s"accuracy $acc does not beat majority baseline $majority")
+  }
+
   private def exactHh(rows: Seq[String], phi: Double): Seq[(String, Long)] = {
     val toks = rows.flatMap(_.toLowerCase.split(" ", -1))
     val n = toks.size
