@@ -504,6 +504,63 @@ object CorpusOps extends QueryModule {
              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // CLUSTER-BALANCED sampling over the embedding space — the
+      // SemDeDup/DataComp-style semantic stratification: pick an equal
+      // quota from every region of embedding space instead of letting a
+      // dominant mode fill the sample. Region = the ORTHANT sign
+      // pattern of the first SemBucketBits dims (axis-aligned LSH:
+      // per-element sign tests only, ZERO float accumulation, so the
+      // bucketing is exactly SQL-mirrorable where an iterative k-means
+      // would not be; the shipped embeddings are sign-balanced per dim,
+      // measured 25-42 docs per bucket at sf0.01). Within a bucket the
+      // quota is picked by keyed-md5 order (the sample_hash_split
+      // discipline — deterministic, identity-stable, no RNG state).
+      // Output is capped at 2^bits x quota rows at ANY corpus size;
+      // the plan is one scan -> sign-bucket + hash projection ->
+      // map-side WindowGroupLimit top-quota per bucket -> one bounded
+      // shuffle. No join, no iteration — the 100 TB shape.
+      "sample_semantic_balanced",
+      (s, dir) => {
+        val bucket = (0 until SemBucketBits).map { d =>
+          (col("embedding").getItem(d) > lit(0f)).cast("int") *
+            lit(1 << (SemBucketBits - 1 - d))
+        }.reduce(_ + _)
+        val keyed = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("label"), bucket.as("bucket"),
+            md5(concat(lit("sem:"), col("vec_id").cast("string")).cast("binary")).as("hk"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("hk"), col("vec_id"))
+        keyed.withColumn("pick_rank", row_number().over(w))
+          .filter(col("pick_rank") <= SemBucketQuota)
+          .select(col("vec_id"), col("bucket").cast("int").as("bucket"),
+            col("pick_rank").cast("long").as("pick_rank"), col("label"))
+          .orderBy(col("bucket"), col("pick_rank"))
+      },
+      Some {
+        val bucketSql = (0 until SemBucketBits).map { d =>
+          s"CAST(embedding[${d + 1}] > 0 AS INT) * ${1 << (SemBucketBits - 1 - d)}"
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, label, ($bucketSql) AS bucket,
+            md5('sem:' || CAST(vec_id AS VARCHAR)) AS hk
+          FROM embeddings),
+        r AS (SELECT vec_id, label, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hk, vec_id) AS pick_rank
+          FROM b)
+        SELECT vec_id, CAST(bucket AS INT) AS bucket,
+          CAST(pick_rank AS BIGINT) AS pick_rank, label
+        FROM r WHERE pick_rank <= $SemBucketQuota
+        ORDER BY bucket, pick_rank"""
+      }
     )
   )
+
+  /** Orthant bits for `sample_semantic_balanced`: 4 dims → 16 buckets,
+    * sized so every bucket is populated at every shipped SF (the
+    * balance assertion in CorpusOpsSpec). */
+  private[pipeline] val SemBucketBits = 4
+
+  /** Per-bucket quota: 8 picks × 16 buckets = ≤128 rows at any scale. */
+  private[pipeline] val SemBucketQuota = 8
 }

@@ -344,6 +344,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_count"), "no partial aggregation on the verify count")
   }
 
+  test("semantic-balanced sampling is scan -> sign-bucket -> map-side group limit, no join") {
+    val p = plan("sample_semantic_balanced")
+    // the per-bucket quota must plan as WindowGroupLimit (top-k pushed
+    // to the map side), and the whole op is join-free — at 100 TB this
+    // is one bounded shuffle over <= quota x buckets surviving rows
+    assert(p.contains("WindowGroupLimit"), s"quota is a full window sort:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "sampler grew a join")
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

@@ -196,4 +196,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(shared.nonEmpty)
     shared.foreach(id => assert(small(id) == bigMap(id), s"doc $id reassigned"))
   }
+
+  test("semantic-balanced sample takes min(quota, population) from every orthant, deterministically") {
+    import org.apache.spark.sql.functions._
+    val picks = SparkEntry.queries("sample_semantic_balanced")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // bucket populations computed independently from the raw embeddings
+    val pop = graft.operators.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (0 until 4).map(d => (if (e(d) > 0f) 1 else 0) << (3 - d)).sum
+      }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = picks.groupBy(_._2).view.mapValues(_.length).toMap
+    (0 until 16).foreach { b =>
+      val expect = math.min(8, pop.getOrElse(b, 0))
+      assert(got.getOrElse(b, 0) == expect, s"bucket $b: ${got.getOrElse(b, 0)} vs $expect")
+    }
+    // sign-balanced embeddings: every orthant is populated at sf0.001
+    assert(pop.size == 16, s"only ${pop.size} orthants populated")
+    // ranks are 1..quota contiguous per bucket, and a re-run is identical
+    picks.groupBy(_._2).foreach { case (b, ps) =>
+      assert(ps.map(_._3).sorted.toSeq == (1L to ps.length.toLong), s"bucket $b ranks")
+    }
+    val again = SparkEntry.queries("sample_semantic_balanced")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == picks.toSeq)
+  }
 }
