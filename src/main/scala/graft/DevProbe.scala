@@ -266,6 +266,34 @@ object DevProbe {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ltmp))
         }
 
+      case "walks_xl" =>
+        // Forced-distributed random-walks probe (the lpa_xl shape):
+        // per-step frontier⋈edges join + argmin aggregation at 1x vs
+        // k x; disjoint replication keeps each copy's walks inside the
+        // copy, so trajectory rows scale exactly k x.
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        def runWalks(dir: String, tag: String): Long =
+          t(s"walks $tag") {
+            import org.apache.spark.sql.functions._
+            val half = graft.graph.TripleStore.staged(spark, dir).half
+            val und = half.select(col("a").as("src"), col("b").as("dst"))
+              .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+            val n = graft.graph.GraphQueries
+              .randomWalks(und, graft.graph.GraphQueries.WalkSteps, driverCap = 0L).count()
+            println(s"  rows=$n")
+            n
+          }
+        val w1 = runWalks(sfDir, "1x distributed")
+        val wtmp = stageScaledEvents(spark, sfDir, k)
+        try {
+          val wk = runWalks(wtmp, s"x$k distributed")
+          println(s"  linearity: x$k=$wk expect=${k * w1}")
+          require(wk == k * w1, "walk trajectories not linear under disjoint replication")
+        } finally {
+          sweepCaches(spark, wtmp)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wtmp))
+        }
+
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
         // disjoint user/key namespaces per copy (nodes AND edges scale

@@ -678,6 +678,146 @@ object GraphQueries extends QueryModule {
     else lpaDistributed(und, rounds)
   }
 
+  /** Steps per walk for `spo_random_walks`. Fixed-depth like LPA: the
+    * walk RECURRENCE is deterministic (hash-seeded choices), so a fixed
+    * horizon is exactly oracle-mirrorable; 4 steps is the skip-gram
+    * window regime of DeepWalk/node2vec-style corpus generation. */
+  private[graft] val WalkSteps = 4
+
+  private val WalksOracleSql: Option[String] = Some {
+    val steps = (1 to WalkSteps).map { i =>
+      s"""c$i AS (SELECT w.walk_id, u.dst AS node,
+           md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':' || $i || ':'
+               || CAST(u.dst AS VARCHAR)) AS hk
+         FROM w${i - 1} w JOIN e0 u ON w.node = u.src),
+         w$i AS MATERIALIZED (SELECT walk_id, node FROM (
+             SELECT walk_id, node,
+               ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY hk, node) AS rn
+             FROM c$i) t
+           WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unioned = (0 to WalkSteps)
+      .map(i => s"SELECT walk_id, $i AS step, node FROM w$i")
+      .mkString("\nUNION ALL\n")
+    s"""$prelude,
+      ue AS (SELECT LEAST(source_id, target_id) AS a,
+                    GREATEST(source_id, target_id) AS b
+             FROM edges WHERE source_id <> target_id GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue UNION ALL SELECT b, a FROM ue),
+      w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM e0),
+      $steps
+    $unioned
+    ORDER BY walk_id, step"""
+  }
+
+  /** spo_random_walks bodies — one DERANDOMIZED walk per node over the
+    * distinct undirected entity graph: at step t a walk at node v moves
+    * to the neighbor u minimizing md5("walk:" ‖ walk_id ‖ ":" ‖ t ‖ ":"
+    * ‖ u) (ties to the smaller u, unreachable in practice). Hash-seeded
+    * choices instead of RNG state make the walk a pure function of the
+    * graph — reruns, retries, and the SQL oracle all trace the identical
+    * trajectories, which no seeded-RNG formulation survives across
+    * engines. This is the DeepWalk/node2vec corpus-generation shape
+    * (walks feed skip-gram training); uniformity comes from md5's
+    * avalanche across the step index. Two tiers on the house
+    * discipline:
+    *
+    *  - DRIVER tier (directed edges ≤ `driverCap`): the same recurrence
+    *    in-process — JVM MessageDigest md5 over the identical strings,
+    *    hex-compared, so the tiers agree bit-for-bit (spec-pinned).
+    *  - DISTRIBUTED tier: per step, one frontier⋈edges equi-join fans
+    *    each walk to its neighbors (O(E) rows), then one map-side
+    *    combined min(struct(hk, nbr)) argmin per walk — no window, no
+    *    driver state, per-step cost O(E) shuffle at any scale.
+    *
+    * Output: (walk_id, step, node) trajectories, step 0 = the start
+    * node itself. */
+  private[graft] def randomWalks(und: org.apache.spark.sql.DataFrame, steps: Int,
+                                 driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    if (und.count() <= driverCap)
+      walksDriver(und.sparkSession,
+        und.collect().map(r => (r.getLong(0), r.getLong(1))), steps)
+    else walksDistributed(und, steps)
+  }
+
+  private[graft] def walksDistributed(und: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
+    var cur = und.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+    val traj = scala.collection.mutable.ArrayBuffer(cur.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      // fresh per-step attribute ids: after step 1 the frontier's
+      // lineage contains the edge frame, and reusing its attributes
+      // verbatim trips the ambiguous-self-join check
+      val e = und.select(col("src").as(s"src_$t"), col("dst").as(s"dst_$t"))
+      val cand = cur.join(e, col("node") === col(s"src_$t"))
+        .select(col("walk_id"), col(s"dst_$t").as("nbr"))
+        .withColumn("hk", md5(concat(lit("walk:"), col("walk_id").cast("string"),
+          lit(s":$t:"), col("nbr").cast("string")).cast("binary")))
+      cur = cand.groupBy(col("walk_id"))
+        .agg(min(struct(col("hk"), col("nbr"))).as("m"))
+        .select(col("walk_id"), col("m.nbr").as("node"))
+      traj += cur.withColumn("step", lit(t))
+    }
+    traj.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy(col("walk_id"), col("step"))
+  }
+
+  /** Driver tier: identical recurrence in-process over the collected
+    * edge list — MessageDigest md5 over the same strings, lowercase-hex
+    * compared. */
+  private def walksDriver(s: org.apache.spark.sql.SparkSession,
+                          edges: Array[(Long, Long)], steps: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (a, b) =>
+      var buf = adj.get(a)
+      if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(a, buf) }
+      buf += b
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // table-driven hex: String.format here runs |V| x steps x degree x 16
+    // times (~10M at sf0.1) and costs ~20 s of pure formatting
+    val hexChars = "0123456789abcdef".toCharArray
+    def hex(sIn: String): String = {
+      val d = md.digest(sIn.getBytes("UTF-8"))
+      val out = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val ids = edges.iterator.map(_._1).toArray.distinct.sorted
+    ids.foreach { start =>
+      var node = start
+      rows += ((start, 0, node))
+      var t = 1
+      while (t <= steps) {
+        val ns = adj.get(node)
+        var best: Long = Long.MaxValue
+        var bestH: String = null
+        var i = 0
+        while (i < ns.length) {
+          val u = ns(i)
+          val h = hex(s"walk:$start:$t:$u")
+          if (bestH == null || h < bestH || (h == bestH && u < best)) {
+            bestH = h; best = u
+          }
+          i += 1
+        }
+        node = best
+        rows += ((start, t, node))
+        t += 1
+      }
+    }
+    rows.toSeq.toDF("walk_id", "step", "node")
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "spo_objects",
@@ -964,6 +1104,22 @@ object GraphQueries extends QueryModule {
           LpaRounds)
       },
       LpaOracleSql
+    ),
+
+    QueryDef(
+      // DERANDOMIZED random walks — the DeepWalk/node2vec corpus
+      // generator (walk trajectories feed skip-gram embedding
+      // training). One walk per node, [[WalkSteps]] hash-seeded steps;
+      // bodies and determinism rationale in [[randomWalks]]; the oracle
+      // unrolls the same steps with the identical md5 choice rule.
+      "spo_random_walks",
+      (s, dir) => {
+        val half = T.staged(s, dir).half
+        randomWalks(half.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(half.select(col("b").as("src"), col("a").as("dst"))),
+          WalkSteps)
+      },
+      WalksOracleSql
     ),
 
     QueryDef(
