@@ -807,6 +807,62 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // TIME-SERIES RESAMPLING with forward fill — the gap-filling
+      // primitive that turns an irregular event stream into the dense
+      // hourly grid feature pipelines train on. Per user: an integer
+      // hour grid over the series' own support ((min div hour)+1 .. max
+      // div hour — starting one hour in guarantees every grid point has
+      // a preceding observation, so the fill is never null), grid
+      // points unioned with the raw events, and one
+      // last-non-null-value window per user carries the latest
+      // observation forward. The sort key (us, is_grid) is UNIQUE per
+      // user (no duplicate event timestamps ship, and is_grid breaks an
+      // exact hour-boundary collision by letting the event land first),
+      // so the fill is deterministic in both engines with no reliance
+      // on null-ordering defaults — and `value` is carried, never
+      // summed, so doubles stay exact. Plan: one keyed aggregate for
+      // spans, one explode, one union, ONE shuffle on user_id for the
+      // window — at 100 TB the grid is output-shaped (users × hours)
+      // and every stage is user-partitioned.
+      "q_events_resample",
+      (s, dir) => {
+        val hourUs = 3600000000L
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        val spans = ev.groupBy(col("user_id"))
+          .agg(expr("min(us) div 3600000000").as("h0"),
+            expr("max(us) div 3600000000").as("h1"))
+          .filter(col("h0") + 1 <= col("h1"))
+        val grid = spans
+          .select(col("user_id"), explode(sequence(col("h0") + 1, col("h1"))).as("h"))
+          .select(col("user_id"), (col("h") * lit(hourUs)).as("us"),
+            lit(null).cast("double").as("value"), lit(1).as("is_grid"))
+        val pts = ev.withColumn("is_grid", lit(0)).unionByName(grid)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("is_grid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("value_ff", last(col("value"), ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .select(col("user_id"), col("us").as("hour_us"), col("value_ff"))
+          .orderBy(col("user_id"), col("hour_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        spans AS (SELECT user_id, MIN(us) // 3600000000 AS h0, MAX(us) // 3600000000 AS h1
+          FROM ev GROUP BY user_id
+          HAVING MIN(us) // 3600000000 + 1 <= MAX(us) // 3600000000),
+        grid AS (SELECT user_id, unnest(generate_series(h0 + 1, h1)) * 3600000000 AS us,
+            CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM spans),
+        pts AS (SELECT user_id, us, value, 0 AS is_grid FROM ev
+          UNION ALL SELECT user_id, us, value, is_grid FROM grid),
+        f AS (SELECT user_id, us, is_grid,
+            last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, is_grid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+          FROM pts)
+      SELECT user_id, us AS hour_us, value_ff FROM f WHERE is_grid = 1
+      ORDER BY user_id, hour_us""")
+    ),
+
+    QueryDef(
       // running cumulative aggregate: per-customer spend accumulating in
       // order date order, explicit ROWS frame so both engines agree on
       // tie handling; decimal-exact partial sums

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `q_events_resample` (hourly forward-fill grid) against an
+  * independent in-process reference over the shipped events. */
+class ResampleSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val HourUs = 3600000000L
+
+  test("every grid point carries the latest preceding observation, over the series' own support") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference: per user, walk the sorted series and fill each hour in
+    // ((min div h)+1 .. max div h) with the last event at-or-before it
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val h0 = sorted.head._2 / HourUs
+      val h1 = sorted.last._2 / HourUs
+      (h0 + 1 to h1).map { h =>
+        val cut = h * HourUs
+        // event exactly AT the boundary counts (is_grid orders it first)
+        val lastObs = sorted.takeWhile(_._2 <= cut).last._3
+        (u, cut, lastObs)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_events_resample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the grid is dense: contiguous hours per user, no fill is missing
+    got.groupBy(_._1).foreach { case (u, rs) =>
+      val hours = rs.map(_._2 / HourUs)
+      assert(hours == (hours.head to hours.last), s"user $u grid has holes")
+    }
+    assert(got.nonEmpty)
+  }
+}
