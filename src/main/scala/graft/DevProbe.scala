@@ -60,13 +60,19 @@ object DevProbe {
     * structure scales exactly n× and output linearity is checkable. */
   private def replicatedDocs(spark: SparkSession,
                              docs: org.apache.spark.sql.DataFrame,
-                             n: Int): org.apache.spark.sql.DataFrame = {
+                             n: Int,
+                             suffixTokens: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     requireIdHeadroom(docs, "doc_id", col("doc_id"), 10000000L)
     (0 until n).map { i =>
+      // suffixTokens = false is the IDENTITY replication (hh_xl): text
+      // unchanged, so per-token counts scale n x and frequency-relative
+      // invariants (the heavy-hitter set) are preserved by construction
+      val text = if (suffixTokens)
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text")
+      else col("text")
       docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text, col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }
 
@@ -138,6 +144,36 @@ object DevProbe {
         sweepCaches(spark, tmp)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    }
+  }
+
+  /** Shared forced-distributed graph-loop probe (lpa_xl / walks_xl —
+    * one staging/linearity/cleanup protocol, per the stageScaledEvents
+    * one-builder rationale): run `body` over the undirected edge frame
+    * at 1x and SCALE_K x, require exact output linearity under
+    * disjoint replication. */
+  private def probeForcedGraphLoop(spark: SparkSession, sfDir: String, name: String)(
+      body: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = sys.env.getOrElse("SCALE_K", "30").toInt
+    def run(dir: String, tag: String): Long =
+      t(s"$name $tag") {
+        val half = graft.graph.TripleStore.staged(spark, dir).half
+        val und = half.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+        val n = body(und).count()
+        println(s"  rows=$n")
+        n
+      }
+    val n1 = run(sfDir, "1x distributed")
+    val tmp = stageScaledEvents(spark, sfDir, k)
+    try {
+      val nk = run(tmp, s"x$k distributed")
+      println(s"  linearity: x$k=$nk expect=${k * n1}")
+      require(nk == k * n1, s"$name output not linear under disjoint replication")
+    } finally {
+      sweepCaches(spark, tmp)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
 
@@ -243,56 +279,18 @@ object DevProbe {
         // driverCap = 0, so the 1x-vs-k x comparison measures the
         // actual 100 TB code path; disjoint replication keeps labels
         // within copies, so rows must scale exactly k x.
-        val k = sys.env.getOrElse("SCALE_K", "30").toInt
-        def runLpa(dir: String, tag: String): Long =
-          t(s"lpa $tag") {
-            import org.apache.spark.sql.functions._
-            val half = graft.graph.TripleStore.staged(spark, dir).half
-            val und = half.select(col("a").as("src"), col("b").as("dst"))
-              .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
-            val n = graft.graph.GraphQueries
-              .lpa(und, graft.graph.GraphQueries.LpaRounds, driverCap = 0L).count()
-            println(s"  rows=$n")
-            n
-          }
-        val l1 = runLpa(sfDir, "1x distributed")
-        val ltmp = stageScaledEvents(spark, sfDir, k)
-        try {
-          val lk = runLpa(ltmp, s"x$k distributed")
-          println(s"  linearity: x$k=$lk expect=${k * l1}")
-          require(lk == k * l1, "lpa output not linear under disjoint replication")
-        } finally {
-          sweepCaches(spark, ltmp)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ltmp))
-        }
+        probeForcedGraphLoop(spark, sfDir, "lpa")(und =>
+          graft.graph.GraphQueries.lpa(und,
+            graft.graph.GraphQueries.LpaRounds, driverCap = 0L))
 
       case "walks_xl" =>
-        // Forced-distributed random-walks probe (the lpa_xl shape):
-        // per-step frontier⋈edges join + argmin aggregation at 1x vs
-        // k x; disjoint replication keeps each copy's walks inside the
-        // copy, so trajectory rows scale exactly k x.
-        val k = sys.env.getOrElse("SCALE_K", "30").toInt
-        def runWalks(dir: String, tag: String): Long =
-          t(s"walks $tag") {
-            import org.apache.spark.sql.functions._
-            val half = graft.graph.TripleStore.staged(spark, dir).half
-            val und = half.select(col("a").as("src"), col("b").as("dst"))
-              .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
-            val n = graft.graph.GraphQueries
-              .randomWalks(und, graft.graph.GraphQueries.WalkSteps, driverCap = 0L).count()
-            println(s"  rows=$n")
-            n
-          }
-        val w1 = runWalks(sfDir, "1x distributed")
-        val wtmp = stageScaledEvents(spark, sfDir, k)
-        try {
-          val wk = runWalks(wtmp, s"x$k distributed")
-          println(s"  linearity: x$k=$wk expect=${k * w1}")
-          require(wk == k * w1, "walk trajectories not linear under disjoint replication")
-        } finally {
-          sweepCaches(spark, wtmp)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wtmp))
-        }
+        // Forced-distributed random-walks probe: per-step
+        // frontier⋈edges join + argmin aggregation; disjoint
+        // replication keeps each copy's walks inside the copy, so
+        // trajectory rows scale exactly k x.
+        probeForcedGraphLoop(spark, sfDir, "walks")(und =>
+          graft.graph.GraphQueries.randomWalks(und,
+            graft.graph.GraphQueries.WalkSteps, driverCap = 0L))
 
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
@@ -777,19 +775,16 @@ object DevProbe {
         // measurements: wall (two corpus scans, should track input
         // size) and the MG summary staying slots x partitions no matter
         // the scale (the sketch's whole claim).
-        import org.apache.spark.sql.functions._
         val hdocs = graft.operators.Tables(spark, sfDir).documents
-        requireIdHeadroom(hdocs, "doc_id", col("doc_id"), 10000000L)
         val hhK = sys.env.getOrElse("HH_K", "100").toInt
-        def hhScaled(k: Int) = (0 until k).map { i =>
-          hdocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            col("text"), col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ unionByName _)
         var base: Set[(String, Long)] = Set.empty
-        for (k <- Seq(1, hhK)) {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_hh$k").toString
-          try {
-            hhScaled(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        withScaledTmp(spark, "hh", Seq(1, hhK))(
+          // THE shared corpus replicator, identity mode (one builder,
+          // per the stageScaledEvents rationale — two replication
+          // paths could drift and measure different corpora)
+          (k, tmp) => replicatedDocs(spark, hdocs, k, suffixTokens = false)
+            .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        ) { (k, tmp) =>
             t(s"text_heavy_hitters x$k") {
               val rows = SparkEntry.queries("text_heavy_hitters")(spark, tmp)
                 .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -799,10 +794,6 @@ object DevProbe {
                 s"heavy-hitter set not invariant under identity replication: " +
                   s"x$k=${rows.size} vs x1=${base.size}")
             }
-          } finally {
-            sweepCaches(spark, tmp)
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-          }
         }
 
       case "objects" =>
