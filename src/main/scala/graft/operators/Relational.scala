@@ -863,6 +863,47 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // Z-SCORE ANOMALY DETECTION per event_type — the monitoring/
+      // outlier-filter primitive. Float discipline: the MOMENTS are
+      // decimal-exact (value cast to Money once, sum(v) and sum(v*v)
+      // exact decimal aggregations — no accumulation-order drift), and
+      // only then does ONE identical double chain per row compute
+      // z = (v - sv/n) / sqrt((ssq - sv*sv/n)/n) in both engines —
+      // deterministic IEEE ops over identical inputs, so even the
+      // |z| > 3 threshold compare cannot diverge. Plan: one map-side
+      // combined moment aggregate per type (5 types → a one-row-per-
+      // type broadcast) joined back into the scan; no second pass, no
+      // window. At 100 TB: the moment table is group-cardinality-sized
+      // and the scan-side math is codegen'd row-local arithmetic.
+      "q_events_anomaly",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("event_id"), col("event_type"), col("value").cast(Money).as("v"))
+        val st = e.groupBy(col("event_type")).agg(
+          sum(col("v")).cast("double").as("sv"),
+          sum(col("v") * col("v")).cast("double").as("ssq"),
+          count(lit(1)).as("n"))
+        e.join(broadcast(st), "event_type")
+          .withColumn("value", col("v").cast("double"))
+          .withColumn("z", (col("value") - col("sv") / col("n")) /
+            sqrt((col("ssq") - col("sv") * col("sv") / col("n")) / col("n")))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+          FROM events),
+        st AS (SELECT event_type,
+            CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(v*v) AS DOUBLE) AS ssq, COUNT(*) AS n
+          FROM e GROUP BY event_type)
+      SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
+        (CAST(e.v AS DOUBLE) - sv / n) / sqrt((ssq - sv * sv / n) / n) AS z
+      FROM e JOIN st ON e.event_type = st.event_type
+      WHERE abs((CAST(e.v AS DOUBLE) - sv / n) / sqrt((ssq - sv * sv / n) / n)) > 3.0
+      ORDER BY event_id""")
+    ),
+
+    QueryDef(
       // running cumulative aggregate: per-customer spend accumulating in
       // order date order, explicit ROWS frame so both engines agree on
       // tie handling; decimal-exact partial sums

@@ -550,6 +550,65 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // BIGRAM-LM quality scoring — the context-aware extension of
+      // text_perplexity's unigram LM (a repetitive or shuffled-token
+      // doc scores the same under a unigram model; bigram NLL is what
+      // separates fluent from scrambled text). Add-one-smoothed
+      // P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), trained on the corpus
+      // itself like the unigram LM and BPE. The decimal discipline is
+      // inherited verbatim: nll = ln((c(w1·)+V)/(c(w1,w2)+1)) keeps ln
+      // on the POSITIVE domain (probabilities < 1, so rounding a
+      // negative ln would ride HALF_UP's away-from-zero asymmetry),
+      // runs once per DISTINCT BIGRAM TYPE (bounded by the bigram
+      // vocabulary, not the corpus), 6dp-rounds to DECIMAL, and per-doc
+      // sums are order-independent. Docs under 2 tokens have no bigrams
+      // and drop out in both engines. Plan: per-doc lead() window (the
+      // text_ngram_top shape) -> two aggregates -> broadcast LM join ->
+      // per-doc sum.
+      "text_perplexity_bigram",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+        val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        val cu = cb.groupBy(col("w1")).agg(sum(col("c")).as("n"))
+        val vv = bg.agg(countDistinct(col("w2")).as("v"))
+        val lm = cb.join(cu, "w1").crossJoin(broadcast(vv))
+          .select(col("w1"), col("w2"),
+            round(log((col("n") + col("v")).cast("double") /
+              (col("c") + 1).cast("double")), 6).cast("decimal(18,6)").as("nll"))
+        bg.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll")).cast("decimal(28,6)").as("sum_nll"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_nll"),
+            (col("sum_nll").cast("double") / col("n_bigrams").cast("double"))
+              .as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        bg AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+        cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, SUM(c) AS n FROM cb GROUP BY w1),
+        vv AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+        lm AS (SELECT cb.w1, cb.w2,
+            CAST(ROUND(ln(CAST(cu.n + vv.v AS DOUBLE) / CAST(cb.c + 1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS nll
+          FROM cb JOIN cu ON cb.w1 = cu.w1, vv)
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(lm.nll) AS DECIMAL(28,6)) AS sum_nll,
+        CAST(SUM(lm.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+      FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      GROUP BY bg.doc_id ORDER BY doc_id""")
+    ),
+
+    QueryDef(
       // TRAINED text classifier — MULTICLASS multinomial Naive Bayes
       // over the corpus's own lang labels (the fastText-filtering shape
       // a curation pipeline trains to extend hand labels across a

@@ -38,4 +38,28 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got.nonEmpty)
   }
+
+  test("z-score anomalies match exact-moment arithmetic, completely") {
+    import org.apache.spark.sql.functions._
+    // reference: exact decimal moments per type, then the identical
+    // double chain — assert bit-equality of z AND exhaustiveness of the
+    // |z| > 3 cut (no flagged row missing, none extra)
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (tpe, rows) =>
+      val sv = rows.map(_._3).sum.toDouble
+      val ssq = rows.map(r => r._3 * r._3).sum.toDouble
+      val n = rows.length.toLong
+      rows.map { case (id, _, v) =>
+        val z = (v.toDouble - sv / n) / math.sqrt((ssq - sv * sv / n) / n)
+        (id, tpe, v.toDouble, z)
+      }.filter(r => math.abs(r._4) > 3.0)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_events_anomaly")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the heavy-tailed synthetic values should flag some 3-sigma rows")
+  }
 }

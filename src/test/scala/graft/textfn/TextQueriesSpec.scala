@@ -43,6 +43,42 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bigram NLL matches an independent driver reference exactly") {
+    val docs = graft.operators.Tables(spark, dir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq)
+    val bigrams = docs.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = bigrams.map(_._2).distinct.size.toLong
+    def nll6(b: (String, String)): BigDecimal =
+      BigDecimal(math.log((cu(b._1) + v).toDouble / (cb(b) + 1).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = docs.filter(_._2.size >= 2).map { case (id, ws) =>
+      val bs = ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val sum = bs.map(nll6).sum
+      (id, bs.size.toLong, sum, sum.toDouble / bs.size)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_perplexity_bigram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the context sensitivity unigram scoring cannot have: scrambling a
+    // doc's tokens leaves its unigram NLL fixed but must change the
+    // bigram NLL whenever the reordered transitions differ (checked on
+    // the reference math — both orderings score under the SAME corpus LM)
+    val (_, ws) = docs.maxBy(_._2.size)
+    val shuffled = new scala.util.Random(3).shuffle(ws)
+    def score(seq: Seq[String]): BigDecimal =
+      seq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1)))
+        .filter(cb.contains) // scrambling can invent unseen bigrams; score shared mass
+        .map(nll6).sum
+    def multiset(seq: Seq[String]) =
+      seq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq.sorted
+    assert(score(ws) != score(shuffled) || multiset(ws) == multiset(shuffled),
+      "bigram LM failed to separate a scrambled ordering")
+  }
+
   test("naive-bayes classifier matches an independent driver reference and beats the prior") {
     // reference: the same multiclass NB recurrence in plain Scala —
     // integer counts, Laplace +1, ln rounded 6dp to BigDecimal,
