@@ -202,6 +202,68 @@ object Multimodal extends QueryModule {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(graft.dedup.Dedup.SimhashPairsOracleSql)
+    ),
+
+    QueryDef(
+      // A/V ALIGNMENT: attach to every sampled video frame the audio
+      // window playing at its timestamp — the multimodal training-pair
+      // construction step ((frame, audio context) pairs for contrastive
+      // or captioning training), composed from this tier's own frame/
+      // window plumbing and the NATIVE AsOfJoinExec (backward as-of per
+      // doc on integer microseconds — video and audio clocks don't
+      // share tick boundaries, so an equi-join on timestamps is the
+      // classically WRONG tool here). Frame times at the synthetic
+      // 8 fps are frame_idx * 125000 us; window starts are
+      // start_sample * 1e6 div sample_rate — integer division, exact in
+      // both engines. Window 0 starts at 0 us, so the backward match is
+      // total, and frames outlasting the audio land on the LAST window
+      // (as-of semantics, mirrored by the oracle's correlated MAX). One
+      // shuffle on doc_id with both sides range-sorted inside
+      // AsOfJoinExec — never a per-frame probe.
+      "mm_av_align",
+      (s, dir) => {
+        val frames = extractMeta(withBlobs(Tables(s, dir).documents))
+          .select(col("doc_id"), col("nframes"),
+            explode(sequence(lit(0L), col("nframes") - 1L, lit(4L))).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * lit(125000L)).as("frame_us"))
+        val wins = extractAudioMeta(withAudioBlobs(Tables(s, dir).documents))
+          .withColumn("n_windows",
+            expr("(n_samples + sample_rate - 1) DIV sample_rate"))
+          .select(col("doc_id").as("a_doc_id"),
+            explode(sequence(lit(0L), col("n_windows") - 1L)).as("window_idx"),
+            col("sample_rate"))
+          .select(col("a_doc_id"), col("window_idx"),
+            expr("window_idx * sample_rate * 1000000 DIV sample_rate").as("win_start_us"))
+        graft.plans.AsOf.joinBackward(
+            frames,
+            wins.select(col("a_doc_id").as("doc_id"), col("window_idx"), col("win_start_us")),
+            Seq("doc_id"), "frame_us", "win_start_us")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+            CAST(fi * 125000 AS BIGINT) AS frame_us
+          FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 24, 4)) AS fi FROM documents) t),
+        m AS (
+          SELECT doc_id,
+            CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+            CAST((4000 + (doc_id % 3) * 2000) * (1 + doc_id % 8) AS BIGINT) AS n_samples
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+            CAST(widx AS BIGINT) AS window_idx,
+            CAST(widx * sample_rate * 1000000 // sample_rate AS BIGINT) AS win_start_us
+          FROM (SELECT doc_id, sample_rate,
+              unnest(range(0, (n_samples + sample_rate - 1) // sample_rate)) AS widx
+            FROM m) t)
+      SELECT f.doc_id, f.frame_idx, f.frame_us,
+        (SELECT w.window_idx FROM w
+          WHERE w.doc_id = f.doc_id AND w.win_start_us <= f.frame_us
+          ORDER BY w.win_start_us DESC LIMIT 1) AS window_idx,
+        (SELECT MAX(w.win_start_us) FROM w
+          WHERE w.doc_id = f.doc_id AND w.win_start_us <= f.frame_us) AS win_start_us
+      FROM f ORDER BY doc_id, frame_idx""")
     )
   )
 }

@@ -353,6 +353,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), "sampler grew a join")
   }
 
+  test("A/V alignment plans the native as-of exec, not a per-frame probe") {
+    val p = plan("mm_av_align")
+    assert(p.contains("AsOfJoin"), s"alignment lost the native as-of operator:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "alignment degenerated to a product")
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

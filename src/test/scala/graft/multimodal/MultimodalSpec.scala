@@ -49,4 +49,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(sampled(id) == ((nf + 3) / 4).toInt, s"doc $id nframes $nf")
     }
   }
+
+  test("A/V alignment: every frame lands in its covering second, frames past the audio on the last window") {
+    val rows = graft.SparkEntry.queries("mm_av_align")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("frame_us")),
+        r.getLong(r.fieldIndex("window_idx")), r.getLong(r.fieldIndex("win_start_us"))))
+    assert(rows.nonEmpty)
+    // audio windows start at exact seconds (start_sample * 1e6 div sr =
+    // widx * 1e6), so the backward as-of must pick floor(frame_us / 1s),
+    // clamped to the doc's last window
+    val lastWin = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    rows.foreach { case (doc, fUs, wIdx, wStart) =>
+      assert(wStart == wIdx * 1000000L, s"doc $doc window $wIdx starts at $wStart")
+      val expected = math.min(fUs / 1000000L, lastWin(doc))
+      assert(wIdx == expected, s"doc $doc frame@$fUs matched window $wIdx, want $expected")
+    }
+    // the clamp path is actually exercised: some frame outlasts its audio
+    assert(rows.exists { case (doc, fUs, _, _) => fUs / 1000000L > lastWin(doc) },
+      "no frame outlasts its audio at sf0.001 — the as-of clamp is untested")
+  }
 }
