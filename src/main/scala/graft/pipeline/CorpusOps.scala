@@ -350,6 +350,54 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // HASHED decontamination — decontam_ngram's membership probe on
+      // 60-bit shingle hashes instead of raw 8-gram strings: at 100 TB
+      // the broadcast benchmark set is the binding constraint (an eval
+      // suite's distinct 8-grams are ~50 bytes each as text; 8-byte
+      // longs cut the broadcast AND the probe's hash-table footprint
+      // ~6x, and the corpus side never materializes shingle strings
+      // past the hash). The hash is the low 60 bits of md5 via hex
+      // (conv(substr(md5, 1, 15)) here ≡ CAST('0x' || substr(md5, 1,
+      // 15) AS BIGINT) in DuckDB — 15 hex digits keep the value inside
+      // BIGINT in both engines, no unsigned edge). A collision merging
+      // two distinct shingles is ~(|bench| x |corpus|)/2^60 — and the
+      // oracle mirrors the HASHED semantics, so the gate is exact
+      // regardless. Same plan shape as decontam_ngram: benchmark
+      // distinct -> broadcast, corpus streams through one map-side
+      // hash join, never self-joined.
+      "decontam_hashed",
+      (s, dir) => {
+        def h(c: Column): Column =
+          conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+        val shingled = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            explode(shingles8(col("text"))).as("s"))
+          .select(col("doc_id"), col("source"), h(col("s")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bench = shingled.filter(col("doc_id") % 29 === 0)
+          .select(col("h")).distinct()
+        shingled.filter(col("doc_id") % 29 =!= 0)
+          .join(broadcast(bench), "h")
+          .select(col("doc_id"), col("source"), col("h")).distinct()
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+          CAST('0x' || substr(md5(unnest(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(t[i:i+7], ' ')))), 1, 15) AS BIGINT) AS h
+        FROM toks WHERE len(t) >= 8),
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 29 = 0),
+      cand AS (SELECT DISTINCT d.doc_id, d.source, d.h
+        FROM sh d JOIN bench b USING (h) WHERE d.doc_id % 29 <> 0)
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand GROUP BY doc_id, source ORDER BY doc_id""")
+    ),
+
+    QueryDef(
       // Sequence packing accounting: assign docs (ordered by doc_id
       // within source) to fixed 512-token context bins by running token
       // count; report docs/tokens per bin. The cumulative sum is NOT a

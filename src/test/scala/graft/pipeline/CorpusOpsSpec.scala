@@ -197,6 +197,14 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     shared.foreach(id => assert(small(id) == bigMap(id), s"doc $id reassigned"))
   }
 
+  test("hashed decontamination equals the exact-string probe (collision-free at this scale)") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows("decontam_hashed") == rows("decontam_ngram"),
+      "60-bit shingle hashing changed the contamination report")
+    assert(rows("decontam_hashed").nonEmpty)
+  }
+
   test("semantic-balanced sample takes min(quota, population) from every orthant, deterministically") {
     import org.apache.spark.sql.functions._
     val picks = SparkEntry.queries("sample_semantic_balanced")(spark, dir).collect()
