@@ -227,17 +227,17 @@ object Multimodal extends QueryModule {
             explode(sequence(lit(0L), col("nframes") - 1L, lit(4L))).as("frame_idx"))
           .select(col("doc_id"), col("frame_idx"),
             (col("frame_idx") * lit(125000L)).as("frame_us"))
+        // the right side's by column is dropped from the as-of output
+        // (AsOf.joinBackward contract), so wins carries doc_id directly
         val wins = extractAudioMeta(withAudioBlobs(Tables(s, dir).documents))
           .withColumn("n_windows",
             expr("(n_samples + sample_rate - 1) DIV sample_rate"))
-          .select(col("doc_id").as("a_doc_id"),
+          .select(col("doc_id"),
             explode(sequence(lit(0L), col("n_windows") - 1L)).as("window_idx"),
             col("sample_rate"))
-          .select(col("a_doc_id"), col("window_idx"),
+          .select(col("doc_id"), col("window_idx"),
             expr("window_idx * sample_rate * 1000000 DIV sample_rate").as("win_start_us"))
-        graft.plans.AsOf.joinBackward(
-            frames,
-            wins.select(col("a_doc_id").as("doc_id"), col("window_idx"), col("win_start_us")),
+        graft.plans.AsOf.joinBackward(frames, wins,
             Seq("doc_id"), "frame_us", "win_start_us")
           .orderBy(col("doc_id"), col("frame_idx"))
       },

@@ -869,33 +869,29 @@ object Relational extends QueryModule {
       // exact decimal aggregations — no accumulation-order drift), and
       // only then does ONE identical double chain per row compute
       // z = (v - sv/n) / sqrt((ssq - sv*sv/n)/n) in both engines —
-      // deterministic IEEE ops over identical inputs, so even the
-      // |z| > 3 threshold compare cannot diverge. Plan: one map-side
-      // combined moment aggregate per type (5 types → a one-row-per-
-      // type broadcast) joined back into the scan; no second pass, no
-      // window. At 100 TB: the moment table is group-cardinality-sized
-      // and the scan-side math is codegen'd row-local arithmetic.
+      // deterministic IEEE ops over identical inputs, so the |z| > 3
+      // threshold compare cannot diverge. DEGENERATE groups are
+      // excluded up front (n > 1 AND ssq*n > sv*sv): a single-event or
+      // constant group has no outliers by definition, and without the
+      // guard the engines genuinely diverge there — Spark's x/0.0 is
+      // IEEE ±Inf (every row would flag) while DuckDB's is NULL (every
+      // row would drop), and a cancellation-negative radicand makes
+      // DuckDB's sqrt RAISE. The guard itself is the same double
+      // compare in both engines. Plan: one map-side combined moment
+      // aggregate per type (5 types → a one-row-per-type broadcast)
+      // joined back into the scan; no second pass, no window. At
+      // 100 TB: the moment table is group-cardinality-sized and the
+      // scan-side math is codegen'd row-local arithmetic.
       "q_events_anomaly",
-      (s, dir) => {
-        val e = Tables(s, dir).events
-          .select(col("event_id"), col("event_type"), col("value").cast(Money).as("v"))
-        val st = e.groupBy(col("event_type")).agg(
-          sum(col("v")).cast("double").as("sv"),
-          sum(col("v") * col("v")).cast("double").as("ssq"),
-          count(lit(1)).as("n"))
-        e.join(broadcast(st), "event_type")
-          .withColumn("value", col("v").cast("double"))
-          .withColumn("z", (col("value") - col("sv") / col("n")) /
-            sqrt((col("ssq") - col("sv") * col("sv") / col("n")) / col("n")))
-          .filter(abs(col("z")) > 3.0)
-          .select(col("event_id"), col("event_type"), col("value"), col("z"))
-          .orderBy(col("event_id"))
-      },
+      (s, dir) => anomalyZ(Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("value").cast(Money).as("v"))),
       Some("""WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
           FROM events),
         st AS (SELECT event_type,
             CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(v*v) AS DOUBLE) AS ssq, COUNT(*) AS n
-          FROM e GROUP BY event_type)
+          FROM e GROUP BY event_type
+          HAVING COUNT(*) > 1
+            AND CAST(SUM(v*v) AS DOUBLE) * COUNT(*) > CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
       SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
         (CAST(e.v AS DOUBLE) - sv / n) / sqrt((ssq - sv * sv / n) / n) AS z
       FROM e JOIN st ON e.event_type = st.event_type
@@ -1930,4 +1926,23 @@ object Relational extends QueryModule {
       ORDER BY s_suppkey""")
     )
   )
+
+  /** `q_events_anomaly` body over a (event_id, event_type, v: Money)
+    * frame — parameterized so specs can feed degenerate groups.
+    * Semantics and the degenerate-group guard are documented at the
+    * QueryDef. */
+  private[operators] def anomalyZ(e: DataFrame): DataFrame = {
+    val st = e.groupBy(col("event_type")).agg(
+        sum(col("v")).cast("double").as("sv"),
+        sum(col("v") * col("v")).cast("double").as("ssq"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("ssq") * col("n") > col("sv") * col("sv"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("value", col("v").cast("double"))
+      .withColumn("z", (col("value") - col("sv") / col("n")) /
+        sqrt((col("ssq") - col("sv") * col("sv") / col("n")) / col("n")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -72,6 +72,47 @@ object CorpusOps extends QueryModule {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** THE decontamination probe — ONE pipeline for `decontam_ngram` and
+    * `decontam_hashed`, parameterized by the membership-key projection
+    * (identity 8-gram string vs its 60-bit hash) so the bench split,
+    * shingle definition, and distinct/count tail cannot fork between
+    * the two operators. The exploded frame is persisted: the
+    * benchmark-side distinct and the corpus-side probe both scan it —
+    * without it the tokenize+explode runs twice over the corpus
+    * (measured 2.5 s → 0.5 s at sf0.1). Like the module's other
+    * persisted intermediates the entry lives in the CacheManager until
+    * session end, MEMORY_AND_DISK so it evicts under pressure. */
+  private def decontamBody(s: org.apache.spark.sql.SparkSession, dir: String,
+                           key: Column => Column): DataFrame = {
+    val shingled = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(shingles8(col("text"))).as("s"))
+      .select(col("doc_id"), col("source"), key(col("s")).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = shingled.filter(col("doc_id") % 29 === 0)
+      .select(col("k")).distinct()
+    shingled.filter(col("doc_id") % 29 =!= 0)
+      .join(broadcast(bench), "k")
+      .select(col("doc_id"), col("source"), col("k")).distinct()
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The matching oracle template: `keySql` is the per-position
+    * membership key over token array `t` (must contain the unnest). */
+  private def decontamOracleSql(keySql: String): String =
+    s"""WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, source, $keySql AS k
+        FROM toks WHERE len(t) >= 8),
+      bench AS (SELECT DISTINCT k FROM sh WHERE doc_id % 29 = 0),
+      cand AS (SELECT DISTINCT d.doc_id, d.source, d.k
+        FROM sh d JOIN bench b USING (k) WHERE d.doc_id % 29 <> 0)
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand GROUP BY doc_id, source ORDER BY doc_id"""
+
   /** THE distributed prefix-sum kernel — shared by `pack_sequences`
     * (context-bin assignment) and `token_budget` (budget cutoff). A
     * per-key running sum over a global order is NOT a window (an
@@ -314,39 +355,10 @@ object CorpusOps extends QueryModule {
       // the broadcast side stays eval-suite-sized (MBs) and the probe is
       // a map-side hash join — no shuffle of the corpus at all.
       "decontam_ngram",
-      (s, dir) => {
-        // persisted: the benchmark-side distinct and the corpus-side
-        // probe both scan the exploded shingles — without it the
-        // tokenize+explode runs twice over the corpus (measured 2.5 s →
-        // 0.5 s at sf0.1). Like the module's other persisted
-        // intermediates the entry lives in the CacheManager until
-        // session end, MEMORY_AND_DISK so it evicts under pressure;
-        // ~8× corpus text bytes (one row per 8-gram position)
-        val shingled = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"),
-            explode(shingles8(col("text"))).as("s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bench = shingled.filter(col("doc_id") % 29 === 0)
-          .select(col("s")).distinct()
-        shingled.filter(col("doc_id") % 29 =!= 0)
-          .join(broadcast(bench), "s")
-          .select(col("doc_id"), col("source"), col("s")).distinct()
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (
-        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id, source,
-          unnest(list_transform(range(1, len(t) - 6),
-            i -> array_to_string(t[i:i+7], ' '))) AS s
-        FROM toks WHERE len(t) >= 8),
-      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
-      cand AS (SELECT DISTINCT d.doc_id, d.source, d.s
-        FROM sh d JOIN bench b USING (s) WHERE d.doc_id % 29 <> 0)
-      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM cand GROUP BY doc_id, source ORDER BY doc_id""")
+      (s, dir) => decontamBody(s, dir, identity),
+      Some(decontamOracleSql(
+        """unnest(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(t[i:i+7], ' ')))"""))
     ),
 
     QueryDef(
@@ -366,35 +378,11 @@ object CorpusOps extends QueryModule {
       // distinct -> broadcast, corpus streams through one map-side
       // hash join, never self-joined.
       "decontam_hashed",
-      (s, dir) => {
-        def h(c: Column): Column =
-          conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-        val shingled = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"),
-            explode(shingles8(col("text"))).as("s"))
-          .select(col("doc_id"), col("source"), h(col("s")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bench = shingled.filter(col("doc_id") % 29 === 0)
-          .select(col("h")).distinct()
-        shingled.filter(col("doc_id") % 29 =!= 0)
-          .join(broadcast(bench), "h")
-          .select(col("doc_id"), col("source"), col("h")).distinct()
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (
-        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id, source,
-          CAST('0x' || substr(md5(unnest(list_transform(range(1, len(t) - 6),
-            i -> array_to_string(t[i:i+7], ' ')))), 1, 15) AS BIGINT) AS h
-        FROM toks WHERE len(t) >= 8),
-      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 29 = 0),
-      cand AS (SELECT DISTINCT d.doc_id, d.source, d.h
-        FROM sh d JOIN bench b USING (h) WHERE d.doc_id % 29 <> 0)
-      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM cand GROUP BY doc_id, source ORDER BY doc_id""")
+      (s, dir) => decontamBody(s, dir,
+        c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")),
+      Some(decontamOracleSql(
+        """CAST('0x' || substr(md5(unnest(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(t[i:i+7], ' ')))), 1, 15) AS BIGINT)"""))
     ),
 
     QueryDef(

@@ -568,14 +568,20 @@ object TextQueries extends QueryModule {
       "text_perplexity_bigram",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // persisted: the LM aggregate and the scoring join both scan the
+        // exploded bigrams — the decontam_ngram discipline (without it
+        // the tokenize+posexplode+lead pipeline runs twice per query)
         val bg = Tables(s, dir).documents
           .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
           .withColumn("nxt", lead(col("tok"), 1).over(w))
           .filter(col("nxt").isNotNull)
           .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
         val cu = cb.groupBy(col("w1")).agg(sum(col("c")).as("n"))
-        val vv = bg.agg(countDistinct(col("w2")).as("v"))
+        // distinct w2 among bigrams ≡ distinct w2 keys of cb: derive the
+        // vocab size from the (tiny) aggregated LM, not a corpus pass
+        val vv = cb.agg(countDistinct(col("w2")).as("v"))
         val lm = cb.join(cu, "w1").crossJoin(broadcast(vv))
           .select(col("w1"), col("w2"),
             round(log((col("n") + col("v")).cast("double") /

@@ -52,7 +52,9 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
       val sv = rows.map(_._3).sum.toDouble
       val ssq = rows.map(r => r._3 * r._3).sum.toDouble
       val n = rows.length.toLong
-      rows.map { case (id, _, v) =>
+      // mirror the operator's degenerate-group guard
+      if (n <= 1 || ssq * n <= sv * sv) Nil
+      else rows.map { case (id, _, v) =>
         val z = (v.toDouble - sv / n) / math.sqrt((ssq - sv * sv / n) / n)
         (id, tpe, v.toDouble, z)
       }.filter(r => math.abs(r._4) > 3.0)
@@ -61,5 +63,23 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == expected)
     assert(got.nonEmpty, "the heavy-tailed synthetic values should flag some 3-sigma rows")
+  }
+
+  test("degenerate groups (single event, constant values) flag nothing instead of Inf/NaN z-scores") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a constant group, a single-event group, and one genuinely spiked
+    // group — only the spike may surface, with a finite z
+    val e = (Seq((1L, "const", BigDecimal(5.00)), (2L, "const", BigDecimal(5.00)),
+        (3L, "lonely", BigDecimal(7.00))) ++
+        (10L until 40L).map(i => (i, "spiky", BigDecimal(1.00))) :+
+        ((99L, "spiky", BigDecimal(500.00))))
+      .toDF("event_id", "event_type", "v")
+      .select(col("event_id"), col("event_type"), col("v").cast("decimal(18,2)").as("v"))
+    val got = Relational.anomalyZ(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(got.forall(r => !r._3.isNaN && !r._3.isInfinite), s"non-finite z: ${got.toSeq}")
+    assert(got.map(_._2).toSet == Set("spiky"), s"degenerate group leaked: ${got.toSeq}")
+    assert(got.map(_._1).toSeq == Seq(99L))
   }
 }
