@@ -103,19 +103,7 @@ object TextQueries extends QueryModule {
       // flags table.
       "pipeline_filter",
       (s, dir) => {
-        val nTok = tokenCount(col("text"))
-        val quality = qualityScore(col("text"))
-        val enHits = hits(col("text"), StopEn)
-        val isEn = enHits > 0 &&
-          enHits >= hits(col("text"), StopDe) &&
-          enHits >= hits(col("text"), StopFr) &&
-          enHits >= hits(col("text"), StopEs)
-        val flags = Tables(s, dir).documents
-          .select(col("doc_id"), nTok.as("n_tokens"), quality.as("quality"),
-            isEn.as("is_en"),
-            md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
-              .as("norm_md5"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val flags = funnelFlags(s, dir)
         val qual = flags.filter(col("quality") >= 0.5)
         val lang = qual.filter(col("is_en"))
         val canon = lang.withColumn("cdoc",
@@ -131,15 +119,7 @@ object TextQueries extends QueryModule {
           .unionByName(stage(canon, "p3_dedup"))
           .orderBy(col("stage"))
       },
-      Some(s"""WITH f AS (
-        SELECT doc_id,
-          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-          $qualityScoreSql AS quality,
-          ${hitsSql(StopEn)} > 0 AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
-            AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)}
-            AND ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AS is_en,
-          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
-        FROM documents),
+      Some(s"""WITH $FunnelFlagsSqlCte,
       q AS (SELECT * FROM f WHERE quality >= 0.5),
       l AS (SELECT * FROM q WHERE is_en),
       c AS (SELECT * FROM l WHERE doc_id =
@@ -149,6 +129,43 @@ object TextQueries extends QueryModule {
       UNION ALL SELECT 'p2_lang_en', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM l
       UNION ALL SELECT 'p3_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM c
       ORDER BY stage""")
+    ),
+
+    QueryDef(
+      // PER-DOC LINEAGE for the cleaning funnel — the audit table a
+      // curation pipeline publishes next to pipeline_filter's stage
+      // aggregates: every document with the FIRST stage that removed it
+      // ('p1_quality' / 'p2_lang_en' / 'p3_dedup') or 'kept'. The flags
+      // are THE shared [[funnelFlags]] definition, so the two views of
+      // the funnel cannot fork; the dedup reason is decided among
+      // p1+p2 SURVIVORS only (a low-quality copy never shadows the
+      // canonical), exactly as the funnel's canonical stage does.
+      "pipeline_reasons",
+      (s, dir) => {
+        val flags = funnelFlags(s, dir)
+        val surv = flags.filter(col("quality") >= 0.5 && col("is_en"))
+        val canon = surv.select(col("doc_id"), col("norm_md5"))
+          .withColumn("cdoc", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("norm_md5"))))
+          .select(col("doc_id"), col("cdoc"))
+        flags.join(canon, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("quality") < 0.5, "p1_quality")
+              .when(!col("is_en"), "p2_lang_en")
+              .when(col("doc_id") =!= col("cdoc"), "p3_dedup")
+              .otherwise("kept").as("reason"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $FunnelFlagsSqlCte,
+      surv AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm_md5) AS cdoc
+        FROM f WHERE quality >= 0.5 AND is_en)
+      SELECT f.doc_id, f.n_tokens,
+        CASE WHEN f.quality < 0.5 THEN 'p1_quality'
+             WHEN NOT f.is_en THEN 'p2_lang_en'
+             WHEN f.doc_id <> surv.cdoc THEN 'p3_dedup'
+             ELSE 'kept' END AS reason
+      FROM f LEFT JOIN surv ON f.doc_id = surv.doc_id
+      ORDER BY f.doc_id""")
     ),
 
     QueryDef(
@@ -760,6 +777,35 @@ object TextQueries extends QueryModule {
       .filter(col("cnt") > total / phi)
       .orderBy(col("cnt").desc, col("tok"))
   }
+
+  /** THE per-doc cleaning-funnel flags — ONE definition shared by
+    * `pipeline_filter` (stage aggregates) and `pipeline_reasons`
+    * (per-doc lineage), so the two views of the same funnel cannot
+    * fork. Persisted: both consumers scan the flags more than once. */
+  private def funnelFlags(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val enHits = hits(col("text"), StopEn)
+    val isEn = enHits > 0 &&
+      enHits >= hits(col("text"), StopDe) &&
+      enHits >= hits(col("text"), StopFr) &&
+      enHits >= hits(col("text"), StopEs)
+    Tables(s, dir).documents
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"), isEn.as("is_en"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+          .as("norm_md5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The flags CTE mirroring [[funnelFlags]] (named `f`). */
+  private def FunnelFlagsSqlCte: String = s"""f AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+          $qualityScoreSql AS quality,
+          ${hitsSql(StopEn)} > 0 AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
+            AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)}
+            AND ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AS is_en,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
+        FROM documents)"""
 
   /** Corpus-level compression floor for `text_tokens_bpe`'s quality
     * gate: trained merges must shrink the corpus at least 30% past the

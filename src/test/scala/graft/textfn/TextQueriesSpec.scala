@@ -43,6 +43,19 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("per-doc funnel reasons reconcile exactly with the funnel's stage aggregates") {
+    val reasons = SparkEntry.queries("pipeline_reasons")(spark, dir).collect()
+      .map(r => r.getString(2))
+    val stages = SparkEntry.queries("pipeline_filter")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("p0_all") == reasons.length.toLong)
+    assert(stages("p1_quality") == reasons.count(_ != "p1_quality").toLong)
+    assert(stages("p2_lang_en") ==
+      reasons.count(r => r != "p1_quality" && r != "p2_lang_en").toLong)
+    assert(stages("p3_dedup") == reasons.count(_ == "kept").toLong)
+    assert(reasons.toSet.subsetOf(Set("p1_quality", "p2_lang_en", "p3_dedup", "kept")))
+  }
+
   test("bigram NLL matches an independent driver reference exactly") {
     val docs = graft.operators.Tables(spark, dir).documents.collect()
       .map(r => r.getAs[Long]("doc_id") ->
