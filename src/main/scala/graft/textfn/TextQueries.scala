@@ -311,6 +311,62 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // PER-DOC TF-IDF KEYWORDS — each doc's top-3 terms by tf·idf (the
+      // classic document-representation primitive: keyword extraction,
+      // sparse doc vectors, tag generation). Complements bm25 (which
+      // scores docs against a QUERY) with the per-document view.
+      // Exactness: tf and df are exact integers, idf = ln(N/df) runs
+      // once per DISTINCT TERM on the positive domain and 6dp-rounds to
+      // DECIMAL (the perplexity discipline), score = tf × idf is exact
+      // decimal multiplication, and the top-3 cut orders by
+      // (score DESC, tok) — fully deterministic. df derives from the
+      // (doc, tok) tf aggregate (one row per containing doc), so the
+      // corpus tokenizes ONCE. Plan: one (doc, tok) shuffle for tf, a
+      // vocab-sized broadcast idf join back, rank filter as map-side
+      // WindowGroupLimit (guarded) — stopword-class terms rank
+      // themselves out through idf ≈ 0, no list needed.
+      "text_tfidf_keywords",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val idf = dfreq.crossJoin(broadcast(nDocs))
+          .select(col("tok"), col("df"),
+            round(log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+              .cast("decimal(18,6)").as("idf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(broadcast(idf), "tok")
+          .withColumn("score", (col("tf") * col("idf")).cast("decimal(28,6)"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            col("score"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        idf AS (SELECT tok, df,
+            CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS idf
+          FROM dfreq, n),
+        sc AS (SELECT t.doc_id, t.tok, t.tf, i.df,
+            CAST(t.tf * i.idf AS DECIMAL(28,6)) AS score
+          FROM tf t JOIN idf i USING (tok)),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS BIGINT) AS rk FROM sc)
+      SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= 3
+      ORDER BY doc_id, rk""")
+    ),
+
+    QueryDef(
       // BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
       // fixed 3-term query — the ranking kernel of sparse retrieval /
       // training-data selection. Shape at scale: corpus stats (N, total

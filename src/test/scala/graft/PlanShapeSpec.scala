@@ -353,6 +353,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), "sampler grew a join")
   }
 
+  test("tf-idf keywords: idf joins broadcast, top-3 is a map-side group limit") {
+    val p = plan("text_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), "tfidf: rank filter is a full window sort")
+    assert(p.contains("BroadcastHashJoin"), "tfidf: idf table not broadcast")
+    assert(!p.contains("SortMergeJoin"), "tfidf: vocab join degenerated to a shuffle join")
+  }
+
   test("A/V alignment plans the native as-of exec, not a per-frame probe") {
     val p = plan("mm_av_align")
     assert(p.contains("AsOfJoin"), s"alignment lost the native as-of operator:\n${p.take(1500)}")
