@@ -882,6 +882,59 @@ object Relational extends QueryModule {
       // joined back into the scan; no second pass, no window. At
       // 100 TB: the moment table is group-cardinality-sized and the
       // scan-side math is codegen'd row-local arithmetic.
+      // ASSOCIATION RULES over per-user event-type baskets (market-
+      // basket analysis — the recommendation/affinity primitive):
+      // for every ordered type pair (ante → cons), support = users with
+      // both, confidence = supp_ab/supp_a, lift = supp_ab·N/(supp_a·
+      // supp_b). All counts are exact integers from two aggregates of
+      // ONE distinct (user, type) frame; confidence and lift are each a
+      // single IEEE division of exact integers (supp_ab·N stays far
+      // inside long), so both engines compute identical doubles. The
+      // basket self-join is per-user over a type vocabulary that is
+      // SMALL BY DEFINITION here (event taxonomies are enum-sized); a
+      // web-scale item catalog would take the co-occurrence hot-cap
+      // discipline instead. Output is |types|² rows at any corpus size.
+      "q_assoc_rules",
+      (s, dir) => {
+        val ut = Tables(s, dir).events
+          .select(col("user_id"), col("event_type")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val b = ut.select(col("user_id"), col("event_type").as("cons"))
+        val pairs = ut.join(b, "user_id")
+          .filter(col("event_type") =!= col("cons"))
+          .groupBy(col("event_type").as("ante"), col("cons"))
+          .agg(count(lit(1)).as("supp_ab"))
+        pairs
+          .join(broadcast(supp.select(col("event_type").as("ante"), col("supp").as("supp_a"))), "ante")
+          .join(broadcast(supp.select(col("event_type").as("cons"), col("supp").as("supp_b"))), "cons")
+          .crossJoin(broadcast(nUsers))
+          .select(col("ante"), col("cons"), col("supp_ab"),
+            (col("supp_ab").cast("double") / col("supp_a").cast("double")).as("confidence"),
+            ((col("supp_ab") * col("n_users")).cast("double") /
+              (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+          .orderBy(col("ante"), col("cons"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        supp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS supp
+          FROM ut GROUP BY event_type),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        pairs AS (SELECT a.event_type AS ante, b.event_type AS cons,
+            CAST(COUNT(*) AS BIGINT) AS supp_ab
+          FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+          GROUP BY a.event_type, b.event_type)
+      SELECT p.ante, p.cons, p.supp_ab,
+        CAST(p.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+        CAST(p.supp_ab * n.n_users AS DOUBLE) / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN supp sa ON sa.event_type = p.ante
+      JOIN supp sb ON sb.event_type = p.cons, n
+      ORDER BY ante, cons""")
+    ),
+
+    QueryDef(
       "q_events_anomaly",
       (s, dir) => anomalyZ(Tables(s, dir).events
         .select(col("event_id"), col("event_type"), col("value").cast(Money).as("v"))),
