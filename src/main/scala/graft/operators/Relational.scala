@@ -863,25 +863,6 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
-      // Z-SCORE ANOMALY DETECTION per event_type — the monitoring/
-      // outlier-filter primitive. Float discipline: the MOMENTS are
-      // decimal-exact (value cast to Money once, sum(v) and sum(v*v)
-      // exact decimal aggregations — no accumulation-order drift), and
-      // only then does ONE identical double chain per row compute
-      // z = (v - sv/n) / sqrt((ssq - sv*sv/n)/n) in both engines —
-      // deterministic IEEE ops over identical inputs, so the |z| > 3
-      // threshold compare cannot diverge. DEGENERATE groups are
-      // excluded up front (n > 1 AND ssq*n > sv*sv): a single-event or
-      // constant group has no outliers by definition, and without the
-      // guard the engines genuinely diverge there — Spark's x/0.0 is
-      // IEEE ±Inf (every row would flag) while DuckDB's is NULL (every
-      // row would drop), and a cancellation-negative radicand makes
-      // DuckDB's sqrt RAISE. The guard itself is the same double
-      // compare in both engines. Plan: one map-side combined moment
-      // aggregate per type (5 types → a one-row-per-type broadcast)
-      // joined back into the scan; no second pass, no window. At
-      // 100 TB: the moment table is group-cardinality-sized and the
-      // scan-side math is codegen'd row-local arithmetic.
       // ASSOCIATION RULES over per-user event-type baskets (market-
       // basket analysis — the recommendation/affinity primitive):
       // for every ordered type pair (ante → cons), support = users with
@@ -935,6 +916,29 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // Z-SCORE ANOMALY DETECTION per event_type — the monitoring/
+      // outlier-filter primitive. Float discipline: the MOMENTS are
+      // decimal-exact (value cast to Money once, sum(v) and sum(v*v)
+      // exact decimal aggregations — no accumulation-order drift), and
+      // only then does ONE identical double chain per row compute
+      // z = (v - sv/n) / sqrt((ssq - sv*sv/n)/n) in both engines —
+      // deterministic IEEE ops over identical inputs, so the |z| > 3
+      // threshold compare cannot diverge. DEGENERATE groups (single
+      // event / constant values) are excluded up front by requiring the
+      // z-chain's OWN radicand positive — (ssq - sv*sv/n)/n > 0, the
+      // literal subexpression sqrt receives, so the guard and the
+      // computation cannot disagree even by one rounding (an ssq*n >
+      // sv*sv form was NOT equivalent: the division's independent
+      // rounding can land the radicand on exactly 0). Without the
+      // guard the engines genuinely diverge on degenerate groups —
+      // Spark's x/0.0 is IEEE ±Inf (every row would flag) while
+      // DuckDB's is NULL (every row would drop), and a cancellation-
+      // negative radicand makes DuckDB's sqrt RAISE. Plan: one
+      // map-side combined moment aggregate per type (5 types → a
+      // one-row-per-type broadcast) joined back into the scan; no
+      // second pass, no window. At 100 TB: the moment table is
+      // group-cardinality-sized and the scan-side math is codegen'd
+      // row-local arithmetic. Body in [[anomalyZ]].
       "q_events_anomaly",
       (s, dir) => anomalyZ(Tables(s, dir).events
         .select(col("event_id"), col("event_type"), col("value").cast(Money).as("v"))),
@@ -943,8 +947,9 @@ object Relational extends QueryModule {
         st AS (SELECT event_type,
             CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(v*v) AS DOUBLE) AS ssq, COUNT(*) AS n
           FROM e GROUP BY event_type
-          HAVING COUNT(*) > 1
-            AND CAST(SUM(v*v) AS DOUBLE) * COUNT(*) > CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+          HAVING (CAST(SUM(v*v) AS DOUBLE)
+                  - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                 / COUNT(*) > 0)
       SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
         (CAST(e.v AS DOUBLE) - sv / n) / sqrt((ssq - sv * sv / n) / n) AS z
       FROM e JOIN st ON e.event_type = st.event_type
@@ -1989,7 +1994,8 @@ object Relational extends QueryModule {
         sum(col("v")).cast("double").as("sv"),
         sum(col("v") * col("v")).cast("double").as("ssq"),
         count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("ssq") * col("n") > col("sv") * col("sv"))
+      // guard on the z-chain's OWN radicand (rationale at the QueryDef)
+      .filter((col("ssq") - col("sv") * col("sv") / col("n")) / col("n") > 0)
     e.join(broadcast(st), "event_type")
       .withColumn("value", col("v").cast("double"))
       .withColumn("z", (col("value") - col("sv") / col("n")) /

@@ -428,61 +428,6 @@ object StreamFunnel {
   * order within a shard is pinned by `seq`, making a split feed equal a
   * single-batch feed bit-for-bit (spec-pinned).
   */
-/** Streaming face of `q_events_anomaly`: per-type z-score flagging with
-  * EXACT integer running moments. State is three longs per event_type —
-  * value in Money cents, so Σv and Σv² accumulate as exact integers
-  * with no float accumulation order (the batch operator's decimal
-  * discipline, translated to state-store-friendly longs; Σ(cents²)
-  * stays far under Long range at any realistic stream, and the batch
-  * Money domain bounds each term). Per batch: fold the batch into the
-  * moments FIRST, then judge the batch's rows against the updated
-  * cumulative moments with the SAME double chain and the SAME
-  * degenerate-group guard as the batch operator — cents/100.0 and
-  * cents²/10000.0 are single correctly-rounded IEEE divisions of
-  * exactly-representable integers, so they equal the batch side's
-  * decimal→double casts bit-for-bit (spec-pinned: single-batch feed ≡
-  * the batch operator). Cross-batch, rows are judged on moments as of
-  * their OWN batch — the inherent streaming trade (a later regime
-  * change cannot retroactively unflag), same class as the sessionizer's.
-  */
-object StreamAnomaly {
-
-  final case class Ev(event_id: Long, event_type: String, cents: Long)
-  final case class Mom(sum: Long, ssq: Long, n: Long)
-  final case class Hit(event_id: Long, event_type: String, value: Double, z: Double)
-
-  /** Money-faithful cents: the same double→DECIMAL(18,2) rounding the
-    * batch operator's cast applies. */
-  def cents(value: Double): Long =
-    (BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
-
-  def anomalies(events: Dataset[Ev]): Dataset[Hit] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (tpe: String, batch: Iterator[Ev], state: GroupState[Mom]) =>
-          val st = state.getOption.getOrElse(Mom(0L, 0L, 0L))
-          val rows = batch.toArray.sortBy(_.event_id)
-          var sum = st.sum; var ssq = st.ssq; var n = st.n
-          rows.foreach { e => sum += e.cents; ssq += e.cents * e.cents; n += 1 }
-          state.update(Mom(sum, ssq, n))
-          val sv = sum / 100.0
-          val ssqd = ssq / 10000.0
-          // the batch operator's degenerate guard, same doubles
-          if (n <= 1 || !(ssqd * n > sv * sv)) Iterator.empty
-          else {
-            val mean = sv / n
-            val std = math.sqrt((ssqd - sv * sv / n) / n)
-            rows.iterator.flatMap { e =>
-              val v = e.cents / 100.0
-              val z = (v - mean) / std
-              if (math.abs(z) > 3.0) Some(Hit(e.event_id, tpe, v, z)) else None
-            }
-          }
-      }
-  }
-}
-
 object StreamHeavyHitters {
 
   final case class Tok(seq: Long, tok: String)
@@ -513,6 +458,81 @@ object StreamHeavyHitters {
           state.update(MgState(keys, keys.map(k => m.get(k).longValue()), n))
           (keys.iterator.map(t => Summary(shard, t, m.get(t).longValue(), n)) ++
             Iterator.single(Summary(shard, null, 0L, n)))
+      }
+  }
+}
+
+/** Streaming face of `q_events_anomaly`: per-type z-score flagging with
+  * EXACT integer running moments. State is three longs per event_type —
+  * value in Money cents, so Σv and Σv² accumulate as exact integers
+  * with no float accumulation order (the batch operator's decimal
+  * discipline, translated to state-store-friendly longs). Per batch:
+  * fold the batch into the moments FIRST, then judge the batch's rows
+  * against the updated cumulative moments with the SAME double chain
+  * and the SAME radicand guard as the batch operator — cents/100.0 and
+  * cents²/10000.0 are single correctly-rounded IEEE divisions, so they
+  * equal the batch side's decimal→double casts bit-for-bit
+  * (spec-pinned: single-batch feed ≡ the batch operator) — PROVIDED
+  * the moments stay exactly representable. That exactness domain is
+  * BOUNDED and enforced loudly, not assumed: |Σcents| and Σcents² must
+  * stay ≤ 2^53 (past it, long→double conversion itself rounds and the
+  * batch equality claim quietly dies — ~10^8 events of $100 reach it),
+  * and each event's cents² must not overflow Long (a single ≥ ~$30.4M
+  * value would wrap Σv² negative and corrupt every later z). Both are
+  * `require`s: a stream leaving the exact domain fails loudly at the
+  * offending batch instead of drifting. Cross-batch, rows are judged on
+  * moments as of their OWN batch — the inherent streaming trade (a
+  * later regime change cannot retroactively unflag), same class as the
+  * sessionizer's.
+  */
+object StreamAnomaly {
+
+  final case class Ev(event_id: Long, event_type: String, cents: Long)
+  final case class Mom(sum: Long, ssq: Long, n: Long)
+  final case class Hit(event_id: Long, event_type: String, value: Double, z: Double)
+
+  /** The exact-double domain: longs above this round under
+    * long→double, breaking bit-equality with the batch decimals. */
+  private val ExactDoubleMax = 1L << 53
+
+  /** Money-faithful cents: the same double→DECIMAL(18,2) rounding the
+    * batch operator's cast applies. */
+  def cents(value: Double): Long =
+    (BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  def anomalies(events: Dataset[Ev]): Dataset[Hit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Ev], state: GroupState[Mom]) =>
+          val st = state.getOption.getOrElse(Mom(0L, 0L, 0L))
+          val rows = batch.toArray.sortBy(_.event_id)
+          var sum = st.sum; var ssq = st.ssq; var n = st.n
+          rows.foreach { e =>
+            require(math.abs(e.cents) <= 3037000499L, // floor(sqrt(Long.Max))
+              s"StreamAnomaly($tpe): |cents|=${e.cents} would overflow cents² — " +
+                "exact-moment domain exceeded")
+            sum += e.cents; ssq += e.cents * e.cents; n += 1
+          }
+          require(math.abs(sum) <= ExactDoubleMax && ssq >= 0 && ssq <= ExactDoubleMax,
+            s"StreamAnomaly($tpe): running moments (sum=$sum, ssq=$ssq) left the " +
+              "exact-double domain (2^53) — batch bit-equality no longer holds; " +
+              "shard the type key or rescale before this point")
+          state.update(Mom(sum, ssq, n))
+          val sv = sum / 100.0
+          val ssqd = ssq / 10000.0
+          // the batch operator's degenerate guard: the z-chain's OWN
+          // radicand must be positive (see the q_events_anomaly note)
+          if (n <= 1 || !((ssqd - sv * sv / n) / n > 0)) Iterator.empty
+          else {
+            val mean = sv / n
+            val std = math.sqrt((ssqd - sv * sv / n) / n)
+            rows.iterator.flatMap { e =>
+              val v = e.cents / 100.0
+              val z = (v - mean) / std
+              if (math.abs(z) > 3.0) Some(Hit(e.event_id, tpe, v, z)) else None
+            }
+          }
       }
   }
 }

@@ -52,8 +52,9 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
       val sv = rows.map(_._3).sum.toDouble
       val ssq = rows.map(r => r._3 * r._3).sum.toDouble
       val n = rows.length.toLong
-      // mirror the operator's degenerate-group guard
-      if (n <= 1 || ssq * n <= sv * sv) Nil
+      // mirror the operator's degenerate-group guard (the z-chain's
+      // own radicand, not an algebraic rearrangement)
+      if (n <= 1 || !((ssq - sv * sv / n) / n > 0)) Nil
       else rows.map { case (id, _, v) =>
         val z = (v.toDouble - sv / n) / math.sqrt((ssq - sv * sv / n) / n)
         (id, tpe, v.toDouble, z)
