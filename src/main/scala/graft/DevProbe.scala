@@ -596,6 +596,40 @@ object DevProbe {
             }
         }
 
+      case "events_scale_xl" =>
+        // At-scale probe for the round's event-table operators over the
+        // SHARED scaled-events staging (disjoint user/event namespaces,
+        // k x rows). Disjoint replication fixes each operator's
+        // expected output exactly, so all three are require-checked:
+        //  - resample: users scale k x with identical per-copy spans ->
+        //    grid rows scale exactly k x;
+        //  - anomaly: per-type moments over k identical copies keep the
+        //    SAME mean/variance (sums and counts both scale k x), so
+        //    each copy flags the same rows -> exactly k x flags;
+        //  - assoc rules: supports scale k x, so confidence/lift are
+        //    invariant and the |types|^2 output row count is constant.
+        val k = sys.env.getOrElse("SCALE_K", "30").toInt
+        def runE(dir: String, q: String, tag: String): Long =
+          t(s"$q $tag") {
+            val n = SparkEntry.queries(q)(spark, dir).count()
+            println(s"  rows=$n")
+            n
+          }
+        val qs = Seq("q_events_resample", "q_events_anomaly", "q_assoc_rules")
+        val base = qs.map(q => q -> runE(sfDir, q, "1x")).toMap
+        val etmp = stageScaledEvents(spark, sfDir, k)
+        try {
+          qs.foreach { q =>
+            val nk = runE(etmp, q, s"x$k")
+            val expect = if (q == "q_assoc_rules") base(q) else k * base(q)
+            println(s"  $q linearity: x$k=$nk expect=$expect")
+            require(nk == expect, s"$q output off its replication invariant")
+          }
+        } finally {
+          sweepCaches(spark, etmp)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(etmp))
+        }
+
       case "rel_scale_xl" =>
         // At-scale probe for the §2.3 relational tier: replicate the
         // FACT tables (lineitem, orders) SCALE_K x (default 10) with
