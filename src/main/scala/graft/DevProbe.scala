@@ -292,6 +292,18 @@ object DevProbe {
           graft.graph.GraphQueries.randomWalks(und,
             graft.graph.GraphQueries.WalkSteps, driverCap = 0L))
 
+      case "mst_xl" =>
+        // Forced-distributed Borůvka probe: per-round label joins +
+        // per-component argmin + autoLabel contraction at 1x vs k x;
+        // disjoint copies replicate the forest exactly (V - C per copy).
+        probeForcedGraphLoop(spark, sfDir, "mst") { und =>
+          import org.apache.spark.sql.functions._
+          graft.graph.GraphQueries.mst(
+            und.filter(col("src") < col("dst"))
+              .select(col("src").as("a"), col("dst").as("b")),
+            driverCap = 0L)
+        }
+
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
         // disjoint user/key namespaces per copy (nodes AND edges scale

@@ -818,6 +818,131 @@ object GraphQueries extends QueryModule {
       .orderBy(col("walk_id"), col("step"))
   }
 
+  /** Round bound for the distributed Borůvka loop: the component count
+    * at least halves per round, so 20 rounds cover forests past 10^6
+    * components; the engine refuses LOUDLY past the bound (the
+    * kcore/sssp discipline) rather than returning a partial forest. */
+  private[graft] val MstMaxRounds = 20
+
+  /** spo_mst bodies — MINIMUM SPANNING FOREST of the undirected entity
+    * graph under the sssp weights w = 1 + (a+b) mod 7, with the TOTAL
+    * edge order (w, a, b) breaking weight ties: a total order makes the
+    * MSF UNIQUE (it acts as an infinitesimal weight perturbation), so
+    * Kruskal and Borůvka provably return the identical edge set — which
+    * is exactly what lets the two tiers be spec-pinned equal and an
+    * independent Prim reference agree edge-for-edge. No SQL mirror
+    * exists (iterative contraction, the BPE class) → rows-only, with a
+    * STRUCTURAL driver-visible gate: the output empties unless
+    * |forest| = |V| − |components| (components read off Borůvka's own
+    * fixpoint labels / Kruskal's union-find — no second connectivity
+    * solve), so a broken contraction flips the driver's rows check
+    * instead of hiding.
+    *
+    *  - DRIVER tier (edges ≤ driverCap): Kruskal over the collected
+    *    list — one sort by (w, a, b) + union-find.
+    *  - DISTRIBUTED tier (Borůvka): per round, attach component labels
+    *    (two broadcast-or-shuffled equi-joins), keep cross-component
+    *    edges, per-component min(struct(w, a, b, other)) — map-side
+    *    combined, no window — then contract the selected component
+    *    graph with the SHARED [[Components.autoLabel]] solver and
+    *    relabel. Forest and labels localCheckpoint per round (bounded
+    *    lineage); every round is O(E) shuffle, rounds ≤ log₂ V.
+    */
+  private[graft] def mst(half0: org.apache.spark.sql.DataFrame,
+                         driverCap: Long = 2000000L,
+                         roundCap: Int = MstMaxRounds): org.apache.spark.sql.DataFrame = {
+    val s = half0.sparkSession
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = half0.select(col("a"), col("b"),
+      (lit(1L) + (col("a") + col("b")) % 7L).as("w")).persist(lvl)
+    val m = edges.count()
+    val out =
+      if (m == 0) Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+      else if (m <= driverCap)
+        mstDriver(s, edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      else mstDistributed(edges, roundCap)
+    edges.unpersist()
+    out
+  }
+
+  /** Kruskal over the driver-cap-bounded edge list: the unique forest
+    * under the (w, a, b) total order. The structural gate is implicit —
+    * union-find accepts exactly |V| − |components| edges. */
+  private def mstDriver(s: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long, Long)]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val uf = new UnionFind(ids.length)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      if (uf.union(idx.get(a), idx.get(b))) kept += ((a, b, w))
+    }
+    kept.toSeq.toDF("a", "b", "w").orderBy(col("a"), col("b"))
+  }
+
+  private def mstDistributed(edges: org.apache.spark.sql.DataFrame,
+                             roundCap: Int): org.apache.spark.sql.DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var comp = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      require(rounds <= roundCap,
+        s"spo_mst: Borůvka did not reach its fixpoint within $roundCap rounds — " +
+          "refusing a partial forest; raise the bound deliberately if the " +
+          "component structure genuinely needs more rounds")
+      val e = edges
+        .join(comp.select(col("id").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("id").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .persist(lvl)
+      if (e.count() == 0) {
+        e.unpersist()
+        done = true
+      } else {
+        // per-component lightest incident edge under the (w, a, b)
+        // total order; `other` rides along for contraction and can
+        // never tie-break (the edge key is already unique)
+        val cand = e.select(col("ca").as("c"),
+            struct(col("w"), col("a"), col("b"), col("cb").as("other")).as("m"))
+          .unionByName(e.select(col("cb").as("c"),
+            struct(col("w"), col("a"), col("b"), col("ca").as("other")).as("m")))
+        val sel = cand.groupBy(col("c")).agg(min(col("m")).as("m"))
+          .select(col("c"), col("m.w").as("w"), col("m.a").as("a"),
+            col("m.b").as("b"), col("m.other").as("other"))
+          .persist(lvl)
+        forest = forest
+          .unionByName(sel.select(col("a"), col("b"), col("w")).distinct())
+          .localCheckpoint()
+        val compEdges = sel.select(col("c").as("src"), col("other").as("dst"))
+          .unionByName(sel.select(col("other").as("src"), col("c").as("dst")))
+        val labels = Components.autoLabel(s, compEdges,
+          comp.select(col("comp").as("id")).distinct())
+        comp = comp.select(col("id"), col("comp").as("oldc"))
+          .join(labels.select(col("id").as("oldc"), col("comp").as("newc")), "oldc")
+          .select(col("id"), col("newc").as("comp")).localCheckpoint()
+        sel.unpersist(); e.unpersist()
+      }
+    }
+    // structural driver-visible gate: a spanning forest has EXACTLY
+    // |V| - |components| edges (components from Borůvka's own fixpoint
+    // labels). A contraction bug empties the output -> rows-only check
+    // flips at the driver instead of shipping a wrong forest.
+    val nV = comp.count()
+    val nC = comp.select(col("comp")).distinct().count()
+    val nF = forest.count()
+    forest.filter(lit(nF == nV - nC)).orderBy(col("a"), col("b"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "spo_objects",
@@ -1120,6 +1245,19 @@ object GraphQueries extends QueryModule {
           WalkSteps)
       },
       WalksOracleSql
+    ),
+
+    QueryDef(
+      // MINIMUM SPANNING FOREST (Borůvka / Kruskal two tiers) — the
+      // cheapest-backbone primitive (network design, single-linkage
+      // clustering's skeleton). Bodies, the unique-forest argument, and
+      // the structural gate in [[mst]]; rows-only (iterative
+      // contraction has no SQL mirror — the BPE class), with MstSpec
+      // pinning tier equality, an independent Prim reference, and the
+      // loud round-bound refusal.
+      "spo_mst",
+      (s, dir) => mst(T.staged(s, dir).half),
+      None
     ),
 
     QueryDef(
