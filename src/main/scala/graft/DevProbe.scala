@@ -147,21 +147,18 @@ object DevProbe {
     }
   }
 
-  /** Shared forced-distributed graph-loop probe (lpa_xl / walks_xl —
-    * one staging/linearity/cleanup protocol, per the stageScaledEvents
-    * one-builder rationale): run `body` over the undirected edge frame
-    * at 1x and SCALE_K x, require exact output linearity under
-    * disjoint replication. */
+  /** Shared forced-distributed graph-loop probe (lpa_xl / walks_xl /
+    * mst_xl — one staging/linearity/cleanup protocol, per the
+    * stageScaledEvents one-builder rationale): run `body` over the
+    * staged HALF-edge frame (a < b; symmetrize inside the body if the
+    * loop wants both directions) at 1x and SCALE_K x, require exact
+    * output linearity under disjoint replication. */
   private def probeForcedGraphLoop(spark: SparkSession, sfDir: String, name: String)(
       body: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.spark.sql.functions._
     val k = sys.env.getOrElse("SCALE_K", "30").toInt
     def run(dir: String, tag: String): Long =
       t(s"$name $tag") {
-        val half = graft.graph.TripleStore.staged(spark, dir).half
-        val und = half.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
-        val n = body(und).count()
+        val n = body(graft.graph.TripleStore.staged(spark, dir).half).count()
         println(s"  rows=$n")
         n
       }
@@ -279,30 +276,33 @@ object DevProbe {
         // driverCap = 0, so the 1x-vs-k x comparison measures the
         // actual 100 TB code path; disjoint replication keeps labels
         // within copies, so rows must scale exactly k x.
-        probeForcedGraphLoop(spark, sfDir, "lpa")(und =>
+        probeForcedGraphLoop(spark, sfDir, "lpa") { half =>
+          import org.apache.spark.sql.functions._
+          val und = half.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
           graft.graph.GraphQueries.lpa(und,
-            graft.graph.GraphQueries.LpaRounds, driverCap = 0L))
+            graft.graph.GraphQueries.LpaRounds, driverCap = 0L)
+        }
 
       case "walks_xl" =>
         // Forced-distributed random-walks probe: per-step
         // frontier⋈edges join + argmin aggregation; disjoint
         // replication keeps each copy's walks inside the copy, so
         // trajectory rows scale exactly k x.
-        probeForcedGraphLoop(spark, sfDir, "walks")(und =>
+        probeForcedGraphLoop(spark, sfDir, "walks") { half =>
+          import org.apache.spark.sql.functions._
+          val und = half.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
           graft.graph.GraphQueries.randomWalks(und,
-            graft.graph.GraphQueries.WalkSteps, driverCap = 0L))
+            graft.graph.GraphQueries.WalkSteps, driverCap = 0L)
+        }
 
       case "mst_xl" =>
         // Forced-distributed Borůvka probe: per-round label joins +
         // per-component argmin + autoLabel contraction at 1x vs k x;
         // disjoint copies replicate the forest exactly (V - C per copy).
-        probeForcedGraphLoop(spark, sfDir, "mst") { und =>
-          import org.apache.spark.sql.functions._
-          graft.graph.GraphQueries.mst(
-            und.filter(col("src") < col("dst"))
-              .select(col("src").as("a"), col("dst").as("b")),
-            driverCap = 0L)
-        }
+        probeForcedGraphLoop(spark, sfDir, "mst")(half =>
+          graft.graph.GraphQueries.mst(half, driverCap = 0L))
 
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with

@@ -895,11 +895,6 @@ object GraphQueries extends QueryModule {
     var rounds = 0
     var done = false
     while (!done) {
-      rounds += 1
-      require(rounds <= roundCap,
-        s"spo_mst: Borůvka did not reach its fixpoint within $roundCap rounds — " +
-          "refusing a partial forest; raise the bound deliberately if the " +
-          "component structure genuinely needs more rounds")
       val e = edges
         .join(comp.select(col("id").as("a"), col("comp").as("ca")), "a")
         .join(comp.select(col("id").as("b"), col("comp").as("cb")), "b")
@@ -909,6 +904,14 @@ object GraphQueries extends QueryModule {
         e.unpersist()
         done = true
       } else {
+        // bound MERGING rounds only — fixpoint detection must not
+        // consume a slot, or a forest needing exactly roundCap merges
+        // would be refused after having been fully computed
+        rounds += 1
+        require(rounds <= roundCap,
+          s"spo_mst: Borůvka did not reach its fixpoint within $roundCap rounds — " +
+            "refusing a partial forest; raise the bound deliberately if the " +
+            "component structure genuinely needs more rounds")
         // per-component lightest incident edge under the (w, a, b)
         // total order; `other` rides along for contraction and can
         // never tie-break (the edge key is already unique)

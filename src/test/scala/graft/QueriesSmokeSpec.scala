@@ -24,7 +24,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
     // the remaining eight have no exact SQL mirror even in principle:
-    // five approximate BY DESIGN (LSH/IVF/PQ recall, HLL error, KLL
+    // six approximate BY DESIGN (LSH/IVF/PQ recall, HLL error, KLL
     // quantile error) plus text_tokens_bpe and spo_mst, whose
     // iterative data-dependent merges / contractions no SQL engine
     // expresses (BpeSpec / MstSpec pin them against independent

@@ -74,8 +74,9 @@ class MstSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("weight ties resolve through the total order: both tiers still unique on an all-equal-weight cycle") {
-    // square 2-4-16-18-2: all four edges weigh 1 + (a+b) % 7 with
-    // (2,4)=0..  compute: just require tier agreement + prim agreement
+    // square 2-4-16-18-2: every edge's (a+b) % 7 is 6, so all four
+    // weigh 7 — the choice of which cycle edge to DROP rides purely on
+    // the (w, a, b) total order
     val edges = Seq((2L, 4L), (4L, 16L), (16L, 18L), (2L, 18L))
     val want = referencePrim(edges)
     assert(runMst(edges) == want)
