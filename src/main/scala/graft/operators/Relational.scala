@@ -689,6 +689,67 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
+      // the classic customer-base analytics cut. Three DISTRIBUTED
+      // NTILEs (the q_ntile_revenue machinery: DenseIds global rank +
+      // exact bucket arithmetic — a bare NTILE window is
+      // single-partition at scale) over ONE per-customer aggregate
+      // frame; every ordering carries o_custkey as the tiebreak so
+      // both engines cut identical quintiles. recency_days is an
+      // integer datediff from the corpus's own max order date (no
+      // wall-clock), monetary is the Money-exact spend surfaced as a
+      // double for ordering in BOTH engines.
+      "q_customer_rfm",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+        val per = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("lastd"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast(Money)).cast("double").as("monetary"))
+          .crossJoin(broadcast(maxd))
+          .select(col("o_custkey"),
+            datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
+            col("frequency"), col("monetary"))
+        val n = per.count()
+        val buckets = 5L
+        val q = n / buckets
+        val rem = n % buckets
+        // the q_ntile bucket arithmetic (expr-based integer division)
+        def quint(df: DataFrame, rkCol: String, out: String): DataFrame =
+          df.withColumn(out,
+            when(col(rkCol) <= rem * (q + 1),
+              expr(s"($rkCol - 1) DIV ${q + 1} + 1"))
+              .otherwise(expr(s"$rem + ($rkCol - 1 - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1"))
+              .cast("long")).drop(rkCol)
+        val r1 = quint(DenseIds.byOrder(per, "rrk", 1L,
+          col("recency_days").asc, col("o_custkey")), "rrk", "r_q")
+        val r2 = quint(DenseIds.byOrder(r1, "frk", 1L,
+          col("frequency").desc, col("o_custkey")), "frk", "f_q")
+        val r3 = quint(DenseIds.byOrder(r2, "mrk", 1L,
+          col("monetary").desc, col("o_custkey")), "mrk", "m_q")
+        r3.select(col("o_custkey"), col("recency_days"), col("frequency"),
+            col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+            concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        per AS (SELECT o_custkey,
+            CAST(datediff('day', MAX(o_orderdate), (SELECT maxd FROM maxd)) AS BIGINT) AS recency_days,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          FROM orders GROUP BY o_custkey),
+        t AS (SELECT *,
+            CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+            CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+            CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_q
+          FROM per)
+      SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+        CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+      FROM t ORDER BY o_custkey""")
+    ),
+
+    QueryDef(
       // ordered string aggregation: per-nation alphabetical roster
       // prefix. A full collect_list-then-slice materializes EVERY group
       // member in the agg buffer (a hot group = executor-memory cliff);
