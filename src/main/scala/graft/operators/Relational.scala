@@ -660,17 +660,13 @@ object Relational extends QueryModule {
         val rev = Tables(s, dir).orders
           .groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast(Money)).cast("double").as("cust_revenue"))
-        val n = rev.count() // one small agg job; NTILE needs the total
-        val nb = 10L
-        val q = n / nb
-        val rem = n % nb
+        // rank FIRST: byOrder persists its output, so counting the
+        // ranked frame costs one job instead of re-running the orders
+        // aggregate (the NTILE arithmetic itself is plan-time)
         val ranked = DenseIds.byOrder(rev, "rk", 1L,
           col("cust_revenue").desc, col("o_custkey"))
-        ranked
-          .withColumn("decile",
-            when(col("rk") <= rem * (q + 1), expr(s"(rk - 1) DIV ${q + 1} + 1"))
-              .otherwise(expr(s"$rem + (rk - 1 - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1"))
-              .cast("long"))
+        val n = ranked.count()
+        ntileBucket(ranked, "rk", "decile", n, buckets = 10L)
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_custs"),
             sum(col("cust_revenue").cast(Money)).cast("double").as("decile_revenue"),
@@ -711,19 +707,14 @@ object Relational extends QueryModule {
           .select(col("o_custkey"),
             datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
             col("frequency"), col("monetary"))
-        val n = per.count()
-        val buckets = 5L
-        val q = n / buckets
-        val rem = n % buckets
-        // the q_ntile bucket arithmetic (expr-based integer division)
+        // rank FIRST (byOrder persists), count the persisted rank frame,
+        // then apply THE shared NTILE bucket rule three times
+        val ranked1 = DenseIds.byOrder(per, "rrk", 1L,
+          col("recency_days").asc, col("o_custkey"))
+        val n = ranked1.count()
         def quint(df: DataFrame, rkCol: String, out: String): DataFrame =
-          df.withColumn(out,
-            when(col(rkCol) <= rem * (q + 1),
-              expr(s"($rkCol - 1) DIV ${q + 1} + 1"))
-              .otherwise(expr(s"$rem + ($rkCol - 1 - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1"))
-              .cast("long")).drop(rkCol)
-        val r1 = quint(DenseIds.byOrder(per, "rrk", 1L,
-          col("recency_days").asc, col("o_custkey")), "rrk", "r_q")
+          ntileBucket(df, rkCol, out, n, buckets = 5L).drop(rkCol)
+        val r1 = quint(ranked1, "rrk", "r_q")
         val r2 = quint(DenseIds.byOrder(r1, "frk", 1L,
           col("frequency").desc, col("o_custkey")), "frk", "f_q")
         val r3 = quint(DenseIds.byOrder(r2, "mrk", 1L,
@@ -2045,6 +2036,23 @@ object Relational extends QueryModule {
       ORDER BY s_suppkey""")
     )
   )
+
+  /** THE distributed-NTILE bucket rule — shared by `q_ntile_revenue`
+    * and `q_customer_rfm` (the anomaly-guard lesson: duplicated
+    * arithmetic drifts). Assigns the 1-based dense rank `rkCol` (from
+    * [[DenseIds.byOrder]]) into `buckets` NTILE-exact buckets over `n`
+    * rows: the first n % buckets buckets take one extra row, exactly
+    * SQL NTILE's rule. */
+  private def ntileBucket(df: DataFrame, rkCol: String, out: String,
+                          n: Long, buckets: Long): DataFrame = {
+    val q = n / buckets
+    val rem = n % buckets
+    df.withColumn(out,
+      when(col(rkCol) <= rem * (q + 1),
+        expr(s"($rkCol - 1) DIV ${q + 1} + 1"))
+        .otherwise(expr(s"$rem + ($rkCol - 1 - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1"))
+        .cast("long"))
+  }
 
   /** `q_events_anomaly` body over a (event_id, event_type, v: Money)
     * frame — parameterized so specs can feed degenerate groups.
