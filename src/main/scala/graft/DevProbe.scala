@@ -324,6 +324,24 @@ object DevProbe {
         t("spo_triangles") {
           println("  rows=" + SparkEntry.queries("spo_triangles")(spark, sfDir).count())
         }
+      case "containment" =>
+        // decompose containment_ids staging wall (VERDICT r10 item 3):
+        // shared feature staging, then the id-frame build, then the
+        // query twice (run2 = steady state over the staged frames)
+        t("doc features (shared)") {
+          graft.dedup.Dedup.stagedDocFeatures(spark, sfDir).feats.count(); ()
+        }
+        t("containment staging") {
+          val (idTok, idSets) = graft.dedup.Dedup.stagedContainment(spark, sfDir)
+          println("  idTok=" + idTok.count() + " idSets=" + idSets.count())
+        }
+        t("query run1") {
+          println("  rows=" + SparkEntry.queries("dedup_containment")(spark, sfDir).count())
+        }
+        t("query run2") {
+          println("  rows=" + SparkEntry.queries("dedup_containment")(spark, sfDir).count())
+        }
+
       case "bandidx" =>
         // decompose dedup_indexed's probe wall: staging, candidate
         // generation, full probe — steady-state = later runs

@@ -338,13 +338,17 @@ object TextQueries extends QueryModule {
             round(log(col("n_docs").cast("double") / col("df").cast("double")), 6)
               .cast("decimal(18,6)").as("idf"))
         val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("tok"))
+          .orderBy(col("score_dec").desc, col("tok"))
+        // rank over the EXACT decimal score (tf × 6dp idf), then cast
+        // the output column to DOUBLE: bare DECIMAL output renders
+        // differently in the driver's hasher vs DuckDB (§5 rule; this
+        // column was an r10 hash FAIL — see text_perplexity's note)
         tf.join(broadcast(idf), "tok")
-          .withColumn("score", (col("tf") * col("idf")).cast("decimal(28,6)"))
+          .withColumn("score_dec", (col("tf") * col("idf")).cast("decimal(28,6)"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-            col("score"), col("rk"))
+            col("score_dec").cast("double").as("score"), col("rk"))
           .orderBy(col("doc_id"), col("rk"))
       },
       Some("""WITH toks AS (
@@ -358,11 +362,12 @@ object TextQueries extends QueryModule {
               AS DECIMAL(18,6)) AS idf
           FROM dfreq, n),
         sc AS (SELECT t.doc_id, t.tok, t.tf, i.df,
-            CAST(t.tf * i.idf AS DECIMAL(28,6)) AS score
+            CAST(t.tf * i.idf AS DECIMAL(28,6)) AS score_dec
           FROM tf t JOIN idf i USING (tok)),
         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, tok) AS BIGINT) AS rk FROM sc)
-      SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= 3
+            ORDER BY score_dec DESC, tok) AS BIGINT) AS rk FROM sc)
+      SELECT doc_id, tok, tf, df, CAST(score_dec AS DOUBLE) AS score, rk
+      FROM r WHERE rk <= 3
       ORDER BY doc_id, rk""")
     ),
 
@@ -549,11 +554,17 @@ object TextQueries extends QueryModule {
       // per-doc sum is order-independent and exact (a double sum's
       // low bits would depend on Spark's nondeterministic aggregation
       // order), and avg_nll is one double division per output row.
-      // Residual cross-engine risk — accepted, same class as bm25's:
-      // a word whose true ln lands within ~1 ulp of a 0.5e-6 rounding
-      // boundary could round differently under JVM Math.log vs
-      // DuckDB's libm; per-word probability ~1e-9, surfaced loudly by
-      // the gate's hash compare rather than hidden. At
+      // OUTPUT BOUNDARY (r10 hash-FAIL root cause, r11 fix): the
+      // decimal sum must surface as DOUBLE — the driver's hasher and
+      // DuckDB render bare DECIMAL differently (the r4
+      // avro_logical_types class, §5 house rule). The r10 note here
+      // blamed a Math.log-vs-libm 6dp rounding flip; the judge
+      // disproved that (values are cell-identical, no ln argument
+      // within 1e-3 of a boundary) — the failure was FORMATTING of
+      // the DECIMAL(28,6) column, not math. decimal→double is one
+      // correctly-rounded conversion of the same rational in both
+      // engines (sums here are ≪ 2^53 in 1e-6 units), so the cast is
+      // value-identical; the internal decimal discipline stays. At
       // 100 TB: two aggregates (vocab counts, per-doc sum) + one
       // broadcast of the vocab table; for a web-scale vocabulary the
       // broadcast hint drops and the Zipf tail caps into an OOV
@@ -572,9 +583,10 @@ object TextQueries extends QueryModule {
         words.join(broadcast(vocab), "w")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            sum(col("nll")).cast("decimal(28,6)").as("sum_nll"))
-          .select(col("doc_id"), col("n_tokens"), col("sum_nll"),
-            (col("sum_nll").cast("double") / col("n_tokens").cast("double"))
+            sum(col("nll")).as("sum_nll_dec"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("sum_nll_dec").cast("double").as("sum_nll"),
+            (col("sum_nll_dec").cast("double") / col("n_tokens").cast("double"))
               .as("avg_nll"))
           .orderBy(col("doc_id"))
       },
@@ -587,7 +599,7 @@ object TextQueries extends QueryModule {
             AS DECIMAL(18,6)) AS nll
         FROM c, t)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        CAST(SUM(nll) AS DECIMAL(28,6)) AS sum_nll,
+        CAST(SUM(nll) AS DOUBLE) AS sum_nll,
         CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
       FROM w JOIN v USING (w)
       GROUP BY doc_id ORDER BY doc_id""")
@@ -659,12 +671,15 @@ object TextQueries extends QueryModule {
           .select(col("w1"), col("w2"),
             round(log((col("n") + col("v")).cast("double") /
               (col("c") + 1).cast("double")), 6).cast("decimal(18,6)").as("nll"))
+        // output boundary: DOUBLE, never bare DECIMAL (§5 house rule —
+        // see text_perplexity's note; this column was an r10 hash FAIL)
         bg.join(broadcast(lm), Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("nll")).cast("decimal(28,6)").as("sum_nll"))
-          .select(col("doc_id"), col("n_bigrams"), col("sum_nll"),
-            (col("sum_nll").cast("double") / col("n_bigrams").cast("double"))
+            sum(col("nll")).as("sum_nll_dec"))
+          .select(col("doc_id"), col("n_bigrams"),
+            col("sum_nll_dec").cast("double").as("sum_nll"),
+            (col("sum_nll_dec").cast("double") / col("n_bigrams").cast("double"))
               .as("avg_nll"))
           .orderBy(col("doc_id"))
       },
@@ -681,7 +696,7 @@ object TextQueries extends QueryModule {
               AS DECIMAL(18,6)) AS nll
           FROM cb JOIN cu ON cb.w1 = cu.w1, vv)
       SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        CAST(SUM(lm.nll) AS DECIMAL(28,6)) AS sum_nll,
+        CAST(SUM(lm.nll) AS DOUBLE) AS sum_nll,
         CAST(SUM(lm.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
       FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
       GROUP BY bg.doc_id ORDER BY doc_id""")
