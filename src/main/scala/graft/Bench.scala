@@ -105,8 +105,7 @@ object Bench {
           graft.dedup.BandIndex.stagedBaseIndex(spark, sfDir); ()
         },
         stageTier("containment_ids") {
-          val (idTok, idSets) = graft.dedup.Dedup.stagedContainment(spark, sfDir)
-          idTok.count(); idSets.count(); ()
+          graft.dedup.Dedup.stagedContainment(spark, sfDir).count(); ()
         })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers

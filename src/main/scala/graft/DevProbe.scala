@@ -332,14 +332,32 @@ object DevProbe {
           graft.dedup.Dedup.stagedDocFeatures(spark, sfDir).feats.count(); ()
         }
         t("containment staging") {
-          val (idTok, idSets) = graft.dedup.Dedup.stagedContainment(spark, sfDir)
-          println("  idTok=" + idTok.count() + " idSets=" + idSets.count())
+          println("  tok=" + graft.dedup.Dedup.stagedContainment(spark, sfDir).count())
         }
         t("query run1") {
           println("  rows=" + SparkEntry.queries("dedup_containment")(spark, sfDir).count())
         }
         t("query run2") {
           println("  rows=" + SparkEntry.queries("dedup_containment")(spark, sfDir).count())
+        }
+        t("sub: probe+join+distinct") {
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.expressions.Window
+          val tok = graft.dedup.Dedup.stagedContainment(spark, sfDir)
+          val xx = col("n") * lit(4L) + lit(4L)
+          val ceilTn = ((xx - pmod(xx, lit(5L))) / lit(5L)).cast("long")
+          val prefixLen = col("n") - ceilTn + lit(1)
+          val probe = tok
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shh"))))
+            .filter(col("rk") <= prefixLen)
+            .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shh"))
+          val postings = tok.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shh"))
+          val cands = probe.join(postings, "shh")
+            .filter(col("doc_a") =!= col("doc_b"))
+            .filter(col("n_b") * lit(5L) >= col("n_a") * lit(4L))
+            .select(col("doc_a"), col("doc_b")).distinct()
+          println("  cands=" + cands.count())
         }
 
       case "bandidx" =>

@@ -280,16 +280,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "phash: staged feature artifact not read")
   }
 
-  test("containment candidates are an equi-join on dense ids with a codegen verify") {
+  test("containment candidates are an equi-join on shingle hashes with a codegen verify") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"), "containment: all-pairs product")
     assert(!p.contains("BroadcastNestedLoopJoin"), "containment: all-pairs NLJ")
     // the verify runs the native sorted-merge, not array_intersect's
     // hash-set builtin
     assert(p.contains("intersect_size_sorted"), "containment: native verify lost")
-    // probe and verify read the staged id frames
+    // probe and postings read the staged token frame
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "containment: staged id frames not read")
+      "containment: staged token frame not read")
+    // the r10 scale-killer stays dead: no hand-forced broadcast of a
+    // vocabulary-sized dictionary anywhere in the pipeline (the df
+    // aggregate joins back un-hinted, so Catalyst/AQE size-gates it)
+    assert(!p.contains("zipWithIndex"), "containment: dictionary build resurrected")
   }
 
   test("text_perplexity joins only against broadcast summaries") {

@@ -191,6 +191,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out == bruteContainment(feats))
   }
 
+  test("containment df join is engine-size-gated: identical output with broadcast disabled") {
+    // the r10 design force-broadcast the shingle dictionary — a scale
+    // killer at web vocabulary (VERDICT r10 item 4). The rebuilt frame
+    // leaves the df-aggregate join UN-hinted so Catalyst broadcasts it
+    // only while it fits; this pins the fallback (shuffle-join) path to
+    // the same output, the retention-cohort gate discipline.
+    val docs = graft.operators.Tables(spark, dir).documents
+    val feats = Dedup.shingleFeatures(docs, withSig = false, withSim = false)
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.containmentPairsFromFeats(feats).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val withBroadcast = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = run()
+      assert(shuffled == withBroadcast, "containment output drifts when the df join cannot broadcast")
+      assert(withBroadcast == bruteContainment(feats))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("containment sees the doc-inside-doc pair jaccard structurally misses") {
     import spark.implicits._
     // doc 100 (8 tokens) embedded verbatim inside doc 101 (38 tokens):
