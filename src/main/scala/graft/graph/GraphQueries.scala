@@ -636,7 +636,15 @@ object GraphQueries extends QueryModule {
     ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
     val m = ids.length
     val adjHeads = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Int]())
-    edges.foreach { case (a, b) => adjHeads(idx.get(a)) += idx.get(b) }
+    edges.foreach { case (a, b) =>
+      // loud contract failure instead of an opaque unboxing NPE
+      // (ADVICE r10): both call sites symmetrize, but a future caller
+      // passing a directed list should learn the contract, not crash
+      val bi = idx.getOrDefault(b, -1)
+      require(bi >= 0,
+        s"lpaDriver requires a SYMMETRIZED edge list: dst $b never appears as a src")
+      adjHeads(idx.get(a)) += bi
+    }
     var lab: Array[Long] = ids.clone()
     for (_ <- 1 to rounds) {
       val next = new Array[Long](m)
@@ -798,6 +806,11 @@ object GraphQueries extends QueryModule {
       var t = 1
       while (t <= steps) {
         val ns = adj.get(node)
+        // loud contract failure instead of an opaque NPE (ADVICE r10):
+        // a walk can only stand on `node` by arriving over an edge, so
+        // a missing adjacency entry means the input was not symmetrized
+        require(ns != null,
+          s"walksDriver requires a SYMMETRIZED edge list: node $node has no outgoing entries")
         var best: Long = Long.MaxValue
         var bestH: String = null
         var i = 0

@@ -447,7 +447,11 @@ object StreamHeavyHitters {
           val m = new java.util.HashMap[String, java.lang.Long]()
           st.toks.indices.foreach(i => m.put(st.toks(i), st.ests(i)))
           var n = st.n
-          batch.toSeq.sortBy(_.seq).foreach { t =>
+          // (seq, tok) is a TOTAL order: sorting by seq alone left the
+          // relative order of two same-seq tokens to the batch's arrival
+          // order, weakening the split-feed == single-batch determinism
+          // claim (ADVICE r10)
+          batch.toSeq.sortBy(t => (t.seq, t.tok)).foreach { t =>
             graft.textfn.MisraGries.fold(m, t.tok, slots)
             n += 1
           }

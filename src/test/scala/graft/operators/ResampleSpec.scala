@@ -39,6 +39,23 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
   }
 
+  test("(user_id, us) is unique in every shipped events table — the forward-fill sort key is total") {
+    // the window sort key (us, is_grid) per user is only a total order
+    // when no two events share a (user_id, us) instant; with a
+    // duplicate, Spark and DuckDB could carry DIFFERENT values forward
+    // and the oracle equality would break silently on a future testdata
+    // regeneration (ADVICE r10 — the property was asserted only in a
+    // comment until now)
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val dup = Tables(spark, d).events
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+        .count().filter(col("count") > 1).count()
+      assert(dup == 0L, s"$d events: $dup duplicated (user_id, ts) instants — " +
+        "q_events_resample's forward-fill tie-break is no longer deterministic")
+    }
+  }
+
   test("z-score anomalies match exact-moment arithmetic, completely") {
     import org.apache.spark.sql.functions._
     // reference: exact decimal moments per type, then the identical
