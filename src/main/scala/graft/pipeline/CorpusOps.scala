@@ -386,6 +386,55 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // SPAN-LEVEL decontamination lineage (VERDICT r10 item 5): the
+      // two probes above answer "is this doc contaminated"; an
+      // eval-integrity review reads "by WHICH benchmark item, WHERE" —
+      // per (corpus doc, benchmark doc): how many 8-gram positions
+      // match, and the first/last matched token position (1-based, the
+      // pipeline_reasons audit discipline applied to decontamination).
+      // Same 60-bit hashed keys as decontam_hashed (the scale path; the
+      // oracle mirrors the hash, so the gate is exact regardless of
+      // collisions) and the same plan shape — the broadcast side is now
+      // keyed per benchmark DOC, still eval-suite-sized (distinct
+      // shingles per bench doc ≤ the suite's token volume); the corpus
+      // streams through one map-side hash join carrying an extra int,
+      // then one candidate-sized aggregate. ReconcileSpec pins the
+      // flagged-doc set identical to decontam_hashed's verdict.
+      "decontam_spans",
+      (s, dir) => {
+        val key = (c: Column) =>
+          conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+        val sh = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            posexplode(shingles8(col("text"))).as(Seq("p0", "s")))
+          .select(col("doc_id"), col("source"),
+            (col("p0") + 1).cast("long").as("pos"), key(col("s")).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bench = sh.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("bench_id"), col("k")).distinct()
+        sh.filter(col("doc_id") % 29 =!= 0)
+          .join(broadcast(bench), "k")
+          .groupBy(col("doc_id"), col("source"), col("bench_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("pos")).as("pos_first"), max(col("pos")).as("pos_last"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+          CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS k
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 6)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      bench AS (SELECT DISTINCT doc_id AS bench_id, k FROM sh WHERE doc_id % 29 = 0),
+      hits AS (SELECT d.doc_id, d.source, b.bench_id, d.pos
+        FROM sh d JOIN bench b USING (k) WHERE d.doc_id % 29 <> 0)
+      SELECT doc_id, source, bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        MIN(pos) AS pos_first, MAX(pos) AS pos_last
+      FROM hits GROUP BY doc_id, source, bench_id ORDER BY doc_id, bench_id""")
+    ),
+
+    QueryDef(
       // Sequence packing accounting: assign docs (ordered by doc_id
       // within source) to fixed 512-token context bins by running token
       // count; report docs/tokens per bin. The cumulative sum is NOT a

@@ -205,6 +205,34 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows("decontam_hashed").nonEmpty)
   }
 
+  test("span lineage reconciles with the hashed verdict bit, doc for doc") {
+    // decontam_spans answers "which benchmark doc, where"; its flagged
+    // corpus-doc set must be EXACTLY decontam_hashed's (same hashed
+    // keys, same bench split), and per-doc hit counts must cover at
+    // least the distinct-shared-shingle count the verdict reports
+    val spans = run("decontam_spans").collect()
+    spans.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 29 != 0, s"benchmark doc flagged: $r")
+      assert(r.getAs[Long]("bench_id") % 29 == 0, s"non-benchmark lineage target: $r")
+      assert(r.getAs[Long]("n_hits") > 0)
+      assert(r.getAs[Long]("pos_first") <= r.getAs[Long]("pos_last"))
+    }
+    val spanDocs = spans.map(_.getAs[Long]("doc_id")).toSet
+    val verdict = run("decontam_hashed").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(spanDocs == verdict.keySet,
+      "span lineage flags a different doc set than the verdict probe")
+    // positions are at least as informative as the distinct-key count:
+    // summing hits across a doc's bench targets can only overcount
+    // (one position may match several bench docs), never undercount
+    val hitsPerDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_hits")).sum).toMap
+    verdict.foreach { case (d, nShared) =>
+      assert(hitsPerDoc(d) >= nShared, s"doc $d: ${hitsPerDoc(d)} hits < $nShared shared keys")
+    }
+    assert(spans.nonEmpty)
+  }
+
   test("semantic-balanced sample takes min(quota, population) from every orthant, deterministically") {
     import org.apache.spark.sql.functions._
     val picks = SparkEntry.queries("sample_semantic_balanced")(spark, dir).collect()
