@@ -106,6 +106,9 @@ object Bench {
         },
         stageTier("containment_ids") {
           graft.dedup.Dedup.stagedContainment(spark, sfDir).count(); ()
+        },
+        stageTier("chunk_vectors") {
+          graft.dedup.Dedup.stagedChunkBlocking(spark, sfDir).assigned.count(); ()
         })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers

@@ -151,7 +151,15 @@ object AngularBlocking {
         val emb = row.getSeq[Float](1)
         val cell = row.getInt(2)
         val theta = angleTo(emb, cents.getOrElse(cell, fallbackAxis))
-        if (theta > maxes.getOrElse(cell, 0.0)) maxes(cell) = theta
+        // ALWAYS record the cell, even at theta == 0: a strictly-greater
+        // guard here dropped any cell whose members all sit exactly on
+        // the centroid direction (identical vectors, or a single-member
+        // cell) from the stats map entirely — and a cell absent from
+        // stats emits NO candidates, silently losing every pair that
+        // touches it (found by DedupChunkEmbeddingSpec's planted
+        // identical-chunk corpus; latent for the float-noise embeddings
+        // tiers, where an exact zero angle never materialized)
+        maxes(cell) = math.max(maxes.getOrElse(cell, 0.0), theta)
       }
       maxes.iterator.map { case (cell, r) => Row(cell, r) }
     }(Encoders.row(radiusSchema)).collect()
@@ -240,16 +248,40 @@ object AngularBlocking {
         case n: Integer => Some(n.intValue())
       }
 
-  private val stagedCache = new graft.operators.SessionStaged[
-    (DataFrame, Map[Int, (Array[Double], Double)])]((s, dir) => {
-    val vecs = nonNullVecs(graft.operators.Tables(s, dir).embeddings)
-    // no non-null rows: dims are irrelevant (assign never evaluates a
-    // row, stats are empty, pairs are empty) — any positive value works
-    val d = deriveDims(vecs).getOrElse(1)
-    val assigned = assign(vecs, 4, d, 7L)
+  /** Reusable tau-independent blocking structure over an arbitrary
+    * (vec_id, embedding) frame: the persisted cell assignment plus the
+    * per-cell (centroid, radius) bound table. Building it is the
+    * expensive part; [[pairsFrom]] serves any threshold off one build —
+    * the same materialized-artifact discipline as the dedup feature
+    * staging. */
+  final case class Blocking(assigned: DataFrame,
+                            stats: Map[Int, (Array[Double], Double)])
+
+  /** Build a [[Blocking]] over `vecs`. Null-embedding rows are dropped
+    * ([[nonNullVecs]]); an empty frame yields an empty assignment (dims
+    * fall back to 1 — assign never evaluates a row, stats are empty,
+    * pairs are empty). The assignment is persisted — release with
+    * [[releaseBlocking]]. */
+  def buildBlocking(vecs: DataFrame, nPlanes: Int = 4, seed: Long = 7L): Blocking = {
+    val nn = nonNullVecs(vecs)
+    val d = deriveDims(nn).getOrElse(1)
+    val assigned = assign(nn, nPlanes, d, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (assigned, cellStats(assigned, d))
-  }, { case (assigned, _) => assigned.unpersist(); () })
+    Blocking(assigned, cellStats(assigned, d))
+  }
+
+  def releaseBlocking(b: Blocking): Unit = { b.assigned.unpersist(); () }
+
+  /** Tau-dependent pair generation over a pre-built [[Blocking]]:
+    * bounded candidates → cell equi-join → codegen cosine verify.
+    * Bit-identical to brute force (recall 1 by the triangle-inequality
+    * bound — see the class doc). */
+  def pairsFrom(b: Blocking, tau: Double): DataFrame =
+    pairsFromAssignment(b.assigned, b.stats, tau)
+
+  private val stagedCache = new graft.operators.SessionStaged[Blocking](
+    (s, dir) => buildBlocking(graft.operators.Tables(s, dir).embeddings),
+    releaseBlocking)
 
   /** Materialize the staged assignment for `dir` (the builder's
     * cellStats pass is an action, so getting the entry builds it) —
@@ -259,10 +291,8 @@ object AngularBlocking {
     stagedCache.get(s, dir); ()
   }
 
-  def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    val (assigned, stats) = stagedCache.get(s, dir)
-    pairsFromAssignment(assigned, stats, tau)
-  }
+  def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame =
+    pairsFrom(stagedCache.get(s, dir), tau)
 
   def cosinePairs(spark: SparkSession, vecs: DataFrame, tau: Double,
                   nPlanes: Int = 4, dims: Int = -1, seed: Long = 7L): DataFrame = {

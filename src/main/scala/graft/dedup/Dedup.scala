@@ -164,7 +164,7 @@ object Dedup extends QueryModule {
     * simhash pipeline is oracle-expressible (xxhash64 has no DuckDB
     * mirror; md5 is defined identically in both engines). The caller
     * owns the digest instance (one per partition). */
-  private def md5Lower64(md: java.security.MessageDigest, s: String): Long = {
+  private[graft] def md5Lower64(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
@@ -663,6 +663,124 @@ object Dedup extends QueryModule {
         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
           CAST(count(*) AS DOUBLE) AS dup_ratio
       FROM counted GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Chunk width for `dedup_chunk_embedding`: 16 tokens, stride 16
+    * (full chunks only). The synthetic 10-99-token docs then carry 0-6
+    * chunks each; a web-scale run would use the paragraph or
+    * ~256-token chunk discipline — width-parameterized like
+    * [[SubstringWindow]]. Measured against W=8 on this ~40-word-vocab
+    * corpus: halving the width tripled the chunk count and flooded the
+    * tau band with tiny-support coincidences (2 898 pairs at tau 0.8
+    * vs 71 at W=16 tau 0.9 on sf0.01) — wider chunks carry richer
+    * supports, so the band selects real shared sections. */
+  private[graft] val ChunkW = 16
+
+  /** Hash-projection dimensionality for chunk vectors: 64 dims over
+    * 16-token chunks. On a real (large-vocab) corpus supports are
+    * near-disjoint and unrelated chunks sit near cosine 0; the
+    * small-vocab synthetic corpus is the documented adversarial case
+    * (heavy support overlap), which the tau=0.9 band absorbs. */
+  private[graft] val ChunkDims = 64
+
+  private[graft] val ChunkCosTau = 0.9
+
+  /** chunk vec_id packing: doc_id * cap + chunk_idx. The kernel
+    * REQUIRES nChunks < cap loudly (the loud-contract discipline) —
+    * a silent wrap would alias two chunks into one id. */
+  private[graft] val ChunkIdxCap = 1024L
+
+  /** CHUNK-LEVEL EMBEDDING dedup — the §2.4/§2.5 bridge modality
+    * (VERDICT r10 item 7): doc-level tiers miss a duplicated SECTION
+    * inside two otherwise-distinct containers, and `dedup_substring`
+    * catches it only as an exact in-order token span. This operator
+    * embeds each fixed-width token chunk as a BAG: a feature-hashed
+    * signed-count vector (per token: dim = md5_lower_64 & 63, sign =
+    * bit 6), so two chunks match when their token multisets align —
+    * reordered or lightly-shuffled shared spans score near 1 where the
+    * exact-span tier scores 0.
+    *
+    * Exactness: the vector entries are small integers, so every dot
+    * product and squared norm is EXACT in double regardless of
+    * accumulation order — cosine = dot / (sqrt(n2a) * sqrt(n2b)) is
+    * bit-identical across engines by construction (the strongest form
+    * of the VectorOps fold-order discipline: here even the order is
+    * free). The DuckDB oracle computes the same cosine from the SPARSE
+    * (chunk, dim, v) rows; values agree exactly, so the gate is a hash
+    * match, not an envelope.
+    *
+    * Scale shape: the kernel is one narrow pass (no shuffle) emitting
+    * ~|tokens|/w vectors of 64 floats; pair generation goes through the
+    * recall-1 [[AngularBlocking]] equi-join — never an all-pairs
+    * product; the blocking build is session-staged like every other
+    * dedup artifact. All-zero chunk vectors (full sign cancellation)
+    * are dropped in the kernel — their cosine is 0/0, which both
+    * engines would otherwise NaN through the tau filter. */
+  private[graft] def chunkVectors(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val w = ChunkW
+    val dims = ChunkDims
+    val cap = ChunkIdxCap
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .repartition(numParts, col("doc_id"))
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.flatMap { row =>
+          val id = row.getLong(0)
+          val toks = row.getString(1).split(" ", -1)
+          val nChunks = toks.length / w
+          require(nChunks < cap,
+            s"doc $id has $nChunks chunks >= $cap — widen ChunkIdxCap's packing")
+          (0 until nChunks).iterator.flatMap { ci =>
+            val v = new Array[Float](dims)
+            var k = 0
+            while (k < w) {
+              val h = md5Lower64(md, toks(ci * w + k))
+              val dim = (h & (dims - 1)).toInt
+              v(dim) += (if (((h >>> 6) & 1L) == 0L) 1f else -1f)
+              k += 1
+            }
+            var nz = false
+            var i = 0
+            while (i < dims && !nz) { nz = v(i) != 0f; i += 1 }
+            if (!nz) Iterator.empty
+            else Iterator.single(Row(id * cap + ci, v.toSeq))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Session-staged chunk-vector blocking (the [[stagedDocFeatures]]
+    * discipline): the kernel pass + angular assignment are
+    * tau-independent, built once per (session, dataset). */
+  private val stagedChunkCache =
+    new graft.operators.SessionStaged[AngularBlocking.Blocking]((s, dir) =>
+      AngularBlocking.buildBlocking(chunkVectors(Tables(s, dir).documents)),
+      AngularBlocking.releaseBlocking)
+
+  private[graft] def stagedChunkBlocking(s: SparkSession, dir: String): AngularBlocking.Blocking =
+    stagedChunkCache.get(s, dir)
+
+  /** `dedup_chunk_embedding` body over a pre-built chunk blocking —
+    * one definition shared by the QueryDef and the spec's brute-force
+    * gate, so the decode/filter semantics cannot drift. */
+  private[graft] def chunkEmbeddingPairs(b: AngularBlocking.Blocking): DataFrame =
+    AngularBlocking.pairsFrom(b, ChunkCosTau)
+      .select(
+        // ids are non-negative, so DIV/pmod decode the packing
+        // exactly (Spark `/` on longs is true division — the
+        // floorDiv lesson from the containment prefix math)
+        expr(s"vec_a DIV $ChunkIdxCap").as("doc_a"),
+        pmod(col("vec_a"), lit(ChunkIdxCap)).as("chunk_a"),
+        expr(s"vec_b DIV $ChunkIdxCap").as("doc_b"),
+        pmod(col("vec_b"), lit(ChunkIdxCap)).as("chunk_b"),
+        col("cosine"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
 
   /** Containment threshold as an EXACT fraction (4/5 = 0.8), kept in
     * integer numerator/denominator form: both the prefix length and the
@@ -1482,6 +1600,53 @@ object Dedup extends QueryModule {
       SELECT cc.id AS vec_id, cc.cluster_id, sizes.cluster_size
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
       ORDER BY vec_id""")
+    ),
+
+    QueryDef(
+      // Chunk-level embedding dedup (see [[chunkVectors]]): bag-of-token
+      // hash-projected chunk vectors -> recall-1 angular-blocked pair
+      // generation -> exact-integer cosine (bit-identical cross-engine by
+      // construction). Cross-doc pairs only: same-doc repeated chunks are
+      // dedup_substring / text_repetition territory; the training-data
+      // hazard this tier reports is a SECTION shared across containers.
+      // The oracle mirrors the cosine from the SPARSE (chunk, dim, v)
+      // rows — same exact integers, same op order (dot / (sqrt * sqrt)),
+      // so even threshold-boundary pairs agree.
+      "dedup_chunk_embedding",
+      (s, dir) => chunkEmbeddingPairs(stagedChunkBlocking(s, dir)),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx, t[i*$ChunkW+1 : i*$ChunkW+$ChunkW] AS ctoks
+          FROM (SELECT doc_id, t, unnest(range(0, len(t) // $ChunkW)) AS i FROM toks)),
+        ctok AS (
+          SELECT doc_id, chunk_idx, unnest(ctoks) AS tok FROM chunks),
+        tokh AS (
+          SELECT doc_id, chunk_idx, md5_number_lower(tok) AS h FROM ctok),
+        proj AS (
+          SELECT doc_id, chunk_idx, CAST(h & ${ChunkDims - 1} AS INTEGER) AS dim,
+            SUM(CASE WHEN (h >> 6) & 1 = 0 THEN 1 ELSE -1 END) AS v
+          FROM tokh GROUP BY doc_id, chunk_idx, dim),
+        norms AS (
+          SELECT doc_id, chunk_idx, SUM(v * v) AS n2 FROM proj
+          GROUP BY doc_id, chunk_idx),
+        dots AS (
+          SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+            b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+            SUM(a.v * b.v) AS dot
+          FROM proj a JOIN proj b ON a.dim = b.dim
+            AND (a.doc_id * $ChunkIdxCap + a.chunk_idx) < (b.doc_id * $ChunkIdxCap + b.chunk_idx)
+          GROUP BY doc_a, chunk_a, doc_b, chunk_b)
+      SELECT d.doc_a, d.chunk_a, d.doc_b, d.chunk_b,
+        CAST(d.dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a AND na.chunk_idx = d.chunk_a
+      JOIN norms nb ON nb.doc_id = d.doc_b AND nb.chunk_idx = d.chunk_b
+      WHERE na.n2 > 0 AND nb.n2 > 0 AND d.doc_a <> d.doc_b
+        AND CAST(d.dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $ChunkCosTau
+      ORDER BY doc_a, chunk_a, doc_b, chunk_b""")
     )
   )
 }

@@ -43,6 +43,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("zero-radius cells (identical or singleton vectors) still emit their pairs") {
+    // regression (r11): cellStats' strictly-greater radius fold dropped
+    // any cell whose members all sit EXACTLY on the centroid direction
+    // — identical vectors, or a single-member cell — so the cell
+    // vanished from stats and its vectors emitted no candidates at all.
+    // Plant exactly that geometry: a corpus of two identical vectors —
+    // ONE cell whose radius is exactly 0. Pre-fix, the cell vanished
+    // and the 1.0-cosine pair was silently lost.
+    import spark.implicits._
+    val v = Seq.fill(4)(1.0f) ++ Seq.fill(4)(0.0f)
+    val vecs = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
+    val got = AngularBlocking.cosinePairs(spark, vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"expected the identical pair, got $got")
+  }
+
   test("cluster driver solve matches the distributed propagation fallback") {
     val docs = graft.operators.Tables(spark, dir).documents
     def collected(df: org.apache.spark.sql.DataFrame) =

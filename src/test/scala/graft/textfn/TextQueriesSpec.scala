@@ -18,13 +18,15 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
     def nll6(w: String): BigDecimal =
       BigDecimal(math.log(total.toDouble / counts(w).toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // sum_nll surfaces as DOUBLE (the §5 output boundary — r11 fix):
+    // the reference mirrors the same decimal-sum-then-one-cast, so
+    // equality stays exact
     val expected = docs.map { case (id, ws) =>
       val sum = ws.map(nll6).sum
-      (id, ws.size.toLong, sum, sum.toDouble / ws.size)
+      (id, ws.size.toLong, sum.toDouble, sum.toDouble / ws.size)
     }.sortBy(_._1)
     val got = SparkEntry.queries("text_perplexity")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        BigDecimal(r.getDecimal(2)), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(got.length == expected.length)
     got.zip(expected).foreach { case ((gi, gn, gs, ga), (ei, en, es, ea)) =>
       assert(gi == ei && gn == en, s"doc $gi tokens $gn vs $en")
@@ -67,13 +69,15 @@ class TextQueriesSpec extends AnyFunSuite with SparkFixture {
     def nll6(b: (String, String)): BigDecimal =
       BigDecimal(math.log((cu(b._1) + v).toDouble / (cb(b) + 1).toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // sum_nll surfaces as DOUBLE (§5 output boundary, r11) — same
+    // decimal-sum-then-one-cast as the reference
     val expected = docs.filter(_._2.size >= 2).map { case (id, ws) =>
       val bs = ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
       val sum = bs.map(nll6).sum
-      (id, bs.size.toLong, sum, sum.toDouble / bs.size)
+      (id, bs.size.toLong, sum.toDouble, sum.toDouble / bs.size)
     }.sortBy(_._1).toSeq
     val got = SparkEntry.queries("text_perplexity_bigram")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == expected)
     // the context sensitivity unigram scoring cannot have: scrambling a
     // doc's tokens leaves its unigram NLL fixed but must change the
