@@ -878,6 +878,48 @@ object DevProbe {
             }
         }
 
+      case "chunk_xl" =>
+        // dedup_chunk_embedding at 1x vs CHUNK_K x (default 3) suffixed
+        // replication. Token suffixing renames each copy's vocabulary
+        // bijectively, which preserves SET structure (the jaccard-tier
+        // probes' exact-linearity lever) but NOT hash-projection
+        // structure: a renamed token lands on a new dim with a new
+        // sign, so per-copy chunk-pair counts drift slightly and a
+        // whole-output k-x equality would be checking the hash, not the
+        // operator. The sharp checks instead: (a) copy 0's text is
+        // byte-identical to the 1x corpus, so its WITHIN-COPY pair
+        // count must equal the 1x count EXACTLY; (b) cross-copy
+        // admissions (disjoint vocabularies => supports overlap only by
+        // hash coincidence, ~7 sigma below tau 0.9) are counted and
+        // reported — nonzero is legal but must stay negligible. The
+        // wall measurement is the honest quadratic story: on this
+        // isotropic small-vocab corpus the recall-1 candidate mass is
+        // ~(k n)^2 / 2 (the dedup_embedding degeneracy, documented) —
+        // the probe records the superlinear wall rather than hiding it.
+        import org.apache.spark.sql.functions.col
+        val ck = sys.env.getOrElse("CHUNK_K", "3").toInt
+        val cdocs = graft.operators.Tables(spark, sfDir).documents
+        val copyStride = 10000000L
+        var base1: Long = -1L
+        withScaledTmp(spark, "chk", Seq(1, ck))(
+          (k, tmp) => replicatedDocs(spark, cdocs, k)
+            .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        ) { (k, tmp) =>
+          t(s"dedup_chunk_embedding x$k") {
+            val out = SparkEntry.queries("dedup_chunk_embedding")(spark, tmp)
+              .select(col("doc_a"), col("doc_b")).collect()
+            val copy0 = out.count(r =>
+              r.getLong(0) < copyStride && r.getLong(1) < copyStride).toLong
+            val cross = out.count(r =>
+              r.getLong(0) / copyStride != r.getLong(1) / copyStride).toLong
+            println(s"  x$k rows=${out.length} copy0=$copy0 cross=$cross")
+            if (k == 1) base1 = copy0
+            else require(copy0 == base1,
+              s"copy-0 pair count $copy0 != 1x count $base1 — " +
+                "the operator is not replication-invariant")
+          }
+        }
+
       case "objects" =>
         t("spo_objects total") {
           SparkEntry.queries("spo_objects")(spark, sfDir).count()
