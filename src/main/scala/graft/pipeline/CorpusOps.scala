@@ -638,8 +638,95 @@ object CorpusOps extends QueryModule {
         FROM r WHERE pick_rank <= $SemBucketQuota
         ORDER BY bucket, pick_rank"""
       }
+    ),
+
+    QueryDef(
+      // IMPORTANCE RESAMPLING toward a target domain — the DSIR shape
+      // (Xie et al. 2023, "Data Selection for Language Models via
+      // Importance Resampling"): score every raw document by the
+      // log-likelihood RATIO of a target-domain hashed-feature LM over
+      // the raw-corpus LM, then keep the top-ranked docs. The target
+      // stand-in is the English slice (the quality-domain the synthetic
+      // corpus actually has); features are 256 hashed token buckets
+      // (60-bit md5 % 256 — the decontam_hashed key arithmetic, both
+      // engines inside signed BIGINT).
+      //
+      // Exactness: ln runs once per BUCKET (≤ 256, not per vocab or
+      // token) on identical exact-integer-derived double arguments,
+      // each ln kept on the POSITIVE domain (argument (N+B)/(c+1) ≥ 1 —
+      // the perplexity_bigram HALF_UP discipline), 6dp-rounded to
+      // DECIMAL so the per-doc sum of (nll_raw − nll_target) is
+      // order-independent and exact; the boundary surfaces DOUBLE (§5).
+      //
+      // Plan at 100 TB: ONE tokenize pass feeding a single 256-row
+      // grouped aggregate (raw + target counts in the same map-side
+      // combine — no second corpus scan for the target LM), the
+      // always-tiny LM broadcast back over a second pass, a per-doc
+      // aggregate, and TakeOrdered top-K (per-partition heaps — no
+      // global sort materialization). The selection is deterministic:
+      // (weight DESC, doc_id) is a total order.
+      "sample_importance",
+      (s, dir) => {
+        val b = pmod(
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(ImpBuckets.toLong))
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"), b.as("b"))
+        val cnt = toks.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === ImpTargetLang, 1L).otherwise(0L)).as("ct"))
+        val tot = cnt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+        def nll6(n: Column, c: Column): Column =
+          round(log((n + lit(ImpBuckets.toLong)).cast("double") /
+            (c + lit(1L)).cast("double")), 6).cast("decimal(18,6)")
+        val lm = cnt.crossJoin(broadcast(tot))
+          .select(col("b"),
+            (nll6(col("nr"), col("cr")) - nll6(col("nt"), col("ct"))).as("delta"))
+        val w = toks.join(broadcast(lm), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("delta")).as("wdec"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("source"))
+          .join(w, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("wdec").cast("double").as("weight"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(ImpTopK)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 15)
+              AS BIGINT) % $ImpBuckets AS b
+          FROM documents),
+        cnt AS (
+          SELECT b, COUNT(*) AS cr,
+            SUM(CASE WHEN lang = '$ImpTargetLang' THEN 1 ELSE 0 END) AS ct
+          FROM toks GROUP BY b),
+        tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+        lm AS (
+          SELECT b,
+            CAST(ROUND(ln(CAST(nr + $ImpBuckets AS DOUBLE) / CAST(cr + 1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) -
+            CAST(ROUND(ln(CAST(nt + $ImpBuckets AS DOUBLE) / CAST(ct + 1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS delta
+          FROM cnt, tot),
+        w AS (
+          SELECT doc_id, SUM(delta) AS wdec
+          FROM toks JOIN lm USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, d.lang, d.source, CAST(w.wdec AS DOUBLE) AS weight
+      FROM documents d JOIN w USING (doc_id)
+      ORDER BY weight DESC, doc_id LIMIT $ImpTopK""")
     )
   )
+
+  /** `sample_importance` knobs: 256 hashed feature buckets (ln runs
+    * once per bucket, the LM broadcast is always tiny), English as the
+    * target domain, top-100 selection. */
+  private[pipeline] val ImpBuckets = 256
+  private[pipeline] val ImpTargetLang = "en"
+  private[pipeline] val ImpTopK = 100
 
   /** Orthant bits for `sample_semantic_balanced`: 4 dims → 16 buckets,
     * sized so every bucket is populated at every shipped SF (the

@@ -260,4 +260,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq == picks.toSeq)
   }
+
+  test("importance weights match an independent driver DSIR reference exactly") {
+    // reference: the same hashed-bucket log-likelihood-ratio recurrence
+    // in plain Scala — 60-bit md5 bucket, Laplace +1, positive-domain
+    // ln rounded 6dp to BigDecimal, decimal per-doc sums, one cast
+    val docs = graft.operators.Tables(spark, dir).documents.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      md.reset()
+      val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256L
+    }
+    val all = docs.flatMap { case (id, lang, _, ts) => ts.map(t => (id, lang, bucket(t))) }
+    val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nr = all.size.toLong
+    val nt = all.count(_._2 == "en").toLong
+    def nll6(n: Long, c: Long): BigDecimal =
+      BigDecimal(math.log((n + 256L).toDouble / (c + 1L).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val delta = cr.keys.map(b =>
+      b -> (nll6(nr, cr(b)) - nll6(nt, ct.getOrElse(b, 0L)))).toMap
+    val expected = docs.map { case (id, lang, src, ts) =>
+      (id, lang, src, ts.map(t => delta(bucket(t))).sum.toDouble)
+    }.sortBy { case (id, _, _, w) => (-w, id) }.take(100).toSeq
+    val got = run("sample_importance").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the construction's point: the selection is tilted TOWARD the
+    // target domain — target share among the selected is at least the
+    // corpus base rate (measured 58% vs 43.6% at sf0.01)
+    val baseShare = docs.count(_._2 == "en").toDouble / docs.length
+    val gotShare = got.count(_._2 == "en").toDouble / got.length
+    assert(gotShare >= baseShare - 1e-9,
+      s"selected en share $gotShare below base rate $baseShare")
+    // and a re-run selects the identical rows in the identical order
+    val again = run("sample_importance").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(again == got)
+  }
 }
