@@ -782,6 +782,25 @@ object Dedup extends QueryModule {
       .filter(col("doc_a") =!= col("doc_b"))
       .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
 
+  /** `dedup_editdistance` body: re-score candidate pairs (doc_a, doc_b,
+    * jaccard) with Levenshtein distance and normalized edit similarity
+    * over the docs' lowercased text. One definition shared by the
+    * QueryDef and the spec's engineered corpora. */
+  private[graft] def editVerify(pairs: DataFrame, docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), lower(col("text")).as("t"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("mx"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"),
+        when(col("mx") === 0L, lit(1.0))
+          .otherwise(lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+          .as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Containment threshold as an EXACT fraction (4/5 = 0.8), kept in
     * integer numerator/denominator form: both the prefix length and the
     * verify threshold are computed in pure integer arithmetic
@@ -1647,6 +1666,42 @@ object Dedup extends QueryModule {
         AND CAST(d.dot AS DOUBLE) /
           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $ChunkCosTau
       ORDER BY doc_a, chunk_a, doc_b, chunk_b""")
+    ),
+
+    QueryDef(
+      // CHARACTER-LEVEL edit-distance verify — the re-rank tier every
+      // token-set pipeline needs: word-set Jaccard is blind to token
+      // ORDER and to sub-token noise (OCR errors, typos, segmentation
+      // drift), so two candidates with identical jaccard can be an
+      // exact char-level duplicate and a fully reshuffled doc. This
+      // operator re-scores the staged lexical near-dup pairs (the
+      // prefix-filter recall-1 frame dedup_ngram_jaccard serves —
+      // BOUNDED, never all-pairs) with true Levenshtein distance and a
+      // normalized edit similarity 1 − lev/max(len) (one exact-int
+      // division per row, no accumulation — bit-identical cross-engine;
+      // `levenshtein` is the same classic DP in both engines,
+      // char-exact on this corpus). Scale: cost is per-PAIR O(len_a ×
+      // len_b) on the candidate frame only; at web scale the bounded
+      // variant levenshtein(a, b, threshold) caps the DP band — same
+      // output for every pair under the threshold, early-exit above.
+      "dedup_editdistance",
+      (s, dir) => editVerify(stagedWordSetPairs(s, dir), Tables(s, dir).documents),
+      Some(s"""WITH s AS (
+          SELECT doc_id, lower(text) AS t,
+            list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard,
+            levenshtein(a.t, b.t) AS lv,
+            greatest(length(a.t), length(b.t)) AS mx
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardTauSets)
+      SELECT doc_a, doc_b, jaccard, CAST(lv AS BIGINT) AS lev,
+        CASE WHEN mx = 0 THEN 1.0
+             ELSE 1.0 - CAST(lv AS DOUBLE) / CAST(mx AS DOUBLE) END AS edit_sim
+      FROM p ORDER BY doc_a, doc_b""")
     )
   )
 }

@@ -59,6 +59,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, 2L, 1.0)), s"expected the identical pair, got $got")
   }
 
+  test("edit-distance verify separates reordered from typo'd near-dups") {
+    import spark.implicits._
+    // three docs with IDENTICAL word sets: base, one-char typo'd
+    // (same set only if the typo'd token still appears — use a swap of
+    // two chars inside one token? that changes the set) — instead:
+    // doc 2 = doc 1 with two tokens swapped (same set, jaccard 1.0,
+    // order differs), doc 3 = doc 1 verbatim. Jaccard cannot tell 2
+    // from 3 apart; edit similarity must.
+    val toks = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (toks.take(5) ++ toks.slice(10, 15) ++ toks.slice(5, 10) ++ toks.drop(15)).mkString(" ")),
+      (3L, toks.mkString(" "))).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.editVerify(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))).toSeq
+    val exact = got.find(p => p._1 == 1L && p._2 == 3L).get
+    val reordered = got.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(exact._3 == 0L && exact._4 == 1.0, s"verbatim pair: $exact")
+    assert(reordered._3 > 0L && reordered._4 < 1.0, s"reordered pair: $reordered")
+  }
+
+  test("edit-distance verify: empty texts don't divide by zero") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.editVerify(pairs, docs).collect()
+    assert(got.length == 1 && got(0).getLong(3) == 0L && got(0).getDouble(4) == 1.0)
+  }
+
   test("cluster driver solve matches the distributed propagation fallback") {
     val docs = graft.operators.Tables(spark, dir).documents
     def collected(df: org.apache.spark.sql.DataFrame) =
