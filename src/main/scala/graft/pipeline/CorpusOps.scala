@@ -347,6 +347,76 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // EPOCH / REPETITION accounting under a token budget — the
+      // data-constrained upsampling step mix_domains/mix_temperature
+      // don't model: when a domain's share of the budget exceeds its
+      // corpus size, it REPEATS (epochs > 1), and repetition is capped
+      // (~4 epochs — the point past which repeated data stops paying,
+      // per the published data-constrained scaling results), leaving
+      // unspent budget the pipeline must surface rather than silently
+      // under-deliver. Budget = 2x corpus tokens with uniform
+      // per-source shares, so small sources visibly hit the cap.
+      // Target shares reuse mix_domains' SKEWED integer weights
+      // (w = 60/(1 + src%5)) so both regimes are live on the shipped
+      // data: high-weight sources exceed the cap (capped = 1, unspent
+      // budget surfaces), low-weight sources land under one epoch
+      // (downsampling — fractional epochs). Exactness: every output is
+      // a short chain of individually-IEEE-deterministic ops over exact
+      // integers, mirrored in the SAME op order in both engines — no
+      // accumulation anywhere. Plan: one corpus aggregate to the
+      // ~|sources|-row summary, windows over the summary only — never
+      // a second corpus pass.
+      "mix_epochs",
+      (s, dir) => {
+        val all = Window.partitionBy()
+        Tables(s, dir).documents
+          .select(col("source"),
+            size(split(lower(col("text")), " ")).cast("long").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+          .withColumn("w", lit(60L) / (lit(1L) + (srcNum(col("source")) % 5).cast("long")))
+          .withColumn("budget",
+            (sum(col("n_tokens")).over(all) * lit(2L)).cast("double"))
+          .withColumn("share", col("w").cast("double") / sum(col("w")).over(all).cast("double"))
+          .withColumn("epochs_raw",
+            col("share") * col("budget") / col("n_tokens").cast("double"))
+          .withColumn("epochs", least(lit(EpochCap), col("epochs_raw")))
+          .withColumn("eff_tokens",
+            round(col("epochs") * col("n_tokens").cast("double")).cast("long"))
+          .withColumn("capped", (col("epochs_raw") > lit(EpochCap)).cast("int"))
+          .withColumn("leftover_tokens",
+            (col("budget") - sum(col("eff_tokens")).over(all).cast("double")).cast("long"))
+          .select(col("source"), col("n_tokens"), col("share"), col("epochs"),
+            col("eff_tokens"), col("capped"), col("leftover_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+          SELECT source,
+            CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+            60 / (1 + CAST(substr(source, 4) AS INTEGER) % 5) AS w
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT source, n_tokens,
+            CAST(SUM(n_tokens) OVER () * 2 AS DOUBLE) AS budget,
+            CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
+          FROM t),
+        e AS (
+          SELECT source, n_tokens, share, budget,
+            LEAST($EpochCap, share * budget / CAST(n_tokens AS DOUBLE)) AS epochs,
+            CASE WHEN share * budget / CAST(n_tokens AS DOUBLE) > $EpochCap
+              THEN 1 ELSE 0 END AS capped
+          FROM r),
+        f AS (
+          SELECT source, n_tokens, share, epochs,
+            CAST(ROUND(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS eff_tokens,
+            capped, budget
+          FROM e)
+      SELECT source, n_tokens, share, epochs, eff_tokens,
+        CAST(capped AS INTEGER) AS capped,
+        CAST(budget - CAST(SUM(eff_tokens) OVER () AS DOUBLE) AS BIGINT) AS leftover_tokens
+      FROM f ORDER BY source""")
+    ),
+
+    QueryDef(
       // Benchmark decontamination: flag corpus docs sharing any 8-token
       // shingle with a held-out benchmark set (here: doc_id % 29 = 0,
       // standing in for an eval suite). The benchmark side is distinct
@@ -720,6 +790,11 @@ object CorpusOps extends QueryModule {
       ORDER BY weight DESC, doc_id LIMIT $ImpTopK""")
     )
   )
+
+  /** `mix_epochs` repetition cap: ~4 epochs, the published
+    * data-constrained-scaling guidance for where repeated data stops
+    * paying. A double literal rendered identically in both engines. */
+  private[pipeline] val EpochCap = 4.0
 
   /** `sample_importance` knobs: 256 hashed feature buckets (ln runs
     * once per bucket, the LM broadcast is always tiny), English as the

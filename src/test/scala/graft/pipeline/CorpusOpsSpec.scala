@@ -261,6 +261,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSeq == picks.toSeq)
   }
 
+  test("epoch accounting: cap binds exactly, delivery reconciles, both regimes live") {
+    // Spark round() is HALF_UP — mirror it exactly (math.rint is
+    // HALF_EVEN and would diverge on an exact .5)
+    def half_up(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val rows = run("mix_epochs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))
+    assert(rows.length == 20)
+    val budget = 2.0 * rows.map(_._2).sum
+    rows.foreach { case (src, n, share, epochs, eff, capped, _) =>
+      val raw = share * budget / n.toDouble
+      if (capped == 1) {
+        // the cap binds EXACTLY — capped sources deliver round(cap * n)
+        assert(epochs == 4.0 && raw > 4.0, s"$src: epochs=$epochs raw=$raw")
+        assert(eff == half_up(4.0 * n), s"$src eff=$eff")
+      } else {
+        // uncapped sources deliver their full allocation
+        assert(epochs == raw, s"$src: epochs=$epochs raw=$raw")
+        assert(eff == half_up(raw * n), s"$src eff=$eff")
+      }
+    }
+    // accounting closes: leftover is the budget the cap left unspent
+    val leftover = rows.head._7
+    assert(rows.forall(_._7 == leftover))
+    assert(leftover.toDouble == budget - rows.map(_._5).sum.toDouble)
+    // the shipped skewed weights keep BOTH regimes live at every SF
+    assert(rows.exists(_._6 == 1), "no source hit the epoch cap")
+    assert(rows.exists(_._4 < 1.0), "no source was downsampled below one epoch")
+  }
+
   test("importance weights match an independent driver DSIR reference exactly") {
     // reference: the same hashed-bucket log-likelihood-ratio recurrence
     // in plain Scala — 60-bit md5 bucket, Laplace +1, positive-domain
