@@ -3,6 +3,7 @@ package graft.multimodal
 import graft.{QueryDef, QueryModule}
 import graft.operators.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.7).
@@ -264,8 +265,75 @@ object Multimodal extends QueryModule {
         (SELECT MAX(w.win_start_us) FROM w
           WHERE w.doc_id = f.doc_id AND w.win_start_us <= f.frame_us) AS win_start_us
       FROM f ORDER BY doc_id, frame_idx""")
+    ),
+
+    QueryDef(
+      // SHOT-BOUNDARY detection — the video curation step before frame
+      // sampling: cut where consecutive frames' perceptual hashes jump
+      // (real pipelines: pHash per decoded frame; hamming > threshold =
+      // scene change). nframes comes through the binary-header parse
+      // (the blob roundtrip stays in the path); the per-frame pHash is
+      // the tier's deterministic decode stand-in, derived from
+      // (doc, frame DIV seg_len) so frames share a hash within a
+      // synthetic SEGMENT and jump across segments — real shot
+      // structure with an exact oracle (within-segment hamming 0,
+      // boundary hamming ~30 of 60 bits, threshold 15). The hash is
+      // the decontam 60-bit md5 key arithmetic; hamming is
+      // bit_count(xor) in both engines; the lag() window is per-doc
+      // (bounded partitions — nframes ≤ 24 here, frame counts in the
+      // thousands at production, never a corpus-wide sort). Output:
+      // per-doc shot count + average shot length (one division).
+      "mm_shot_detect",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        extractMeta(withBlobs(Tables(s, dir).documents))
+          .select(col("doc_id"), col("nframes"),
+            explode(sequence(lit(0L), col("nframes") - 1L)).as("frame_idx"),
+            (lit(1L) + pmod(col("doc_id"), lit(4L))).as("seg_len"))
+          .withColumn("ph",
+            conv(substring(md5(concat(lit("ph:"), col("doc_id").cast("string"),
+              lit(":"), expr("frame_idx DIV seg_len").cast("string")).cast("binary")),
+              1, 15), 16, 10).cast("long"))
+          .withColumn("prev", lag(col("ph"), 1).over(w))
+          .withColumn("cut",
+            when(col("prev").isNotNull &&
+              bit_count(col("ph").bitwiseXOR(col("prev"))) > lit(ShotHammingThresh), 1L)
+              .otherwise(0L))
+          .groupBy(col("doc_id"), col("nframes"))
+          .agg((lit(1L) + sum(col("cut"))).as("n_shots"))
+          .withColumn("avg_shot_len",
+            col("nframes").cast("double") / col("n_shots").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (
+          SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS nframes,
+            CAST(fi AS BIGINT) AS frame_idx,
+            CAST(1 + doc_id % 4 AS BIGINT) AS seg_len
+          FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 24)) AS fi FROM documents) t),
+        h AS (
+          SELECT doc_id, nframes, frame_idx,
+            CAST('0x' || substr(md5('ph:' || CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(frame_idx // seg_len AS VARCHAR)), 1, 15) AS BIGINT) AS ph
+          FROM f),
+        d AS (
+          SELECT doc_id, nframes, ph,
+            LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+          FROM h),
+        c AS (
+          SELECT doc_id, nframes,
+            CASE WHEN prev IS NOT NULL AND bit_count(xor(ph, prev)) > $ShotHammingThresh
+              THEN 1 ELSE 0 END AS cut
+          FROM d)
+      SELECT doc_id, nframes, CAST(1 + SUM(cut) AS BIGINT) AS n_shots,
+        CAST(nframes AS DOUBLE) / CAST(1 + SUM(cut) AS DOUBLE) AS avg_shot_len
+      FROM c GROUP BY doc_id, nframes ORDER BY doc_id""")
     )
   )
+
+  /** `mm_shot_detect` cut threshold: independent 60-bit hashes sit at
+    * hamming ~30 ± 3.9, identical hashes at 0 — 15 separates the two
+    * populations by ~4 sigma each side. */
+  private[multimodal] val ShotHammingThresh = 15
 }
 
 /** STUB audio feature kernel: per 1-second window, a fake "RMS"-style

@@ -69,4 +69,31 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists { case (doc, fUs, _, _) => fUs / 1000000L > lastWin(doc) },
       "no frame outlasts its audio at sf0.001 — the as-of clamp is untested")
   }
+
+  test("shot detection matches an independent driver reference on the segment structure") {
+    // reference: same 60-bit md5 phash per (doc, frame DIV seg_len),
+    // same hamming threshold, plain Scala scan
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ph(doc: Long, seg: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"ph:$doc:$seg".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val got = graft.SparkEntry.queries("mm_shot_detect")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (doc, nframes, nShots, avgLen) =>
+      assert(nframes == 1 + doc % 24, s"doc $doc nframes")
+      val segLen = 1 + doc % 4
+      val cuts = (1L until nframes).count { fi =>
+        val (a, b) = (ph(doc, (fi - 1) / segLen), ph(doc, fi / segLen))
+        java.lang.Long.bitCount(a ^ b) > 15
+      }
+      assert(nShots == 1 + cuts, s"doc $doc: $nShots vs ${1 + cuts}")
+      assert(avgLen == nframes.toDouble / nShots.toDouble)
+      // every multi-segment doc should cut (independent 60-bit hashes
+      // miss the 15-bit threshold with p ~ 1e-4)
+      if (nframes > segLen) assert(nShots > 1, s"doc $doc found no cuts")
+    }
+  }
 }
