@@ -21,6 +21,9 @@ object Similarity extends QueryModule {
   // knn_join neighborhood floor — matches dedup_embedding's CosineTau so
   // the same angular-blocked candidate plan serves both
   private val KnnJoinTau = 0.3
+  // knn_radius ball: 0.25 sits ~2 sigma into the isotropic cosine tail,
+  // so every query's ball is populated but far from the whole corpus
+  private val RadiusTau = 0.25
 
   /** All hyperplane sign-buckets for every row in one kernel pass:
     * emits (vec_id, embedding, band, bucket) rows. Planes are built once
@@ -653,6 +656,37 @@ object Similarity extends QueryModule {
         FROM (SELECT qid, e.vec_id, ${cosineSql("qe", "embedding")} AS cosine
               FROM q, embeddings e WHERE e.vec_id <> qid) c) r
       WHERE rk <= $K ORDER BY qid, rk""")
+    ),
+
+    QueryDef(
+      // RANGE (radius) search — the other half of the vector-serving
+      // API: not "the k nearest" but "EVERYTHING within a similarity
+      // ball" (candidate recall for re-rankers, near-dup audits around
+      // a probe document, abuse-cluster expansion). Queries broadcast;
+      // the corpus streams through ONE codegen'd cosine pass with the
+      // radius predicate fused into the scan filter — no heap, no
+      // window, output bounded by the ball's true population. The
+      // oracle is the same cross join in SQL; cosine is the shared
+      // left-fold discipline, bit-identical.
+      "knn_radius",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", VectorOps.cosineNative(col("qe"), col("embedding")))
+          .filter(col("cosine") >= RadiusTau)
+          .select(col("qid"), col("vec_id"), col("cosine"))
+          .orderBy(col("qid"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < $NQueries)
+      SELECT qid, e.vec_id, ${cosineSql("qe", "embedding")} AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> qid AND ${cosineSql("qe", "embedding")} >= $RadiusTau
+      ORDER BY qid, e.vec_id""")
     ),
 
     QueryDef(

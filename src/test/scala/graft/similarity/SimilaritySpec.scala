@@ -121,6 +121,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pq == pq2, "knn_pq not deterministic")
   }
 
+  test("knn_radius: complete ball, consistent with top-k, radius respected") {
+    val ball = SparkEntry.queries("knn_radius")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ball.nonEmpty)
+    ball.values.foreach(c => assert(c >= 0.25))
+    // cross-consistency: every brute-force top-k hit with cosine >= R
+    // must be IN the ball with the identical cosine (both sides are
+    // exact, so membership and values agree bit-for-bit)
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val inRange = bf.filter(_._2 >= 0.25)
+    assert(inRange.nonEmpty, "no top-k hit reaches the radius — cross-check vacuous")
+    inRange.foreach { case (k, c) =>
+      assert(ball.get(k).contains(c), s"top-k hit $k ($c) missing from ball")
+    }
+  }
+
   test("native expression, HOF column, and kernel cosine are bit-identical") {
     import org.apache.spark.sql.functions.col
     val e = graft.operators.Tables(spark, dir).embeddings.limit(100)
