@@ -1,6 +1,7 @@
 package graft.graph
 
 import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SPO graph operator suite (SURVEY.md §2.2) on triples derived from the
@@ -1183,6 +1184,24 @@ object GraphQueries extends QueryModule {
     ),
 
     QueryDef(
+      // LOCAL CLUSTERING COEFFICIENT — the community-density signal on
+      // top of the triangle census: C(v) = 2·T(v) / (d·(d−1)) over the
+      // undirected distinct-neighbor degree (how close v's
+      // neighborhood is to a clique — the small-world / spam-farm
+      // discriminator). Reuses the staged half-edge set and THE shared
+      // degree-oriented triangle kernel (one more tiny aggregate + one
+      // exact-integer division per node — bit-identical cross-engine;
+      // d < 2 nodes define C = 0). No new shuffle shape: the triangle
+      // kernel's O(m^1.5) wedge bound is the cost, already probed.
+      "spo_cluster_coeff",
+      (s, dir) => {
+        val g = T.staged(s, dir)
+        clusterCoeffFrom(g.half, g.dict.select(col("object_id").as("id")))
+      },
+      ClusterCoeffOracle
+    ),
+
+    QueryDef(
       // Single-source shortest hop distances (BFS) from entity 1 —
       // the reachability/radius primitive. Body in [[bfs]] so the spec
       // can pin the driver tier against the distributed frontier loop.
@@ -1327,5 +1346,57 @@ object GraphQueries extends QueryModule {
         cnt AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id)
       SELECT o.object_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
       FROM objs o LEFT JOIN cnt ON cnt.id = o.object_id
+      ORDER BY o.object_id""")
+
+  /** `spo_cluster_coeff` body over a canonical (a < b) half-edge set
+    * and a node id frame — shared by the QueryDef and the spec's
+    * engineered graphs. */
+  private[graft] def clusterCoeffFrom(half: DataFrame, ids: DataFrame): DataFrame = {
+    val tri = Triangles.countPerNode(half, ids)
+    val deg = half.select(col("a").as("id"))
+      .unionByName(half.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq("id"), "left")
+      .select(col("id").as("object_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("n_triangles"),
+        when(coalesce(col("degree"), lit(0L)) < 2L, lit(0.0))
+          .otherwise(col("n_triangles").cast("double") * lit(2.0) /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .as("clustering"))
+      .orderBy(col("object_id"))
+  }
+
+  /** `spo_cluster_coeff` oracle: the triangle census CTEs + the
+    * undirected distinct-neighbor degree + one exact-int division. */
+  private val ClusterCoeffOracle: Option[String] = Some(
+    s"""$prelude,
+        half AS (
+          SELECT DISTINCT LEAST(source_id, target_id) AS a,
+            GREATEST(source_id, target_id) AS b
+          FROM edges WHERE source_id <> target_id),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM half e1
+          JOIN half e2 ON e2.a = e1.b
+          JOIN half e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id),
+        deg AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS id FROM half UNION ALL SELECT b FROM half) u
+          GROUP BY id)
+      SELECT o.object_id,
+        COALESCE(deg.degree, 0) AS degree,
+        COALESCE(cnt.n_triangles, 0) AS n_triangles,
+        CASE WHEN COALESCE(deg.degree, 0) < 2 THEN 0.0
+          ELSE CAST(COALESCE(cnt.n_triangles, 0) AS DOUBLE) * 2.0 /
+            CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END AS clustering
+      FROM objs o
+      LEFT JOIN cnt ON cnt.id = o.object_id
+      LEFT JOIN deg ON deg.id = o.object_id
       ORDER BY o.object_id""")
 }

@@ -87,4 +87,29 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(counts == brute)
     assert(counts(0L) == 12L)
   }
+
+  test("clustering coefficient: clique 1.0, star 0.0, bowtie center between") {
+    import spark.implicits._
+    def coeff(edges: Seq[(Long, Long)], nodes: Seq[Long]) = {
+      val half = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("a", "b")
+      GraphQueries.clusterCoeffFrom(half, nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    }
+    // K4: every neighborhood is a complete triangle set -> C = 1
+    val k4 = coeff(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)), Seq(1L,2L,3L,4L))
+    k4.values.foreach { case (d, t, c) => assert(d == 3L && t == 3L && c == 1.0) }
+    // star: center has degree 3, no triangles -> 0; leaves degree 1 -> 0 by the d<2 guard
+    val star = coeff(Seq((1L,2L),(1L,3L),(1L,4L)), Seq(1L,2L,3L,4L))
+    assert(star(1L) == ((3L, 0L, 0.0)))
+    assert(star(2L) == ((1L, 0L, 0.0)))
+    // bowtie (two triangles joined at node 3): center sees 2 of its
+    // C(4,2)=6 neighbor pairs closed -> 2*2/(4*3) = 1/3
+    val bow = coeff(Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(3L,5L),(4L,5L)), Seq(1L,2L,3L,4L,5L))
+    assert(bow(3L) == ((4L, 2L, 2.0 * 2.0 / 12.0)))
+    assert(bow(1L) == ((2L, 1L, 1.0)))
+    // isolated node: degree 0, C = 0
+    val iso = coeff(Seq((1L,2L)), Seq(1L,2L,9L))
+    assert(iso(9L) == ((0L, 0L, 0.0)))
+  }
 }
