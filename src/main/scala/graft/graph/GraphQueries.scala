@@ -197,6 +197,50 @@ object GraphQueries extends QueryModule {
     }
   }
 
+  /** spo_betweenness body — sampled-source Brandes over the undirected
+    * entity graph (see [[Betweenness]] for the algorithm and the
+    * cross-tier 6dp-decimal exactness contract). The bfs/kcore two-tier
+    * dispatch: under `driverCap` edges the identical decimal recurrence
+    * runs in one collect; above it, the joint-seed frame loops. Output
+    * carries the distinct-neighbor `degree` as the driver-visible gate
+    * column: degree ≤ 1 nodes must score exactly 0 (a leaf is never
+    * interior to a shortest path) — checkable from the output alone. */
+  private[graft] def betweenness(s: org.apache.spark.sql.SparkSession, dir: String,
+                                 driverCap: Long = 2000000L): DataFrame = {
+    val g = T.staged(s, dir)
+    val half = g.half
+    val ids = g.dict.select(col("object_id").as("id"))
+    val edges = half
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = half.select(col("a").as("id"))
+      .unionByName(half.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
+      .select(col("id").as("seed")).localCheckpoint()
+    val cent: DataFrame =
+      if (seeds.count() == 0) {
+        ids.select(col("id"), lit(0).cast("decimal(38,6)").as("betweenness"))
+      } else if (edges.count() <= driverCap) {
+        val adj = edges.collect()
+          .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)) }
+        val nodeIds = ids.collect().map(_.getLong(0)).toSeq
+        val seedIds = seeds.collect().map(_.getLong(0)).toSeq.sorted
+        val d = Betweenness.driverBrandes(adj, nodeIds, seedIds)
+        import s.implicits._
+        d.toSeq.map { case (v, b) => (v, b) }.toDF("id", "betweenness")
+          .select(col("id"), col("betweenness").cast("decimal(38,6)"))
+      } else {
+        Betweenness.distBrandes(s, edges, ids, seeds)
+      }
+    cent.join(deg, Seq("id"), "left")
+      .select(col("id").as("object_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("betweenness").cast("double").as("betweenness"))
+      .orderBy(col("object_id"))
+  }
+
   /** Relaxation-round bound shared by both sssp tiers AND the unrolled
     * oracle (the KcoreMaxPeels discipline): the engine fails LOUDLY if
     * the Bellman-Ford fixpoint is not reached within this many rounds —
@@ -1199,6 +1243,21 @@ object GraphQueries extends QueryModule {
         clusterCoeffFrom(g.half, g.dict.select(col("object_id").as("id")))
       },
       ClusterCoeffOracle
+    ),
+
+    QueryDef(
+      // Sampled-source BETWEENNESS centrality — the broker/bottleneck
+      // signal (see [[Betweenness]]): Brandes dependency sums from the
+      // deterministic id % 17 seed set, cross-tier-exact via the
+      // 6dp-decimal recurrence. Rows-only BY DESIGN (a per-seed BFS DAG
+      // recurrence has no SQL mirror — the MST/BPE class) with the
+      // degree gate column: degree ≤ 1 rows must carry betweenness 0,
+      // checkable from the output alone; BetweennessSpec pins both
+      // tiers equal, a textbook double Brandes within float tolerance,
+      // and closed forms on path/star/bridge graphs.
+      "spo_betweenness",
+      (s, dir) => betweenness(s, dir),
+      None
     ),
 
     QueryDef(
