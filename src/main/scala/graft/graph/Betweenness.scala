@@ -37,8 +37,25 @@ object Betweenness {
   private[graft] val SeedMod = 17L
   private[graft] val MaxRounds = 50
 
-  private def round6(x: Double): BigDecimal =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  /** HALF_UP 6dp rounding of a NON-NEGATIVE double, in micro-units —
+    * exactly `BigDecimal(x).setScale(6, HALF_UP)` (the semantics Spark's
+    * `round(col, 6)` applies to DoubleType, via the same shortest-repr
+    * scala BigDecimal), but ~100× cheaper on the hot path: `x * 1e6`
+    * differs from the true decimal value by at most |y|·2^-52 + (the
+    * shortest-repr gap), so when the product is provably farther than
+    * that from a .5 tie boundary, `Math.round` returns the identical
+    * result; only near-boundary values fall back to the BigDecimal
+    * computation. Bit-identical to the slow path BY CONSTRUCTION — the
+    * driver/distributed tier-equality contract is unchanged (and
+    * BetweennessSpec pins it). */
+  private[graft] def round6micros(x: Double): Long = {
+    val y = x * 1e6
+    val frac = y - Math.floor(y)
+    val eps = y * 4.5e-16 + 1e-9
+    if (Math.abs(frac - 0.5) > eps) Math.round(y)
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.movePointRight(6).longValueExact()
+  }
 
   /** In-process exact Brandes with the 6dp-decimal accumulation —
     * the driver tier, and the reference the distributed tier is pinned
@@ -46,46 +63,86 @@ object Betweenness {
   private[graft] def driverBrandes(adj: Map[Long, Array[Long]],
                                    nodes: Seq[Long],
                                    seeds: Seq[Long]): Map[Long, BigDecimal] = {
-    val delta = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
-    for (s0 <- seeds) {
-      // forward: level-synchronous BFS with exact long path counts
-      val level = scala.collection.mutable.HashMap(s0 -> 0)
-      val sigma = scala.collection.mutable.HashMap(s0 -> 1L)
-      var frontier = Seq(s0)
-      var hop = 0
-      while (frontier.nonEmpty && hop < MaxRounds) {
-        hop += 1
-        val nextSigma = scala.collection.mutable.HashMap.empty[Long, Long]
-        frontier.foreach { u =>
-          adj.getOrElse(u, Array.empty[Long]).foreach { v =>
-            if (!level.contains(v)) nextSigma(v) = nextSigma.getOrElse(v, 0L) + sigma(u)
-          }
-        }
-        frontier = nextSigma.keys.toSeq
-        frontier.foreach { v => level(v) = hop; sigma(v) = nextSigma(v) }
-      }
-      require(frontier.isEmpty || {
-        !frontier.exists(u => adj.getOrElse(u, Array.empty[Long]).exists(v => !level.contains(v)))
-      }, s"betweenness BFS did not drain in $MaxRounds rounds")
-      // backward: per level descending, δv = Σ_succ round6(σv/σw · (1+δw))
-      val dsed = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
-      val byLevel = level.toSeq.groupBy(_._2)
-      val maxLev = if (level.isEmpty) 0 else level.values.max
-      for (lev <- (maxLev - 1) to 0 by -1; (v, _) <- byLevel.getOrElse(lev, Nil)) {
-        var acc = BigDecimal(0)
-        adj.getOrElse(v, Array.empty[Long]).foreach { w =>
-          if (level.get(w).contains(lev + 1)) {
-            val dw = dsed.getOrElse(w, BigDecimal(0))
-            acc += round6(sigma(v).toDouble / sigma(w).toDouble * (1.0 + dw.toDouble))
-          }
-        }
-        dsed(v) = acc
-      }
-      dsed.foreach { case (v, d) =>
-        if (v != s0) delta(v) = delta.getOrElse(v, BigDecimal(0)) + d
+    // δ accumulates in exact micro-units (each contribution has ≤ 6dp,
+    // so the long sum IS the decimal sum): per-seed δ_s(v) ≤ n − 1 by
+    // Brandes' target bound, so micros stay far below 2^63 even at the
+    // 2M-edge driver cap — no overflow, no BigDecimal on the hot path.
+    // Dense int indexing: ~27M edge-visits per sf0.1 run through boxed
+    // HashMap[Long, _] lookups measured ~4.5 s of driver CPU; the same
+    // recurrence on flat arrays is tens of ms. Arithmetic is identical —
+    // exact long σ sums and micro-unit δ sums are order-independent.
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    nodes.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    adj.keys.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    val n = idx.size
+    val rev = new Array[Long](n)
+    idx.foreach { case (v, i) => rev(i) = v }
+    val adjIdx = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) { adjIdx(i) = Array.empty[Int]; i += 1 }
+    adj.foreach { case (v, ws) =>
+      adjIdx(idx(v)) = ws.map { w =>
+        require(idx.contains(w),
+          s"driverBrandes requires a SYMMETRIC adjacency: target $w of $v is not a key/node")
+        idx(w)
       }
     }
-    nodes.map(v => v -> delta.getOrElse(v, BigDecimal(0))).toMap
+    val delta = new Array[Long](n) // micro-units
+    val level = new Array[Int](n)
+    val sigma = new Array[Long](n)
+    val order = new Array[Int](n) // BFS visit order (level-contiguous)
+    for (s0 <- seeds) {
+      val s0i = idx(s0)
+      java.util.Arrays.fill(level, -1)
+      level(s0i) = 0; sigma(s0i) = 1L; order(0) = s0i
+      var lo = 0; var hi = 1; var hop = 0
+      // forward: level-synchronous BFS with exact long path counts —
+      // first touch in a round sets σ, later touches in the SAME round
+      // add (order-free long sums, identical to the per-round HashMap)
+      while (lo < hi && hop < MaxRounds) {
+        hop += 1
+        val end = hi
+        while (lo < end) {
+          val u = order(lo); lo += 1
+          val nb = adjIdx(u); var j = 0
+          while (j < nb.length) {
+            val v = nb(j)
+            if (level(v) == -1) { level(v) = hop; sigma(v) = sigma(u); order(hi) = v; hi += 1 }
+            else if (level(v) == hop) sigma(v) += sigma(u)
+            j += 1
+          }
+        }
+      }
+      require(lo >= hi || {
+        !(lo until hi).exists(k => adjIdx(order(k)).exists(v => level(v) == -1))
+      }, s"betweenness BFS did not drain in $MaxRounds rounds")
+      // backward: reverse visit order (levels descending), δv = Σ_succ
+      // round6(σv/σw · (1+δw)). δw enters the double product as
+      // micros/1e6 — the correctly-rounded nearest double of the 6dp
+      // value, identical to what BigDecimal.toDouble (and the
+      // distributed tier's cast) produces.
+      val dsed = new Array[Long](n)
+      var k = hi - 1
+      while (k >= 0) {
+        val v = order(k)
+        val lv = level(v)
+        var acc = 0L
+        val nb = adjIdx(v); var j = 0
+        while (j < nb.length) {
+          val w = nb(j)
+          if (level(w) == lv + 1)
+            acc += round6micros(
+              sigma(v).toDouble / sigma(w).toDouble * (1.0 + dsed(w).toDouble / 1e6))
+          j += 1
+        }
+        dsed(v) = acc
+        if (v != s0i) delta(v) += acc
+        k -= 1
+      }
+    }
+    nodes.map { v =>
+      v -> BigDecimal(java.math.BigDecimal.valueOf(delta(idx(v)), 6))
+    }.toMap
   }
 
   /** Distributed tier: joint-seed forward BFS (σ) + per-level backward

@@ -210,29 +210,35 @@ object GraphQueries extends QueryModule {
     val g = T.staged(s, dir)
     val half = g.half
     val ids = g.dict.select(col("object_id").as("id"))
-    val edges = half
-      .select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
     val deg = half.select(col("a").as("id"))
       .unionByName(half.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
-      .select(col("id").as("seed")).localCheckpoint()
     val cent: DataFrame =
-      if (seeds.count() == 0) {
-        ids.select(col("id"), lit(0).cast("decimal(38,6)").as("betweenness"))
-      } else if (edges.count() <= driverCap) {
-        val adj = edges.collect()
-          .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)) }
+      if (2 * half.count() <= driverCap) {
+        // driver tier: collect the (already-persisted) HALF edge set
+        // once and symmetrize in-process — half the transfer, and no
+        // wasted checkpoint/count jobs on the frame we'd collect anyway.
+        val hs = half.select(col("a"), col("b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val adj = (hs.map(e => (e._1, e._2)) ++ hs.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2) }
         val nodeIds = ids.collect().map(_.getLong(0)).toSeq
-        val seedIds = seeds.collect().map(_.getLong(0)).toSeq.sorted
+        val seedIds = nodeIds.filter(v => ((v % Betweenness.SeedMod) +
+          Betweenness.SeedMod) % Betweenness.SeedMod == 0).sorted
         val d = Betweenness.driverBrandes(adj, nodeIds, seedIds)
         import s.implicits._
         d.toSeq.map { case (v, b) => (v, b) }.toDF("id", "betweenness")
           .select(col("id"), col("betweenness").cast("decimal(38,6)"))
       } else {
-        Betweenness.distBrandes(s, edges, ids, seeds)
+        val edges = half
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint()
+        val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
+          .select(col("id").as("seed")).localCheckpoint()
+        if (seeds.count() == 0)
+          ids.select(col("id"), lit(0).cast("decimal(38,6)").as("betweenness"))
+        else Betweenness.distBrandes(s, edges, ids, seeds)
       }
     cent.join(deg, Seq("id"), "left")
       .select(col("id").as("object_id"),
