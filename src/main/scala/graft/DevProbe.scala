@@ -297,6 +297,43 @@ object DevProbe {
             graft.graph.GraphQueries.WalkSteps, driverCap = 0L)
         }
 
+      case "betweenness_xl" =>
+        // Forced-distributed Brandes probe (driverCap = 0 at BOTH
+        // scales — the kcore_xl discipline): measures the joint-seed
+        // (seed, node) level frame + per-level backward joins on the
+        // actual 100 TB code path. Disjoint replication keeps every
+        // seed's BFS inside its copy, so the levels frame grows
+        // linearly (Σ per-copy seeds×reach), rounds stay = the copy
+        // diameter, and output rows (one per node id) scale exactly
+        // k x. The betweenness VALUES per copy shift with the id-offset
+        // seed residues, so unlike lpa/mst the per-copy outputs are not
+        // identical — rows-linearity plus the degree gate (leaf rows
+        // exactly 0, checked here over the FULL x-k output) are the
+        // invariants that survive replication.
+        locally {
+          val k = sys.env.getOrElse("SCALE_K", "30").toInt
+          def run(dir: String, tag: String): Long =
+            t(s"betweenness $tag") {
+              val out = graft.graph.GraphQueries.betweenness(spark, dir, driverCap = 0L)
+              val bad = out.filter(org.apache.spark.sql.functions.col("degree") <= 1 &&
+                org.apache.spark.sql.functions.col("betweenness") =!= 0.0).count()
+              require(bad == 0, s"degree gate violated: $bad leaf rows with nonzero betweenness")
+              val n = out.count()
+              println(s"  rows=$n")
+              n
+            }
+          val n1 = run(sfDir, "1x distributed")
+          val tmp = stageScaledEvents(spark, sfDir, k)
+          try {
+            val nk = run(tmp, s"x$k distributed")
+            println(s"  linearity: x$k=$nk expect=${k * n1}")
+            require(nk == k * n1, "betweenness output not linear under disjoint replication")
+          } finally {
+            sweepCaches(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
       case "mst_xl" =>
         // Forced-distributed Borůvka probe: per-round label joins +
         // per-component argmin + autoLabel contraction at 1x vs k x;

@@ -37,6 +37,15 @@ object Betweenness {
   private[graft] val SeedMod = 17L
   private[graft] val MaxRounds = 50
 
+  /** Size gate for broadcasting the per-round (seed, node) frames in
+    * the distributed tier: a 1M-row long-tuple frame is tens of MB as
+    * a broadcast hash relation — safely inside executor broadcast
+    * budgets even with several rounds' relations live — while anything
+    * larger falls back to a shuffle join with identical semantics
+    * (measured: a 4M-row cap OOMed the 30× probe's 16g heap — several
+    * pinned relations plus the fan-out aggregation's hash tables). */
+  private[graft] val BroadcastRowCap = 1000000L
+
   /** HALF_UP 6dp rounding of a NON-NEGATIVE double, in micro-units —
     * exactly `BigDecimal(x).setScale(6, HALF_UP)` (the semantics Spark's
     * `round(col, 6)` applies to DoubleType, via the same shortest-repr
@@ -151,66 +160,113 @@ object Betweenness {
   private[graft] def distBrandes(s: SparkSession, edges: DataFrame,
                                  ids: DataFrame, seeds: DataFrame): DataFrame = {
     val dec = "decimal(28,6)"
-    // forward: levels = (seed, id, lev, sigma)
-    var levels = seeds.select(col("seed"), col("seed").as("id"),
-      lit(0).as("lev"), lit(1L).as("sigma")).localCheckpoint()
-    var frontier = levels
+    // The tier's intrinsic work is seeds × E edge-traversals per pass
+    // (~14M rows at sf0.1) — what made a first cut slow was letting
+    // that fan-out hit SHUFFLE boundaries (sort-merge joins wrote the
+    // 12M-row intermediates). The (seed, node) frames it joins against
+    // are ≤ |S|·|V| rows, so they are size-gate BROADCAST (the
+    // retention-cohort gate discipline: hint only under the row cap,
+    // plain shuffle join above it — at 1000-executor scale with a huge
+    // seed frame the shuffle join is the right plan and the semantics
+    // are identical), keeping the fan-out map-side where it collapses
+    // straight into partial aggregation.
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastRowCap) broadcast(df) else df
+    // Storage level for the kept fan-out frames, decided ONCE from the
+    // run's intrinsic bound Σ|DAG| ≤ |S|·|E| (a per-round frontier size
+    // is a bad proxy — a small hub frontier fans out 400×, measured):
+    // under the bound everything fits on-heap beside the aggregation
+    // hash tables; over it the fan-out frames go straight to local
+    // disk (measured at 30×: on-heap 314 s with GC thrash — or OOM at
+    // a looser broadcast gate — vs 154 s on disk; at 1× on-heap wins
+    // by ~9 s).
+    val fanoutBound = seeds.count() * edges.count()
+    val candLevel =
+      if (fanoutBound <= 50000000L)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // Forward: one (seed, id, σ) frame per level, plus the BFS-DAG edge
+    // frame per round — the pre-aggregation candidate rows (frontier ⋈
+    // edges, visited anti-joined away) ARE exactly the DAG edges
+    // u@h−1 → w@h, and the frontier row already carries σ(u), so
+    // recording them here means the backward pass never re-joins the
+    // raw edge table. `visited` stays a lazy union of the per-level
+    // checkpointed pieces: unioning cached RDDs is a scan,
+    // re-checkpointing the accumulated frame every round was
+    // O(diameter²) materialization.
+    val levelFrames = scala.collection.mutable.ArrayBuffer(
+      seeds.select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    val levelRows = scala.collection.mutable.ArrayBuffer(levelFrames.head.count())
+    val dagFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var visited = levelFrames.head.select(col("seed"), col("id"))
+    var visitedRows = levelRows.head
+    var frontier = levelFrames.head
+    var frontierRows = levelRows.head
     var hop = 0
-    var drained = frontier.limit(1).count() == 0
+    var drained = frontierRows == 0
     while (!drained && hop < MaxRounds) {
       hop += 1
-      val next = frontier.select(col("seed"), col("id").as("src"), col("sigma"))
+      val cand = gated(
+        frontier.select(col("seed"), col("id").as("src"), col("sigma").as("sv")),
+        frontierRows)
         .join(edges, "src")
-        .select(col("seed"), col("dst").as("id"), col("sigma"))
-        .join(levels.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .groupBy(col("seed"), col("id"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .select(col("seed"), col("id"), lit(hop).as("lev"), col("sigma"))
+        .join(gated(visited.toDF("seed", "dst"), visitedRows),
+          Seq("seed", "dst"), "left_anti")
+        .select(col("seed"), col("src").as("v"), col("dst").as("w"), col("sv"))
+        .persist(candLevel)
+      val next = cand.groupBy(col("seed"), col("w").as("id"))
+        .agg(sum(col("sv")).as("sigma"))
         .localCheckpoint()
-      levels = levels.unionByName(next).localCheckpoint()
-      frontier = next
-      drained = frontier.limit(1).count() == 0
+      val nextRows = next.count()
+      if (nextRows == 0) { drained = true }
+      else {
+        dagFrames += cand
+        levelFrames += next
+        levelRows += nextRows
+        visited = visited.unionByName(next.select(col("seed"), col("id")))
+        visitedRows += nextRows
+        frontier = next
+        frontierRows = nextRows
+      }
     }
-    require(drained || {
-      frontier.select(col("seed"), col("id").as("src")).join(edges, "src")
-        .select(col("seed"), col("dst").as("id"))
-        .join(levels.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .limit(1).count() == 0
-    }, s"betweenness BFS did not drain in $MaxRounds rounds")
+    require(drained, s"betweenness BFS did not drain in $MaxRounds rounds")
 
-    val maxLev = levels.agg(max(col("lev"))).head().getInt(0)
-    // backward: δ per (seed, id), level by level descending. Nodes at
-    // the deepest level have δ = 0 (no successors).
-    var deltas = levels.filter(col("lev") === maxLev)
+    val maxLev = levelFrames.size - 1
+    // Backward: δ per (seed, id), level by level descending off the
+    // recorded frames. Nodes at the deepest level have δ = 0 (no
+    // successors); dagFrames(lev) holds the v@lev → w@lev+1 edges.
+    val deltasByLev = new Array[DataFrame](maxLev + 1)
+    deltasByLev(maxLev) = levelFrames(maxLev)
       .select(col("seed"), col("id"), lit(0).cast(dec).as("delta"))
-      .localCheckpoint()
     for (lev <- (maxLev - 1) to 0 by -1) {
-      val vs = levels.filter(col("lev") === lev)
-        .select(col("seed"), col("id").as("v"), col("sigma").as("sv"))
-      val ws = levels.filter(col("lev") === lev + 1)
+      val ws = levelFrames(lev + 1)
         .select(col("seed"), col("id").as("w"), col("sigma").as("sw"))
-        .join(deltas.select(col("seed"), col("id").as("w"), col("delta").as("dw")),
+        .join(deltasByLev(lev + 1)
+          .select(col("seed"), col("id").as("w"), col("delta").as("dw")),
           Seq("seed", "w"))
-      // successors of v = neighbors one level deeper (BFS DAG edges)
-      val contrib = vs
-        .join(edges.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
-        .join(ws, Seq("seed", "w"))
+      val contrib = dagFrames(lev)
+        .join(gated(ws, levelRows(lev + 1)), Seq("seed", "w"))
         .select(col("seed"), col("v"),
           // the 6dp-decimal contribution — the tier-equality contract
           round(col("sv").cast("double") / col("sw").cast("double") *
             (lit(1.0) + col("dw").cast("double")), 6).cast(dec).as("c"))
         .groupBy(col("seed"), col("v"))
         .agg(sum(col("c")).cast(dec).as("delta"))
-      val levDeltas = levels.filter(col("lev") === lev)
+      deltasByLev(lev) = levelFrames(lev)
         .select(col("seed"), col("id"))
         .join(contrib.select(col("seed"), col("v").as("id"), col("delta")),
           Seq("seed", "id"), "left")
         .select(col("seed"), col("id"),
           coalesce(col("delta"), lit(0).cast(dec)).as("delta"))
         .localCheckpoint()
-      deltas = deltas.unionByName(levDeltas).localCheckpoint()
+      // the level's δ frame is materialized (eager checkpoint) — this
+      // round's fan-out frame is consumed; release its disk blocks now
+      // rather than holding diameter× of them to the end
+      dagFrames(lev).unpersist(false)
     }
-    val totals = deltas.filter(col("id") =!= col("seed"))
+    val totals = deltasByLev.toSeq.reduce(_ unionByName _)
+      .filter(col("id") =!= col("seed"))
       .groupBy(col("id"))
       .agg(sum(col("delta")).cast("decimal(38,6)").as("betweenness"))
     ids.join(totals, Seq("id"), "left")
