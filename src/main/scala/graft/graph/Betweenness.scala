@@ -154,24 +154,99 @@ object Betweenness {
     }.toMap
   }
 
-  /** Distributed tier: joint-seed forward BFS (σ) + per-level backward
-    * dependency joins, the SAME decimal recurrence. `edges` must be the
-    * symmetric (src, dst) frame; `ids` one row per node id. */
-  private[graft] def distBrandes(s: SparkSession, edges: DataFrame,
-                                 ids: DataFrame, seeds: DataFrame): DataFrame = {
-    val dec = "decimal(28,6)"
-    // The tier's intrinsic work is seeds × E edge-traversals per pass
-    // (~14M rows at sf0.1) — what made a first cut slow was letting
-    // that fan-out hit SHUFFLE boundaries (sort-merge joins wrote the
-    // 12M-row intermediates). The (seed, node) frames it joins against
-    // are ≤ |S|·|V| rows, so they are size-gate BROADCAST (the
-    // retention-cohort gate discipline: hint only under the row cap,
-    // plain shuffle join above it — at 1000-executor scale with a huge
-    // seed frame the shuffle join is the right plan and the semantics
-    // are identical), keeping the fan-out map-side where it collapses
-    // straight into partial aggregation.
-    def gated(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= BroadcastRowCap) broadcast(df) else df
+  /** In-process joint-seed harmonic-closeness kernel — the driver tier
+    * of [[GraphQueries.closeness]], sharing this file's BFS/rounding
+    * machinery: per seed a flat-array level BFS, each reached node at
+    * distance d accumulating round6(1/d) in exact micro-units (6dp
+    * decimals, order-independent sums — the tier/oracle-equality
+    * contract). `adj` must be symmetric (loud contract as in
+    * [[driverBrandes]]). */
+  private[graft] def driverCloseness(adj: Map[Long, Array[Long]],
+                                     nodes: Seq[Long],
+                                     seeds: Seq[Long]): Map[Long, BigDecimal] = {
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    nodes.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    adj.keys.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    val n = idx.size
+    val adjIdx = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) { adjIdx(i) = Array.empty[Int]; i += 1 }
+    adj.foreach { case (v, ws) =>
+      adjIdx(idx(v)) = ws.map { w =>
+        require(idx.contains(w),
+          s"driverCloseness requires a SYMMETRIC adjacency: target $w of $v is not a key/node")
+        idx(w)
+      }
+    }
+    // only MaxRounds distinct contributions exist — precompute them
+    val invMicros = Array.tabulate(MaxRounds + 1)(d =>
+      if (d == 0) 0L else round6micros(1.0 / d))
+    val acc = new Array[Long](n) // micro-units
+    val level = new Array[Int](n)
+    val order = new Array[Int](n)
+    for (s0 <- seeds) {
+      val s0i = idx(s0)
+      java.util.Arrays.fill(level, -1)
+      level(s0i) = 0; order(0) = s0i
+      var lo = 0; var hi = 1; var hop = 0
+      while (lo < hi && hop < MaxRounds) {
+        hop += 1
+        val end = hi
+        while (lo < end) {
+          val u = order(lo); lo += 1
+          val nb = adjIdx(u); var j = 0
+          while (j < nb.length) {
+            val v = nb(j)
+            if (level(v) == -1) {
+              level(v) = hop; order(hi) = v; hi += 1
+              acc(v) += invMicros(hop)
+            }
+            j += 1
+          }
+        }
+      }
+      require(lo >= hi || {
+        !(lo until hi).exists(k => adjIdx(order(k)).exists(v => level(v) == -1))
+      }, s"closeness BFS did not drain in $MaxRounds rounds")
+    }
+    nodes.map { v =>
+      v -> BigDecimal(java.math.BigDecimal.valueOf(acc(idx(v)), 6))
+    }.toMap
+  }
+
+  /** Size-gate broadcast (the retention-cohort gate discipline: hint
+    * only under the row cap, plain shuffle join above it — at
+    * 1000-executor scale with a huge seed frame the shuffle join is the
+    * right plan and the semantics are identical). */
+  private def gated(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowCap) broadcast(df) else df
+
+  /** Joint-seed level-synchronous forward BFS — ONE definition for
+    * both the Brandes σ pass and [[GraphQueries.closeness]]'s distance
+    * frames (the Funnel.step one-kernel discipline). Returns one
+    * (seed, id, sigma) frame per level (index = hop distance) plus,
+    * when `recordDag` is set, the per-round BFS-DAG edge frames
+    * (seed, v, w, sv) the Brandes backward pass consumes — the
+    * pre-aggregation candidate rows (frontier ⋈ edges, visited
+    * anti-joined away) ARE exactly the DAG edges u@h−1 → w@h, and the
+    * frontier row already carries σ(u), so recording them here means
+    * the backward pass never re-joins the raw edge table.
+    *
+    * Scale shape: the intrinsic work is seeds × E edge-traversals per
+    * pass (~14M rows at sf0.1) — what made a first cut slow was
+    * letting that fan-out hit SHUFFLE boundaries (sort-merge joins
+    * wrote the 12M-row intermediates). The (seed, node) frames it
+    * joins against are ≤ |S|·|V| rows, so they are size-gate
+    * broadcast, keeping the fan-out map-side where it collapses
+    * straight into partial aggregation. `visited` stays a lazy union
+    * of the per-level checkpointed pieces: unioning cached RDDs is a
+    * scan, re-checkpointing the accumulated frame every round was
+    * O(diameter²) materialization. */
+  private[graft] def forwardLevels(edges: DataFrame, seeds: DataFrame,
+                                   recordDag: Boolean):
+      (scala.collection.mutable.ArrayBuffer[DataFrame],
+       scala.collection.mutable.ArrayBuffer[Long],
+       scala.collection.mutable.ArrayBuffer[DataFrame]) = {
     // Storage level for the kept fan-out frames, decided ONCE from the
     // run's intrinsic bound Σ|DAG| ≤ |S|·|E| (a per-round frontier size
     // is a bad proxy — a small hub frontier fans out 400×, measured):
@@ -185,15 +260,6 @@ object Betweenness {
       if (fanoutBound <= 50000000L)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       else org.apache.spark.storage.StorageLevel.DISK_ONLY
-    // Forward: one (seed, id, σ) frame per level, plus the BFS-DAG edge
-    // frame per round — the pre-aggregation candidate rows (frontier ⋈
-    // edges, visited anti-joined away) ARE exactly the DAG edges
-    // u@h−1 → w@h, and the frontier row already carries σ(u), so
-    // recording them here means the backward pass never re-joins the
-    // raw edge table. `visited` stays a lazy union of the per-level
-    // checkpointed pieces: unioning cached RDDs is a scan,
-    // re-checkpointing the accumulated frame every round was
-    // O(diameter²) materialization.
     val levelFrames = scala.collection.mutable.ArrayBuffer(
       seeds.select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
         .localCheckpoint())
@@ -207,21 +273,21 @@ object Betweenness {
     var drained = frontierRows == 0
     while (!drained && hop < MaxRounds) {
       hop += 1
-      val cand = gated(
+      val fanout = gated(
         frontier.select(col("seed"), col("id").as("src"), col("sigma").as("sv")),
         frontierRows)
         .join(edges, "src")
         .join(gated(visited.toDF("seed", "dst"), visitedRows),
           Seq("seed", "dst"), "left_anti")
         .select(col("seed"), col("src").as("v"), col("dst").as("w"), col("sv"))
-        .persist(candLevel)
+      val cand = if (recordDag) fanout.persist(candLevel) else fanout
       val next = cand.groupBy(col("seed"), col("w").as("id"))
         .agg(sum(col("sv")).as("sigma"))
         .localCheckpoint()
       val nextRows = next.count()
       if (nextRows == 0) { drained = true }
       else {
-        dagFrames += cand
+        if (recordDag) dagFrames += cand
         levelFrames += next
         levelRows += nextRows
         visited = visited.unionByName(next.select(col("seed"), col("id")))
@@ -230,8 +296,18 @@ object Betweenness {
         frontierRows = nextRows
       }
     }
-    require(drained, s"betweenness BFS did not drain in $MaxRounds rounds")
+    require(drained, s"joint-seed BFS did not drain in $MaxRounds rounds")
+    (levelFrames, levelRows, dagFrames)
+  }
 
+  /** Distributed tier: joint-seed forward BFS (σ) + per-level backward
+    * dependency joins, the SAME decimal recurrence. `edges` must be the
+    * symmetric (src, dst) frame; `ids` one row per node id. */
+  private[graft] def distBrandes(s: SparkSession, edges: DataFrame,
+                                 ids: DataFrame, seeds: DataFrame): DataFrame = {
+    val dec = "decimal(28,6)"
+    val (levelFrames, levelRows, dagFrames) =
+      forwardLevels(edges, seeds, recordDag = true)
     val maxLev = levelFrames.size - 1
     // Backward: δ per (seed, id), level by level descending off the
     // recorded frames. Nodes at the deepest level have δ = 0 (no

@@ -205,45 +205,97 @@ object GraphQueries extends QueryModule {
     * carries the distinct-neighbor `degree` as the driver-visible gate
     * column: degree ≤ 1 nodes must score exactly 0 (a leaf is never
     * interior to a shortest path) — checkable from the output alone. */
+  /** Shared tier dispatch for the sampled-seed centrality queries
+    * (betweenness / closeness — one scaffold, two kernels, the
+    * Funnel.step discipline): under `driverCap` edges, collect the
+    * (already-persisted) HALF edge set once and symmetrize in-process
+    * (half the transfer, no wasted checkpoint/count jobs on a frame
+    * we'd collect anyway) and run `driverKernel`; above it, build the
+    * symmetric edge + seed frames and run `distBuilder`. */
+  private def sampledSeedCentrality(
+      s: org.apache.spark.sql.SparkSession, dir: String, driverCap: Long,
+      outCol: String)(
+      driverKernel: (Map[Long, Array[Long]], Seq[Long], Seq[Long]) => Map[Long, BigDecimal])(
+      distBuilder: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val g = T.staged(s, dir)
+    val half = g.half
+    val ids = g.dict.select(col("object_id").as("id"))
+    if (2 * half.count() <= driverCap) {
+      val hs = half.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val adj = (hs.map(e => (e._1, e._2)) ++ hs.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2) }
+      val nodeIds = ids.collect().map(_.getLong(0)).toSeq
+      val seedIds = nodeIds.filter(v => ((v % Betweenness.SeedMod) +
+        Betweenness.SeedMod) % Betweenness.SeedMod == 0).sorted
+      val d = driverKernel(adj, nodeIds, seedIds)
+      import s.implicits._
+      d.toSeq.map { case (v, b) => (v, b) }.toDF("id", outCol)
+        .select(col("id"), col(outCol).cast("decimal(38,6)"))
+    } else {
+      val edges = half
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
+        .select(col("id").as("seed")).localCheckpoint()
+      if (seeds.count() == 0)
+        ids.select(col("id"), lit(0).cast("decimal(38,6)").as(outCol))
+      else distBuilder(edges, ids, seeds)
+    }
+  }
+
   private[graft] def betweenness(s: org.apache.spark.sql.SparkSession, dir: String,
                                  driverCap: Long = 2000000L): DataFrame = {
     val g = T.staged(s, dir)
     val half = g.half
-    val ids = g.dict.select(col("object_id").as("id"))
     val deg = half.select(col("a").as("id"))
       .unionByName(half.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    val cent: DataFrame =
-      if (2 * half.count() <= driverCap) {
-        // driver tier: collect the (already-persisted) HALF edge set
-        // once and symmetrize in-process — half the transfer, and no
-        // wasted checkpoint/count jobs on the frame we'd collect anyway.
-        val hs = half.select(col("a"), col("b")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val adj = (hs.map(e => (e._1, e._2)) ++ hs.map(e => (e._2, e._1)))
-          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2) }
-        val nodeIds = ids.collect().map(_.getLong(0)).toSeq
-        val seedIds = nodeIds.filter(v => ((v % Betweenness.SeedMod) +
-          Betweenness.SeedMod) % Betweenness.SeedMod == 0).sorted
-        val d = Betweenness.driverBrandes(adj, nodeIds, seedIds)
-        import s.implicits._
-        d.toSeq.map { case (v, b) => (v, b) }.toDF("id", "betweenness")
-          .select(col("id"), col("betweenness").cast("decimal(38,6)"))
-      } else {
-        val edges = half
-          .select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
-          .localCheckpoint()
-        val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
-          .select(col("id").as("seed")).localCheckpoint()
-        if (seeds.count() == 0)
-          ids.select(col("id"), lit(0).cast("decimal(38,6)").as("betweenness"))
-        else Betweenness.distBrandes(s, edges, ids, seeds)
-      }
+    val cent = sampledSeedCentrality(s, dir, driverCap, "betweenness")(
+      Betweenness.driverBrandes)(Betweenness.distBrandes(s, _, _, _))
     cent.join(deg, Seq("id"), "left")
       .select(col("id").as("object_id"),
         coalesce(col("degree"), lit(0L)).as("degree"),
         col("betweenness").cast("double").as("betweenness"))
+      .orderBy(col("object_id"))
+  }
+
+  /** spo_closeness body — sampled-seed HARMONIC closeness over the
+    * undirected entity graph: closeness(v) = Σ over seeds s ≠ v of
+    * round6(1 / d(s, v)) for reached pairs (harmonic form so
+    * disconnected pairs contribute 0 instead of poisoning the sum —
+    * Boldi & Vigna's axiom-surviving variant). Same seed set, tier
+    * dispatch and decimal discipline as [[betweenness]]; the
+    * distributed tier is the SAME [[Betweenness.forwardLevels]] BFS
+    * frames (level index = distance) with the per-level constant
+    * round6(1/d) — only MaxRounds distinct contributions exist, so the
+    * engine adds a constant-folded decimal per frame, no per-row
+    * division. Oracle-EXACT (unlike betweenness there is no per-edge
+    * recurrence — distances unroll in one recursive CTE and every
+    * 1/d rounds identically in both engines: a double's decimal
+    * expansion can never sit exactly on a 6dp tie). */
+  private[graft] def closeness(s: org.apache.spark.sql.SparkSession, dir: String,
+                               driverCap: Long = 2000000L): DataFrame = {
+    val g = T.staged(s, dir)
+    val ids = g.dict.select(col("object_id").as("id"))
+    val dec = "decimal(28,6)"
+    val cent = sampledSeedCentrality(s, dir, driverCap, "closeness")(
+      Betweenness.driverCloseness) { (edges, distIds, seeds) =>
+      val (levels, _, _) = Betweenness.forwardLevels(edges, seeds, recordDag = false)
+      val contribs = levels.zipWithIndex.drop(1).map { case (f, d) =>
+        f.select(col("id"), round(lit(1.0) / lit(d.toDouble), 6).cast(dec).as("c"))
+      }
+      if (contribs.isEmpty)
+        distIds.select(col("id"), lit(0).cast("decimal(38,6)").as("closeness"))
+      else contribs.reduce(_ unionByName _)
+        .groupBy(col("id"))
+        .agg(sum(col("c")).cast("decimal(38,6)").as("closeness"))
+    }
+    ids.join(cent, Seq("id"), "left")
+      .select(col("id").as("object_id"),
+        coalesce(col("closeness"), lit(0).cast("decimal(38,6)"))
+          .cast("double").as("closeness"))
       .orderBy(col("object_id"))
   }
 
@@ -1264,6 +1316,41 @@ object GraphQueries extends QueryModule {
       "spo_betweenness",
       (s, dir) => betweenness(s, dir),
       None
+    ),
+
+    QueryDef(
+      // Sampled-seed HARMONIC closeness — "how near is v to everything"
+      // (reach efficiency), the dual of betweenness's "how much passes
+      // THROUGH v". Same id % 17 seed set; 1/d contributions as 6dp
+      // decimals (order-free exact sums). ORACLE-EXACT: the joint-seed
+      // BFS unrolls in one recursive CTE with the same 50-hop cap the
+      // engine enforces loudly, and ROUND(1.0/d, 6) cannot diverge
+      // cross-engine (no double lands on a 6dp tie). DOUBLE at the
+      // output boundary per the §5 no-bare-DECIMAL rule.
+      "spo_closeness",
+      (s, dir) => closeness(s, dir),
+      Some(s"""$prelude,
+        undir AS (
+          SELECT source_id AS src, target_id AS dst FROM edges
+          WHERE source_id <> target_id
+          UNION
+          SELECT target_id, source_id FROM edges WHERE source_id <> target_id),
+        reach AS (
+          WITH RECURSIVE r(seed, id, dist) AS (
+            SELECT object_id, object_id, CAST(0 AS BIGINT) FROM objs
+            WHERE object_id % 17 = 0
+            UNION
+            SELECT r.seed, u.dst, r.dist + 1
+            FROM r JOIN undir u ON r.id = u.src
+            WHERE r.dist < 50)
+          SELECT seed, id, MIN(dist) AS dist FROM r GROUP BY seed, id),
+        cent AS (
+          SELECT id, SUM(CAST(ROUND(1.0 / dist, 6) AS DECIMAL(28,6))) AS c
+          FROM reach WHERE dist > 0 GROUP BY id)
+      SELECT o.object_id,
+             CAST(COALESCE(c.c, 0) AS DOUBLE) AS closeness
+      FROM objs o LEFT JOIN cent c ON o.object_id = c.id
+      ORDER BY o.object_id""")
     ),
 
     QueryDef(
