@@ -249,6 +249,150 @@ object Similarity extends QueryModule {
     (cents, inertias)
   }
 
+  /** Components surfaced by `embed_pca` (the full d-dim basis still
+    * backs the gates — only the OUTPUT is truncated). */
+  private[similarity] val PcaComponents = 16
+
+  /** One-pass covariance partials over the embedding column — the
+    * lloydStats kernel discipline: each partition emits (pid, count,
+    * Σv, packed upper-triangular Σvvᵀ), merged on the driver in fixed
+    * partition order so float summation is deterministic. Returns
+    * (n, mean, population covariance C = Σvvᵀ/n − mean·meanᵀ). */
+  private[similarity] def covarianceStats(s: org.apache.spark.sql.SparkSession,
+                              data: org.apache.spark.sql.DataFrame):
+      (Long, Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val embIdx = data.schema.fieldIndex("embedding")
+    val partialSchema = StructType(Seq(
+      StructField("part", IntegerType), StructField("cnt", LongType),
+      StructField("vsum", ArrayType(DoubleType, containsNull = false)),
+      StructField("outer", ArrayType(DoubleType, containsNull = false))))
+    val partials = data.mapPartitions { rows =>
+      var cnt = 0L
+      var vsum: Array[Double] = null
+      var outer: Array[Double] = null
+      rows.foreach { row =>
+        val emb = row.getSeq[Float](embIdx)
+        val d = emb.length
+        if (vsum == null) { vsum = new Array[Double](d); outer = new Array[Double](d * (d + 1) / 2) }
+        require(emb.length == vsum.length,
+          s"embed_pca requires a fixed embedding dim: saw ${emb.length} and ${vsum.length}")
+        var i = 0
+        var p = 0
+        while (i < d) {
+          val xi = emb(i).toDouble
+          vsum(i) += xi
+          var j = i
+          while (j < d) { outer(p) += xi * emb(j).toDouble; j += 1; p += 1 }
+          i += 1
+        }
+        cnt += 1L
+      }
+      if (cnt == 0) Iterator.empty
+      else Iterator.single(Row(org.apache.spark.TaskContext.getPartitionId(), cnt,
+        (vsum.toSeq: Seq[Double]), (outer.toSeq: Seq[Double])))
+    }(Encoders.row(partialSchema)).collect()
+    require(partials.nonEmpty, "embed_pca on an empty embedding corpus")
+    val d = partials.head.getSeq[Double](2).length
+    var n = 0L
+    val vsum = new Array[Double](d)
+    val outer = new Array[Double](d * (d + 1) / 2)
+    partials.sortBy(_.getInt(0)).foreach { r =>
+      n += r.getLong(1)
+      val vs = r.getSeq[Double](2); val os = r.getSeq[Double](3)
+      require(vs.length == d && os.length == outer.length,
+        "embed_pca: partitions disagree on embedding dim")
+      var i = 0
+      while (i < d) { vsum(i) += vs(i); i += 1 }
+      i = 0
+      while (i < outer.length) { outer(i) += os(i); i += 1 }
+    }
+    val mean = vsum.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var p = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = outer(p) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** Deterministic cyclic Jacobi eigensolve for the tiny symmetric
+    * covariance (d ≤ a few hundred): row-major (p, q) sweeps, fixed
+    * 30-sweep bound with a deterministic small-off-diagonal early
+    * exit — same input, same rotations, same bits. Returns
+    * (eigenvalues, eigenvector matrix with vectors as COLUMNS), each
+    * vector's sign fixed so its largest-|entry| (first on tie) is
+    * positive — reruns are byte-identical. */
+  private[similarity] def jacobiEigen(aIn: Array[Array[Double]]):
+      (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(a.indices.map(i => math.abs(a(i)(i))).max, 1e-300)
+    var sweep = 0
+    var converged = false
+    while (sweep < 30 && !converged) {
+      var off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off = math.max(off, math.abs(a(p)(q)))
+      if (off <= 1e-14 * scale) converged = true
+      else {
+        for (p <- 0 until d; q <- p + 1 until d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+        }
+      }
+      sweep += 1
+    }
+    val evals = Array.tabulate(d)(i => a(i)(i))
+    // sign convention: largest-|entry| (first on tie) positive
+    for (j <- 0 until d) {
+      var best = 0
+      for (i <- 1 until d) if (math.abs(v(i)(j)) > math.abs(v(best)(j))) best = i
+      if (v(best)(j) < 0.0) {
+        var i = 0
+        while (i < d) { v(i)(j) = -v(i)(j); i += 1 }
+      }
+    }
+    (evals, v)
+  }
+
   /** L2-normalized copy of an embedding (zero vector stays zero).
     * PQ trains and scans on normalized vectors so ADC's L2 ranking is
     * the suite's cosine ranking: for unit vectors,
@@ -978,6 +1122,59 @@ object Similarity extends QueryModule {
         MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
       FROM (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings) t
       GROUP BY label ORDER BY label""")
+    ),
+
+    QueryDef(
+      // PCA over the embedding corpus — the whitening/dim-reduction
+      // step a SemDeDup-style pipeline runs before clustering (and the
+      // variance audit that says how many dims the embeddings really
+      // use). ONE corpus pass: a mapPartitions kernel emits per
+      // partition (count, Σv, packed upper-triangular Σvvᵀ) — d(d+1)/2
+      // doubles, ~2k per partition at d=64 — merged on the driver in
+      // fixed partition order (the lloydStats determinism discipline),
+      // then a deterministic cyclic Jacobi eigensolve on the tiny d×d
+      // covariance. NO shuffle of the corpus, no per-row driver work —
+      // the 100 TB cost is exactly one scan. Rows-only BY DESIGN (an
+      // iterative eigensolve has no SQL mirror — the Kmeans/BPE class)
+      // with TWO driver-visible gates: `trace_gap` (|Σλ − tr(C)|,
+      // invariance of the trace under rotation — a wrong eigensolve
+      // cannot keep it) and `ortho_resid` (max |VᵀV − I| entry over the
+      // FULL basis). Eigenvector sign fixed by largest-|component|-
+      // positive so reruns are byte-identical; PcaSpec pins recovery of
+      // planted axes, the gates, agreement with an independent
+      // power-iteration reference, and rerun determinism.
+      "embed_pca",
+      (s, dir) => {
+        import s.implicits._
+        val vecs = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val (n, mean, cov) = covarianceStats(s, vecs)
+        val (evals, vectors) = jacobiEigen(cov)
+        // descending eigenvalue order, ties (and the zero tail) by
+        // original index — a total order, so output is deterministic
+        val order = evals.indices.sortBy(i => (-evals(i), i))
+        val trace = cov.indices.map(i => cov(i)(i)).sum
+        val traceGap = math.abs(evals.sum - trace)
+        // orthonormality residual max |VᵀV − I| over the FULL basis
+        var ortho = 0.0
+        for (i <- vectors.indices; j <- i until vectors.length) {
+          var dp = 0.0
+          var k = 0
+          while (k < vectors.length) { dp += vectors(k)(i) * vectors(k)(j); k += 1 }
+          ortho = math.max(ortho, math.abs(dp - (if (i == j) 1.0 else 0.0)))
+        }
+        val totalVar = math.max(trace, java.lang.Double.MIN_NORMAL)
+        var cum = 0.0
+        order.take(PcaComponents).zipWithIndex.map { case (src, rank) =>
+          val ev = math.max(evals(src), 0.0) // clip −1e-17-class Jacobi dust
+          cum += ev / totalVar
+          (rank + 1L, math.rint(ev * 1e6) / 1e6,
+            math.rint(ev / totalVar * 1e9) / 1e9, math.rint(cum * 1e9) / 1e9,
+            traceGap, ortho, n)
+        }.toSeq.toDF("component", "eigenvalue", "explained_share", "cum_share",
+            "trace_gap", "ortho_resid", "n_vecs")
+          .orderBy(col("component"))
+      },
+      None
     ),
 
     QueryDef(
