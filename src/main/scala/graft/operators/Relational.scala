@@ -859,6 +859,37 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      // EQUI-WIDTH HISTOGRAM per event_type — the distribution-
+      // monitoring primitive (drift dashboards, sanity checks before a
+      // training run): 10 bins over each type's own [min, max] support.
+      // Bin assignment is ONE identical IEEE double chain in both
+      // engines — ((v − min) · 10) / (max − min), floored, the v = max
+      // row clamped into the last bin (the q_events_anomaly
+      // discipline: identical ops in identical order cannot diverge);
+      // degenerate types (min = max) pin every row to bin 0 explicitly
+      // instead of dividing by zero (Spark x/0.0 = ±Inf/NaN vs DuckDB
+      // NULL — the exact cross-engine hole the anomaly guard closed).
+      // The 10.0 literal is CAST(10 AS DOUBLE) in the oracle so DuckDB
+      // cannot route the product through DECIMAL. Plan: one map-side
+      // min/max aggregate (group-cardinality-sized, broadcast back
+      // into the scan), then one (type, bin) aggregate — the fact
+      // table streams once, both shuffles carry tiny frames.
+      "q_events_histogram",
+      (s, dir) => histogramBins(
+        Tables(s, dir).events.select(col("event_type"), col("value"))),
+      Some("""WITH mm AS (
+          SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+          CASE WHEN vmax = vmin THEN 0
+               ELSE LEAST(CAST(FLOOR((value - vmin) * CAST(10 AS DOUBLE)
+                 / (vmax - vmin)) AS BIGINT), 9) END AS bin,
+          COUNT(*) AS n_events
+        FROM events e JOIN mm USING (event_type)
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    QueryDef(
       // TIME-SERIES RESAMPLING with forward fill — the gap-filling
       // primitive that turns an irregular event stream into the dense
       // hourly grid feature pipelines train on. Per user: an integer
@@ -2058,6 +2089,23 @@ object Relational extends QueryModule {
     * frame — parameterized so specs can feed degenerate groups.
     * Semantics and the degenerate-group guard are documented at the
     * QueryDef. */
+  /** q_events_histogram body on an explicit (event_type, value) frame —
+    * factored so the spec can drive the degenerate (min = max) guard
+    * and the bin-edge clamp with engineered groups (the anomalyZ
+    * pattern). */
+  private[operators] def histogramBins(ev: DataFrame): DataFrame = {
+    val mm = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ev.join(broadcast(mm), "event_type")
+      .select(col("event_type"),
+        when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+          least(floor((col("value") - col("vmin")) * lit(10.0) /
+            (col("vmax") - col("vmin"))), lit(9L))).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   private[operators] def anomalyZ(e: DataFrame): DataFrame = {
     val st = e.groupBy(col("event_type")).agg(
         sum(col("v")).cast("double").as("sv"),

@@ -100,4 +100,26 @@ class ResampleSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._2).toSet == Set("spiky"), s"degenerate group leaked: ${got.toSeq}")
     assert(got.map(_._1).toSeq == Seq(99L))
   }
+
+  test("histogram bins: degenerate min=max pins bin 0, max clamps into bin 9, counts exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // constant group (min = max — the division guard), and a uniform
+    // 0..20 group whose exact bin populations an independent floor
+    // reproduces (v = 20 must CLAMP into bin 9, not open bin 10)
+    val ev = (Seq.fill(4)(("const", 7.5)) ++
+      (0 to 20).map(i => ("uniform", i.toDouble)))
+      .toDF("event_type", "value")
+    val got = Relational.histogramBins(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.filter(_._1 == "const") == Seq(("const", 0L, 4L)))
+    val uniform = got.filter(_._1 == "uniform")
+    val expected = (0 to 20).map { i =>
+      math.min(math.floor((i - 0.0) * 10.0 / 20.0).toLong, 9L)
+    }.groupBy(identity).map { case (b, xs) => ("uniform", b, xs.size.toLong) }
+      .toSeq.sortBy(_._2)
+    assert(uniform == expected)
+    assert(uniform.last == (("uniform", 9L, 3L)), "v=max must clamp into the last bin")
+    assert(got.map(_._3).sum == 4L + 21L, "every row lands in exactly one bin")
+  }
 }
