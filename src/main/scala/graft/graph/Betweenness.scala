@@ -66,9 +66,33 @@ object Betweenness {
       .underlying.movePointRight(6).longValueExact()
   }
 
+  /** Dense int indexing shared by BOTH driver kernels (node → index,
+    * adjacency as flat int arrays, loud symmetric-input contract):
+    * ~27M edge-visits per sf0.1 Brandes run through boxed
+    * HashMap[Long, _] lookups measured ~4.5 s of driver CPU; the same
+    * recurrences on flat arrays are tens of ms. */
+  private def indexedAdj(adj: Map[Long, Array[Long]], nodes: Seq[Long],
+                         kernel: String):
+      (scala.collection.mutable.HashMap[Long, Int], Array[Array[Int]]) = {
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    nodes.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    adj.keys.foreach(v => idx.getOrElseUpdate(v, idx.size))
+    val adjIdx = Array.fill(idx.size)(Array.empty[Int])
+    adj.foreach { case (v, ws) =>
+      adjIdx(idx(v)) = ws.map { w =>
+        require(idx.contains(w),
+          s"$kernel requires a SYMMETRIC adjacency: target $w of $v is not a key/node")
+        idx(w)
+      }
+    }
+    (idx, adjIdx)
+  }
+
   /** In-process exact Brandes with the 6dp-decimal accumulation —
     * the driver tier, and the reference the distributed tier is pinned
-    * to. `adj` must be symmetric. */
+    * to. `adj` must be symmetric; arithmetic is identical across the
+    * flat-array and frame tiers — exact long σ sums and micro-unit δ
+    * sums are order-independent. */
   private[graft] def driverBrandes(adj: Map[Long, Array[Long]],
                                    nodes: Seq[Long],
                                    seeds: Seq[Long]): Map[Long, BigDecimal] = {
@@ -76,26 +100,8 @@ object Betweenness {
     // so the long sum IS the decimal sum): per-seed δ_s(v) ≤ n − 1 by
     // Brandes' target bound, so micros stay far below 2^63 even at the
     // 2M-edge driver cap — no overflow, no BigDecimal on the hot path.
-    // Dense int indexing: ~27M edge-visits per sf0.1 run through boxed
-    // HashMap[Long, _] lookups measured ~4.5 s of driver CPU; the same
-    // recurrence on flat arrays is tens of ms. Arithmetic is identical —
-    // exact long σ sums and micro-unit δ sums are order-independent.
-    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
-    nodes.foreach(v => idx.getOrElseUpdate(v, idx.size))
-    adj.keys.foreach(v => idx.getOrElseUpdate(v, idx.size))
-    val n = idx.size
-    val rev = new Array[Long](n)
-    idx.foreach { case (v, i) => rev(i) = v }
-    val adjIdx = new Array[Array[Int]](n)
-    var i = 0
-    while (i < n) { adjIdx(i) = Array.empty[Int]; i += 1 }
-    adj.foreach { case (v, ws) =>
-      adjIdx(idx(v)) = ws.map { w =>
-        require(idx.contains(w),
-          s"driverBrandes requires a SYMMETRIC adjacency: target $w of $v is not a key/node")
-        idx(w)
-      }
-    }
+    val (idx, adjIdx) = indexedAdj(adj, nodes, "driverBrandes")
+    val n = adjIdx.length
     val delta = new Array[Long](n) // micro-units
     val level = new Array[Int](n)
     val sigma = new Array[Long](n)
@@ -164,20 +170,8 @@ object Betweenness {
   private[graft] def driverCloseness(adj: Map[Long, Array[Long]],
                                      nodes: Seq[Long],
                                      seeds: Seq[Long]): Map[Long, BigDecimal] = {
-    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
-    nodes.foreach(v => idx.getOrElseUpdate(v, idx.size))
-    adj.keys.foreach(v => idx.getOrElseUpdate(v, idx.size))
-    val n = idx.size
-    val adjIdx = new Array[Array[Int]](n)
-    var i = 0
-    while (i < n) { adjIdx(i) = Array.empty[Int]; i += 1 }
-    adj.foreach { case (v, ws) =>
-      adjIdx(idx(v)) = ws.map { w =>
-        require(idx.contains(w),
-          s"driverCloseness requires a SYMMETRIC adjacency: target $w of $v is not a key/node")
-        idx(w)
-      }
-    }
+    val (idx, adjIdx) = indexedAdj(adj, nodes, "driverCloseness")
+    val n = adjIdx.length
     // only MaxRounds distinct contributions exist — precompute them
     val invMicros = Array.tabulate(MaxRounds + 1)(d =>
       if (d == 0) 0L else round6micros(1.0 / d))
@@ -243,10 +237,16 @@ object Betweenness {
     * scan, re-checkpointing the accumulated frame every round was
     * O(diameter²) materialization. */
   private[graft] def forwardLevels(edges: DataFrame, seeds: DataFrame,
-                                   recordDag: Boolean):
+                                   recordDag: Boolean,
+                                   seedRowsHint: Long = -1L,
+                                   edgeRowsHint: Long = -1L):
       (scala.collection.mutable.ArrayBuffer[DataFrame],
        scala.collection.mutable.ArrayBuffer[Long],
        scala.collection.mutable.ArrayBuffer[DataFrame]) = {
+    // callers that just counted these frames for tier dispatch pass the
+    // counts in (the no-wasted-jobs discipline); cold callers pay them
+    val seedRows = if (seedRowsHint >= 0) seedRowsHint else seeds.count()
+    val edgeRows = if (edgeRowsHint >= 0) edgeRowsHint else edges.count()
     // Storage level for the kept fan-out frames, decided ONCE from the
     // run's intrinsic bound Σ|DAG| ≤ |S|·|E| (a per-round frontier size
     // is a bad proxy — a small hub frontier fans out 400×, measured):
@@ -255,7 +255,7 @@ object Betweenness {
     // disk (measured at 30×: on-heap 314 s with GC thrash — or OOM at
     // a looser broadcast gate — vs 154 s on disk; at 1× on-heap wins
     // by ~9 s).
-    val fanoutBound = seeds.count() * edges.count()
+    val fanoutBound = seedRows * edgeRows
     val candLevel =
       if (fanoutBound <= 50000000L)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -263,7 +263,7 @@ object Betweenness {
     val levelFrames = scala.collection.mutable.ArrayBuffer(
       seeds.select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
         .localCheckpoint())
-    val levelRows = scala.collection.mutable.ArrayBuffer(levelFrames.head.count())
+    val levelRows = scala.collection.mutable.ArrayBuffer(seedRows)
     val dagFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var visited = levelFrames.head.select(col("seed"), col("id"))
     var visitedRows = levelRows.head
@@ -285,8 +285,12 @@ object Betweenness {
         .agg(sum(col("sv")).as("sigma"))
         .localCheckpoint()
       val nextRows = next.count()
-      if (nextRows == 0) { drained = true }
-      else {
+      if (nextRows == 0) {
+        drained = true
+        // the drained round's fan-out frame is empty and never consumed
+        // — drop its cache registration instead of leaking it
+        if (recordDag) cand.unpersist(false)
+      } else {
         if (recordDag) dagFrames += cand
         levelFrames += next
         levelRows += nextRows
@@ -296,7 +300,18 @@ object Betweenness {
         frontierRows = nextRows
       }
     }
-    require(drained, s"joint-seed BFS did not drain in $MaxRounds rounds")
+    // Cap boundary aligned with the driver kernels and the closeness
+    // oracle's dist < MaxRounds recursion (the bfs() discipline): a
+    // graph that fully drains AT round MaxRounds is a valid answer —
+    // crash only if a genuine round-(MaxRounds+1) frontier exists,
+    // where the oracle would silently truncate.
+    require(drained || {
+      gated(frontier.select(col("seed"), col("id").as("src")), frontierRows)
+        .join(edges, "src")
+        .join(gated(visited.toDF("seed", "dst"), visitedRows),
+          Seq("seed", "dst"), "left_anti")
+        .limit(1).count() == 0
+    }, s"joint-seed BFS did not drain in $MaxRounds rounds")
     (levelFrames, levelRows, dagFrames)
   }
 
@@ -304,10 +319,12 @@ object Betweenness {
     * dependency joins, the SAME decimal recurrence. `edges` must be the
     * symmetric (src, dst) frame; `ids` one row per node id. */
   private[graft] def distBrandes(s: SparkSession, edges: DataFrame,
-                                 ids: DataFrame, seeds: DataFrame): DataFrame = {
+                                 ids: DataFrame, seeds: DataFrame,
+                                 seedRowsHint: Long = -1L,
+                                 edgeRowsHint: Long = -1L): DataFrame = {
     val dec = "decimal(28,6)"
     val (levelFrames, levelRows, dagFrames) =
-      forwardLevels(edges, seeds, recordDag = true)
+      forwardLevels(edges, seeds, recordDag = true, seedRowsHint, edgeRowsHint)
     val maxLev = levelFrames.size - 1
     // Backward: δ per (seed, id), level by level descending off the
     // recorded frames. Nodes at the deepest level have δ = 0 (no

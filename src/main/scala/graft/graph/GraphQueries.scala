@@ -197,14 +197,6 @@ object GraphQueries extends QueryModule {
     }
   }
 
-  /** spo_betweenness body — sampled-source Brandes over the undirected
-    * entity graph (see [[Betweenness]] for the algorithm and the
-    * cross-tier 6dp-decimal exactness contract). The bfs/kcore two-tier
-    * dispatch: under `driverCap` edges the identical decimal recurrence
-    * runs in one collect; above it, the joint-seed frame loops. Output
-    * carries the distinct-neighbor `degree` as the driver-visible gate
-    * column: degree ≤ 1 nodes must score exactly 0 (a leaf is never
-    * interior to a shortest path) — checkable from the output alone. */
   /** Shared tier dispatch for the sampled-seed centrality queries
     * (betweenness / closeness — one scaffold, two kernels, the
     * Funnel.step discipline): under `driverCap` edges, collect the
@@ -216,21 +208,22 @@ object GraphQueries extends QueryModule {
       s: org.apache.spark.sql.SparkSession, dir: String, driverCap: Long,
       outCol: String)(
       driverKernel: (Map[Long, Array[Long]], Seq[Long], Seq[Long]) => Map[Long, BigDecimal])(
-      distBuilder: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+      distBuilder: (DataFrame, DataFrame, DataFrame, Long, Long) => DataFrame): DataFrame = {
     val g = T.staged(s, dir)
     val half = g.half
     val ids = g.dict.select(col("object_id").as("id"))
-    if (2 * half.count() <= driverCap) {
+    val halfCount = half.count()
+    if (2 * halfCount <= driverCap) {
       val hs = half.select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val adj = (hs.map(e => (e._1, e._2)) ++ hs.map(e => (e._2, e._1)))
+      val adj = (hs ++ hs.map(e => (e._2, e._1)))
         .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2) }
       val nodeIds = ids.collect().map(_.getLong(0)).toSeq
       val seedIds = nodeIds.filter(v => ((v % Betweenness.SeedMod) +
         Betweenness.SeedMod) % Betweenness.SeedMod == 0).sorted
       val d = driverKernel(adj, nodeIds, seedIds)
       import s.implicits._
-      d.toSeq.map { case (v, b) => (v, b) }.toDF("id", outCol)
+      d.toSeq.toDF("id", outCol)
         .select(col("id"), col(outCol).cast("decimal(38,6)"))
     } else {
       val edges = half
@@ -239,12 +232,22 @@ object GraphQueries extends QueryModule {
         .localCheckpoint()
       val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
         .select(col("id").as("seed")).localCheckpoint()
-      if (seeds.count() == 0)
+      val seedRows = seeds.count()
+      if (seedRows == 0)
         ids.select(col("id"), lit(0).cast("decimal(38,6)").as(outCol))
-      else distBuilder(edges, ids, seeds)
+      else distBuilder(edges, ids, seeds, seedRows, 2 * halfCount)
     }
   }
 
+  /** spo_betweenness body — sampled-source Brandes over the undirected
+    * entity graph (see [[Betweenness]] for the algorithm and the
+    * cross-tier 6dp-decimal exactness contract). The bfs/kcore two-tier
+    * dispatch via [[sampledSeedCentrality]]: under `driverCap` edges the
+    * identical decimal recurrence runs in one collect; above it, the
+    * joint-seed frame loops. Output carries the distinct-neighbor
+    * `degree` as the driver-visible gate column: degree ≤ 1 nodes must
+    * score exactly 0 (a leaf is never interior to a shortest path) —
+    * checkable from the output alone. */
   private[graft] def betweenness(s: org.apache.spark.sql.SparkSession, dir: String,
                                  driverCap: Long = 2000000L): DataFrame = {
     val g = T.staged(s, dir)
@@ -253,7 +256,7 @@ object GraphQueries extends QueryModule {
       .unionByName(half.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     val cent = sampledSeedCentrality(s, dir, driverCap, "betweenness")(
-      Betweenness.driverBrandes)(Betweenness.distBrandes(s, _, _, _))
+      Betweenness.driverBrandes)(Betweenness.distBrandes(s, _, _, _, _, _))
     cent.join(deg, Seq("id"), "left")
       .select(col("id").as("object_id"),
         coalesce(col("degree"), lit(0L)).as("degree"),
@@ -281,8 +284,9 @@ object GraphQueries extends QueryModule {
     val ids = g.dict.select(col("object_id").as("id"))
     val dec = "decimal(28,6)"
     val cent = sampledSeedCentrality(s, dir, driverCap, "closeness")(
-      Betweenness.driverCloseness) { (edges, distIds, seeds) =>
-      val (levels, _, _) = Betweenness.forwardLevels(edges, seeds, recordDag = false)
+      Betweenness.driverCloseness) { (edges, distIds, seeds, seedRows, edgeRows) =>
+      val (levels, _, _) = Betweenness.forwardLevels(edges, seeds,
+        recordDag = false, seedRows, edgeRows)
       val contribs = levels.zipWithIndex.drop(1).map { case (f, d) =>
         f.select(col("id"), round(lit(1.0) / lit(d.toDouble), 6).cast(dec).as("c"))
       }

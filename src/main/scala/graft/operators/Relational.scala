@@ -2085,10 +2085,6 @@ object Relational extends QueryModule {
         .cast("long"))
   }
 
-  /** `q_events_anomaly` body over a (event_id, event_type, v: Money)
-    * frame — parameterized so specs can feed degenerate groups.
-    * Semantics and the degenerate-group guard are documented at the
-    * QueryDef. */
   /** q_events_histogram body on an explicit (event_type, value) frame —
     * factored so the spec can drive the degenerate (min = max) guard
     * and the bin-edge clamp with engineered groups (the anomalyZ
@@ -2106,6 +2102,10 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** `q_events_anomaly` body over a (event_id, event_type, v: Money)
+    * frame — parameterized so specs can feed degenerate groups.
+    * Semantics and the degenerate-group guard are documented at the
+    * QueryDef. */
   private[operators] def anomalyZ(e: DataFrame): DataFrame = {
     val st = e.groupBy(col("event_type")).agg(
         sum(col("v")).cast("double").as("sv"),

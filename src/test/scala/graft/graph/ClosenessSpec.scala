@@ -128,6 +128,20 @@ class ClosenessSpec extends AnyFunSuite with SparkFixture {
     assert(viaDist(edges, nodes, nodes) == drv)
   }
 
+  test("a graph draining at exactly MaxRounds is a valid answer in both tiers") {
+    // P51: seed 0 reaches node 50 at hop exactly 50 = MaxRounds. The
+    // driver kernels and the spo_bfs oracle both accept this boundary
+    // (dist <= 50 rows are returned; only a genuine hop-51 frontier
+    // refuses) — a first cut of forwardLevels crashed here, diverging
+    // from its own driver tier. Regression-pinned.
+    val edges = (0L until 50L).map(i => (i, i + 1))
+    val nodes = (0L to 50L).toSeq
+    val seeds = Seq(0L)
+    val drv = viaDriver(edges, nodes, seeds)
+    assert(drv(50L) == BigDecimal("0.02").setScale(6)) // 1/50
+    assert(viaDist(edges, nodes, seeds) == drv)
+  }
+
   test("shipped graph: tiers agree bit-for-bit, everything non-negative") {
     val dir = "/root/testdata/sf0.001"
     val viaQuery = GraphQueries.closeness(spark, dir).collect()
