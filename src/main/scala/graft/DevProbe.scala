@@ -322,12 +322,23 @@ object DevProbe {
               println(s"  rows=$n")
               n
             }
+          // the other forwardLevels consumer: forward pass only, no DAG
+          // persist — measures the shared BFS frames' own scale shape
+          def runCls(dir: String, tag: String): Long =
+            t(s"closeness $tag") {
+              val n = graft.graph.GraphQueries.closeness(spark, dir, driverCap = 0L).count()
+              println(s"  rows=$n")
+              n
+            }
           val n1 = run(sfDir, "1x distributed")
+          val c1 = runCls(sfDir, "1x distributed")
           val tmp = stageScaledEvents(spark, sfDir, k)
           try {
             val nk = run(tmp, s"x$k distributed")
-            println(s"  linearity: x$k=$nk expect=${k * n1}")
+            val ck = runCls(tmp, s"x$k distributed")
+            println(s"  linearity: x$k=$nk/$ck expect=${k * n1}/${k * c1}")
             require(nk == k * n1, "betweenness output not linear under disjoint replication")
+            require(ck == k * c1, "closeness output not linear under disjoint replication")
           } finally {
             sweepCaches(spark, tmp)
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
