@@ -392,8 +392,12 @@ object DevProbe {
           import org.apache.spark.sql.functions._
           import org.apache.spark.sql.expressions.Window
           val tok = graft.dedup.Dedup.stagedContainment(spark, sfDir)
-          val xx = col("n") * lit(4L) + lit(4L)
-          val ceilTn = ((xx - pmod(xx, lit(5L))) / lit(5L)).cast("long")
+          // shared tau constants, not literals — the decomposition must
+          // measure the same candidate set the production query builds
+          val tn = graft.dedup.Dedup.ContainTauNum
+          val td = graft.dedup.Dedup.ContainTauDen
+          val xx = col("n") * lit(tn) + lit(td - 1)
+          val ceilTn = ((xx - pmod(xx, lit(td))) / lit(td)).cast("long")
           val prefixLen = col("n") - ceilTn + lit(1)
           val probe = tok
             .withColumn("rk", row_number().over(
@@ -403,7 +407,7 @@ object DevProbe {
           val postings = tok.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shh"))
           val cands = probe.join(postings, "shh")
             .filter(col("doc_a") =!= col("doc_b"))
-            .filter(col("n_b") * lit(5L) >= col("n_a") * lit(4L))
+            .filter(col("n_b") * lit(td) >= col("n_a") * lit(tn))
             .select(col("doc_a"), col("doc_b")).distinct()
           println("  cands=" + cands.count())
         }

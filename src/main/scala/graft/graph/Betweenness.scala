@@ -122,8 +122,19 @@ object Betweenness {
           val nb = adjIdx(u); var j = 0
           while (j < nb.length) {
             val v = nb(j)
+            // addExact: σ grows multiplicatively through layered
+            // junctions and a silent Long wrap would poison the 6dp
+            // recurrence with both tiers agreeing on garbage — the
+            // distributed tier's ANSI long sum already throws on
+            // overflow, so the driver tier must refuse just as loudly
             if (level(v) == -1) { level(v) = hop; sigma(v) = sigma(u); order(hi) = v; hi += 1 }
-            else if (level(v) == hop) sigma(v) += sigma(u)
+            else if (level(v) == hop) sigma(v) =
+              try Math.addExact(sigma(v), sigma(u))
+              catch {
+                case _: ArithmeticException => throw new IllegalArgumentException(
+                  s"betweenness sigma path count overflowed Long (seed $s0, hop $hop) — " +
+                    "the graph's shortest-path multiplicity exceeds the exact-long contract")
+              }
             j += 1
           }
         }
@@ -255,7 +266,12 @@ object Betweenness {
     // disk (measured at 30×: on-heap 314 s with GC thrash — or OOM at
     // a looser broadcast gate — vs 154 s on disk; at 1× on-heap wins
     // by ~9 s).
-    val fanoutBound = seedRows * edgeRows
+    // saturating multiply: at web scale seeds × edges overflows Long,
+    // and a wrapped-negative bound would select the on-heap level in
+    // exactly the regime measured to OOM
+    val fanoutBound =
+      if (seedRows > 0 && edgeRows > Long.MaxValue / seedRows) Long.MaxValue
+      else seedRows * edgeRows
     val candLevel =
       if (fanoutBound <= 50000000L)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -72,23 +72,34 @@ object CorpusOps extends QueryModule {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** THE shared positional shingle staging for ALL THREE
+    * decontamination probes (`decontam_ngram` / `decontam_hashed` /
+    * `decontam_spans`): one tokenize + posexplode of the corpus,
+    * persisted ONCE — a review pass found the three probes each pinning
+    * their own exploded 8-gram copy (string-keyed, hashed, hashed+pos —
+    * three session-lifetime caches of the corpus's largest derived
+    * frame). Key projections run downstream over the cached rows (an
+    * md5 per scan costs far less than a third persisted copy), and the
+    * CacheManager's plan-equality dedup means every caller hits the
+    * same entry. MEMORY_AND_DISK so it evicts under pressure. */
+  private def stagedShingles(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"),
+        posexplode(shingles8(col("text"))).as(Seq("p0", "s")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** THE decontamination probe — ONE pipeline for `decontam_ngram` and
     * `decontam_hashed`, parameterized by the membership-key projection
     * (identity 8-gram string vs its 60-bit hash) so the bench split,
     * shingle definition, and distinct/count tail cannot fork between
-    * the two operators. The exploded frame is persisted: the
-    * benchmark-side distinct and the corpus-side probe both scan it —
-    * without it the tokenize+explode runs twice over the corpus
-    * (measured 2.5 s → 0.5 s at sf0.1). Like the module's other
-    * persisted intermediates the entry lives in the CacheManager until
-    * session end, MEMORY_AND_DISK so it evicts under pressure. */
+    * the two operators. Scans [[stagedShingles]]. */
   private def decontamBody(s: org.apache.spark.sql.SparkSession, dir: String,
                            key: Column => Column): DataFrame = {
-    val shingled = Tables(s, dir).documents
-      .select(col("doc_id"), col("source"),
-        explode(shingles8(col("text"))).as("s"))
+    val shingled = stagedShingles(s, dir)
       .select(col("doc_id"), col("source"), key(col("s")).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = shingled.filter(col("doc_id") % 29 === 0)
       .select(col("k")).distinct()
     shingled.filter(col("doc_id") % 29 =!= 0)
@@ -474,12 +485,8 @@ object CorpusOps extends QueryModule {
       (s, dir) => {
         val key = (c: Column) =>
           conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-        val sh = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"),
-            posexplode(shingles8(col("text"))).as(Seq("p0", "s")))
-          .select(col("doc_id"), col("source"),
-            (col("p0") + 1).cast("long").as("pos"), key(col("s")).as("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = stagedShingles(s, dir)
+          .select(col("doc_id"), col("source"), col("pos"), key(col("s")).as("k"))
         val bench = sh.filter(col("doc_id") % 29 === 0)
           .select(col("doc_id").as("bench_id"), col("k")).distinct()
         sh.filter(col("doc_id") % 29 =!= 0)

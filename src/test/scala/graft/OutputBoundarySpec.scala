@@ -25,16 +25,20 @@ class OutputBoundarySpec extends AnyFunSuite with SparkFixture {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def offendingPaths(dt: DataType, path: String): Seq[String] = dt match {
-    case _: DecimalType => Seq(s"$path: ${dt.catalogString}")
+  private def offendingPaths(dt: DataType, path: String)(
+      bad: DataType => Boolean): Seq[String] = dt match {
+    case t if bad(t) => Seq(s"$path: ${dt.catalogString}")
     case s: StructType =>
-      s.fields.toSeq.flatMap(f => offendingPaths(f.dataType, s"$path.${f.name}"))
-    case a: ArrayType => offendingPaths(a.elementType, s"$path[]")
+      s.fields.toSeq.flatMap(f => offendingPaths(f.dataType, s"$path.${f.name}")(bad))
+    case a: ArrayType => offendingPaths(a.elementType, s"$path[]")(bad)
     case m: MapType =>
-      offendingPaths(m.keyType, s"$path<key>") ++
-        offendingPaths(m.valueType, s"$path<value>")
+      offendingPaths(m.keyType, s"$path<key>")(bad) ++
+        offendingPaths(m.valueType, s"$path<value>")(bad)
     case _ => Nil
   }
+
+  private def isTimestamp(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
 
   private lazy val schemas: Seq[(String, StructType)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -43,18 +47,30 @@ class OutputBoundarySpec extends AnyFunSuite with SparkFixture {
 
   test("no query output schema carries a DECIMAL column, at any nesting") {
     val offenders = schemas.flatMap { case (name, schema) =>
-      schema.fields.toSeq.flatMap(f => offendingPaths(f.dataType, s"$name.${f.name}"))
+      schema.fields.toSeq.flatMap(f =>
+        offendingPaths(f.dataType, s"$name.${f.name}")(_.isInstanceOf[DecimalType]))
     }
     assert(offenders.isEmpty,
       s"bare DECIMAL output columns (cast to DOUBLE at the boundary, §5): ${offenders.mkString(", ")}")
   }
 
+  test("no query output schema NESTS a timestamp (value check cannot reach it)") {
+    // the second-alignment value check below only drives top-level
+    // columns; a timestamp buried in a struct/array/map would dodge it,
+    // so nesting one is itself a boundary violation — surface the
+    // instant as a top-level column (or extend the value walk)
+    val offenders = schemas.flatMap { case (name, schema) =>
+      schema.fields.toSeq.filterNot(f => isTimestamp(f.dataType)).flatMap(f =>
+        offendingPaths(f.dataType, s"$name.${f.name}")(isTimestamp))
+    }
+    assert(offenders.isEmpty,
+      s"nested timestamp output columns (§5): ${offenders.mkString(", ")}")
+  }
+
   test("every TIMESTAMP output column is second-aligned (no sub-second instants)") {
     val tsQueries = schemas.collect {
-      case (name, schema) if schema.fields.exists(f =>
-        f.dataType == TimestampType || f.dataType == TimestampNTZType) =>
-        name -> schema.fields.filter(f =>
-          f.dataType == TimestampType || f.dataType == TimestampNTZType).map(_.name).toSeq
+      case (name, schema) if schema.fields.exists(f => isTimestamp(f.dataType)) =>
+        name -> schema.fields.filter(f => isTimestamp(f.dataType)).map(_.name).toSeq
     }
     tsQueries.foreach { case (name, cols) =>
       val df = SparkEntry.queries(name)(spark, dir)

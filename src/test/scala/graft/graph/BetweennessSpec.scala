@@ -104,6 +104,26 @@ class BetweennessSpec extends AnyFunSuite with SparkFixture {
     assert(viaDist(Seq((0L,1L),(0L,2L),(1L,3L),(2L,3L)), Seq(0L,1L,2L,3L), Seq(0L)) == drv)
   }
 
+  test("sigma path-count overflow refuses loudly instead of wrapping") {
+    // chain of 16 width-16 junctions: sigma multiplies by 16 every two
+    // hops (32 hops total, inside the 50-round bound), so the path
+    // count reaches 2^64 and the exact-long accumulation must refuse —
+    // a silent wrap would have both tiers agreeing on garbage. The
+    // distributed tier's ANSI long SUM throws SparkArithmeticException
+    // on the same graph by construction (Spark 4 ANSI default).
+    val width = 16
+    val edges = (0 until 16).flatMap { i =>
+      val a = i.toLong * (width + 1)
+      val next = (i + 1).toLong * (width + 1)
+      (1 to width).flatMap { j => Seq((a, a + j), (a + j, next)) }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val ex = intercept[IllegalArgumentException] {
+      viaDriver(edges, nodes, Seq(0L))
+    }
+    assert(ex.getMessage.contains("sigma path count overflowed"))
+  }
+
   test("shipped graph: tiers agree bit-for-bit and leaves score zero") {
     val dir = "/root/testdata/sf0.001"
     val viaQuery = GraphQueries.betweenness(spark, dir).collect()
