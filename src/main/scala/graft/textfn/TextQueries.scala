@@ -269,6 +269,47 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // Per-source LENGTH QUARTILES — the calibration read before
+      // setting length-filter thresholds (pipeline_filter's min-length
+      // cut is a constant; this query says where each source's
+      // distribution actually sits, p75/p25 spread included). Exact
+      // percentiles on the INTEGER n_chars column: Spark `percentile`
+      // and DuckDB `quantile_cont` both linearly interpolate between
+      // order statistics — on integer inputs the interpolated value is
+      // a·(1−f) + b·f with f ∈ {0, .25, .5, .75} over exact-in-double
+      // integers, the same IEEE arithmetic in both engines (the
+      // q_median_order precedent). Scale: per-group exact percentile
+      // aggregates over the grouping shuffle — group count is the
+      // source cardinality, tiny; the 100 TB path would swap in
+      // approx_percentile with a driver-visible rank-error gate (the
+      // q_approx_quantiles pattern, already in the suite).
+      "docs_length_quartiles",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            expr("percentile(n_chars, 0.25)").as("p25_chars"),
+            expr("percentile(n_chars, 0.5)").as("p50_chars"),
+            expr("percentile(n_chars, 0.75)").as("p75_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .select(col("source"), col("n_docs"),
+            col("min_chars"), col("p25_chars"), col("p50_chars"),
+            col("p75_chars"), (col("p75_chars") - col("p25_chars")).as("iqr_chars"),
+            col("max_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        quantile_cont(n_chars, 0.25) AS p25_chars,
+        quantile_cont(n_chars, 0.5) AS p50_chars,
+        quantile_cont(n_chars, 0.75) AS p75_chars,
+        quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr_chars,
+        CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source ORDER BY source""")
+    ),
+
+    QueryDef(
       // Per-doc rarity signal (the CCNet-style "how surprising is this
       // document" building block): each document's 3 rarest corpus
       // tokens by document frequency. Shape at scale: the corpus df is
