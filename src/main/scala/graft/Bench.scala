@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Emits ONE JSON metric line to stdout and also
@@ -34,9 +34,56 @@ object Bench {
     // job-count probe: incremented on every job start; snapshotted
     // around each timed run so the artifact shows action counts
     val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    // executor-metric probes (r11 verdict #1a): the r11 artifact could
+    // not adjudicate a 52.6->80.0 s suite drift because it recorded
+    // wall and job counts but nothing about WHAT the tasks did. These
+    // counters make shuffle volume, spill, task GC, and cached-block
+    // eviction per-run facts of the artifact. All are monotonic sums
+    // fed by the async listener bus; snapshots drain the bus first
+    // (GraftCoreBridge) so a task's bytes land in its own query's
+    // window, not the next one's.
+    object M {
+      import java.util.concurrent.atomic.AtomicLong
+      val shufR = new AtomicLong(0L)   // shuffle read bytes
+      val shufW = new AtomicLong(0L)   // shuffle write bytes
+      val spillM = new AtomicLong(0L)  // memory bytes spilled
+      val spillD = new AtomicLong(0L)  // disk bytes spilled
+      val gcMs = new AtomicLong(0L)    // task JVM GC time, ms
+      val evict = new AtomicLong(0L)   // cached RDD blocks demoted memory->disk
+      val removed = new AtomicLong(0L) // cached RDD blocks dropped entirely
+      def snapshot(): Array[Long] = {
+        org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+        Array(shufR.get, shufW.get, spillM.get, spillD.get, gcMs.get,
+          evict.get, removed.get)
+      }
+    }
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
         jobCounter.incrementAndGet(); ()
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val tm = te.taskMetrics
+        if (tm != null) {
+          M.shufR.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+          M.shufW.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+          M.spillM.addAndGet(tm.memoryBytesSpilled)
+          M.spillD.addAndGet(tm.diskBytesSpilled)
+          M.gcMs.addAndGet(tm.jvmGCTime)
+          ()
+        }
+      }
+      override def onBlockUpdated(bu: SparkListenerBlockUpdated): Unit = {
+        val info = bu.blockUpdatedInfo
+        if (info.blockId.isRDD) {
+          val lvl = info.storageLevel
+          // memory->disk demotion: the block still exists but every
+          // consumer now pays disk bandwidth (the suspected r11
+          // spo_cooccurrence mechanism); full drop = recompute next use
+          if (!lvl.isValid) M.removed.incrementAndGet()
+          else if (!lvl.useMemory && lvl.useDisk && info.diskSize > 0L)
+            M.evict.incrementAndGet()
+          ()
+        }
       }
     })
     // untimed warmup: JIT + codegen + parquet footer caches otherwise land
@@ -73,17 +120,20 @@ object Bench {
     // swallowed failure would report ~0 s here and quietly re-land the
     // tier cost inside the first query that rebuilds the cache inline,
     // recreating exactly the variance this phase eliminates.
-    def stageTier(name: String)(body: => Unit): (String, Double, Option[String]) = {
+    def stageTier(name: String)(body: => Unit): (String, Double, Option[String], Array[Long]) = {
+      val m0 = M.snapshot()
       val t0 = System.nanoTime()
       val err =
         try { body; None }
         catch { case t: Throwable => Some(t.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m1 = M.snapshot()
+      (name, sec, err, m1.zip(m0).map { case (a, b) => a - b })
     }
     // SPARK_GRAFT_ONLY dev runs skip staging entirely: a one-query dev
     // loop should not pay ~14 s of unrelated tier builds; first-touch
     // staging inside the selected query is the accepted dev tradeoff
-    val staging: Seq[(String, Double, Option[String])] =
+    val staging: Seq[(String, Double, Option[String], Array[Long])] =
       if (only.isDefined) Nil
       else Seq(
         stageTier("graph") {
@@ -122,17 +172,24 @@ object Bench {
     // Map iteration order: hash order put an arbitrary query first —
     // whichever absorbed residual session effects — and the artifact
     // could not show it. The order is recorded in the emitted line.
+    // one timed execution: wall, job count, error, and the executor-
+    // metric delta over the run (field order = metricFields below)
+    final case class Run(sec: Double, jobs: Long, err: Option[String], m: Array[Long])
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Long, Option[String]) = {
+        : Run = {
       // settle the heap between runs so an allocation-heavy query's
       // garbage doesn't tax its successors' measurements
       System.gc()
+      val m0 = M.snapshot()
       val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(safeTake(t.toString, 200)) }
-      ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val jobs = jobCounter.get() - j0
+      val m1 = M.snapshot()
+      Run(sec, jobs, err, m1.zip(m0).map { case (a, b) => a - b })
     }
     val firstPass = SparkEntry.allDefs
       .map(d => d.name -> d.fn)
@@ -142,7 +199,7 @@ object Bench {
         // a failed first run is reported as-is; retrying an error-path
         // query would double its (possibly destructive) side effects
         val all =
-          if (first._3.isDefined || runs == 1) Seq(first)
+          if (first.err.isDefined || runs == 1) Seq(first)
           else first +: Seq.fill(runs - 1)(timeOne(name, fn))
         // every run's wall time is kept for the artifact: a min-of-N
         // number alone cannot distinguish warmup-then-steady from
@@ -160,18 +217,18 @@ object Bench {
     // its number. All probe times land in runs_all, so the artifact
     // still shows the stalled runs.
     val mins = firstPass.collect {
-      case (_, _, all) if all.head._3.isEmpty => all.map(_._1).min
+      case (_, _, all) if all.head.err.isEmpty => all.map(_.sec).min
     }.sorted
     val median = if (mins.isEmpty) 0.0 else mins(mins.length / 2)
     val outlierFloor = math.max(1.0, 4.0 * median)
     val results = firstPass.map { case (name, fn, all) =>
-      val errored = all.exists(_._3.isDefined)
+      val errored = all.exists(_.err.isDefined)
       val withProbe =
-        if (!errored && runs > 1 && all.map(_._1).min > outlierFloor)
+        if (!errored && runs > 1 && all.map(_.sec).min > outlierFloor)
           all :+ timeOne(name, fn)
         else all
-      val best = withProbe.minBy(r => (r._3.isDefined, r._1))
-      name -> (best, withProbe.map(_._1))
+      val best = withProbe.minBy(r => (r.err.isDefined, r.sec))
+      name -> (best, withProbe)
     }
     def esc(s: String): String =
       s.flatMap {
@@ -181,28 +238,45 @@ object Bench {
         case c             => c.toString
       }
     val qs = results.map {
-      case (k, ((v, _, None), _))    => s"\"" + k + "\":" + v
-      case (k, ((v, _, Some(e)), _)) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
+      case (k, (Run(v, _, None, _), _))    => s"\"" + k + "\":" + v
+      case (k, (Run(v, _, Some(e), _), _)) => s"\"" + k + s"""\":{"sec":$v,"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val js = results.map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
+    val js = results.map { case (k, (best, _)) => s"\"" + k + "\":" + best.jobs }
       .mkString("{", ",", "}")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // all per-run wall times (full artifact only): warmup-vs-steady is
     // visible per query instead of being erased by the min
-    val ra = results.map { case (k, (_, times)) =>
-      s"\"" + k + "\":" + times.map(r3).mkString("[", ",", "]")
+    val ra = results.map { case (k, (_, all)) =>
+      s"\"" + k + "\":" + all.map(r => r3(r.sec)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errCount = results.count(_._2._1._3.isDefined)
-    val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
+    // per-run executor metrics (full artifact only): each query maps to
+    // an array of per-run records, record field order = metricFields.
+    // Byte fields are MB (1 decimal), gc is ms, block fields are counts.
+    val metricFields = Seq("shuffle_read_mb", "shuffle_write_mb",
+      "spill_mem_mb", "spill_disk_mb", "gc_ms", "evicted_blocks",
+      "removed_blocks")
+    def metricRec(m: Array[Long]): String = {
+      val mb = m.take(4).map(b => r1(b / 1048576.0))
+      (mb ++ m.drop(4).map(_.toString)).mkString("[", ",", "]")
+    }
+    val em = results.map { case (k, (_, all)) =>
+      s"\"" + k + "\":" + all.map(r => metricRec(r.m)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errCount = results.count(_._2._1.err.isDefined)
+    val total = if (results.nonEmpty) results.map(_._2._1.sec).sum else 0.0
     val stagingSec = staging.map(_._2).sum
-    // uniform per-tier shape — {"sec":N} with optional "err" — so
-    // artifact consumers parse one shape instead of type-switching on
+    // uniform per-tier shape — {"sec":N,"m":[...]} with optional "err" —
+    // so artifact consumers parse one shape instead of type-switching on
     // bare-number-or-object (a failed tier was easy to misparse as 0 s)
     val stagingJson = staging
       .map {
-        case (k, v, None)    => s"\"" + k + s"""\":{"sec":${r3(v)}}"""
-        case (k, v, Some(e)) => s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(e)}"}"""
+        case (k, v, None, m)    =>
+          s"\"" + k + s"""\":{"sec":${r3(v)},"m":${metricRec(m)}}"""
+        case (k, v, Some(e), m) =>
+          s"\"" + k + s"""\":{"sec":${r3(v)},"m":${metricRec(m)},"err":"${esc(e)}"}"""
       }
       .mkString("{", ",", "}")
     // execution order as an array: position-dependent effects (first-
@@ -228,8 +302,9 @@ object Bench {
           .map("%02x".format(_)).mkString
       } catch { case _: Throwable => "unavailable" }
     }
+    val mfJson = metricFields.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"order":$orderJson,"staging":$stagingJson,"staging_sec":${r3(stagingSec)},"runs":$runs,"errors":$errCount,"sf":"$sfDir","testdata_fingerprint":"$fingerprint"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"exec_metric_fields":$mfJson,"exec_metrics":$em,"order":$orderJson,"staging":$stagingJson,"staging_sec":${r3(stagingSec)},"runs":$runs,"errors":$errCount,"sf":"$sfDir","testdata_fingerprint":"$fingerprint"}"""
     // The full line (~5 KB at 95 queries) overflows the driver's stdout
     // tail capture (BENCH_r04/r05 both recorded parsed:null with a
     // 2000-char tail), so it goes to bench_out.json and an early stdout
@@ -238,12 +313,12 @@ object Bench {
     // queries by time (3-decimal secs), an omitted-count/secs pair so
     // the total is still reconstructible, and job counts for the
     // inlined top <= 20.
-    val byCost = results.toSeq.sortBy { case (_, ((v, _, err), _)) =>
-      (if (err.isDefined) 0 else 1, -v)
+    val byCost = results.toSeq.sortBy { case (_, (best, _)) =>
+      (if (best.err.isDefined) 0 else 1, -best.sec)
     }
     val entryStrings = byCost.map {
-      case (k, ((v, _, None), _))    => s"\"" + k + "\":" + r3(v)
-      case (k, ((v, _, Some(e)), _)) =>
+      case (k, (Run(v, _, None, _), _))    => s"\"" + k + "\":" + r3(v)
+      case (k, (Run(v, _, Some(e), _), _)) =>
         s"\"" + k + s"""\":{"sec":${r3(v)},"err":"${esc(safeTake(e, 80))}"}"""
     }
     // The inline count is chosen against the length of the WHOLE
@@ -255,9 +330,9 @@ object Bench {
       val omitted = byCost.drop(n)
       val qsCompact = entryStrings.take(n).mkString("{", ",", "}")
       val jsCompact = byCost.take(n min 20)
-        .map { case (k, ((_, j, _), _)) => s"\"" + k + "\":" + j }
+        .map { case (k, (best, _)) => s"\"" + k + "\":" + best.jobs }
         .mkString("{", ",", "}")
-      val omittedSec = omitted.map(_._2._1._1).sum
+      val omittedSec = omitted.map(_._2._1.sec).sum
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"omitted":${omitted.size},"omitted_sec":${r3(omittedSec)},"jobs":$jsCompact,"staging_sec":${r3(stagingSec)},"runs":$runs,"errors":$errCount,"sf":"$sfDir","full":"bench_out.json"}"""
     }
     val tailWindow = 1900 // driver tail is 2000 chars; headroom for prefixes

@@ -991,7 +991,11 @@ object Dedup extends QueryModule {
     val dict = graft.operators.DenseIds
       .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
       .withColumn("token_id", col("token_id").cast("int"))
-    val idTok = tok.join(broadcast(dict), "token")
+    // un-hinted: this tier's dict is structurally <= 64 rows (the
+    // vocabSize gate at the call site), so the engine broadcasts it
+    // anyway — the hint bought nothing and kept the forced-broadcast
+    // pattern alive for copy-paste (VERDICT r11 item 3 hygiene)
+    val idTok = tok.join(dict, "token")
     val masks = idTok.groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(1L, token_id)")).as("mask"), count(lit(1)).as("n"))
     val mgroups = masks.groupBy(col("mask"), col("n"))
@@ -1039,7 +1043,16 @@ object Dedup extends QueryModule {
           val dict = graft.operators.DenseIds
             .byOrder(dfreq, "token_id", 0L, col("df"), col("token"))
             .withColumn("token_id", col("token_id").cast("int"))
-          val idTok = tok.join(broadcast(dict), "token")
+          // UN-hinted dict join (VERDICT r11 item 3 — the containment
+          // discipline applied to the word dictionary): a 100 TB
+          // corpus's vocabulary (Zipf tail of typos/ids/URLs) is
+          // hundreds of millions of tokens, and a forced broadcast
+          // cannot degrade — it OOMs the driver. Left to the engine,
+          // Catalyst broadcasts the dict while it fits
+          // autoBroadcastJoinThreshold and falls back to a shuffle
+          // join (AQE skew-split) beyond; DedupSpec pins the fallback
+          // path to identical output with broadcast disabled.
+          val idTok = tok.join(dict, "token")
           val ranked = idTok
             .withColumn("rk", row_number().over(
               Window.partitionBy(col("doc_id")).orderBy(col("token_id"))))

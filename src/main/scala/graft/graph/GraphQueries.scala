@@ -204,6 +204,29 @@ object GraphQueries extends QueryModule {
     * (half the transfer, no wasted checkpoint/count jobs on a frame
     * we'd collect anyway) and run `driverKernel`; above it, build the
     * symmetric edge + seed frames and run `distBuilder`. */
+  /** The ONE centrality seed rule, both formulations (VERDICT r11
+    * item 2): the [[Betweenness.SeedCount]] SMALLEST ids with
+    * id % [[Betweenness.SeedMod]] == 0 — a FIXED-size deterministic
+    * set. A fraction-of-nodes rule made the joint BFS frame
+    * |S|·|V| ≈ 0.06·|V|² rows on connected graphs (quadratic — at 10⁹
+    * nodes unstorable at any level); the fixed count bounds it at
+    * SeedCount·|V|, linear in the graph, while estimator quality needs
+    * O(10²) sources independent of |V| (rationale at
+    * [[Betweenness.SeedCount]]). SQL mirror: `WHERE object_id % 17 = 0
+    * ORDER BY object_id LIMIT 128` in the closeness oracle;
+    * CentralitySeedSpec pins both formulations equal. */
+  private[graft] def seedIdsOf(nodeIds: Seq[Long]): Seq[Long] =
+    nodeIds.filter(v => ((v % Betweenness.SeedMod) +
+      Betweenness.SeedMod) % Betweenness.SeedMod == 0)
+      .sorted.take(Betweenness.SeedCount)
+
+  /** Frame formulation of [[seedIdsOf]] — TakeOrdered ships K rows
+    * through the driver and back, never a fraction of |V|. */
+  private[graft] def seedFrameOf(ids: DataFrame): DataFrame =
+    ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
+      .orderBy(col("id")).limit(Betweenness.SeedCount)
+      .select(col("id").as("seed"))
+
   private def sampledSeedCentrality(
       s: org.apache.spark.sql.SparkSession, dir: String, driverCap: Long,
       outCol: String)(
@@ -219,9 +242,7 @@ object GraphQueries extends QueryModule {
       val adj = (hs ++ hs.map(e => (e._2, e._1)))
         .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2) }
       val nodeIds = ids.collect().map(_.getLong(0)).toSeq
-      val seedIds = nodeIds.filter(v => ((v % Betweenness.SeedMod) +
-        Betweenness.SeedMod) % Betweenness.SeedMod == 0).sorted
-      val d = driverKernel(adj, nodeIds, seedIds)
+      val d = driverKernel(adj, nodeIds, seedIdsOf(nodeIds))
       import s.implicits._
       d.toSeq.toDF("id", outCol)
         .select(col("id"), col(outCol).cast("decimal(38,6)"))
@@ -230,8 +251,7 @@ object GraphQueries extends QueryModule {
         .select(col("a").as("src"), col("b").as("dst"))
         .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
-      val seeds = ids.filter(pmod(col("id"), lit(Betweenness.SeedMod)) === 0L)
-        .select(col("id").as("seed")).localCheckpoint()
+      val seeds = seedFrameOf(ids).localCheckpoint()
       val seedRows = seeds.count()
       if (seedRows == 0)
         ids.select(col("id"), lit(0).cast("decimal(38,6)").as(outCol))
@@ -255,12 +275,35 @@ object GraphQueries extends QueryModule {
     val deg = half.select(col("a").as("id"))
       .unionByName(half.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // total-mass gate (VERDICT r11 item 5, contract at
+    // [[Betweenness.MassGate]]): both tiers fill it during execution;
+    // the driver tier checks against an INDEPENDENT forward-only BFS
+    // ([[Betweenness.massReference]]), the distributed tier against its
+    // own forward-pass level counts
+    val gate = new Betweenness.MassGate
     val cent = sampledSeedCentrality(s, dir, driverCap, "betweenness")(
-      Betweenness.driverBrandes)(Betweenness.distBrandes(s, _, _, _, _, _))
+      (adj, nodes, seeds) => {
+        val d = Betweenness.driverBrandes(adj, nodes, seeds)
+        val (distSum, dagEdges, maxLev) = Betweenness.massReference(adj, nodes, seeds)
+        val deltaMicros = d.valuesIterator.foldLeft(0L)((acc, v) =>
+          Math.addExact(acc, v.underlying.movePointRight(6).longValueExact()))
+        gate.errMicros = Math.abs(
+          Math.subtractExact(deltaMicros, Math.multiplyExact(distSum, 1000000L)))
+        gate.boundMicros = Math.multiplyExact(dagEdges, maxLev + 1L)
+        d
+      })(Betweenness.distBrandes(s, _, _, _, _, _, gate))
+    // zero-seed graphs skip both tiers: Σδ = 0 = Σ(d−1) vacuously
+    val (errMicros, boundMicros) =
+      if (gate.errMicros < 0L) (0L, 0L) else (gate.errMicros, gate.boundMicros)
+    require(errMicros <= boundMicros,
+      s"betweenness mass invariant violated: |Σδ − Σ(d(s,t)−1)| = $errMicros micros " +
+        s"exceeds the rounded-recurrence bound $boundMicros — backward pass lost/created mass")
     cent.join(deg, Seq("id"), "left")
       .select(col("id").as("object_id"),
         coalesce(col("degree"), lit(0L)).as("degree"),
-        col("betweenness").cast("double").as("betweenness"))
+        col("betweenness").cast("double").as("betweenness"),
+        lit(errMicros).as("mass_err_micros"),
+        lit(boundMicros).as("mass_bound_micros"))
       .orderBy(col("object_id"))
   }
 
@@ -1310,13 +1353,19 @@ object GraphQueries extends QueryModule {
     QueryDef(
       // Sampled-source BETWEENNESS centrality — the broker/bottleneck
       // signal (see [[Betweenness]]): Brandes dependency sums from the
-      // deterministic id % 17 seed set, cross-tier-exact via the
+      // deterministic fixed-count seed set (the SeedCount smallest
+      // ids with id % 17 == 0), cross-tier-exact via the
       // 6dp-decimal recurrence. Rows-only BY DESIGN (a per-seed BFS DAG
-      // recurrence has no SQL mirror — the MST/BPE class) with the
-      // degree gate column: degree ≤ 1 rows must carry betweenness 0,
-      // checkable from the output alone; BetweennessSpec pins both
-      // tiers equal, a textbook double Brandes within float tolerance,
-      // and closed forms on path/star/bridge graphs.
+      // recurrence has no SQL mirror — the MST/BPE class) with THREE
+      // gate columns checkable from the output alone: degree ≤ 1 rows
+      // must carry betweenness 0 (a leaf is never interior to a
+      // shortest path), and mass_err_micros ≤ mass_bound_micros pins
+      // the Brandes total-mass identity Σδ = Σ(d(s,t)−1) — the
+      // backward pass checked against forward distances, the same
+      // quantity spo_closeness's oracle-green recursive CTE computes
+      // (VERDICT r11 item 5). BetweennessSpec pins both tiers equal
+      // (gate included), a textbook double Brandes within float
+      // tolerance, and closed forms on path/star/bridge graphs.
       "spo_betweenness",
       (s, dir) => betweenness(s, dir),
       None
@@ -1325,7 +1374,7 @@ object GraphQueries extends QueryModule {
     QueryDef(
       // Sampled-seed HARMONIC closeness — "how near is v to everything"
       // (reach efficiency), the dual of betweenness's "how much passes
-      // THROUGH v". Same id % 17 seed set; 1/d contributions as 6dp
+      // THROUGH v". Same fixed-count seed set; 1/d contributions as 6dp
       // decimals (order-free exact sums). ORACLE-EXACT: the joint-seed
       // BFS unrolls in one recursive CTE with the same 50-hop cap the
       // engine enforces loudly, and ROUND(1.0/d, 6) cannot diverge
@@ -1339,10 +1388,12 @@ object GraphQueries extends QueryModule {
           WHERE source_id <> target_id
           UNION
           SELECT target_id, source_id FROM edges WHERE source_id <> target_id),
+        seeds AS (
+          SELECT object_id FROM objs WHERE object_id % 17 = 0
+          ORDER BY object_id LIMIT 128),
         reach AS (
           WITH RECURSIVE r(seed, id, dist) AS (
-            SELECT object_id, object_id, CAST(0 AS BIGINT) FROM objs
-            WHERE object_id % 17 = 0
+            SELECT object_id, object_id, CAST(0 AS BIGINT) FROM seeds
             UNION
             SELECT r.seed, u.dst, r.dist + 1
             FROM r JOIN undir u ON r.id = u.src

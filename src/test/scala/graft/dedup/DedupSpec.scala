@@ -259,6 +259,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("word-set jaccard dict join is engine-size-gated: identical output with broadcast disabled") {
+    // the PPJoin tier's token->id dictionary was force-broadcast
+    // (VERDICT r11 item 3) — the same class the containment rebuild
+    // removed: at web-scale vocabulary a broadcast hint cannot degrade,
+    // it OOMs. The join is now un-hinted; this pins the shuffle-join
+    // fallback path (broadcast disabled session-wide) to the same
+    // output, on the REAL-vocabulary tier (documents vocab >> 64) that
+    // dedup_ngram_jaccard and dedup_clusters share.
+    val docs = graft.operators.Tables(spark, dir).documents.limit(120)
+    val ws = Dedup.wordSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def run(): Set[(Long, Long, Double)] =
+        Dedup.ngramJaccardPairsFromWs(ws).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val withBroadcast = run()
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = run()
+        assert(shuffled == withBroadcast,
+          "word-set jaccard output drifts when the dict join cannot broadcast")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(withBroadcast.nonEmpty, "spec vacuous: no near-dup pairs in the sample")
+    } finally { ws.unpersist(); () }
+  }
+
   test("containment sees the doc-inside-doc pair jaccard structurally misses") {
     import spark.implicits._
     // doc 100 (8 tokens) embedded verbatim inside doc 101 (38 tokens):

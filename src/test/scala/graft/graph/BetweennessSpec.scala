@@ -124,19 +124,52 @@ class BetweennessSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("sigma path count overflowed"))
   }
 
-  test("shipped graph: tiers agree bit-for-bit and leaves score zero") {
+  test("shipped graph: tiers agree bit-for-bit (mass gate included) and leaves score zero") {
     val dir = "/root/testdata/sf0.001"
     val viaQuery = GraphQueries.betweenness(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
     assert(viaQuery.nonEmpty)
-    viaQuery.foreach { case (v, deg, b) =>
+    viaQuery.foreach { case (v, deg, b, _, _) =>
       assert(b >= 0.0, s"node $v negative betweenness")
       if (deg <= 1) assert(b == 0.0, s"leaf/isolated $v scored $b")
     }
     assert(viaQuery.exists(_._3 > 0.0), "no node carries load — vacuous graph")
-    // force the distributed tier: identical output
+    // the total-mass gate (VERDICT r11 item 5): |Σδ − Σ(d(s,t)−1)| must
+    // sit inside the rounded-recurrence bound, constant across rows and
+    // visible from the output alone
+    val errs = viaQuery.map(_._4).distinct
+    val bounds = viaQuery.map(_._5).distinct
+    assert(errs.length == 1 && bounds.length == 1, "gate columns not constant")
+    assert(errs.head >= 0L && errs.head <= bounds.head,
+      s"mass gate violated in output: err=${errs.head} bound=${bounds.head}")
+    assert(bounds.head > 0L, "gate vacuous: zero bound on a non-trivial graph")
+    // force the distributed tier: identical output INCLUDING the gate
+    // (same DAG, same level counts, bit-identical δ totals)
     val viaDistTier = GraphQueries.betweenness(spark, dir, driverCap = 0L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
     assert(viaDistTier.toSeq == viaQuery.toSeq)
+  }
+
+  test("mass reference equals the Brandes identity on engineered graphs") {
+    // Σ_{v≠s} δ_s(v) = Σ_{t reached} (d(s,t) − 1): exact (err ≤ bound,
+    // and for these tiny graphs the rounded drift is ~0) on shapes with
+    // genuinely fractional σ-splits
+    val cases = Seq(
+      (Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L)), Seq(0L,1L,2L,3L,4L), Seq(0L)),
+      (Seq((0L,1L),(0L,2L),(1L,3L),(2L,3L)), Seq(0L,1L,2L,3L), Seq(0L)),
+      (Seq((0L,1L),(0L,2L),(1L,2L),(2L,3L),(3L,4L),(3L,5L),(4L,5L)),
+        (0L to 5L).toSeq, (0L to 5L).toSeq))
+    for ((edges, nodes, seeds) <- cases) {
+      val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val adj = sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toArray }
+      val d = Betweenness.driverBrandes(adj, nodes, seeds)
+      val (distSum, dagEdges, maxLev) = Betweenness.massReference(adj, nodes, seeds)
+      val deltaMicros = d.valuesIterator
+        .map(_.underlying.movePointRight(6).longValueExact()).sum
+      val err = math.abs(deltaMicros - distSum * 1000000L)
+      assert(err <= dagEdges * (maxLev + 1L),
+        s"mass err $err exceeds bound on $edges from $seeds")
+      assert(dagEdges > 0L, "dag edge count vacuous")
+    }
   }
 }
