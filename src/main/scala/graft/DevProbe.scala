@@ -118,6 +118,48 @@ object DevProbe {
     tmp
   }
 
+  /** [[stageScaledEvents]] plus k−1 BRIDGE events joining the copies
+    * into one component per base component, in a STAR: bridge i links
+    * copy 0's anchor user (the min-event_id row's user) to copy i+1's
+    * anchor key. A star, not a chain — a chain makes the diameter
+    * ~k·(copy diameter) and the engine's loud 50-round BFS contract
+    * refuses it (observed at k=30: "did not drain in 50 rounds",
+    * exactly the designed refusal); the star keeps the diameter at
+    * ~2·(copy diameter)+2 while every seed still reaches every copy,
+    * which is the |S|·reach compounding the probe exists to measure.
+    * Bridge event_ids live at k·10⁸+i — beyond every copy's offset
+    * range (base ids < 10⁸ by the headroom check), so no collision;
+    * both bridge endpoints already exist as nodes, so the node census
+    * is identical to the disjoint staging. */
+  private def stageScaledEventsConnected(spark: SparkSession, sfDir: String, k: Int): String = {
+    import org.apache.spark.sql.functions._
+    val tmp = stageScaledEvents(spark, sfDir, k)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    val anchor = base.orderBy(col("event_id")).limit(1)
+    if (k > 1) {
+      val bridges = (0 until k - 1).map { i =>
+        anchor.select(
+          lit(k.toLong * 100000000L + i).as("event_id"),
+          col("ts"),
+          col("user_id"),
+          col("event_type"), col("value"),
+          concat(lit("{\"k\": "),
+            (get_json_object(col("props"), "$.k").cast("long") +
+              lit((i + 1) * 10000L)).cast("string"),
+            lit("}")).as("props"))
+      }.reduce(_ unionByName _)
+      try bridges.write.mode("append").parquet(s"$tmp/events.parquet")
+      catch {
+        case t: Throwable =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw t
+      }
+    }
+    tmp
+  }
+
   private def probeScaledGraph(spark: SparkSession, sfDir: String,
                                ks: Seq[Int], queries: Seq[String]): Unit = {
     for (k <- ks) {
@@ -339,6 +381,51 @@ object DevProbe {
             println(s"  linearity: x$k=$nk/$ck expect=${k * n1}/${k * c1}")
             require(nk == k * n1, "betweenness output not linear under disjoint replication")
             require(ck == k * c1, "closeness output not linear under disjoint replication")
+          } finally {
+            sweepCaches(spark, tmp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+
+      case "betweenness_xl_connected" =>
+        // CONNECTED-replication centrality probe (VERDICT r11 item 2):
+        // disjoint copies bound each seed's reach to its own copy, so
+        // the |S|·reach product the fraction-seed design blew up on was
+        // structurally invisible to betweenness_xl. Here k−1 BRIDGE
+        // events STAR the copies (copy 0's anchor user → copy i's
+        // anchor key; star not chain so the diameter stays inside the
+        // engine's 50-round contract), so every seed in the bridged
+        // component reaches
+        // ~k× the nodes and the joint (seed, node) frame actually
+        // compounds — the regime the fixed SeedCount cap is for:
+        // |S| stays ≤ 128 at ANY k, the frame stays ≤ 128·|V|.
+        // Node count is unchanged by bridging (both endpoints already
+        // exist), so the k·n1 rows-linearity check still applies; the
+        // degree and mass gates are checked over the full ×k output.
+        locally {
+          import org.apache.spark.sql.functions._
+          val k = sys.env.getOrElse("SCALE_K", "30").toInt
+          def run(dir: String, tag: String): Long =
+            t(s"betweenness $tag") {
+              val out = graft.graph.GraphQueries.betweenness(spark, dir, driverCap = 0L)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val bad = out.filter(col("degree") <= 1 && col("betweenness") =!= 0.0).count()
+                require(bad == 0, s"degree gate violated: $bad leaf rows with nonzero betweenness")
+                val g = out.select(max(col("mass_err_micros")), max(col("mass_bound_micros"))).head
+                println(s"  mass gate: err=${g.getLong(0)} bound=${g.getLong(1)}")
+                require(g.getLong(0) <= g.getLong(1), "mass gate violated at scale")
+                val n = out.count()
+                println(s"  rows=$n")
+                n
+              } finally { out.unpersist(); () }
+            }
+          val n1 = run(sfDir, "1x distributed")
+          val tmp = stageScaledEventsConnected(spark, sfDir, k)
+          try {
+            val nk = run(tmp, s"x$k connected")
+            println(s"  linearity: x$k rows=$nk expect=${k * n1} (bridges add no nodes)")
+            require(nk == k * n1, "betweenness output rows not k*n1 under connected replication")
           } finally {
             sweepCaches(spark, tmp)
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -335,4 +335,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
     assert(again == got)
   }
+
+  test("docs_drift separates an engineered shifted source from an unshifted one") {
+    import spark.implicits._
+    // 'stable': both snapshots drawn from the same 100..199 range —
+    // PSI ~ 0. 'shifted': base snapshot short docs (100..199), new
+    // snapshot (doc_id % 7 == 0) long docs (900..999) — all new mass
+    // lands in the top bin, PSI far above the 0.2 line. doc_ids are
+    // chosen so each source has both snapshot members.
+    val stable = (0L until 70L).map(i =>
+      (i, "stable", 100L + (i * 37L) % 100L))
+    val shifted = (100L until 170L).map { i =>
+      val isNew = i % 7 == 0
+      (i, "shifted", if (isNew) 900L + (i % 100L) else 100L + (i * 37L) % 100L)
+    }
+    val docs = (stable ++ shifted).toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val got = CorpusOps.docsDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val (sbN, snN, sPsi, sFlag) = got("stable")
+    val (hbN, hnN, hPsi, hFlag) = got("shifted")
+    assert(sbN > 0 && snN > 0 && hbN > 0 && hnN > 0, "engineered snapshots degenerate")
+    assert(!sFlag && sPsi < 0.2, s"stable source flagged: psi=$sPsi")
+    assert(hFlag && hPsi > 1.0, s"shifted source not flagged: psi=$hPsi")
+    // PSI is non-negative by construction (sum of (a-b)ln(a/b) terms,
+    // each individually >= 0 before rounding)
+    assert(sPsi >= -1e-5 && hPsi >= 0.0)
+    // determinism: identical rerun
+    val again = CorpusOps.docsDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(again == got)
+  }
 }
