@@ -798,6 +798,51 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // CATEGORICAL snapshot drift — docs_drift's sibling over the
+      // LANGUAGE mix (the other axis a crawl shifts: a new seed list
+      // pulls in a different language balance long before lengths
+      // move). Same base/new split and smoothed-PSI machinery; the
+      // category universe per source is the langs OBSERVED in that
+      // source (either snapshot) — no binning, and the (source, lang)
+      // group-by rows ARE the dense grid (a lang absent from both
+      // snapshots of a source carries no evidence and contributes
+      // nothing, unlike the equi-width case where the grid is fixed
+      // a priori). B varies per source, so the smoothing denominator
+      // (total + B) is computed from the same aggregate. Exactness and
+      // 100 TB plan shape identical to docs_drift: one narrow
+      // projection, one (source, lang) aggregate, everything past it
+      // output-shaped (sources × observed langs).
+      "docs_drift_lang",
+      (s, dir) => docsDriftLang(Tables(s, dir).documents),
+      Some("""WITH d AS (SELECT source, doc_id, lang FROM documents),
+        counts AS (
+          SELECT source, lang,
+            SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS cb,
+            SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS cn
+          FROM d GROUP BY source, lang),
+        tots AS (
+          SELECT source, SUM(cb) AS tb, SUM(cn) AS tn, COUNT(*) AS bs
+          FROM counts GROUP BY source),
+        terms AS (
+          SELECT c.source,
+            CAST(ROUND(
+              (CAST(cn + 1 AS DOUBLE) / CAST(tn + bs AS DOUBLE)
+                - CAST(cb + 1 AS DOUBLE) / CAST(tb + bs AS DOUBLE))
+              * ln((CAST(cn + 1 AS DOUBLE) / CAST(tn + bs AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(tb + bs AS DOUBLE))),
+              6) AS DECIMAL(18,6)) AS term
+          FROM counts c JOIN tots USING (source)),
+        psi AS (SELECT source, SUM(term) AS psi_dec FROM terms GROUP BY source)
+      SELECT p.source,
+        CAST(t.tb AS BIGINT) AS n_base, CAST(t.tn AS BIGINT) AS n_new,
+        CAST(t.bs AS BIGINT) AS n_langs,
+        CAST(p.psi_dec AS DOUBLE) AS psi,
+        p.psi_dec >= 0.2 AS drifted
+      FROM psi p JOIN tots t USING (source)
+      ORDER BY p.source""")
+    ),
+
+    QueryDef(
       // CORPUS SNAPSHOT DRIFT REPORT (VERDICT r11 item 6) — a
       // production ingest compares snapshots: did today's crawl shift
       // each source's length mix? PSI (population stability index, the
@@ -912,6 +957,33 @@ object CorpusOps extends QueryModule {
         col("psi_dec").cast("double").as("psi"),
         // the industry-standard "significant shift" line; a decimal
         // compare, so the flag is exact in both engines
+        (col("psi_dec") >= lit(BigDecimal("0.2"))).as("drifted"))
+      .orderBy(col("source"))
+  }
+
+  /** `docs_drift_lang` body — categorical smoothed PSI per source over
+    * any (source, doc_id, lang, ...) frame; semantics in the QueryDef
+    * comment, exposed for the engineered-snapshot spec. */
+  private[graft] def docsDriftLang(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("source"), col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(sum(when(pmod(col("doc_id"), lit(7L)) === 0L, 0L).otherwise(1L)).as("cb"),
+        sum(when(pmod(col("doc_id"), lit(7L)) === 0L, 1L).otherwise(0L)).as("cn"))
+    val tots = counts.groupBy(col("source"))
+      .agg(sum(col("cb")).as("tb"), sum(col("cn")).as("tn"),
+        count(lit(1)).as("bs"))
+    def prop(n: Column, t: Column): Column =
+      (n + lit(1L)).cast("double") / (t + col("bs")).cast("double")
+    val qb = prop(col("cb"), col("tb"))
+    val qn = prop(col("cn"), col("tn"))
+    val terms = counts.join(tots, "source")
+      .select(col("source"),
+        round((qn - qb) * log(qn / qb), 6).cast("decimal(18,6)").as("term"))
+    terms.groupBy(col("source")).agg(sum(col("term")).as("psi_dec"))
+      .join(tots, "source")
+      .select(col("source"),
+        col("tb").as("n_base"), col("tn").as("n_new"), col("bs").as("n_langs"),
+        col("psi_dec").cast("double").as("psi"),
         (col("psi_dec") >= lit(BigDecimal("0.2"))).as("drifted"))
       .orderBy(col("source"))
   }

@@ -540,3 +540,64 @@ object StreamAnomaly {
       }
   }
 }
+
+/** Streaming face of `docs_drift_lang` (r12): monitor an INGEST stream's
+  * language mix per source against a FROZEN baseline distribution (the
+  * accepted corpus's per-source lang counts — sources × langs rows,
+  * trivially driver-sized, shipped as a plain map the way the batch
+  * tier broadcasts its rate tables). After every micro-batch each
+  * source emits its current smoothed PSI over ALL docs seen so far —
+  * the "did today's crawl shift the mix" alarm while the crawl is
+  * still running, instead of after the snapshot lands.
+  *
+  * Exactness contract: the PSI chain is the batch operator's, term for
+  * term — category universe = union of baseline and observed langs,
+  * add-one smoothing over that universe's size, each term
+  * (qn−qb)·ln(qn/qb) HALF_UP-rounded to 6dp via the SAME
+  * [[graft.graph.Betweenness.round6micros]] kernel the centrality tier
+  * pins (terms are ≥ 0 — (a−b) and ln(a/b) share sign — so the
+  * kernel's non-negative domain holds), summed exactly in micro-units.
+  * StreamDriftSpec pins a one-batch feed EXACTLY equal to
+  * `docs_drift_lang` on the corpus whose base snapshot is the baseline.
+  *
+  * State per source: the observed lang→count map — bounded by the
+  * language vocabulary (ISO-coded, ~dozens), never by stream length.
+  */
+object StreamDrift {
+
+  final case class DocLang(source: String, lang: String)
+  final case class Drift(source: String, n_seen: Long, psi: Double, drifted: Boolean)
+
+  /** Smoothed categorical PSI of `seen` against `baseline` — the batch
+    * docs_drift_lang chain on driver-local maps. */
+  private[streaming] def psiOf(baseline: Map[String, Long],
+                               seen: Map[String, Long]): Double = {
+    val langs = (baseline.keySet ++ seen.keySet).toSeq.sorted
+    val b = langs.size.toLong
+    val tb = baseline.valuesIterator.sum
+    val tn = seen.valuesIterator.sum
+    val micros = langs.iterator.map { l =>
+      val qb = (baseline.getOrElse(l, 0L) + 1L).toDouble / (tb + b).toDouble
+      val qn = (seen.getOrElse(l, 0L) + 1L).toDouble / (tn + b).toDouble
+      graft.graph.Betweenness.round6micros((qn - qb) * math.log(qn / qb))
+    }.sum
+    micros / 1e6
+  }
+
+  def drift(docs: Dataset[DocLang], baseline: Map[String, Map[String, Long]],
+            threshold: Double = 0.2): Dataset[Drift] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(baseline)
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[DocLang], state: GroupState[Map[String, Long]]) =>
+          val seen = scala.collection.mutable.HashMap
+            .empty[String, Long] ++= state.getOption.getOrElse(Map.empty)
+          batch.foreach(d => seen.update(d.lang, seen.getOrElse(d.lang, 0L) + 1L))
+          val snap = seen.toMap
+          state.update(snap)
+          val psi = psiOf(bc.value.getOrElse(source, Map.empty), snap)
+          Iterator.single(Drift(source, snap.valuesIterator.sum, psi, psi >= threshold))
+      }
+  }
+}

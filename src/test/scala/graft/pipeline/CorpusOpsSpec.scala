@@ -368,4 +368,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(again == got)
   }
+
+  test("docs_drift_lang separates an engineered language-mix shift from a stable mix") {
+    import spark.implicits._
+    // 'stable': langs assigned by doc_id % 3 — the new snapshot
+    // (doc_id % 7 == 0) inherits the same ~1/3 mix. 'shifted': base
+    // docs en/de, every new doc in a lang the base never ships (zz) —
+    // the seed-list-change signature.
+    val langs3 = Array("en", "de", "fr")
+    val stable = (0L until 84L).map(i => (i, "stable", langs3((i % 3).toInt)))
+    val shifted = (100L until 184L).map { i =>
+      (i, "shifted", if (i % 7 == 0) "zz" else langs3((i % 2).toInt))
+    }
+    val docs = (stable ++ shifted).toDF("doc_id", "source", "lang")
+      .withColumn("text", lit("x")).withColumn("n_chars", lit(1L))
+    val got = CorpusOps.docsDriftLang(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val (sbN, snN, sL, sPsi, sFlag) = got("stable")
+    val (hbN, hnN, hL, hPsi, hFlag) = got("shifted")
+    assert(sbN > 0 && snN > 0 && hbN > 0 && hnN > 0)
+    assert(sL == 3L, s"stable source lang universe: $sL")
+    assert(hL == 3L, s"shifted source lang universe (en, de, zz): $hL")
+    assert(!sFlag && sPsi < 0.2, s"stable mix flagged: psi=$sPsi")
+    assert(hFlag && hPsi > 1.0, s"lang shift not flagged: psi=$hPsi")
+    // rerun identity
+    val again = CorpusOps.docsDriftLang(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(again == got)
+  }
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `StreamDrift`: a one-batch feed against a baseline equals the
+  * batch `docs_drift_lang` EXACTLY on the corpus whose base snapshot is
+  * that baseline, PSI is cumulative and monotone-responsive across
+  * batches when the mix shifts, and state stays lang-vocabulary-sized.
+  */
+class StreamDriftSpec extends AnyFunSuite with SparkFixture {
+
+  import StreamDrift._
+
+  private def run(name: String, baseline: Map[String, Map[String, Long]],
+                  batches: Seq[Seq[DocLang]]): Seq[Seq[Drift]] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DocLang]
+    val q = drift(input.toDS(), baseline).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      val out = Seq.newBuilder[Seq[Drift]]
+      var prev = 0L
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        val all = spark.table(name).as[Drift].collect().toSeq
+        out += all.drop(prev.toInt)
+        prev = all.size.toLong
+      }
+      out.result()
+    } finally q.stop()
+  }
+
+  test("one-batch feed equals batch docs_drift_lang exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // corpus: base snapshot (doc_id % 7 != 0) IS the baseline; the new
+    // snapshot (doc_id % 7 == 0) IS the streamed batch — the batch
+    // operator and the stream then compute the SAME quantity
+    val langs3 = Array("en", "de", "fr")
+    val docs = (0L until 84L).map(i =>
+      (i, "s0", langs3((i % 3).toInt))) ++ (100L until 184L).map { i =>
+      (i, "s1", if (i % 7 == 0) "zz" else langs3((i % 2).toInt))
+    }
+    val df = docs.toDF("doc_id", "source", "lang")
+      .withColumn("text", lit("x")).withColumn("n_chars", lit(1L))
+    val batchOut = graft.pipeline.CorpusOps.docsDriftLang(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val baseline = docs.filter(_._1 % 7 != 0).groupBy(_._2).map { case (src, ds) =>
+      src -> ds.groupBy(_._3).map { case (l, xs) => l -> xs.size.toLong }
+    }
+    val streamed = docs.filter(_._1 % 7 == 0).map(d => DocLang(d._2, d._3))
+    val got = run("sdrift_eq", baseline, Seq(streamed)).head
+      .map(d => d.source -> ((d.n_seen, d.psi, d.drifted))).toMap
+    assert(got.keySet == batchOut.keySet)
+    got.foreach { case (src, (n, psi, flag)) =>
+      val (bn, bpsi, bflag) = batchOut(src)
+      assert(n == bn, s"$src n_seen $n vs batch n_new $bn")
+      assert(psi == bpsi, s"$src psi $psi vs batch $bpsi — chains diverged")
+      assert(flag == bflag)
+    }
+    // the engineered shift is actually separated
+    assert(!got("s0")._3 && got("s1")._3)
+  }
+
+  test("cross-batch: cumulative counts, drift appears when the mix shifts") {
+    val baseline = Map("s" -> Map("en" -> 50L, "de" -> 50L))
+    // batch 1 matches the baseline mix; batch 2 is all-new-language
+    val b1 = (1 to 10).map(i => DocLang("s", if (i % 2 == 0) "en" else "de"))
+    val b2 = (1 to 30).map(_ => DocLang("s", "zz"))
+    val Seq(r1, r2) = run("sdrift_x", baseline, Seq(b1, b2))
+    assert(r1.size == 1 && r2.size == 1)
+    assert(r1.head.n_seen == 10L && r2.head.n_seen == 40L, "counts not cumulative")
+    assert(!r1.head.drifted, s"matching mix flagged: ${r1.head.psi}")
+    assert(r2.head.drifted && r2.head.psi > r1.head.psi + 0.5,
+      s"shift not caught: ${r1.head.psi} -> ${r2.head.psi}")
+  }
+
+  test("psiOf is zero on identical distributions and symmetric-positive otherwise") {
+    val a = Map("en" -> 30L, "de" -> 60L, "fr" -> 10L)
+    assert(psiOf(a, a) == 0.0)
+    val b = Map("en" -> 60L, "de" -> 30L, "fr" -> 10L)
+    assert(psiOf(a, b) > 0.0 && psiOf(b, a) > 0.0)
+    // unseen-category handling: smoothing keeps it finite and positive
+    val c = Map("zz" -> 100L)
+    assert(psiOf(a, c) > 1.0 && !psiOf(a, c).isInfinite)
+  }
+}
