@@ -50,14 +50,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$driverHeap",
-  // Xms == Xmx: with a growable heap (r11: -Xms4g) ParallelGC expands
-  // the heap through FULL collections under allocation pressure — the
-  // r12 exec-metrics instrumentation caught exactly that class of
-  // mid-query stop-the-world storm (134 s of summed task GC inside one
-  // 5.8 s run, zero shuffle/spill/eviction change). Pinning the heap
-  // removes resize-driven full GCs from the measurement.
-  s"-Xms$driverHeap",
   // throughput collector: the bench is a batch workload in one big-heap
   // JVM; G1's pause-time targeting costs measurable task time here
   "-XX:+UseParallelGC",
 )
+// Xms == Xmx for RUN forks only (Bench/Verify — the measured JVMs):
+// with a growable heap (r11: -Xms4g) ParallelGC expands the heap
+// through FULL collections under allocation pressure — the r12
+// exec-metrics instrumentation caught exactly that class of mid-query
+// stop-the-world storm (134 s of summed task GC inside one 5.8 s run,
+// zero shuffle/spill/eviction change). Pinning removes resize-driven
+// full GCs from the measurement. Scoped to `run` so a test fork
+// running BESIDE a bench doesn't commit a second half-of-RAM heap up
+// front (two pinned 48g JVMs = all physical memory).
+run / javaOptions += s"-Xms$driverHeap"
+Test / javaOptions += "-Xms4g"

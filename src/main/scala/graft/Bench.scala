@@ -72,17 +72,29 @@ object Bench {
           ()
         }
       }
+      // blocks currently memory-resident: a disk-without-memory update
+      // is a DEMOTION only if the block was in memory before — an
+      // initial DISK_ONLY store (forwardLevels' fan-out frames at large
+      // seedRows*edgeRows) posts the identical level and must NOT count
+      // as eviction, or the drift-adjudication methodology reads
+      // intentional disk staging as memory pressure (review finding r12)
+      private val inMemory = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       override def onBlockUpdated(bu: SparkListenerBlockUpdated): Unit = {
         val info = bu.blockUpdatedInfo
         if (info.blockId.isRDD) {
+          val key = info.blockId.name
           val lvl = info.storageLevel
-          // memory->disk demotion: the block still exists but every
-          // consumer now pays disk bandwidth (the suspected r11
-          // spo_cooccurrence mechanism); full drop = recompute next use
-          if (!lvl.isValid) M.removed.incrementAndGet()
-          else if (!lvl.useMemory && lvl.useDisk && info.diskSize > 0L)
-            M.evict.incrementAndGet()
-          ()
+          if (lvl.isValid && lvl.useMemory) { inMemory.add(key); () }
+          else {
+            val wasInMemory = inMemory.remove(key)
+            // full drop = recompute next use; memory->disk demotion =
+            // the block survives but every consumer now pays disk
+            // bandwidth (the suspected-then-refuted r11 mechanism)
+            if (!lvl.isValid) M.removed.incrementAndGet()
+            else if (wasInMemory && lvl.useDisk && info.diskSize > 0L)
+              M.evict.incrementAndGet()
+            ()
+          }
         }
       }
     })

@@ -136,19 +136,27 @@ object DevProbe {
     val tmp = stageScaledEvents(spark, sfDir, k)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = spark.read.parquet(s"$sfDir/events.parquet")
-    val anchor = base.orderBy(col("event_id")).limit(1)
     if (k > 1) {
-      val bridges = (0 until k - 1).map { i =>
-        anchor.select(
-          lit(k.toLong * 100000000L + i).as("event_id"),
-          col("ts"),
-          col("user_id"),
+      // ONE anchor scan (a per-bridge anchor.select re-ran the
+      // sort-limit scan k−1 times inside the write job — review
+      // finding r12), then k−1 bridge rows via a crossJoin with the
+      // literal offset frame. The anchor row stays a DataFrame — the
+      // ts column's type varies by testdata vintage (TIMESTAMP_NTZ vs
+      // nanos-long; the Tables.events dispatch story), so collecting
+      // it to a typed driver literal would pin one vintage and crash
+      // on the other.
+      val anchor = base.orderBy(col("event_id")).limit(1).localCheckpoint()
+      import spark.implicits._
+      val offs = (0 until k - 1)
+        .map(i => (k.toLong * 100000000L + i, (i + 1) * 10000L))
+        .toDF("bridge_id", "koff")
+      val bridges = anchor.crossJoin(offs)
+        .select(col("bridge_id").as("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
           concat(lit("{\"k\": "),
             (get_json_object(col("props"), "$.k").cast("long") +
-              lit((i + 1) * 10000L)).cast("string"),
+              col("koff")).cast("string"),
             lit("}")).as("props"))
-      }.reduce(_ unionByName _)
       try bridges.write.mode("append").parquet(s"$tmp/events.parquet")
       catch {
         case t: Throwable =>

@@ -195,13 +195,15 @@ object Betweenness {
     * fill this during execution; [[GraphQueries.betweenness]] emits the
     * values as driver-visible gate columns and refuses loudly when the
     * invariant breaks. `errMicros` is the absolute gap in 6dp
-    * micro-units; `boundMicros` the worst-case mass drift of the
-    * rounded recurrence: each of the |DAG| round6 calls introduces
-    * ≤ 0.5 micro, and a level-wise unroll shows total drift
-    * ≤ 0.5 · (maxLevel+1) · |DAG| micros (each level's error is
-    * re-distributed upward with σ-ratio weights summing to 1). An
-    * implementation bug moves mass by O(1) units = 10⁶ micros —
-    * orders of magnitude past the bound on any real graph. */
+    * micro-units; `boundMicros` = (maxLevel+1) · |DAG| micros — 2× the
+    * analytical worst case of the rounded recurrence (each of the
+    * |DAG| round6 calls introduces ≤ 0.5 micro, and a level-wise
+    * unroll shows total drift ≤ 0.5 · (maxLevel+1) · |DAG| micros,
+    * each level's error re-distributed upward with σ-ratio weights
+    * summing to 1; the emitted bound doubles that as an integer-exact
+    * safety factor). An implementation bug moves mass by O(1)
+    * units = 10⁶ micros — orders of magnitude past the bound on any
+    * real graph. */
   final class MassGate {
     @volatile var errMicros: Long = -1L
     @volatile var boundMicros: Long = -1L

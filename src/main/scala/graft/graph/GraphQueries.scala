@@ -197,13 +197,6 @@ object GraphQueries extends QueryModule {
     }
   }
 
-  /** Shared tier dispatch for the sampled-seed centrality queries
-    * (betweenness / closeness — one scaffold, two kernels, the
-    * Funnel.step discipline): under `driverCap` edges, collect the
-    * (already-persisted) HALF edge set once and symmetrize in-process
-    * (half the transfer, no wasted checkpoint/count jobs on a frame
-    * we'd collect anyway) and run `driverKernel`; above it, build the
-    * symmetric edge + seed frames and run `distBuilder`. */
   /** The ONE centrality seed rule, both formulations (VERDICT r11
     * item 2): the [[Betweenness.SeedCount]] SMALLEST ids with
     * id % [[Betweenness.SeedMod]] == 0 — a FIXED-size deterministic
@@ -227,6 +220,13 @@ object GraphQueries extends QueryModule {
       .orderBy(col("id")).limit(Betweenness.SeedCount)
       .select(col("id").as("seed"))
 
+  /** Shared tier dispatch for the sampled-seed centrality queries
+    * (betweenness / closeness — one scaffold, two kernels, the
+    * Funnel.step discipline): under `driverCap` edges, collect the
+    * (already-persisted) HALF edge set once and symmetrize in-process
+    * (half the transfer, no wasted checkpoint/count jobs on a frame
+    * we'd collect anyway) and run `driverKernel`; above it, build the
+    * symmetric edge + seed frames and run `distBuilder`. */
   private def sampledSeedCentrality(
       s: org.apache.spark.sql.SparkSession, dir: String, driverCap: Long,
       outCol: String)(

@@ -943,23 +943,40 @@ object CorpusOps extends QueryModule {
         coalesce(col("cn"), lit(0L)).as("cn"))
     val tots = dense.groupBy(col("source"))
       .agg(sum(col("cb")).as("tb"), sum(col("cn")).as("tn"))
-    def prop(n: Column, t: Column): Column =
-      (n + lit(1L)).cast("double") / (t + nb).cast("double")
-    val qb = prop(col("cb"), col("tb"))
-    val qn = prop(col("cn"), col("tn"))
-    val terms = dense.join(tots, "source")
-      .select(col("source"),
-        round((qn - qb) * log(qn / qb), 6).cast("decimal(18,6)").as("term"))
-    terms.groupBy(col("source")).agg(sum(col("term")).as("psi_dec"))
-      .join(tots, "source")
+      .withColumn("bs", nb)
+    smoothedPsiBySource(dense, tots)
       .select(col("source"),
         col("tb").as("n_base"), col("tn").as("n_new"),
         col("psi_dec").cast("double").as("psi"),
-        // the industry-standard "significant shift" line; a decimal
-        // compare, so the flag is exact in both engines
-        (col("psi_dec") >= lit(BigDecimal("0.2"))).as("drifted"))
+        driftFlag)
       .orderBy(col("source"))
   }
+
+  /** The ONE smoothed-PSI chain both drift operators (and their SQL
+    * oracles) implement: over a dense (source, cb, cn) grid and a
+    * (source, tb, tn, bs) totals frame — bs = the source's category
+    * count, the add-one smoothing denominator — each category's term
+    * (qn−qb)·ln(qn/qb) with q = (count+1)/(total+bs) is ONE IEEE chain
+    * 6dp-rounded to DECIMAL, summed exactly per source. Returns the
+    * totals frame with `psi_dec` joined on. An exactness change here
+    * changes every drift surface at once (review finding r12: the tail
+    * was maintained in two copies). */
+  private def smoothedPsiBySource(dense: DataFrame, tots: DataFrame): DataFrame = {
+    def prop(n: Column, t: Column): Column =
+      (n + lit(1L)).cast("double") / (t + col("bs")).cast("double")
+    val qb = prop(col("cb"), col("tb"))
+    val qn = prop(col("cn"), col("tn"))
+    dense.join(tots, "source")
+      .select(col("source"),
+        round((qn - qb) * log(qn / qb), 6).cast("decimal(18,6)").as("term"))
+      .groupBy(col("source")).agg(sum(col("term")).as("psi_dec"))
+      .join(tots, "source")
+  }
+
+  /** The industry-standard "significant shift" line; a decimal
+    * compare, so the flag is exact in both engines. */
+  private def driftFlag: Column =
+    (col("psi_dec") >= lit(BigDecimal("0.2"))).as("drifted")
 
   /** `docs_drift_lang` body — categorical smoothed PSI per source over
     * any (source, doc_id, lang, ...) frame; semantics in the QueryDef
@@ -972,19 +989,11 @@ object CorpusOps extends QueryModule {
     val tots = counts.groupBy(col("source"))
       .agg(sum(col("cb")).as("tb"), sum(col("cn")).as("tn"),
         count(lit(1)).as("bs"))
-    def prop(n: Column, t: Column): Column =
-      (n + lit(1L)).cast("double") / (t + col("bs")).cast("double")
-    val qb = prop(col("cb"), col("tb"))
-    val qn = prop(col("cn"), col("tn"))
-    val terms = counts.join(tots, "source")
-      .select(col("source"),
-        round((qn - qb) * log(qn / qb), 6).cast("decimal(18,6)").as("term"))
-    terms.groupBy(col("source")).agg(sum(col("term")).as("psi_dec"))
-      .join(tots, "source")
+    smoothedPsiBySource(counts, tots)
       .select(col("source"),
         col("tb").as("n_base"), col("tn").as("n_new"), col("bs").as("n_langs"),
         col("psi_dec").cast("double").as("psi"),
-        (col("psi_dec") >= lit(BigDecimal("0.2"))).as("drifted"))
+        driftFlag)
       .orderBy(col("source"))
   }
 

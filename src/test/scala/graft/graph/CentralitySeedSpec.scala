@@ -39,7 +39,11 @@ class CentralitySeedSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"seed frame should be a TakeOrdered, got:\n$plan")
-    assert(!plan.contains("Exchange") || plan.contains("TakeOrderedAndProject"))
+    // and no shuffle anywhere: TakeOrdered takes per-partition heaps to
+    // the driver — a plan that Exchanges a fraction of |V| first is
+    // exactly the quadratic-shipping regression this spec pins away
+    assert(!plan.contains("Exchange"),
+      s"seed frame plan shuffles:\n$plan")
     locally { val _ = col("id") } // keep the import load-bearing
   }
 
