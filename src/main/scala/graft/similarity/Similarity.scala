@@ -77,7 +77,8 @@ object Similarity extends QueryModule {
                             data: org.apache.spark.sql.DataFrame,
                             queries: org.apache.spark.sql.DataFrame,
                             k: Int,
-                            labelFiltered: Boolean = false): org.apache.spark.sql.DataFrame = {
+                            labelFiltered: Boolean = false,
+                            scoreDot: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // with labelFiltered, queries carry a third `label` column and a
@@ -135,7 +136,9 @@ object Similarity extends QueryModule {
               dot += x * y; na += x * x; nb += y * y
               i += 1
             }
-            val c = dot / (math.sqrt(na) * math.sqrt(nb))
+            // scoreDot: raw inner product (the MIPS objective) — same
+            // index-order accumulation, no normalization
+            val c = if (scoreDot) dot else dot / (math.sqrt(na) * math.sqrt(nb))
             val h = heaps(qi)
             if (h.size < k) h.enqueue((id, c))
             else {
@@ -641,6 +644,24 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** knn_mips body over any (vec_id, embedding) corpus (queries =
+    * vec_id < NQueries, the house convention) — exposed so the spec
+    * can drive it with engineered VARIED-NORM vectors: the shipped
+    * embeddings are unit-norm, where MIPS and cosine coincide by
+    * construction and the objectives can't be told apart. */
+  private[graft] def mipsTopK(s: org.apache.spark.sql.SparkSession,
+                              e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val partials = partitionTopK(s, e, queries, K, scoreDot = true)
+      .withColumnRenamed("cosine", "dot")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    partials
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rk"))
+  }
+
   /** SimilaritySpec's recall floor, shared with the driver-visible
     * recall gate below so spec and gate cannot drift. */
   private[graft] val RecallFloor = 0.3
@@ -798,6 +819,41 @@ object Similarity extends QueryModule {
         SELECT qid, vec_id, cosine,
           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         FROM (SELECT qid, e.vec_id, ${cosineSql("qe", "embedding")} AS cosine
+              FROM q, embeddings e WHERE e.vec_id <> qid) c) r
+      WHERE rk <= $K ORDER BY qid, rk""")
+    ),
+
+    QueryDef(
+      // MAXIMUM INNER-PRODUCT SEARCH (MIPS) — the retrieval objective
+      // most two-tower/recommendation scorers actually optimize: raw
+      // dot(q, x), NOT cosine (a long document's un-normalized
+      // embedding can dominate by magnitude — the popularity/length
+      // prior cosine deliberately removes; MIPS keeps it. The shipped
+      // embeddings happen to be unit-norm, where the two objectives
+      // coincide — the spec separates them on engineered varied-norm
+      // vectors through this same body). Exact
+      // top-K by (dot DESC, vec_id): the SAME bounded per-query-heap
+      // one-pass kernel as knn_bruteforce with the normalization
+      // dropped — index-order double accumulation, bit-identical to
+      // the oracle's left fold.
+      //
+      // 100 TB path: MIPS reduces to cosine ANN by the standard
+      // norm-augmentation (Neyshabur & Srebro 2015): x' = [x,
+      // √(M²−|x|²)] with M = max corpus norm, q' = [q, 0] — then
+      // cos(q', x') = dot(q, x)/(|q|·M), a MONOTONE transform, so the
+      // existing IVF/PQ/LSH cosine infrastructure serves MIPS
+      // unchanged on the augmented column (one extra float per
+      // vector, plus a one-row max-norm aggregate at index-build
+      // time). SimilaritySpec proves the reduction end to end on the
+      // shipped embeddings: augmented cosine order ≡ dot order.
+      "knn_mips",
+      (s, dir) => mipsTopK(s, Tables(s, dir).embeddings)
+        .orderBy(col("qid"), col("rk")),
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries)
+      SELECT qid, vec_id, dot, rk FROM (
+        SELECT qid, vec_id, dot,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS BIGINT) AS rk
+        FROM (SELECT qid, e.vec_id, ${VectorOps.dotSql("qe", "embedding")} AS dot
               FROM q, embeddings e WHERE e.vec_id <> qid) c) r
       WHERE rk <= $K ORDER BY qid, rk""")
     ),

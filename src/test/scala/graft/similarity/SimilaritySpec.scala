@@ -180,4 +180,77 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
     assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
+
+  test("knn_mips kernel equals driver brute force on the shipped corpus") {
+    val vecs = graft.operators.Tables(spark, dir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val got = graft.SparkEntry.queries("knn_mips")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val want = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(vecs(qid), v)) }
+        .sortBy { case (id, d) => (-d, id) }.take(rows.length)
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq == want,
+        s"qid=$qid kernel diverges from driver brute force")
+    }
+  }
+
+  test("MIPS != cosine on varied norms, and norm-augmentation reduces MIPS to cosine") {
+    // the shipped embeddings are unit-norm (MIPS ≡ cosine there by
+    // construction), so the objectives are separated on ENGINEERED
+    // vectors through the real query body: a big-magnitude vector
+    // moderately aligned with the query must top MIPS by sheer norm
+    // while cosine prefers the small perfectly-aligned one
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def unit(i: Int, d: Int, scale: Float): Array[Float] =
+      Array.tabulate(d)(j => if (j == i) scale else 0.0f)
+    val d = 4
+    // qid 0 points along axis 0; vec 100 is axis-0-aligned but tiny,
+    // vec 101 is half-aligned (axis 0 + axis 1) with huge norm
+    val corpus = Seq(
+      0L -> unit(0, d, 1.0f),
+      100L -> unit(0, d, 0.5f),
+      101L -> Array(10.0f, 10.0f, 0.0f, 0.0f),
+      102L -> unit(1, d, 0.4f),
+      103L -> unit(2, d, 0.3f),
+      104L -> unit(3, d, 0.2f),
+      105L -> Array(0.1f, 0.1f, 0.1f, 0.1f)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(spark, corpus)
+      .filter(col("qid") === 0L).orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // MIPS order from exact driver math: 101 (dot 10) > 100 (0.5) > ...
+    assert(got.head == ((101L, 10.0)), s"MIPS must rank the big vector first, got ${got.toSeq}")
+    assert(got(1) == ((100L, 0.5)))
+    // cosine would rank 100 (cos 1.0) above 101 (cos ~0.707): objectives differ
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def ddot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
+    assert(cos(vecs(0L), vecs(100L)) > cos(vecs(0L), vecs(101L)),
+      "engineered data does not separate the objectives")
+    // the 100 TB serving path: x' = [x, sqrt(M^2 - |x|^2)], q' = [q, 0]
+    // gives cos(q', x') = dot(q, x) / (|q| * M) — monotone in dot, so
+    // the augmented-cosine order IS the MIPS order and the existing
+    // cosine ANN tiers serve MIPS unchanged. Exact on the varied-norm
+    // engineered corpus (an identity, not an approximation).
+    val m2 = vecs.values.map(v => ddot(v, v)).max
+    val aug = vecs.map { case (id, v) => id -> (v :+ math.sqrt(math.max(0.0, m2 - ddot(v, v)))) }
+    val q = vecs(0L); val qAug = q :+ 0.0
+    val mips = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, ddot(q, v)) }
+      .sortBy { case (id, x) => (-x, id) }.map(_._1)
+    val cosAug = aug.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qAug, v)) }
+      .sortBy { case (id, c) => (-c, id) }.map(_._1)
+    assert(mips == cosAug, s"augmentation order $cosAug diverged from MIPS order $mips")
+  }
 }
