@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerJobStart, SparkListenerTaskEnd, SparkListenerUnpersistRDD}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Emits ONE JSON metric line to stdout and also
@@ -50,11 +50,18 @@ object Bench {
       val spillD = new AtomicLong(0L)  // disk bytes spilled
       val gcMs = new AtomicLong(0L)    // task JVM GC time, ms
       val evict = new AtomicLong(0L)   // cached RDD blocks demoted memory->disk
-      val removed = new AtomicLong(0L) // cached RDD blocks dropped entirely
+      // cached RDD blocks dropped entirely — INCLUDING voluntary
+      // unpersist()/localCheckpoint scratch release (pervasive in the
+      // betweenness and funnel code), so a nonzero value alone is NOT a
+      // memory-pressure signal (review finding r13). Read alongside
+      // `unpersist`: a window with removed>0 and unpersist=0 is an
+      // involuntary drop; removed tracking unpersist is routine cleanup.
+      val removed = new AtomicLong(0L)
+      val unpersist = new AtomicLong(0L) // explicit unpersistRDD calls in window
       def snapshot(): Array[Long] = {
         org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
         Array(shufR.get, shufW.get, spillM.get, spillD.get, gcMs.get,
-          evict.get, removed.get)
+          evict.get, removed.get, unpersist.get)
       }
     }
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -96,6 +103,13 @@ object Bench {
             ()
           }
         }
+      }
+      // voluntary-release marker for the removed counter above: every
+      // explicit RDD.unpersist() posts one of these, so a run window's
+      // removed_blocks is adjudicable (unpersist_rdds=0 + removed>0 =
+      // involuntary loss; otherwise routine scratch-frame release)
+      override def onUnpersistRDD(u: SparkListenerUnpersistRDD): Unit = {
+        M.unpersist.incrementAndGet(); ()
       }
     })
     // untimed warmup: JIT + codegen + parquet footer caches otherwise land
@@ -269,7 +283,7 @@ object Bench {
     // Byte fields are MB (1 decimal), gc is ms, block fields are counts.
     val metricFields = Seq("shuffle_read_mb", "shuffle_write_mb",
       "spill_mem_mb", "spill_disk_mb", "gc_ms", "evicted_blocks",
-      "removed_blocks")
+      "removed_blocks", "unpersist_rdds")
     def metricRec(m: Array[Long]): String = {
       val mb = m.take(4).map(b => r1(b / 1048576.0))
       (mb ++ m.drop(4).map(_.toString)).mkString("[", ",", "]")

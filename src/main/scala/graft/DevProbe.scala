@@ -119,14 +119,19 @@ object DevProbe {
   }
 
   /** [[stageScaledEvents]] plus k−1 BRIDGE events joining the copies
-    * into one component per base component, in a STAR: bridge i links
-    * copy 0's anchor user (the min-event_id row's user) to copy i+1's
-    * anchor key. A star, not a chain — a chain makes the diameter
-    * ~k·(copy diameter) and the engine's loud 50-round BFS contract
-    * refuses it (observed at k=30: "did not drain in 50 rounds",
-    * exactly the designed refusal); the star keeps the diameter at
-    * ~2·(copy diameter)+2 while every seed still reaches every copy,
-    * which is the |S|·reach compounding the probe exists to measure.
+    * into ONE bridged component total (not one per base component):
+    * every bridge anchors on the single min-event_id row's user, so
+    * only the anchor's base component is starred across the k copies;
+    * every OTHER base component stays k disjoint copies. Bridge i
+    * links copy 0's anchor user to copy i+1's anchor key, in a STAR:
+    * a chain makes the diameter ~k·(copy diameter) and the engine's
+    * loud 50-round BFS contract refuses it (observed at k=30: "did
+    * not drain in 50 rounds", exactly the designed refusal); the star
+    * keeps the diameter at ~2·(copy diameter)+2. The |S|·reach
+    * compounding the probe exists to measure therefore applies to the
+    * seeds landing in the anchor's (dominant) component — which on the
+    * events graph is the giant component, so the probe still exercises
+    * the connected regime it was built for.
     * Bridge event_ids live at k·10⁸+i — beyond every copy's offset
     * range (base ids < 10⁸ by the headroom check), so no collision;
     * both bridge endpoints already exist as nodes, so the node census

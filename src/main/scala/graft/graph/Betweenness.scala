@@ -201,9 +201,17 @@ object Betweenness {
     * unroll shows total drift ≤ 0.5 · (maxLevel+1) · |DAG| micros,
     * each level's error re-distributed upward with σ-ratio weights
     * summing to 1; the emitted bound doubles that as an integer-exact
-    * safety factor). An implementation bug moves mass by O(1)
-    * units = 10⁶ micros — orders of magnitude past the bound on any
-    * real graph. */
+    * safety factor). Sensitivity caveat: an O(1)-unit mass bug is 10⁶
+    * micros, so the gate detects it only while boundMicros =
+    * (maxLevel+1)·|DAG| stays below ~10⁶ — i.e. on graphs whose
+    * BFS-DAGs have up to ~10⁵ edges·levels. The gate's resolution
+    * degrades LINEARLY with |DAG|·diameter: at sf0.1 (|DAG| ~10⁷ per
+    * seed set) the bound is ~10⁹ micros and only O(10³)-unit bugs —
+    * e.g. dropping a whole vertex's δ or a σ-ratio branch — still
+    * trip it. Unit-level detection at every scale would need per-call
+    * rounding-residue tracking; the gate deliberately trades that for
+    * a zero-overhead output column and leans on BetweennessSpec's
+    * exact small-graph comparisons for unit-level coverage. */
   final class MassGate {
     @volatile var errMicros: Long = -1L
     @volatile var boundMicros: Long = -1L

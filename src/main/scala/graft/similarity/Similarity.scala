@@ -131,13 +131,20 @@ object Similarity extends QueryModule {
             var dot = 0.0; var na = 0.0; var nb = 0.0
             var i = 0
             val n = math.min(qe.length, emb.length)
-            while (i < n) {
-              val x = qe(i).toDouble; val y = emb(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
             // scoreDot: raw inner product (the MIPS objective) — same
-            // index-order accumulation, no normalization
+            // index-order accumulation, no normalization. The branch is
+            // hoisted OUT of the inner loop: the norm accumulators are
+            // discarded in MIPS mode and keeping them roughly doubles
+            // the kernel's FLOPs (review finding r13)
+            if (scoreDot) {
+              while (i < n) { dot += qe(i).toDouble * emb(i).toDouble; i += 1 }
+            } else {
+              while (i < n) {
+                val x = qe(i).toDouble; val y = emb(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
+              }
+            }
             val c = if (scoreDot) dot else dot / (math.sqrt(na) * math.sqrt(nb))
             val h = heaps(qi)
             if (h.size < k) h.enqueue((id, c))
