@@ -107,6 +107,92 @@ object GraphQueries extends QueryModule {
       .limit(20)
   }
 
+  /** spo_ppr body — PERSONALIZED PageRank from the fixed centrality
+    * seed set (VERDICT r12 item 6): global pagerank answers "important
+    * anywhere"; PPR answers "important NEAR these entities" — the
+    * entity-resolution / related-entity relevance primitive. Identical
+    * scaled-BIGINT recurrence to [[pagerank]] (exact integer
+    * arithmetic, no float drift, oracle-unrollable) with ONE change:
+    * the teleport term lands only on the seed set S =
+    * [[seedIdsOf]]/[[seedFrameOf]] (the one centrality seed rule —
+    * id % SeedMod == 0, smallest SeedCount). r₀(v) = 1e12·[v∈S];
+    * r_k(v) = 1.5e11·[v∈S] + (85·Σ_{u→v} r_{k−1}(u) div od(u)) div 100,
+    * ten iterations over the distinct DIRECTED edge set. Mass never
+    * exceeds |S|·1e12 ≈ 1.3e14, so 85·Σ stays far under Long.Max at
+    * any graph size — tighter than global pagerank's bound because the
+    * injected mass is fixed at |S| nodes, not |V|.
+    *
+    * Tiers mirror [[pagerank]] (spec-pinned equal): under `driverCap`
+    * directed edges the identical integer recurrence runs in one
+    * collect; above it, ten (edge ⋈ rank) shuffles with the 128-row
+    * seed frame BROADCAST into the node frame once — per-iteration
+    * cost identical to global pagerank, linear in |E| at any scale.
+    * Output: top-20 by (ppr_scaled DESC, object_id). */
+  private[graft] def ppr(s: org.apache.spark.sql.SparkSession, dir: String,
+                         driverCap: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g = T.staged(s, dir)
+    val edges = g.relationships
+      .select(col("source_id").as("src"), col("target_id").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = g.dict.select(col("object_id").as("id"))
+    val rank: org.apache.spark.sql.DataFrame =
+      if (edges.count() <= driverCap) {
+        // seeds come from the FULL node census (an isolated node can be
+        // a seed and holds the teleport-only fixpoint), so the driver
+        // tier indexes all ids, not just edge endpoints like pagerank's
+        val nodeIds = nodes.collect().map(_.getLong(0))
+        val seedSet = seedIdsOf(nodeIds.toSeq).toSet
+        val idx = nodeIds.zipWithIndex.toMap
+        val edgeArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val od = new Array[Long](nodeIds.length)
+        edgeArr.foreach { case (s0, _) => od(idx(s0)) += 1L }
+        var r = nodeIds.map(v => if (seedSet(v)) 1000000000000L else 0L)
+        for (_ <- 1 to 10) {
+          val sums = new Array[Long](nodeIds.length)
+          edgeArr.foreach { case (s0, d0) =>
+            val si = idx(s0)
+            if (r(si) > 0L) sums(idx(d0)) += r(si) / od(si)
+          }
+          r = nodeIds.indices.toArray.map(i =>
+            (if (seedSet(nodeIds(i))) 150000000000L else 0L) + (85L * sums(i)) / 100L)
+        }
+        import s.implicits._
+        nodeIds.indices.map(i => (nodeIds(i), r(i))).toDF("id", "r")
+      } else {
+        val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).persist(lvl)
+        val seeds = seedFrameOf(nodes)
+        // is_seed rides the node frame for the whole loop: one
+        // broadcast join against the ≤128-row seed frame, reused by
+        // every iteration's teleport term
+        val nodesCk = nodes
+          .join(broadcast(seeds.select(col("seed").as("id"), lit(1L).as("is_seed"))),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+          .localCheckpoint()
+        var rk = nodesCk.select(col("id"), (col("is_seed") * lit(1000000000000L)).as("r"))
+        for (it <- 1 to 10) {
+          val contrib = edges
+            .join(outDeg, "src")
+            .join(rk.filter(col("r") > 0L).select(col("id").as("src"), col("r")), "src")
+            .select(col("dst").as("id"), expr("r div od").as("c"))
+          val sums = contrib.groupBy(col("id")).agg(sum(col("c")).as("cs"))
+          rk = nodesCk
+            .join(sums, Seq("id"), "left")
+            .select(col("id"),
+              (col("is_seed") * lit(150000000000L) +
+                expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+          if (it % 3 == 0) rk = rk.localCheckpoint()
+        }
+        rk
+      }
+    rank
+      .select(col("id").as("object_id"), col("r").as("ppr_scaled"))
+      .orderBy(col("ppr_scaled").desc, col("object_id"))
+      .limit(20)
+  }
+
   /** spo_bfs body — single-source shortest hop distances over the
     * undirected entity graph, from the entity with object_id 1.
     * Frontier expansion: each round joins the current frontier to the
@@ -697,6 +783,35 @@ object GraphQueries extends QueryModule {
     ORDER BY rank_scaled DESC, object_id LIMIT 20"""
   }
 
+  /** [[PagerankOracleSql]] with the teleport term gated on the seed
+    * set — the same ten unrolled fixed-point iterations. */
+  private val PprOracleSql: Option[String] = Some {
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (
+        SELECT o.object_id AS id,
+          (CASE WHEN s.id IS NOT NULL THEN 150000000000 ELSE 0 END)
+            + (85 * COALESCE(SUM(p.r // d.od), 0)) // 100 AS r
+        FROM objs o
+        LEFT JOIN seeds s ON s.id = o.object_id
+        LEFT JOIN uedges e ON e.dst = o.object_id
+        LEFT JOIN odeg d ON d.src = e.src
+        LEFT JOIN r${k - 1} p ON p.id = e.src
+        GROUP BY o.object_id, s.id)"""
+    }.mkString(",\n")
+    s"""$prelude,
+      uedges AS (SELECT DISTINCT source_id AS src, target_id AS dst FROM edges),
+      odeg AS (SELECT src, COUNT(*) AS od FROM uedges GROUP BY src),
+      seeds AS (SELECT object_id AS id FROM objs
+                WHERE object_id % ${Betweenness.SeedMod} = 0
+                ORDER BY object_id LIMIT ${Betweenness.SeedCount}),
+      r0 AS (SELECT o.object_id AS id,
+               CAST(CASE WHEN s.id IS NOT NULL THEN 1000000000000 ELSE 0 END AS BIGINT) AS r
+             FROM objs o LEFT JOIN seeds s ON s.id = o.object_id),
+      $iters
+    SELECT id AS object_id, CAST(r AS BIGINT) AS ppr_scaled FROM r10
+    ORDER BY ppr_scaled DESC, object_id LIMIT 20"""
+  }
+
   /** Synchronous label-propagation rounds for `spo_lpa`. FIXED-depth by
     * design, not a convergence loop: classic LPA's stopping rule is
     * nondeterministic (async update order / oscillation on bipartite
@@ -1268,6 +1383,19 @@ object GraphQueries extends QueryModule {
       "spo_pagerank",
       (s, dir) => pagerank(s, dir),
       PagerankOracleSql
+    ),
+
+    QueryDef(
+      // PERSONALIZED PageRank from the fixed 128-seed centrality set —
+      // "important NEAR these entities" where spo_pagerank's global
+      // teleport says "important anywhere" (the entity-resolution
+      // relevance primitive). Same exact scaled-BIGINT fixed-point
+      // arithmetic, teleport mass gated on seed membership; oracle
+      // unrolls the identical ten iterations. Body in [[ppr]] so the
+      // spec can force both tiers.
+      "spo_ppr",
+      (s, dir) => ppr(s, dir),
+      PprOracleSql
     ),
 
     QueryDef(

@@ -106,6 +106,24 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(driver == dist)
   }
 
+  test("ppr driver tier equals the distributed loop, and differs from global pagerank") {
+    val dir = "/root/testdata/sf0.001"
+    def ranks(cap: Long) = GraphQueries.ppr(spark, dir, driverCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val driver = ranks(Long.MaxValue)
+    val dist = ranks(0L)
+    assert(driver.nonEmpty)
+    assert(driver == dist)
+    // personalized mass exists: the top entry is reachable from (or is)
+    // a seed, so it holds strictly positive scaled rank
+    assert(driver.head._2 > 0L)
+    // the teleport restriction must BITE: the personalized top-20 is not
+    // the global top-20 on this graph (else the query adds nothing)
+    val global = GraphQueries.pagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(driver != global)
+  }
+
   test("bfs driver tier equals the distributed frontier loop") {
     val dir = "/root/testdata/sf0.001"
     def dists(cap: Long) = GraphQueries.bfs(spark, dir, driverCap = cap)
