@@ -866,6 +866,74 @@ object Similarity extends QueryModule {
     ),
 
     QueryDef(
+      // HYBRID RETRIEVAL FUSION (VERDICT r12 item 7) — the standard RAG
+      // retrieval shape: reciprocal-rank fusion (Cormack et al. 2009,
+      // rrf(d) = Σ_lists 1/(60 + rank_d)) of the SPARSE lexical ranking
+      // (text_bm25's top-20 for its fixed 3-term query — the exact
+      // staged body, reused via TextQueries.bm25Top20) and a DENSE
+      // ranking (top-20 by cosine to query vector 0, one codegen'd
+      // cosine pass + TakeOrdered — the knn machinery's plan, never a
+      // global sort). RRF is rank arithmetic: each fused score is ONE
+      // addition of two exact-integer-derived reciprocals, so there is
+      // zero float-order risk and the oracle reproduces it bit-for-bit
+      // (the 6dp round is the §5 boundary discipline). Ranks are dense
+      // row_numbers over each 20-row list — the windows are single-
+      // partition BY CONSTRUCTION (k is a constant, not data-sized).
+      // Absent-from-list contributes 0 (the standard RRF convention);
+      // the output carries both ranks (0 = not retrieved by that side)
+      // so a reader can see WHY a doc fused high. At 100 TB both sides
+      // already scale (BM25: one stats broadcast + scan; dense: one
+      // scan + top-k reduce); the fusion itself joins two 20-row
+      // frames — free at any corpus size.
+      "q_hybrid_rrf",
+      (s, dir) => {
+        val sparse = graft.textfn.TextQueries.bm25Top20(s, dir)
+        val ws = Window.orderBy(col("score").desc, col("doc_id"))
+        val srk = sparse.select(col("doc_id"),
+          row_number().over(ws).cast("long").as("sparse_rank"))
+        val e = Tables(s, dir).embeddings
+        val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+        val dense = e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            VectorOps.cosineNative(col("qe"), col("embedding")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(20)
+        val wd = Window.orderBy(col("cos").desc, col("doc_id"))
+        val drk = dense.select(col("doc_id"),
+          row_number().over(wd).cast("long").as("dense_rank"))
+        srk.join(drk, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+            coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+            round(
+              coalesce(lit(1.0) / (lit(60L) + col("sparse_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("dense_rank")), lit(0.0)),
+              6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some(s"""WITH srk AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
+        FROM (${graft.textfn.TextQueries.Bm25Sql}) b),
+      dense AS (
+        SELECT e.vec_id AS doc_id, ${cosineSql("qe", "embedding")} AS cos
+        FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q, embeddings e
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, doc_id LIMIT 20),
+      drk AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+        FROM dense)
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        COALESCE(s.sparse_rank, 0) AS sparse_rank,
+        COALESCE(d.dense_rank, 0) AS dense_rank,
+        ROUND(COALESCE(1.0 / (60 + s.sparse_rank), 0) + COALESCE(1.0 / (60 + d.dense_rank), 0), 6) AS rrf
+      FROM srk s FULL OUTER JOIN drk d ON s.doc_id = d.doc_id
+      ORDER BY rrf DESC, doc_id""")
+    ),
+
+    QueryDef(
       // RANGE (radius) search — the other half of the vector-serving
       // API: not "the k nearest" but "EVERYTHING within a similarity
       // ball" (candidate recall for re-rankers, near-dup audits around

@@ -426,65 +426,8 @@ object TextQueries extends QueryModule {
       // term (libm-identical in practice), and the score is rounded to
       // 6dp — the same discipline §5 applies to averages.
       "text_bm25",
-      (s, dir) => {
-        // constants spelled as the same decimal literals the oracle SQL
-        // uses (k1=1.2, b=0.75, k1+1=2.2, 1-b=0.25): computing 1.2+1.0
-        // in Scala doubles need not equal the parsed literal 2.2's
-        // nearest double, and one ulp here would shift the 6dp rounding
-        val k1 = 1.2
-        val k1p1 = 2.2
-        val b = 0.75
-        val oneMinusB = 0.25
-        val terms = Seq("spark", "merge", "vector")
-        val base = Tables(s, dir).documents
-          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-          .withColumn("dl", size(col("toks")).cast("double"))
-        val statCols =
-          count(lit(1)).cast("double").as("n_docs") +:
-          sum(col("dl").cast("long")).cast("double").as("sum_dl") +:
-          terms.map(t =>
-            sum(array_contains(col("toks"), t).cast("long")).cast("double")
-              .as(s"df_$t"))
-        val stats = base.agg(statCols.head, statCols.tail: _*)
-        val scored = base.crossJoin(broadcast(stats))
-        val avgdl = col("sum_dl") / col("n_docs")
-        val contrib = terms.map { t =>
-          val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
-          val idf = log(lit(1.0) +
-            (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
-          idf * (tf * lit(k1p1)) /
-            (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / avgdl))
-        }.reduce(_ + _)
-        scored
-          .select(col("doc_id"), round(contrib, 6).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some("""WITH base AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS toks,
-          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
-        FROM documents),
-      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-          CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl,
-          CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
-          CAST(SUM(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
-          CAST(SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector
-        FROM base),
-      tf AS (SELECT doc_id, dl,
-          CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
-          CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf_merge,
-          CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_vector
-        FROM base)
-      SELECT doc_id, ROUND(
-          ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
-            (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
-          ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)) *
-            (tf_merge * 2.2) / (tf_merge + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
-          ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
-            (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))),
-        6) AS score
-      FROM tf, s
-      ORDER BY score DESC, doc_id LIMIT 20""")
+      (s, dir) => bm25Top20(s, dir),
+      Some(Bm25Sql)
     ),
 
     QueryDef(
@@ -841,6 +784,74 @@ object TextQueries extends QueryModule {
     * stopword regime (measured: 30 survivors at sf0.01 AND sf0.1, the
     * Zipf head is scale-stable). Double-typed so the threshold compare
     * is exact-identical in Spark and DuckDB. */
+  /** text_bm25 body — exposed `private[graft]` because it is also the
+    * SPARSE side of the hybrid-retrieval fusion (`q_hybrid_rrf` in
+    * graft.similarity). Constants are spelled as the same decimal
+    * literals the oracle SQL uses (k1=1.2, b=0.75, k1+1=2.2, 1-b=0.25):
+    * computing 1.2+1.0 in Scala doubles need not equal the parsed
+    * literal 2.2's nearest double, and one ulp here would shift the
+    * 6dp rounding. */
+  private[graft] def bm25Top20(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val k1 = 1.2
+    val k1p1 = 2.2
+    val b = 0.75
+    val oneMinusB = 0.25
+    val terms = Seq("spark", "merge", "vector")
+    val base = Tables(s, dir).documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl").cast("long")).cast("double").as("sum_dl") +:
+      terms.map(t =>
+        sum(array_contains(col("toks"), t).cast("long")).cast("double")
+          .as(s"df_$t"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val contrib = terms.map { t =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      idf * (tf * lit(k1p1)) /
+        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id"), round(contrib, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The complete text_bm25 oracle statement. q_hybrid_rrf embeds it
+    * verbatim as a parenthesized subquery, so the fusion's sparse ranks
+    * are BY CONSTRUCTION the ranks of the text_bm25 result. */
+  private[graft] val Bm25Sql: String = """WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+          CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl,
+          CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+          CAST(SUM(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+          CAST(SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector
+        FROM base),
+      tf AS (SELECT doc_id, dl,
+          CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+          CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf_merge,
+          CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_vector
+        FROM base)
+      SELECT doc_id, ROUND(
+          ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+            (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+          ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)) *
+            (tf_merge * 2.2) / (tf_merge + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+          ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+            (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))),
+        6) AS score
+      FROM tf, s
+      ORDER BY score DESC, doc_id LIMIT 20"""
+
   private[textfn] val HhPhi = 256.0
 
   /** Misra-Gries counters per partition. Must be >= HhPhi for the
