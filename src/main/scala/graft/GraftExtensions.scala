@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.expressions.DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_product expects exactly 2 arguments")
+        graft.expressions.DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[graft.expressions.JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

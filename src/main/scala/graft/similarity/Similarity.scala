@@ -669,6 +669,76 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("dot"), col("rk"))
   }
 
+  /** knn_mips_ann body — MIPS served through the UNCHANGED IVF tier
+    * via the Neyshabur–Srebro (2015) norm-augmentation (the reduction
+    * knn_mips's scaladoc documents and SimilaritySpec proves):
+    *
+    *  1. Index build: ONE corpus aggregate finds M² = max |x|²; each
+    *     vector is stored augmented, x' = [x, √(M²−|x|²)], so all x'
+    *     share norm M and cosine order against q' = [q, 0] IS dot
+    *     order. One extra float per vector, exactly like a production
+    *     MIPS index (FAISS does the same transform).
+    *  2. The existing coarse quantizer trains on the AUGMENTED column
+    *     unchanged — cells now carve the (direction, magnitude) space
+    *     jointly, which is what makes IVF probing sound for MIPS: a
+    *     high-norm vector lands in a cell whose centroid carries its
+    *     magnitude, so probe selection (L2 of [q, 0] to centroids, on
+    *     the driver, k×(d+1) doubles) finds magnitude-dominant cells a
+    *     direction-only quantizer would miss.
+    *  3. Scoring inside probed cells is the EXACT MIPS objective,
+    *     directly: dot_product(q, x') left-folds min(|q|, |x'|) = d
+    *     terms — the augment coordinate never enters — so candidate
+    *     scores are bit-identical to knn_mips's kernel and no
+    *     original-vector re-attach join is needed.
+    *
+    * Probe cost is nProbe/nCells of the corpus, the knn_ivf scale
+    * story; at 100 TB the cell is a partition key (VectorIndex) and
+    * unprobed cells are never read. With nProbe = nCells every row is
+    * scored and the result equals exact MIPS bit-for-bit
+    * (spec-pinned, shipped AND varied-norm corpora). */
+  private[graft] def mipsAnn(s: org.apache.spark.sql.SparkSession,
+                             e: org.apache.spark.sql.DataFrame,
+                             nCells: Int, nProbe: Int): org.apache.spark.sql.DataFrame = {
+    val withN = e.select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", VectorOps.dot("embedding", "embedding"))
+    // one scalar to the driver at index-build time: the corpus max norm
+    val m2 = withN.agg(max(col("norm2"))).collect()(0).getDouble(0)
+    // greatest(0, ·) guards the max row itself, where M² − |x|² is an
+    // exact 0 by construction but float augment storage must not NaN
+    val aug = withN.select(col("vec_id"),
+        concat(col("embedding"),
+          array(sqrt(greatest(lit(0.0), lit(m2) - col("norm2"))).cast("float")))
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = coarseCentroids(s, aug, nCells, iters = 2)
+    val assigned = assignCells(s, aug, centroids)
+    // probe selection in the augmented space: q' = [q, 0]
+    val qRows = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f))
+    val probeRows = qRows.flatMap { case (qid, qe) =>
+      centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(c.length, qe.length)
+        while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
+        (qid, ci, d)
+      }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
+    }
+    import s.implicits._
+    val probes = probeRows.toSeq.toDF("qid", "cell")
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), "qid")
+      .withColumn("dot", VectorOps.dotNative(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rk"))
+  }
+
   /** SimilaritySpec's recall floor, shared with the driver-visible
     * recall gate below so spec and gate cannot drift. */
   private[graft] val RecallFloor = 0.3
@@ -863,6 +933,31 @@ object Similarity extends QueryModule {
         FROM (SELECT qid, e.vec_id, ${VectorOps.dotSql("qe", "embedding")} AS dot
               FROM q, embeddings e WHERE e.vec_id <> qid) c) r
       WHERE rk <= $K ORDER BY qid, rk""")
+    ),
+
+    QueryDef(
+      // MIPS THROUGH THE ANN SERVING TIER (VERDICT r12 item 1) — the
+      // shape every two-tower recommender actually deploys: knn_mips
+      // is the exact one-pass objective; this serves the SAME
+      // objective at nProbe/nCells of the corpus via the
+      // Neyshabur–Srebro norm-augmentation (x' = [x, √(M²−|x|²)],
+      // trained + probed by the UNCHANGED IVF machinery — body and
+      // reduction rationale in [[mipsAnn]]). Candidate scores are the
+      // exact dot (the augment coordinate never enters the fold), so
+      // with exhaustive probing the result IS knn_mips bit-for-bit
+      // (spec-pinned). Trained quantizer → not SQL-mirrorable →
+      // rows-only BY DESIGN with the same driver-visible
+      // measured-recall gate as knn_lsh/knn_ivf, here against the
+      // exact MIPS top-k: a recall collapse empties the result and
+      // flips the driver's rows-only check.
+      "knn_mips_ann",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val ann = mipsAnn(s, e, nCells = 16, nProbe = 4)
+        withRecallGate(ann, mipsTopK(s, e))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None
     ),
 
     QueryDef(

@@ -37,6 +37,16 @@ object VectorOps {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Native codegen'd inner product: [[graft.expressions.DotProduct]]
+    * as a Column — bit-identical to [[dot]]/[[dotSql]] (same left fold,
+    * same casts), inlined into whole-stage codegen. The MIPS scoring
+    * primitive for `knn_mips_ann`. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Compiled cosine kernel: appends a `cosine` double column computed in
     * a tight JVM loop over the two float-array columns. Bit-identical to
     * [[cosine]] / [[cosineSql]] (same left-fold order, same

@@ -253,4 +253,66 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .sortBy { case (id, c) => (-c, id) }.map(_._1)
     assert(mips == cosAug, s"augmentation order $cosAug diverged from MIPS order $mips")
   }
+
+  test("dot_product native is bit-identical to the HOF fold and blind to the augment coordinate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, array, lit}
+    val df = Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f), Array(0.4f, 0.5f, -0.6f)),
+      (2L, Array(1.5f, 2.5f, -3.5f), Array(-0.25f, 0.125f, 4.0f))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorOps.dotNative(col("a"), col("b")).as("native"),
+        VectorOps.dot("a", "b").as("hof"),
+        // augmented right side: one extra coordinate the shorter left
+        // array never reaches — the knn_mips_ann scoring identity
+        VectorOps.dotNative(col("a"),
+          org.apache.spark.sql.functions.concat(col("b"), array(lit(9.9f)))).as("aug"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"native != HOF for id=${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"augment coordinate leaked for id=${r.getLong(0)}")
+    }
+    spark.sql("SELECT dot_product(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .collect().foreach(r => assert(r.getDouble(0) == 2.0))
+  }
+
+  test("knn_mips_ann is exact MIPS when probing is exhaustive, and recalls through a strict subset") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.orderBy(col("qid"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    // shipped corpus: exhaustive probing ≡ the exact one-pass kernel,
+    // ids AND dot bits (the augment coordinate never enters the fold)
+    val e = graft.operators.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val exact = top(Similarity.mipsTopK(spark, e))
+    assert(exact.nonEmpty)
+    assert(top(Similarity.mipsAnn(spark, e, nCells = 4, nProbe = 4)) == exact,
+      "exhaustive mipsAnn diverged from exact MIPS on the shipped corpus")
+    // varied-norm corpus (the regime where MIPS ≠ cosine): same identity
+    val corpus = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      100L -> Array(0.5f, 0.0f, 0.0f, 0.0f),
+      101L -> Array(10.0f, 10.0f, 0.0f, 0.0f),
+      102L -> Array(0.0f, 0.4f, 0.0f, 0.0f),
+      103L -> Array(0.0f, 0.0f, 0.3f, 0.0f),
+      104L -> Array(0.0f, 0.0f, 0.0f, 0.2f),
+      105L -> Array(0.1f, 0.1f, 0.1f, 0.1f)
+    ).toDF("vec_id", "embedding")
+    val exactV = top(Similarity.mipsTopK(spark, corpus))
+    assert(top(Similarity.mipsAnn(spark, corpus, nCells = 2, nProbe = 2)) == exactV,
+      "exhaustive mipsAnn diverged from exact MIPS on the varied-norm corpus")
+    // strict-subset probing on the shipped corpus: the serving
+    // configuration must clear the shared recall floor vs exact MIPS
+    val sub = Similarity.mipsAnn(spark, e, nCells = 16, nProbe = 4)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    val recall = exactIds.count(sub.contains).toDouble / exactIds.size
+    assert(recall >= Similarity.RecallFloor,
+      s"mips ANN recall $recall under floor ${Similarity.RecallFloor}")
+  }
 }
