@@ -1005,7 +1005,8 @@ object CorpusOps extends QueryModule {
     * production ingest comparing million-doc snapshots would raise
     * this; the FORMULA (smoothed, densified) is what scales, the
     * constant is sized to the shipped data. */
-  private[pipeline] val DriftBins = 5
+  // private[graft]: StreamDrift's numeric axis must share the bin count
+  private[graft] val DriftBins = 5
 
   /** `mix_epochs` repetition cap: ~4 epochs, the published
     * data-constrained-scaling guidance for where repeated data stops

@@ -568,6 +568,21 @@ object StreamDrift {
   final case class DocLang(source: String, lang: String)
   final case class Drift(source: String, n_seen: Long, psi: Double, drifted: Boolean)
 
+  /** ONE smoothed-PSI term in 6dp micro-units — the per-category tail
+    * of the batch `smoothedPsiBySource` chain (add-one smoothing over
+    * `b` categories, (qn−qb)·ln(qn/qb), HALF_UP 6dp via the shared
+    * [[graft.graph.Betweenness.round6micros]] kernel; terms are ≥ 0 —
+    * (a−b) and ln(a/b) share sign — so the kernel's non-negative
+    * domain holds). Both streaming axes (categorical [[psiOf]] and
+    * numeric [[psiBins]]) sum exactly these micros, so an exactness
+    * change lands on every drift surface at once — the same
+    * single-chain rule the batch tier enforces. */
+  private def psiTermMicros(cb: Long, tb: Long, cn: Long, tn: Long, b: Long): Long = {
+    val qb = (cb + 1L).toDouble / (tb + b).toDouble
+    val qn = (cn + 1L).toDouble / (tn + b).toDouble
+    graft.graph.Betweenness.round6micros((qn - qb) * math.log(qn / qb))
+  }
+
   /** Smoothed categorical PSI of `seen` against `baseline` — the batch
     * docs_drift_lang chain on driver-local maps. */
   private[streaming] def psiOf(baseline: Map[String, Long],
@@ -576,11 +591,26 @@ object StreamDrift {
     val b = langs.size.toLong
     val tb = baseline.valuesIterator.sum
     val tn = seen.valuesIterator.sum
-    val micros = langs.iterator.map { l =>
-      val qb = (baseline.getOrElse(l, 0L) + 1L).toDouble / (tb + b).toDouble
-      val qn = (seen.getOrElse(l, 0L) + 1L).toDouble / (tn + b).toDouble
-      graft.graph.Betweenness.round6micros((qn - qb) * math.log(qn / qb))
-    }.sum
+    val micros = langs.iterator.map(l =>
+      psiTermMicros(baseline.getOrElse(l, 0L), tb, seen.getOrElse(l, 0L), tn, b)).sum
+    micros / 1e6
+  }
+
+  /** Smoothed PSI over a DENSE bin grid — the batch docs_drift chain:
+    * unlike the categorical axis (universe = observed langs), every
+    * bin of the fixed grid contributes a term even when both sides are
+    * empty, because add-one smoothing gives absent bins nonzero mass
+    * (the batch operator's densified-grid rule). */
+  private[streaming] def psiBins(base: IndexedSeq[Long], seen: IndexedSeq[Long]): Double = {
+    val b = base.length.toLong
+    val tb = base.sum
+    val tn = seen.sum
+    var micros = 0L
+    var i = 0
+    while (i < base.length) {
+      micros += psiTermMicros(base(i), tb, seen(i), tn, b)
+      i += 1
+    }
     micros / 1e6
   }
 
@@ -598,6 +628,89 @@ object StreamDrift {
           state.update(snap)
           val psi = psiOf(bc.value.getOrElse(source, Map.empty), snap)
           Iterator.single(Drift(source, snap.valuesIterator.sum, psi, psi >= threshold))
+      }
+  }
+
+  // ---- numeric (length) axis — the streaming face of `docs_drift`
+  //      (VERDICT r12 item 5) ----
+
+  final case class DocLen(source: String, n_chars: Long)
+  final case class LenDrift(source: String, n_seen: Long, psi: Double, drifted: Boolean)
+
+  /** Frozen per-source length baseline: the bin support (vmin, vmax)
+    * and dense bin counts of the ACCEPTED snapshot. The support is
+    * what makes the numeric axis streamable at all: the batch operator
+    * bins on the snapshot's own min/max, which a stream cannot know
+    * ahead of time — so the stream bins on the BASELINE's support,
+    * frozen at baseline-build time, and out-of-support arrivals clamp
+    * into the edge bins (where they belong: mass beyond the accepted
+    * corpus's range IS distribution shift, and the edge bin is where
+    * the PSI sees it). */
+  final case class LenBaseline(vmin: Long, vmax: Long, counts: Seq[Long])
+
+  /** The batch docsDrift bin rule on frozen edges — identical IEEE
+    * chain ((v−vmin)·bins then ÷ span, floor, cap at bins−1), plus the
+    * clamp-at-0 a live stream needs for below-support arrivals (the
+    * batch operator can never see one: it derived the edges from the
+    * same rows it bins). */
+  private[streaming] def binOf(vmin: Long, vmax: Long, bins: Int, v: Long): Int =
+    if (vmax == vmin) 0
+    else {
+      val raw = math.floor(
+        (v - vmin).toDouble * bins.toDouble / (vmax - vmin).toDouble).toLong
+      math.max(0L, math.min(raw, bins - 1L)).toInt
+    }
+
+  /** Build the frozen baseline from an accepted base-snapshot frame
+    * ((source, n_chars, …) columns): per-source support + dense bin
+    * counts. Output is sources × (bins+2) longs — driver-sized by
+    * construction, the lang-baseline discipline; the corpus itself is
+    * touched by two aggregates (min/max, then binned counts), never
+    * collected. */
+  def lenBaselineOf(docs: org.apache.spark.sql.DataFrame,
+                    bins: Int = graft.pipeline.CorpusOps.DriftBins): Map[String, LenBaseline] = {
+    import org.apache.spark.sql.functions._
+    val nb = lit(bins.toLong)
+    val mm = docs.groupBy(col("source"))
+      .agg(min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax"))
+    val counts = docs.select(col("source"), col("n_chars")).join(mm, "source")
+      .select(col("source"), col("vmin"), col("vmax"),
+        when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+          least(floor((col("n_chars") - col("vmin")).cast("double") * nb.cast("double") /
+            (col("vmax") - col("vmin")).cast("double")).cast("long"), nb - 1L))
+          .as("bin"))
+      .groupBy(col("source"), col("vmin"), col("vmax"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // ≤ sources × bins rows
+    counts.groupBy(_.getString(0)).map { case (src, rows) =>
+      val arr = Array.fill(bins)(0L)
+      rows.foreach(r => arr(r.getLong(3).toInt) += r.getLong(4))
+      src -> LenBaseline(rows.head.getLong(1), rows.head.getLong(2), arr.toSeq)
+    }
+  }
+
+  /** Per-source cumulative length-distribution PSI against the frozen
+    * baseline — `docs_drift`'s numeric axis on the live ingest path,
+    * the exact complement of [[drift]]'s categorical one. State per
+    * source: the dense bin-count array — sources × bins longs, never
+    * stream-length-bound. A source absent from the baseline gets the
+    * degenerate (0, 0) support — every arrival lands in bin 0, exactly
+    * the batch operator's vmax == vmin rule. */
+  def driftLen(docs: Dataset[DocLen], baseline: Map[String, LenBaseline],
+               bins: Int = graft.pipeline.CorpusOps.DriftBins,
+               threshold: Double = 0.2): Dataset[LenDrift] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(baseline)
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[DocLen], state: GroupState[Array[Long]]) =>
+          val base = bc.value.getOrElse(source,
+            LenBaseline(0L, 0L, Seq.fill(bins)(0L)))
+          val seen = state.getOption.map(_.clone()).getOrElse(Array.fill(bins)(0L))
+          batch.foreach(d => seen(binOf(base.vmin, base.vmax, bins, d.n_chars)) += 1L)
+          state.update(seen)
+          val psi = psiBins(base.counts.toIndexedSeq, seen.toIndexedSeq)
+          Iterator.single(LenDrift(source, seen.sum, psi, psi >= threshold))
       }
   }
 }

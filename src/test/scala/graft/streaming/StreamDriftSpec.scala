@@ -88,4 +88,87 @@ class StreamDriftSpec extends AnyFunSuite with SparkFixture {
     val c = Map("zz" -> 100L)
     assert(psiOf(a, c) > 1.0 && !psiOf(a, c).isInfinite)
   }
+
+  // ---- numeric (length) axis ----
+
+  private def runLen(name: String, baseline: Map[String, LenBaseline],
+                     batches: Seq[Seq[DocLen]]): Seq[Seq[LenDrift]] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DocLen]
+    val q = driftLen(input.toDS(), baseline).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      val out = Seq.newBuilder[Seq[LenDrift]]
+      var prev = 0L
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        val all = spark.table(name).as[LenDrift].collect().toSeq
+        out += all.drop(prev.toInt)
+        prev = all.size.toLong
+      }
+      out.result()
+    } finally q.stop()
+  }
+
+  test("one-batch length feed equals batch docs_drift exactly on a baseline-binned corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // the batch operator bins on the COMBINED snapshot's min/max; the
+    // stream bins on the frozen BASELINE support — the two coincide
+    // exactly when the base snapshot holds each source's extreme rows,
+    // so both sources pin their min (5) and max (95) on base doc_ids
+    // (1, 2 and 101, 102 — none ≡ 0 mod 7)
+    val docs: Seq[(Long, String, Long)] =
+      // s0: new docs match the base length mix (both mid-range)
+      Seq((1L, "s0", 5L), (2L, "s0", 95L)) ++
+        (3L until 84L).map(i => (i, "s0", 10L + (i * 3) % 80)) ++
+      // s1: base is mid-range, new docs (ids ≡ 0 mod 7) are all at the
+      // top of the SAME support — a pure length shift, no new support
+      Seq((101L, "s1", 5L), (102L, "s1", 95L)) ++
+        (103L until 184L).map(i =>
+          (i, "s1", if (i % 7 == 0) 90L else 20L + (i * 3) % 30))
+    val df = docs.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val batchOut = graft.pipeline.CorpusOps.docsDrift(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val baseDf = docs.filter(_._1 % 7 != 0).toDF("doc_id", "source", "n_chars")
+    val baseline = lenBaselineOf(baseDf)
+    assert(baseline("s0").vmin == 5L && baseline("s0").vmax == 95L)
+    val streamed = docs.filter(_._1 % 7 == 0).map(d => DocLen(d._2, d._3))
+    val got = runLen("sdriftlen_eq", baseline, Seq(streamed)).head
+      .map(d => d.source -> ((d.n_seen, d.psi, d.drifted))).toMap
+    assert(got.keySet == batchOut.keySet)
+    got.foreach { case (src, (n, psi, flag)) =>
+      val (bn, bpsi, bflag) = batchOut(src)
+      assert(n == bn, s"$src n_seen $n vs batch n_new $bn")
+      assert(psi == bpsi, s"$src psi $psi vs batch $bpsi — chains diverged")
+      assert(flag == bflag)
+    }
+    // the engineered shift is actually separated
+    assert(!got("s0")._3 && got("s1")._3)
+  }
+
+  test("length axis: cumulative across batches, out-of-support mass clamps to edge bins") {
+    // clamping unit rule first: below-support -> bin 0, above -> last
+    assert(binOf(10L, 50L, 5, 3L) == 0 && binOf(10L, 50L, 5, 500L) == 4)
+    assert(binOf(10L, 50L, 5, 10L) == 0 && binOf(10L, 50L, 5, 49L) == 4)
+    assert(binOf(7L, 7L, 5, 123L) == 0, "degenerate support must bin everything at 0")
+    // baseline: uniform mid-range lengths over [0, 100)
+    val base = lenBaselineOf(
+      {
+        import spark.implicits._
+        (0L until 100L).map(i => ("s", i)).toDF("source", "n_chars")
+      })
+    // batch 1 mirrors the uniform mix; batch 2 arrives far above support
+    val b1 = (0 until 20).map(i => DocLen("s", i * 5L))
+    val b2 = (1 to 40).map(_ => DocLen("s", 100000L))
+    val Seq(r1, r2) = runLen("sdriftlen_x", base, Seq(b1, b2))
+    assert(r1.size == 1 && r2.size == 1)
+    assert(r1.head.n_seen == 20L && r2.head.n_seen == 60L, "counts not cumulative")
+    assert(!r1.head.drifted, s"matching mix flagged: ${r1.head.psi}")
+    assert(r2.head.drifted && r2.head.psi > r1.head.psi + 0.5,
+      s"out-of-support surge not caught: ${r1.head.psi} -> ${r2.head.psi}")
+  }
 }
