@@ -4,10 +4,53 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only stage-timing probe (not part of the graded surface). */
 object DevProbe {
+
+  /** Probe-scoped executor metrics (VERDICT r12 item 8): the XL scale
+    * records were wall-only, so a 30×/100× claim carried no GC/spill/
+    * shuffle attribution while the bench's per-query records did. Same
+    * mechanism as Bench.M — monotonic task-metric sums off the listener
+    * bus, drained at each snapshot so a probe's bytes land in its own
+    * window. Installed by [[main]]; ad-hoc `t()` callers without a
+    * listener just see zero deltas. */
+  private object PM {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufR = new AtomicLong(0L)
+    val shufW = new AtomicLong(0L)
+    val spillM = new AtomicLong(0L)
+    val spillD = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    @volatile var sc: org.apache.spark.SparkContext = null
+    def install(spark: SparkSession): Unit = {
+      sc = spark.sparkContext
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            shufR.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+            spillM.addAndGet(tm.memoryBytesSpilled)
+            spillD.addAndGet(tm.diskBytesSpilled)
+            gcMs.addAndGet(tm.jvmGCTime)
+            ()
+          }
+        }
+      })
+    }
+    def snapshot(): Array[Long] = {
+      val c = sc
+      if (c != null) org.apache.spark.GraftCoreBridge.drainListenerBus(c)
+      Array(shufR.get, shufW.get, spillM.get, spillD.get, gcMs.get)
+    }
+  }
+
   def t[A](name: String)(f: => A): A = {
+    val m0 = PM.snapshot()
     val t0 = System.nanoTime()
     val r = f
-    println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val m = PM.snapshot().zip(m0).map { case (a, b) => a - b }
+    def mb(x: Long) = x / 1048576.0
+    println(f"PROBE $name%-28s $sec%8.2f s  m=[shufR=${mb(m(0))}%.1fMB shufW=${mb(m(1))}%.1fMB spillM=${mb(m(2))}%.1fMB spillD=${mb(m(3))}%.1fMB gc=${m(4)}ms]")
     r
   }
 
@@ -239,6 +282,7 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    PM.install(spark)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -425,7 +469,7 @@ object DevProbe {
               try {
                 val bad = out.filter(col("degree") <= 1 && col("betweenness") =!= 0.0).count()
                 require(bad == 0, s"degree gate violated: $bad leaf rows with nonzero betweenness")
-                val g = out.select(max(col("mass_err_micros")), max(col("mass_bound_micros"))).head
+                val g = out.select(max(col("mass_err_micros")), max(col("mass_bound_micros"))).head()
                 println(s"  mass gate: err=${g.getLong(0)} bound=${g.getLong(1)}")
                 require(g.getLong(0) <= g.getLong(1), "mass gate violated at scale")
                 val n = out.count()

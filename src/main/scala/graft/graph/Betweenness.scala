@@ -474,7 +474,7 @@ object Betweenness {
       // ONLY forward-pass row counts already in hand — no extra jobs
       // beyond one global δ sum over the checkpointed frames
       val deltaTotal = nonSeedDeltas
-        .agg(sum(col("delta")).cast("decimal(38,6)")).head.getDecimal(0)
+        .agg(sum(col("delta")).cast("decimal(38,6)")).head().getDecimal(0)
       val deltaMicros =
         if (deltaTotal == null) 0L
         else deltaTotal.movePointRight(6).longValueExact()
