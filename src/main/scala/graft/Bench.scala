@@ -53,11 +53,15 @@ object Bench {
       // cached RDD blocks dropped entirely — INCLUDING voluntary
       // unpersist()/localCheckpoint scratch release (pervasive in the
       // betweenness and funnel code), so a nonzero value alone is NOT a
-      // memory-pressure signal (review finding r13). Read alongside
-      // `unpersist`: a window with removed>0 and unpersist=0 is an
-      // involuntary drop; removed tracking unpersist is routine cleanup.
+      // memory-pressure signal (review finding r13). Adjudication rule,
+      // ONE direction only: unpersist=0 && removed>0 proves an
+      // involuntary drop. The converse does NOT hold — unpersist counts
+      // RDDs (not blocks) and fires for ContextCleaner's GC-driven
+      // cleanups as well as explicit calls, so a window with both
+      // counters nonzero may still hide pressure-driven loss among the
+      // voluntary releases; treat it as inconclusive, not clean.
       val removed = new AtomicLong(0L)
-      val unpersist = new AtomicLong(0L) // explicit unpersistRDD calls in window
+      val unpersist = new AtomicLong(0L) // unpersistRDD events (explicit + cleaner)
       def snapshot(): Array[Long] = {
         org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
         Array(shufR.get, shufW.get, spillM.get, spillD.get, gcMs.get,
@@ -104,10 +108,9 @@ object Bench {
           }
         }
       }
-      // voluntary-release marker for the removed counter above: every
-      // explicit RDD.unpersist() posts one of these, so a run window's
-      // removed_blocks is adjudicable (unpersist_rdds=0 + removed>0 =
-      // involuntary loss; otherwise routine scratch-frame release)
+      // voluntary-release marker for the removed counter above; posted
+      // for explicit RDD.unpersist() AND ContextCleaner GC-driven
+      // cleanup — see M.removed's one-directional adjudication rule
       override def onUnpersistRDD(u: SparkListenerUnpersistRDD): Unit = {
         M.unpersist.incrementAndGet(); ()
       }

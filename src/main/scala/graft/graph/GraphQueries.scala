@@ -139,27 +139,39 @@ object GraphQueries extends QueryModule {
     val nodes = g.dict.select(col("object_id").as("id"))
     val rank: org.apache.spark.sql.DataFrame =
       if (edges.count() <= driverCap) {
-        // seeds come from the FULL node census (an isolated node can be
-        // a seed and holds the teleport-only fixpoint), so the driver
-        // tier indexes all ids, not just edge endpoints like pagerank's
-        val nodeIds = nodes.collect().map(_.getLong(0))
-        val seedSet = seedIdsOf(nodeIds.toSeq).toSet
-        val idx = nodeIds.zipWithIndex.toMap
+        // the driver tier collects ONLY edge endpoints and the ≤128-row
+        // seed frame, never the node dictionary — pagerank's
+        // edge-bounded discipline (review finding r13: a first draft
+        // collected the full dict, whose size the edge cap does not
+        // bound; an isolated-heavy graph would have OOMed the driver
+        // while the distributed tier survived). Isolated seeds ride in
+        // via the seed frame and hold the teleport-only fixpoint;
+        // every other non-endpoint node is exactly 0 and joins back
+        // distributively below.
+        val seedIds = seedFrameOf(nodes).collect().map(_.getLong(0))
+        val seedSet = seedIds.toSet
         val edgeArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val od = new Array[Long](nodeIds.length)
+        val ids = (edgeArr.iterator.flatMap(p => Iterator(p._1, p._2)) ++
+          seedIds.iterator).toArray.distinct
+        val idx = ids.zipWithIndex.toMap
+        val od = new Array[Long](ids.length)
         edgeArr.foreach { case (s0, _) => od(idx(s0)) += 1L }
-        var r = nodeIds.map(v => if (seedSet(v)) 1000000000000L else 0L)
+        var r = ids.map(v => if (seedSet(v)) 1000000000000L else 0L)
         for (_ <- 1 to 10) {
-          val sums = new Array[Long](nodeIds.length)
+          val sums = new Array[Long](ids.length)
           edgeArr.foreach { case (s0, d0) =>
             val si = idx(s0)
             if (r(si) > 0L) sums(idx(d0)) += r(si) / od(si)
           }
-          r = nodeIds.indices.toArray.map(i =>
-            (if (seedSet(nodeIds(i))) 150000000000L else 0L) + (85L * sums(i)) / 100L)
+          r = ids.indices.toArray.map(i =>
+            (if (seedSet(ids(i))) 150000000000L else 0L) + (85L * sums(i)) / 100L)
         }
         import s.implicits._
-        nodeIds.indices.map(i => (nodeIds(i), r(i))).toDF("id", "r")
+        val touched = ids.indices.map(i => (ids(i), r(i))).toDF("id", "r")
+        nodes
+          .join(broadcast(touched.select(col("id"))), Seq("id"), "left_anti")
+          .select(col("id"), lit(0L).as("r"))
+          .unionByName(touched)
       } else {
         val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).persist(lvl)
         val seeds = seedFrameOf(nodes)

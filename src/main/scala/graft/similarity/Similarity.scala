@@ -712,31 +712,61 @@ object Similarity extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = coarseCentroids(s, aug, nCells, iters = 2)
     val assigned = assignCells(s, aug, centroids)
-    // probe selection in the augmented space: q' = [q, 0]
-    val qRows = e.filter(col("vec_id") < NQueries)
+    // probe selection in the augmented space (q' = [q, 0]); scoring
+    // queries stay in the original space — the fold never reaches the
+    // augment coordinate anyway
+    val probeQ = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f))
-    val probeRows = qRows.flatMap { case (qid, qe) =>
-      centroids.zipWithIndex.map { case (c, ci) =>
-        var d = 0.0
-        var i = 0
-        val n = math.min(c.length, qe.length)
-        while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
-        (qid, ci, d)
-      }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
-    }
-    import s.implicits._
-    val probes = probeRows.toSeq.toDF("qid", "cell")
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    ivfScanTopK(s, assigned, centroids, probeQ, queries, nProbe,
+      "dot", VectorOps.dotNative)
+  }
+
+  /** nProbe nearest cells for one query, in the quantizer's own space —
+    * a driver-side loop over nCells×dims doubles with a deterministic
+    * (distance, cell-id) tie-break. The ONE probe-selection rule behind
+    * knn_ivf, knn_ivfpq's pqAdcTopK, and knn_mips_ann (review finding
+    * r13: it existed as three verbatim copies; the explicit tie-break is
+    * behavior-identical to the copies' stable sort by distance). */
+  private[similarity] def probeCells(centroids: Array[Array[Double]],
+                                     qe: Array[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, ci) =>
+      var d = 0.0
+      var i = 0
+      val n = math.min(c.length, qe.length)
+      while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
+      (ci, d)
+    }.sortBy { case (ci, d) => (d, ci) }.take(nProbe).map(_._1).toSeq
+
+  /** The probed-cells scan + per-query rank cut shared by knn_ivf and
+    * knn_mips_ann — one scaffold, two scores (review finding r13). Probe
+    * selection runs over `probeQ` (which may live in a DIFFERENT space
+    * than the scoring queries: mipsAnn probes with the augmented [q, 0]
+    * while scoring the original q); rows in unprobed cells are never
+    * scored, and at persisted-index scale the cell is a partition key
+    * (VectorIndex) so they are never read. */
+  private def ivfScanTopK(s: org.apache.spark.sql.SparkSession,
+                          assigned: org.apache.spark.sql.DataFrame,
+                          centroids: Array[Array[Double]],
+                          probeQ: Array[(Long, Array[Float])],
+                          queries: org.apache.spark.sql.DataFrame,
+                          nProbe: Int, scoreName: String,
+                          score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val probes = probeQ.toSeq.flatMap { case (qid, qe) =>
+      probeCells(centroids, qe, nProbe).map(ci => (qid, ci))
+    }.toDF("qid", "cell")
+    val w = Window.partitionBy(col("qid")).orderBy(col(scoreName).desc, col("vec_id"))
     assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(queries), "qid")
-      .withColumn("dot", VectorOps.dotNative(col("qe"), col("embedding")))
+      .withColumn(scoreName, score(col("qe"), col("embedding")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
-      .select(col("qid"), col("vec_id"), col("dot"), col("rk"))
+      .select(col("qid"), col("vec_id"), col(scoreName), col("rk"))
   }
 
   /** SimilaritySpec's recall floor, shared with the driver-visible
@@ -791,13 +821,7 @@ object Similarity extends QueryModule {
       case Some((nCells, nProbe)) =>
         val centroids = coarseCentroids(s, vecs, nCells, iters = 2)
         val ps: Map[Long, Set[Int]] = qRaw.map { case (qid, qe) =>
-          qid -> centroids.zipWithIndex.map { case (c, ci) =>
-            var d = 0.0
-            var i = 0
-            val n = math.min(c.length, qe.length)
-            while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
-            (ci, d)
-          }.sortBy { case (ci, d) => (d, ci) }.take(nProbe).map(_._1).toSet
+          qid -> probeCells(centroids, qe.toArray, nProbe).toSet
         }.toMap
         (assignCells(s, vecs, centroids), ps)
       case None =>
@@ -1163,27 +1187,10 @@ object Similarity extends QueryModule {
         val qRows = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        val probeRows = qRows.flatMap { case (qid, qe) =>
-          centroids.zipWithIndex.map { case (c, ci) =>
-            var d = 0.0
-            var i = 0
-            val n = math.min(c.length, qe.length)
-            while (i < n) { val t = qe(i) - c(i); d += t * t; i += 1 }
-            (qid, ci, d)
-          }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
-        }
-        import s.implicits._
-        val probes = probeRows.toSeq.toDF("qid", "cell")
         val queries = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        val ann = assigned.join(broadcast(probes), "cell")
-          .filter(col("vec_id") =!= col("qid"))
-          .join(broadcast(queries), "qid")
-          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+        val ann = ivfScanTopK(s, assigned, centroids, qRows, queries, nProbe,
+          "cosine", cosineNative)
         // driver-visible quality gate, as in knn_lsh
         withRecallGate(ann, bruteForceTopK(s, dir))
           .orderBy(col("qid"), col("rk"))

@@ -693,9 +693,15 @@ object StreamDrift {
     * baseline — `docs_drift`'s numeric axis on the live ingest path,
     * the exact complement of [[drift]]'s categorical one. State per
     * source: the dense bin-count array — sources × bins longs, never
-    * stream-length-bound. A source absent from the baseline gets the
-    * degenerate (0, 0) support — every arrival lands in bin 0, exactly
-    * the batch operator's vmax == vmin rule. */
+    * stream-length-bound. Each source's grid size comes from ITS OWN
+    * baseline (`counts.length`), never from a caller parameter — a
+    * free `bins` argument could disagree with the frozen grid and
+    * either index past the state array or silently drop terms (review
+    * finding r13); `bins` below sizes only the degenerate grid of a
+    * source ABSENT from the baseline (whose every arrival lands in
+    * bin 0, the batch operator's vmax == vmin rule — all its mass in
+    * one cell of an otherwise-empty grid, which PSI flags loudly, as
+    * an unknown source should be). */
   def driftLen(docs: Dataset[DocLen], baseline: Map[String, LenBaseline],
                bins: Int = graft.pipeline.CorpusOps.DriftBins,
                threshold: Double = 0.2): Dataset[LenDrift] = {
@@ -706,8 +712,9 @@ object StreamDrift {
         (source: String, batch: Iterator[DocLen], state: GroupState[Array[Long]]) =>
           val base = bc.value.getOrElse(source,
             LenBaseline(0L, 0L, Seq.fill(bins)(0L)))
-          val seen = state.getOption.map(_.clone()).getOrElse(Array.fill(bins)(0L))
-          batch.foreach(d => seen(binOf(base.vmin, base.vmax, bins, d.n_chars)) += 1L)
+          val grid = base.counts.length
+          val seen = state.getOption.map(_.clone()).getOrElse(Array.fill(grid)(0L))
+          batch.foreach(d => seen(binOf(base.vmin, base.vmax, grid, d.n_chars)) += 1L)
           state.update(seen)
           val psi = psiBins(base.counts.toIndexedSeq, seen.toIndexedSeq)
           Iterator.single(LenDrift(source, seen.sum, psi, psi >= threshold))

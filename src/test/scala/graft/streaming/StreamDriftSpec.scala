@@ -92,11 +92,12 @@ class StreamDriftSpec extends AnyFunSuite with SparkFixture {
   // ---- numeric (length) axis ----
 
   private def runLen(name: String, baseline: Map[String, LenBaseline],
-                     batches: Seq[Seq[DocLen]]): Seq[Seq[LenDrift]] = {
+                     batches: Seq[Seq[DocLen]],
+                     bins: Int = graft.pipeline.CorpusOps.DriftBins): Seq[Seq[LenDrift]] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[DocLen]
-    val q = driftLen(input.toDS(), baseline).writeStream
+    val q = driftLen(input.toDS(), baseline, bins).writeStream
       .format("memory").queryName(name).outputMode("append").start()
     try {
       val out = Seq.newBuilder[Seq[LenDrift]]
@@ -170,5 +171,13 @@ class StreamDriftSpec extends AnyFunSuite with SparkFixture {
     assert(!r1.head.drifted, s"matching mix flagged: ${r1.head.psi}")
     assert(r2.head.drifted && r2.head.psi > r1.head.psi + 0.5,
       s"out-of-support surge not caught: ${r1.head.psi} -> ${r2.head.psi}")
+    // a caller-supplied bin count that disagrees with the frozen grid
+    // must be IGNORED for baseline-present sources — the grid size is
+    // the baseline's own counts.length (review finding r13: a free
+    // bins argument could index past the state array or silently drop
+    // PSI terms)
+    val Seq(m1) = runLen("sdriftlen_m", base, Seq(b1), bins = 3)
+    assert(m1.head.psi == r1.head.psi,
+      s"mismatched bins argument changed a frozen-grid source's PSI: ${m1.head.psi} vs ${r1.head.psi}")
   }
 }
