@@ -696,32 +696,71 @@ object Similarity extends QueryModule {
     * unprobed cells are never read. With nProbe = nCells every row is
     * scored and the result equals exact MIPS bit-for-bit
     * (spec-pinned, shipped AND varied-norm corpora). */
-  private[graft] def mipsAnn(s: org.apache.spark.sql.SparkSession,
-                             e: org.apache.spark.sql.DataFrame,
-                             nCells: Int, nProbe: Int): org.apache.spark.sql.DataFrame = {
+  /** The Neyshabur–Srebro norm-augmented corpus: ONE aggregate finds
+    * M² = max |x|², then every vector is stored as x' = [x, √(M²−|x|²)]
+    * so all x' share norm M. Shared by knn_mips_ann (IVF) and
+    * knn_mips_ivfpq (IVF+PQ). greatest(0, ·) guards the max row itself,
+    * where M² − |x|² is an exact 0 by construction but float augment
+    * storage must not NaN. */
+  private[similarity] def normAugmented(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val withN = e.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", VectorOps.dot("embedding", "embedding"))
     // one scalar to the driver at index-build time: the corpus max norm
     val m2 = withN.agg(max(col("norm2"))).collect()(0).getDouble(0)
-    // greatest(0, ·) guards the max row itself, where M² − |x|² is an
-    // exact 0 by construction but float augment storage must not NaN
-    val aug = withN.select(col("vec_id"),
+    withN.select(col("vec_id"),
         concat(col("embedding"),
           array(sqrt(greatest(lit(0.0), lit(m2) - col("norm2"))).cast("float")))
           .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [q, 0]-augmented probe/query rows for the MIPS serving paths —
+    * the query side of the reduction (its augment coordinate is 0, so
+    * augmented-space geometry ranks by dot). */
+  private def mipsQueryRows(e: org.apache.spark.sql.DataFrame): Array[(Long, Array[Float])] =
+    e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f))
+      .sortBy(_._1)
+
+  private[graft] def mipsAnn(s: org.apache.spark.sql.SparkSession,
+                             e: org.apache.spark.sql.DataFrame,
+                             nCells: Int, nProbe: Int): org.apache.spark.sql.DataFrame = {
+    val aug = normAugmented(e)
     val centroids = coarseCentroids(s, aug, nCells, iters = 2)
     val assigned = assignCells(s, aug, centroids)
     // probe selection in the augmented space (q' = [q, 0]); scoring
     // queries stay in the original space — the fold never reaches the
     // augment coordinate anyway
-    val probeQ = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f))
+    val probeQ = mipsQueryRows(e)
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     ivfScanTopK(s, assigned, centroids, probeQ, queries, nProbe,
       "dot", VectorOps.dotNative)
+  }
+
+  /** knn_mips_ivfpq body — MIPS through the FULL compression stack
+    * (coarse-quantizer pruning + 8-byte PQ codes + exact-dot re-rank),
+    * parameterized like [[ivfpq]] so the spec can dial both
+    * approximations to exhaustive and assert bit-exact equality with
+    * [[mipsTopK]]. The entire [[pqAdcScan]] engine runs UNCHANGED on
+    * the norm-augmented corpus: all x' share norm M, so the ADC's
+    * normalized-L2 order against q' = [q, 0] IS dot order (the same
+    * reduction knn_mips_ann serves without codes); the re-rank tail
+    * scores the exact dot via the min-length fold, so the compression
+    * only ever affects WHICH candidates reach the re-rank, never their
+    * scores. */
+  private[graft] def mipsIvfPq(s: org.apache.spark.sql.SparkSession,
+                               e: org.apache.spark.sql.DataFrame,
+                               nCells: Int, nProbe: Int,
+                               m: Int, kSub: Int, rerank: Int): org.apache.spark.sql.DataFrame = {
+    val aug = normAugmented(e)
+    val qRaw: Array[(Long, Seq[Float])] =
+      mipsQueryRows(e).map { case (qid, qe) => (qid, qe.toSeq) }
+    val rerankQueries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    pqAdcScan(s, aug, qRaw, rerankQueries, m, kSub, rerank,
+      Some((nCells, nProbe)), "dot", VectorOps.dotNative)
   }
 
   /** nProbe nearest cells for one query, in the quantizer's own space —
@@ -806,15 +845,41 @@ object Similarity extends QueryModule {
   private[similarity] def pqAdcTopK(s: org.apache.spark.sql.SparkSession, dir: String,
                                     m: Int, kSub: Int, rerank: Int,
                                     ivf: Option[(Int, Int)]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
     val e = Tables(s, dir).embeddings
-    val vecs = e.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = pqCodebooks(s, vecs, m, kSub, iters = 2)
     val qRaw = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val rerankQueries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ann = pqAdcScan(s, e.select(col("vec_id"), col("embedding")), qRaw, rerankQueries,
+      m, kSub, rerank, ivf, "cosine", cosineNative)
+    withRecallGate(ann, bruteForceTopK(s, dir))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** [[pqAdcTopK]]'s engine, parameterized on the corpus frame, the
+    * probe/ADC query rows, and the re-rank score — so the MIPS serving
+    * path ([[mipsIvfPq]]) reuses the codebook training, probe pruning,
+    * ADC kernel, heaps, and candidate window UNCHANGED on the
+    * norm-augmented corpus while re-ranking by exact dot. `qRaw` may
+    * live in a different space than `rerankQueries` (MIPS probes and
+    * ADC-scans with [q, 0]; re-ranks with the original q — the
+    * min-length dot fold never reaches the corpus augment coordinate,
+    * the knn_mips_ann identity). */
+  private def pqAdcScan(s: org.apache.spark.sql.SparkSession,
+                        data0: org.apache.spark.sql.DataFrame,
+                        qRaw: Array[(Long, Seq[Float])],
+                        rerankQueries: org.apache.spark.sql.DataFrame,
+                        m: Int, kSub: Int, rerank: Int,
+                        ivf: Option[(Int, Int)],
+                        scoreName: String,
+                        score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val vecs = data0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqCodebooks(s, vecs, m, kSub, iters = 2)
     // probe list: nProbe nearest cells per query in the RAW space the
     // coarse quantizer was trained in (the knn_ivf rule verbatim)
     val (data, probeSets) = ivf match {
@@ -883,18 +948,14 @@ object Similarity extends QueryModule {
       .withColumn("rka", row_number().over(wA))
       .filter(col("rka") <= rerank)
       .select(col("qid"), col("vec_id"))
-    val queries = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    val ann = candIds
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(queries), "qid")
-      .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col(scoreName).desc, col("vec_id"))
+    candIds
+      .join(vecs, "vec_id")
+      .join(broadcast(rerankQueries), "qid")
+      .withColumn(scoreName, score(col("qe"), col("embedding")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
-      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
-    withRecallGate(ann, bruteForceTopK(s, dir))
-      .orderBy(col("qid"), col("rk"))
+      .select(col("qid"), col("vec_id"), col(scoreName), col("rk"))
   }
 
   /** knn_ivfpq body, parameterized so the spec can dial both
@@ -978,6 +1039,31 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         val ann = mipsAnn(s, e, nCells = 16, nProbe = 4)
+        withRecallGate(ann, mipsTopK(s, e))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None
+    ),
+
+    QueryDef(
+      // MIPS THROUGH IVF + PQ — the codes-in-RAM MIPS deployment (what
+      // a two-tower recommender serving 100 TB of item embeddings
+      // actually runs: FAISS IndexIVFPQ over norm-augmented vectors).
+      // knn_mips_ann prunes but still reads float vectors in probed
+      // cells; this adds the 8-byte-code compression so probed cells
+      // scan codes, not floats, and only the rerank-sized tail touches
+      // a real vector. The ENTIRE pqAdcScan engine (codebooks, probe
+      // pruning, ADC kernel, heaps, candidate window) runs unchanged
+      // on the augmented corpus — all x' share norm M, so ADC's
+      // normalized-L2 order against [q, 0] IS dot order — and the
+      // re-rank scores the exact dot (min-length fold). Rows-only BY
+      // DESIGN (trained quantizer + codebooks) with the measured-recall
+      // gate against exact MIPS; spec dials both approximations to
+      // exhaustive and pins bit-exact equality with knn_mips.
+      "knn_mips_ivfpq",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val ann = mipsIvfPq(s, e, nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 32)
         withRecallGate(ann, mipsTopK(s, e))
           .orderBy(col("qid"), col("rk"))
       },

@@ -34,7 +34,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     // exhaustive-equality pin); dedup_simhash graduated to
     // oracle-exact via md5_number_lower
     assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
-      "knn_mips_ann",
+      "knn_mips_ann", "knn_mips_ivfpq",
       "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe", "spo_mst",
       "cluster_kmeans", "spo_betweenness", "embed_pca"))
   }

@@ -315,4 +315,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= Similarity.RecallFloor,
       s"mips ANN recall $recall under floor ${Similarity.RecallFloor}")
   }
+
+  test("knn_mips_ivfpq is exact MIPS when both approximations are exhaustive, and recalls compressed") {
+    import org.apache.spark.sql.functions.col
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.orderBy(col("qid"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    val e = graft.operators.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val n = e.count().toInt
+    val exact = top(Similarity.mipsTopK(spark, e))
+    assert(exact.nonEmpty)
+    // both approximations dialed to exhaustive: every cell probed, every
+    // probed row a re-rank candidate -> the 8-byte codes decide nothing
+    // and the exact-dot re-rank IS the exact answer, bit for bit
+    val exh = top(Similarity.mipsIvfPq(spark, e,
+      nCells = 4, nProbe = 4, m = 8, kSub = 16, rerank = n))
+    assert(exh == exact, "exhaustive mips IVF+PQ diverged from exact MIPS")
+    // the serving configuration (pruned + compressed) clears the floor
+    val sub = Similarity.mipsIvfPq(spark, e,
+        nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 32)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    val recall = exactIds.count(sub.contains).toDouble / exactIds.size
+    assert(recall >= Similarity.RecallFloor,
+      s"mips IVF+PQ recall $recall under floor ${Similarity.RecallFloor}")
+  }
 }
