@@ -54,6 +54,16 @@ object VectorIndex {
     s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Build the persisted MIPS index: the SAME [[buildIvf]] layout over
+    * the norm-augmented corpus ([[Similarity.normAugmented]] — one
+    * extra float per stored vector, all augmented vectors sharing the
+    * corpus max norm M), so the quantizer carves (direction, magnitude)
+    * jointly and [[probeMips]]'s pruned scan ranks by the exact dot.
+    * The knn_mips_ann reduction as a build-once/probe-many artifact. */
+  def buildMips(s: SparkSession, data: DataFrame, indexDir: String,
+                nCells: Int, iters: Int = 2): Unit =
+    buildIvf(s, Similarity.normAugmented(data), indexDir, nCells, iters)
+
   /** Top-k cosine neighbors for each probe vector, scanning only the
     * nprobe nearest cells per query. Output: (query_id, vec_id, cosine,
     * rk), rk 1..k, ties broken on vec_id — deterministic.
@@ -63,12 +73,33 @@ object VectorIndex {
     *                the knn query surface)
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
-               k: Int, nprobe: Int): DataFrame = {
+               k: Int, nprobe: Int): DataFrame =
+    probeCore(s, indexDir, queries, k, nprobe,
+      scoreDot = false, scoreName = "cosine")
+
+  /** Top-k MAXIMUM-INNER-PRODUCT neighbors off a [[buildMips]] index:
+    * cell selection uses the zero-augmented query [q, 0] (the space the
+    * index's quantizer was trained in); scoring is the exact dot — the
+    * stored augment coordinate contributes 0·aug = ±0.0 to the fold, so
+    * the scores are bit-identical to the unaugmented dot (the
+    * knn_mips_ann identity). Output: (query_id, vec_id, dot, rk). */
+  def probeMips(s: SparkSession, indexDir: String, queries: DataFrame,
+                k: Int, nprobe: Int): DataFrame =
+    probeCore(s, indexDir, queries, k, nprobe,
+      scoreDot = true, scoreName = "dot")
+
+  private def probeCore(s: SparkSession, indexDir: String, queries: DataFrame,
+                        k: Int, nprobe: Int,
+                        scoreDot: Boolean, scoreName: String): DataFrame = {
     val cents = loadCentroids(s, indexDir)
     val qIdIdx = queries.schema.fieldIndex("query_id")
     val qEmbIdx = queries.schema.fieldIndex("embedding")
     val qs: Array[(Long, Array[Float])] = queries.collect()
-      .map(r => (r.getLong(qIdIdx), r.getSeq[Float](qEmbIdx).toArray))
+      .map(r => (r.getLong(qIdIdx),
+        // MIPS probes live in the index's AUGMENTED space as [q, 0];
+        // the zero coordinate also keeps the scoring fold exact
+        if (scoreDot) r.getSeq[Float](qEmbIdx).toArray :+ 0.0f
+        else r.getSeq[Float](qEmbIdx).toArray))
     // driver-side cell selection against the driver-sized quantizer:
     // nprobe nearest centroids per query by L2 (the training metric)
     def nearestCells(emb: Array[Float]): Array[Int] =
@@ -91,7 +122,7 @@ object VectorIndex {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
-      StructField("cosine", DoubleType, nullable = false)))
+      StructField(scoreName, DoubleType, nullable = false)))
     val idIdx = pruned.schema.fieldIndex("vec_id")
     val embIdx = pruned.schema.fieldIndex("embedding")
     val cellIdx = pruned.schema.fieldIndex("cell")
@@ -115,12 +146,18 @@ object VectorIndex {
             var dot = 0.0; var na = 0.0; var nb = 0.0
             var i = 0
             val n = math.min(qemb.length, emb.length)
-            while (i < n) {
-              val x = qemb(i).toDouble; val y = emb(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
+            // dot-only loop hoisted like the Similarity kernel: MIPS
+            // discards the norms and must not pay for them
+            if (scoreDot) {
+              while (i < n) { dot += qemb(i).toDouble * emb(i).toDouble; i += 1 }
+            } else {
+              while (i < n) {
+                val x = qemb(i).toDouble; val y = emb(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
+              }
             }
-            val c = dot / (math.sqrt(na) * math.sqrt(nb))
+            val c = if (scoreDot) dot else dot / (math.sqrt(na) * math.sqrt(nb))
             val h = heaps(qi)
             if (h.size < k) h.enqueue((id, c))
             else {
@@ -138,7 +175,7 @@ object VectorIndex {
     }(Encoders.row(outSchema))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col(scoreName).desc, col("vec_id"))
     partials.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))

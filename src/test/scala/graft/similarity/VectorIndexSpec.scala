@@ -74,6 +74,30 @@ class VectorIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("MIPS index: exhaustive probe equals exact MIPS bit-for-bit, pruned probe recalls") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mips").toString
+    try {
+      VectorIndex.buildMips(spark, embeddings, tmp, NCells)
+      // exact reference: the knn_mips kernel on the same corpus, keyed
+      // and scored identically (dot bits included — the stored augment
+      // coordinate must never reach the fold)
+      val exact = Similarity.mipsTopK(spark, embeddings)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSet
+      val exh = VectorIndex.probeMips(spark, tmp, queries, K, nprobe = NCells)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("dot")), r.getAs[Long]("rk"))).toSet
+      assert(exh == exact, "exhaustive probeMips diverged from exact MIPS")
+      val pruned = VectorIndex.probeMips(spark, tmp, queries, K, nprobe = 3)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val exactIds = exact.map(t => (t._1, t._2))
+      val recall = (pruned & exactIds).size.toDouble / exactIds.size
+      assert(recall >= 0.4, s"MIPS pruned recall $recall")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("rebuilding the index is deterministic") {
     withIndex { a =>
       withIndex { b =>
