@@ -512,6 +512,56 @@ object CorpusOps extends QueryModule {
     ),
 
     QueryDef(
+      // SEMANTIC decontamination — the eval-leak probe PARAPHRASES
+      // evade: decontam_ngram/hashed/spans match verbatim 8-grams, but
+      // a benchmark item reworded into the training set shares no
+      // 8-gram while its embedding stays near the original (the
+      // DataComp/FineWeb decontam gap). Per corpus doc: the nearest
+      // benchmark embedding (same held-out doc_id % 29 = 0 split, on
+      // the aligned embeddings table), its cosine, and the ≥ 0.3
+      // verdict — a full per-doc REPORT (never empty), the
+      // pipeline_reasons audit discipline. Plan at 100 TB: the
+      // benchmark side is eval-suite-sized by definition → broadcast
+      // NLJ; the corpus streams through ONE codegen'd cosine pass; the
+      // per-doc argmax is max(struct(sim, -bench_id)) — map-side
+      // combinable, deterministic ties to the smallest bench_id, no
+      // window, no corpus shuffle beyond one row per doc. Cosine is
+      // the shared left-fold chain → the raw double is bit-identical
+      // to the oracle's (knn_bruteforce's discipline, no rounding
+      // needed); the oracle mirrors the argmax as ROW_NUMBER over
+      // (sim DESC, bench_id).
+      "decontam_semantic",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val bench = e.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("bench_id"), col("embedding").as("be"))
+        e.filter(col("doc_id") % 29 =!= 0)
+          .crossJoin(broadcast(bench))
+          .withColumn("sim",
+            graft.similarity.VectorOps.cosineNative(col("be"), col("embedding")))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("m"))
+          .select(col("doc_id"),
+            (-col("m.nb")).as("nearest_bench"),
+            col("m.sim").as("max_sim"),
+            (col("m.sim") >= lit(0.3)).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+        bench AS (SELECT doc_id AS bench_id, embedding AS be FROM e WHERE doc_id % 29 = 0),
+        sims AS (SELECT c.doc_id, b.bench_id,
+            ${graft.similarity.VectorOps.cosineSql("be", "embedding")} AS sim
+          FROM e c, bench b WHERE c.doc_id % 29 <> 0),
+        best AS (SELECT doc_id, bench_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, bench_id) AS rn
+          FROM sims)
+      SELECT doc_id, bench_id AS nearest_bench, sim AS max_sim,
+        sim >= 0.3 AS contaminated
+      FROM best WHERE rn = 1 ORDER BY doc_id""")
+    ),
+
+    QueryDef(
       // Sequence packing accounting: assign docs (ordered by doc_id
       // within source) to fixed 512-token context bins by running token
       // count; report docs/tokens per bin. The cumulative sum is NOT a
