@@ -54,6 +54,25 @@ object VectorIndex {
     s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Fold new vectors INTO an existing index under its FROZEN
+    * quantizer — the ingest loop's growth step (see
+    * [[graft.streaming.StreamVectorDedup]]). Freezing is the serving
+    * practice (FAISS trains once, adds forever; retraining is an
+    * offline rebuild): cell boundaries stay put, so appended lists
+    * stay probe-consistent with the persisted centroids. An
+    * at-least-once replay may append a vector twice; [[probeIvf]]
+    * drops bit-identical duplicate candidates before ranking and the
+    * streaming sink anti-joins the probing batch's own ids, so
+    * duplicates cost bytes, not correctness (the BandIndex.append
+    * contract). The repartition on the partition column keeps each
+    * touched cell one file per append, not one per upstream task. */
+  def append(s: SparkSession, data: DataFrame, indexDir: String): Unit = {
+    val cents = loadCentroids(s, indexDir)
+    Similarity.assignCells(s, data, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
   /** Build the persisted MIPS index: the SAME [[buildIvf]] layout over
     * the norm-augmented corpus ([[Similarity.normAugmented]] — one
     * extra float per stored vector, all augmented vectors sharing the
@@ -176,7 +195,13 @@ object VectorIndex {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col(scoreName).desc, col("vec_id"))
-    partials.withColumn("rk", row_number().over(w).cast("long"))
+    // a replayed append can store a vector twice (see [[append]]); the
+    // duplicate candidate rows are bit-identical (same vector → same
+    // fold → same score), so the distinct makes the ranked result
+    // replay-invariant at the cost of one pass over the
+    // partitions × queries × k partials
+    partials.dropDuplicates("query_id", "vec_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))
   }

@@ -190,6 +190,55 @@ object StreamNearDedup {
     s.read.parquet(outDir)
 }
 
+/** Embedding near-dup on ingest — [[StreamNearDedup]]'s loop for the
+  * SEMANTIC axis: each micro-batch of (vec_id, embedding) rows probes
+  * the persisted IVF [[graft.similarity.VectorIndex]] for cosine
+  * near-dups against everything indexed so far (the base corpus plus
+  * every earlier batch), reports (new_id, base_id, cosine) pairs at or
+  * above `tau`, then folds itself into the index under the FROZEN
+  * quantizer. The lexical loop catches re-posts sharing shingles; this
+  * one catches paraphrases/translations whose embeddings collide — the
+  * same two-axis split as decontam_ngram vs decontam_semantic, on the
+  * live path.
+  *
+  * Crash/replay contract (the StreamNearDedup discipline): the pairs
+  * write is per-batch overwrite (idempotent); a crash after the append
+  * replays the batch against an index already holding its own vectors —
+  * the anti-join on the batch's own ids removes exactly those, and
+  * probeIvf drops bit-identical duplicate candidates, so the replayed
+  * pairs are IDENTICAL (spec-pinned). Probe cost per batch: nprobe/
+  * nCells of the indexed corpus via partition pruning, batch-sized
+  * query broadcast — the serving shape at any index size. */
+object StreamVectorDedup {
+
+  /** `foreachBatch` body. The index at `indexDir` must exist
+    * (built over the base corpus via `VectorIndex.buildIvf`). */
+  def sink(indexDir: String, outDir: String,
+           tau: Double = 0.9, k: Int = 5, nprobe: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val s = batch.sparkSession
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val own = vecs.select(col("vec_id").as("base_id"))
+      graft.similarity.VectorIndex
+        .probeIvf(s, indexDir,
+          vecs.select(col("vec_id").as("query_id"), col("embedding")),
+          k, nprobe)
+        .filter(col("cosine") >= tau)
+        .select(col("query_id").as("new_id"), col("vec_id").as("base_id"),
+          col("cosine"))
+        .join(broadcast(own), Seq("base_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      graft.similarity.VectorIndex.append(s, vecs, indexDir)
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** All pairs reported so far, with their batch id. */
+  def pairs(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+}
+
 /** Watermarked stream-stream join: purchases join the same user's views
   * within a bounded lookback — the streaming form of the batch as-of /
   * interval join. Both sides carry watermarks AND the join condition

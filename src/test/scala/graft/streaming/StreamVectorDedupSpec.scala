@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming SEMANTIC ingest loop ([[StreamVectorDedup]]): every
+  * micro-batch of embeddings probes the persisted IVF index against
+  * base corpus + all earlier batches (never against itself), folds
+  * itself in under the frozen quantizer, and re-delivery of the last
+  * batch — the only replay serialized micro-batches can produce — is
+  * idempotent even though the crash may land between the output write
+  * and the index append (the StreamNearDedup contract, semantic axis).
+  */
+class StreamVectorDedupSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("each batch probes base + earlier batches; last-batch replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tau = 0.99
+    val e = graft.operators.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svd").toString
+    val idx = s"$tmp/idx"
+    val out = s"$tmp/out"
+    try {
+      graft.similarity.VectorIndex.buildIvf(spark, e, idx, nCells = 8)
+      // streamed arrivals are EXACT COPIES of base vectors under fresh
+      // ids: cosine(copy, original) clears τ = 0.99 while this random
+      // corpus pairs nothing else that high, so the expected pair set
+      // is fully determined by construction
+      val src = e.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val b1 = (0 until 5).map(i => (100000L + src(i)._1, src(i)._2))
+      // batch 2 copies base 5..9 AND batch 1's first arrival (via the
+      // same underlying vector) — the latter pairs against BOTH base 1
+      // and 100001, proving batch 1 was folded into the index
+      val b2 = (5 until 10).map(i => (100000L + src(i)._1, src(i)._2)) :+
+        (200000L, src(1)._2)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      // exhaustive probing + ample k: the expectation is then exact set
+      // identity, not a recall statement
+      val q = stream.writeStream
+        .foreachBatch(StreamVectorDedup.sink(idx, out, tau = tau, k = 50, nprobe = 8))
+        .start()
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+
+      def pairSet(): Set[(Long, Long)] = StreamVectorDedup.pairs(spark, out)
+        .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("base_id"))).toSet
+      val expected: Set[(Long, Long)] =
+        (0 until 5).map(i => (100000L + src(i)._1, src(i)._1)).toSet ++
+        (5 until 10).map(i => (100000L + src(i)._1, src(i)._1)).toSet ++
+        Set((200000L, src(1)._1), (200000L, 100000L + src(1)._1))
+      val got = pairSet()
+      assert(got == expected, s"got $got\nexpected $expected")
+      // every reported cosine clears the threshold
+      StreamVectorDedup.pairs(spark, out).collect()
+        .foreach(r => assert(r.getAs[Double]("cosine") >= tau))
+
+      // at-least-once: re-deliver the LAST batch with its own id — its
+      // vectors are already in the index; the own-id anti-join and the
+      // probe's duplicate-candidate distinct must rewrite identical
+      // output
+      StreamVectorDedup.sink(idx, out, tau = tau, k = 50, nprobe = 8)(
+        b2.toDF("vec_id", "embedding"), 1L)
+      assert(pairSet() == expected, "replay changed the reported pairs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
