@@ -969,7 +969,11 @@ object GraphQueries extends QueryModule {
     * window regime of DeepWalk/node2vec-style corpus generation. */
   private[graft] val WalkSteps = 4
 
-  private val WalksOracleSql: Option[String] = Some {
+  /** The shared walk-unroll CTE chain, ending at a
+    * `walks(walk_id, step, node)` relation — one source of truth for
+    * BOTH the spo_random_walks oracle and the skip-gram pair oracle
+    * built on top of the identical trajectories. */
+  private def walksCteSql: String = {
     val steps = (1 to WalkSteps).map { i =>
       s"""c$i AS (SELECT w.walk_id, u.dst AS node,
            md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':' || $i || ':'
@@ -990,10 +994,31 @@ object GraphQueries extends QueryModule {
              FROM edges WHERE source_id <> target_id GROUP BY 1, 2),
       e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue UNION ALL SELECT b, a FROM ue),
       w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM e0),
-      $steps
+      $steps,
+      walks AS (
     $unioned
-    ORDER BY walk_id, step"""
+      )"""
   }
+
+  private val WalksOracleSql: Option[String] = Some(
+    s"""$walksCteSql
+    SELECT walk_id, step, node FROM walks
+    ORDER BY walk_id, step""")
+
+  /** spo_walk_skipgrams window: ±2 positions, the classic DeepWalk
+    * context radius at these walk lengths. */
+  private[graft] val SkipgramWindow = 2
+
+  private val SkipgramOracleSql: Option[String] = Some(
+    s"""$walksCteSql,
+      pairs AS (
+        SELECT a.node AS center, b.node AS context
+        FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+        WHERE a.step <> b.step AND abs(a.step - b.step) <= $SkipgramWindow
+          AND a.node <> b.node)
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY center, context
+    ORDER BY center, context""")
 
   /** spo_random_walks bodies — one DERANDOMIZED walk per node over the
     * distinct undirected entity graph: at step t a walk at node v moves
@@ -1627,6 +1652,42 @@ object GraphQueries extends QueryModule {
           WalkSteps)
       },
       WalksOracleSql
+    ),
+
+    QueryDef(
+      // SKIP-GRAM PAIR GENERATION from the derandomized walks — the
+      // step DeepWalk/node2vec actually trains on: (center, context)
+      // co-occurrence counts within a ±SkipgramWindow position window
+      // over each trajectory. spo_random_walks makes the corpus; this
+      // makes the training TABLE (the counts are the positive-sample
+      // weights a skip-gram/negative-sampling trainer consumes).
+      // Self-pairs from walk revisits (center = context — an
+      // undirected walk can backtrack) carry no training signal and
+      // are excluded. Plan: the walks frame is |V|·(steps+1) rows; the
+      // positional self-join fans out ≤ 2·window rows per row (join
+      // key walk_id, ≤ steps+1 rows per key — never skew) and the
+      // count is one map-side-combinable aggregate — linear in |V| at
+      // any scale, no new graph pass (the trajectories are the same
+      // two-tier body the walks query runs). Oracle: the SHARED walk
+      // CTE chain plus the identical positional self-join, so the
+      // trajectories can't drift apart between the two queries.
+      "spo_walk_skipgrams",
+      (s, dir) => {
+        val half = T.staged(s, dir).half
+        val walks = randomWalks(half.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(half.select(col("b").as("src"), col("a").as("dst"))),
+          WalkSteps)
+        val a = walks.select(col("walk_id"), col("step").as("i"), col("node").as("center"))
+        val b = walks.select(col("walk_id"), col("step").as("j"), col("node").as("context"))
+        a.join(b, "walk_id")
+          .filter(col("i") =!= col("j") &&
+            abs(col("i") - col("j")) <= SkipgramWindow &&
+            col("center") =!= col("context"))
+          .groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("center"), col("context"))
+      },
+      SkipgramOracleSql
     ),
 
     QueryDef(
