@@ -246,6 +246,72 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // ZIPF RANK-FREQUENCY FIT — the corpus-health read behind every
+      // "does this crawl look like natural language" check: natural
+      // text's token frequencies follow freq ∝ rank^(−s) with s ≈ 1;
+      // boilerplate/spam floods flatten the curve (s sinks), template
+      // storms steepen it. Exact least squares of ln(freq) on ln(rank)
+      // over the top-50 token census (the text_ngram_top census shape:
+      // count aggregate → TakeOrdered, never a global sort; the rank
+      // window runs on 50 rows BY CONSTRUCTION). Exactness: each
+      // regression TERM (ln r, ln n, their product, the square) is
+      // 6dp-rounded to DECIMAL before summation — the perplexity
+      // discipline; decimal sums are order-independent — and the
+      // closed-form slope/intercept are ONE IEEE chain over the sums
+      // cast to double, written identically in the oracle (the two lns
+      // per term are the bm25 libm-identical class). Output: one row
+      // (n_tokens, slope, intercept).
+      "text_zipf",
+      (s, dir) => {
+        val top = Tables(s, dir).documents
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(50)
+        val w = Window.orderBy(col("n").desc, col("tok"))
+        val lx = log(col("r").cast("double"))
+        val ly = log(col("n").cast("double"))
+        val terms = top
+          .withColumn("r", row_number().over(w).cast("long"))
+          .select(
+            round(lx, 6).cast("decimal(18,6)").as("x"),
+            round(ly, 6).cast("decimal(18,6)").as("y"),
+            round(lx * ly, 6).cast("decimal(18,6)").as("xy"),
+            round(lx * lx, 6).cast("decimal(18,6)").as("xx"))
+        val sums = terms.agg(count(lit(1)).as("k"),
+            sum(col("x")).as("sxd"), sum(col("y")).as("syd"),
+            sum(col("xy")).as("sxyd"), sum(col("xx")).as("sxxd"))
+          .select(col("k").cast("long").as("k"),
+            col("sxd").cast("double").as("sx"), col("syd").cast("double").as("sy"),
+            col("sxyd").cast("double").as("sxy"), col("sxxd").cast("double").as("sxx"))
+        val fit = sums.select(col("k"), col("sx"), col("sy"),
+          ((col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        fit.select(col("k").as("n_tokens"), col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("k").cast("double")).as("intercept"))
+      },
+      Some("""WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 50),
+      ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r FROM freq),
+      terms AS (SELECT
+          CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+          CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS xy,
+          CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS xx
+        FROM ranked),
+      sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+        FROM terms),
+      fit AS (SELECT k, sx, sy,
+          (CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope
+        FROM sums)
+      SELECT k AS n_tokens, slope, (sy - slope * sx) / CAST(k AS DOUBLE) AS intercept
+      FROM fit""")
+    ),
+
+    QueryDef(
       // Corpus-composition report per (source, lang) — the first table in
       // every dataset card. Single map-side-combined aggregate.
       "docs_source_stats",
