@@ -334,6 +334,149 @@ object Similarity extends QueryModule {
     (n, mean, cov)
   }
 
+  /** [[covarianceStats]] over an `array<double>` column — the gate
+    * pass of `embed_whiten` (the whitened output is double-precision;
+    * re-reading it as floats would fold storage rounding into the very
+    * residual the gate measures). Same fixed-partition-order merge. */
+  private[similarity] def covarianceStatsDouble(s: org.apache.spark.sql.SparkSession,
+                              data: org.apache.spark.sql.DataFrame,
+                              colName: String):
+      (Long, Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val embIdx = data.schema.fieldIndex(colName)
+    val partialSchema = StructType(Seq(
+      StructField("part", IntegerType), StructField("cnt", LongType),
+      StructField("vsum", ArrayType(DoubleType, containsNull = false)),
+      StructField("outer", ArrayType(DoubleType, containsNull = false))))
+    val partials = data.mapPartitions { rows =>
+      var cnt = 0L
+      var vsum: Array[Double] = null
+      var outer: Array[Double] = null
+      rows.foreach { row =>
+        val emb = row.getSeq[Double](embIdx)
+        val d = emb.length
+        if (vsum == null) { vsum = new Array[Double](d); outer = new Array[Double](d * (d + 1) / 2) }
+        require(emb.length == vsum.length, "covarianceStatsDouble: mixed dims")
+        var i = 0
+        var p = 0
+        while (i < d) {
+          val xi = emb(i)
+          vsum(i) += xi
+          var j = i
+          while (j < d) { outer(p) += xi * emb(j); j += 1; p += 1 }
+          i += 1
+        }
+        cnt += 1L
+      }
+      if (cnt == 0) Iterator.empty
+      else Iterator.single(Row(org.apache.spark.TaskContext.getPartitionId(), cnt,
+        (vsum.toSeq: Seq[Double]), (outer.toSeq: Seq[Double])))
+    }(Encoders.row(partialSchema)).collect()
+    require(partials.nonEmpty, "covarianceStatsDouble on an empty corpus")
+    val d = partials.head.getSeq[Double](2).length
+    var n = 0L
+    val vsum = new Array[Double](d)
+    val outer = new Array[Double](d * (d + 1) / 2)
+    partials.sortBy(_.getInt(0)).foreach { r =>
+      n += r.getLong(1)
+      val vs = r.getSeq[Double](2); val os = r.getSeq[Double](3)
+      var i = 0
+      while (i < d) { vsum(i) += vs(i); i += 1 }
+      i = 0
+      while (i < outer.length) { outer(i) += os(i); i += 1 }
+    }
+    val mean = vsum.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var p = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = outer(p) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** embed_whiten body — PCA WHITENING applied to the corpus:
+    * w = Λ^(−1/2) · Vᵀ · (v − mean) over the eigenbasis of the
+    * population covariance, so the OUTPUT's covariance is the identity
+    * (unit variance every direction, zero cross-correlation — the
+    * SemDeDup preprocessing that stops one dominant direction from
+    * swamping cosine). Near-null directions (λ ≤ 1e-12 · trace) are
+    * DROPPED, not divided by: whitening a rank-deficient direction
+    * divides noise by ~0 (n_components reports the kept count).
+    *
+    * Two corpus passes, no shuffle: the covariance pass (shared
+    * [[covarianceStats]] kernel), then one map pass applying the
+    * broadcast d×W transform. The GATE pass re-derives the covariance
+    * OF THE OUTPUT ([[covarianceStatsDouble]]) — an output-side check
+    * of the applied transform, not a restatement of the eigensolve —
+    * and every row carries max |C_w(i,j)| (i≠j), max |C_w(i,i) − 1|,
+    * and max |mean_w|: a mis-applied basis cannot keep all three near
+    * zero. Rows-only BY DESIGN (eigensolve inside — the embed_pca
+    * class); WhitenSpec pins identity-covariance on an engineered
+    * anisotropic+correlated corpus, planted-correlation removal, and
+    * rerun byte-identity. */
+  private[graft] def whiten(s: org.apache.spark.sql.SparkSession,
+                            vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val (_, mean, cov) = covarianceStats(s, vecs)
+    val (evals, vectors) = jacobiEigen(cov)
+    val trace = cov.indices.map(i => cov(i)(i)).sum
+    val floor = 1e-12 * math.max(trace, java.lang.Double.MIN_NORMAL)
+    val kept = evals.indices.sortBy(i => (-evals(i), i)).filter(evals(_) > floor)
+    require(kept.nonEmpty, "embed_whiten: covariance has no positive direction")
+    // d×W transform column c = V[:, kept(c)] / sqrt(λ_kept(c))
+    val d = mean.length
+    val tf = Array.tabulate(d, kept.length)((r, c) =>
+      vectors(r)(kept(c)) / math.sqrt(evals(kept(c))))
+    val bc = s.sparkContext.broadcast((mean, tf))
+    val idIdx = vecs.schema.fieldIndex("vec_id")
+    val embIdx = vecs.schema.fieldIndex("embedding")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("whitened", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val whitened = vecs.mapPartitions { rows =>
+      val (m, t) = bc.value
+      val w = t(0).length
+      rows.map { row =>
+        val emb = row.getSeq[Float](embIdx)
+        val out = new Array[Double](w)
+        var i = 0
+        while (i < m.length) {
+          val x = emb(i).toDouble - m(i)
+          var c = 0
+          while (c < w) { out(c) += x * t(i)(c); c += 1 }
+          i += 1
+        }
+        Row(row.getLong(idIdx), (out.toSeq: Seq[Double]))
+      }
+    }(Encoders.row(outSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, wMean, wCov) = covarianceStatsDouble(s, whitened, "whitened")
+    var offdiag = 0.0
+    var diagErr = 0.0
+    var meanResid = 0.0
+    for (i <- wCov.indices) {
+      meanResid = math.max(meanResid, math.abs(wMean(i)))
+      diagErr = math.max(diagErr, math.abs(wCov(i)(i) - 1.0))
+      for (j <- i + 1 until wCov.length)
+        offdiag = math.max(offdiag, math.abs(wCov(i)(j)))
+    }
+    whitened
+      .withColumn("n_components", lit(kept.length.toLong))
+      .withColumn("whiten_offdiag", lit(math.rint(offdiag * 1e9) / 1e9))
+      .withColumn("whiten_diag_err", lit(math.rint(diagErr * 1e9) / 1e9))
+      .withColumn("whiten_mean_resid", lit(math.rint(meanResid * 1e9) / 1e9))
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic cyclic Jacobi eigensolve for the tiny symmetric
     * covariance (d ≤ a few hundred): row-major (p, q) sweeps, fixed
     * 30-sweep bound with a deterministic small-off-diagonal early
@@ -1493,6 +1636,23 @@ object Similarity extends QueryModule {
             "trace_gap", "ortho_resid", "n_vecs")
           .orderBy(col("component"))
       },
+      None
+    ),
+
+    QueryDef(
+      // PCA WHITENING as a corpus transform (embed_pca reports the
+      // basis; this APPLIES it): w = Λ^(−1/2)·Vᵀ·(v − mean), so the
+      // output embedding space has identity covariance — the SemDeDup
+      // preprocessing that stops one dominant direction from swamping
+      // cosine similarity. Design, gates, and the near-null-direction
+      // drop rule in [[whiten]]. Rows-only BY DESIGN (eigensolve
+      // inside — the embed_pca class) with three OUTPUT-SIDE gate
+      // columns re-derived from the whitened corpus itself (max
+      // off-diagonal covariance, max diagonal error vs 1, max mean
+      // residual — a mis-applied basis cannot keep all three near 0).
+      "embed_whiten",
+      (s, dir) => whiten(s,
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))),
       None
     ),
 

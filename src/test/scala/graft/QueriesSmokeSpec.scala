@@ -36,7 +36,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
       "knn_mips_ann", "knn_mips_ivfpq",
       "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe", "spo_mst",
-      "cluster_kmeans", "spo_betweenness", "embed_pca"))
+      "cluster_kmeans", "spo_betweenness", "embed_pca", "embed_whiten"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {
