@@ -36,6 +36,26 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryModule {
 
   private val JaccardTauSets = 0.9     // word-set similarity threshold
+
+  /** The ONE near-dup cluster derivation in SQL (word-set jaccard
+    * pairs → undirected closure → min-id components → sizes), shared
+    * by the dedup_clusters and dedup_soft_weights oracles so the two
+    * surfaces cannot drift. Ends with `cc(id, cluster_id)` and
+    * `sizes(cluster_id, cluster_size)` relations. */
+  private lazy val ClusterCteSql: String =
+    s"""s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardTauSets),
+        undir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM undir),
+        cc AS (WITH RECURSIVE reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
+          SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)"""
   private[graft] val JaccardTauShingles = 0.5 // 3-shingle threshold (planted near-dups)
   private val CosineTau = 0.3
   private val SemanticTau = 0.4
@@ -1370,22 +1390,48 @@ object Dedup extends QueryModule {
       "dedup_clusters",
       (s, dir) => clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
         pairsOpt = Some(() => stagedWordSetPairs(s, dir))),
-      Some(s"""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
-        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $JaccardTauSets),
-        undir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        nodes AS (SELECT DISTINCT src AS id FROM undir),
-        cc AS (WITH RECURSIVE reach(id, comp) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT u.dst, r.comp FROM reach r JOIN undir u ON r.id = u.src)
-          SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
-        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+      Some(s"""WITH $ClusterCteSql
       SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
       ORDER BY doc_id""")
+    ),
+
+    QueryDef(
+      // SOFT-DEDUP SAMPLING WEIGHTS — the alternative to dropping
+      // near-dups a mixture designer often prefers (SemDeDup's soft
+      // option): keep EVERY doc but weight it 1/cluster_size, so each
+      // near-dup cluster's total contribution to a training mix is
+      // exactly one document's worth — duplication stops inflating a
+      // source without discarding the (possibly best) copy the
+      // canonical pick would have made. Singletons (never in a pair)
+      // weight 1.0 via a left join — the dedup_canonical rule: at
+      // 100 TB the full corpus is touched by one hash join against the
+      // pair-participant cluster frame, never windowed or re-featurized
+      // (the staged pairs/clusters are the shared artifact). weight =
+      // 1.0 / cluster_size is one IEEE division of exact longs —
+      // bit-identical cross-engine, no rounding needed. Oracle shares
+      // the ONE cluster CTE with dedup_clusters, so the two surfaces
+      // cannot drift.
+      "dedup_soft_weights",
+      (s, dir) => {
+        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        Tables(s, dir).documents.select(col("doc_id"))
+          .join(clusters.select(col("doc_id"), col("cluster_size")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $ClusterCteSql,
+        cl AS (SELECT cc.id AS doc_id, sizes.cluster_size
+          FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+        1.0 / COALESCE(cl.cluster_size, 1) AS weight
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      ORDER BY d.doc_id""")
     ),
 
     QueryDef(
