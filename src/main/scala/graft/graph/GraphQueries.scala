@@ -1704,6 +1704,62 @@ object GraphQueries extends QueryModule {
     ),
 
     QueryDef(
+      // ADAMIC–ADAR link prediction — jaccard_neighbors' rarity-aware
+      // sibling and the OTHER canonical common-neighbor score: a
+      // shared RARE neighbor is strong evidence two entities relate, a
+      // shared hub says nothing, so each common neighbor z contributes
+      // 1/ln(deg z) instead of 1. Wedge plan as the cooccurrence/
+      // jaccard tier: true degrees from one aggregate, hub CENTERS
+      // (deg > MaxCoocDegree) excluded up front — the d² wedge
+      // explosion removed at its source, and score-neutral to first
+      // order since a hub's weight is already ~1/ln(huge); deg-1
+      // centers dropped too (they seed no wedge, and their 1/ln(1)
+      // term would be ±∞ under ANSI before the join could discard it).
+      // Exactness: each 1/ln(d) term is 6dp-rounded to DECIMAL before
+      // the order-independent exact sum (the drift/perplexity
+      // discipline); output pairs need ≥ 2 common neighbors (a
+      // single-wedge pair is noise and the cut keeps output
+      // two-hop-bounded). The ln is the bm25 libm-identical class.
+      "spo_adamic_adar",
+      (s, dir) => {
+        val half = T.staged(s, dir).half
+        val und = half.select(col("a").as("x"), col("b").as("y"))
+          .unionByName(half.select(col("b").as("x"), col("a").as("y")))
+        val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        // same-key join right after the aggregate — co-partitioned on x
+        val cd = und.join(deg, "x")
+          .filter(col("d") >= 2L && col("d") <= lit(MaxCoocDegree))
+        val a = cd.select(col("x"), col("y").as("na"),
+          round(lit(1.0) / log(col("d").cast("double")), 6)
+            .cast("decimal(18,6)").as("term"))
+        val b = cd.select(col("x"), col("y").as("nb"))
+        a.join(b, "x")
+          .filter(col("na") < col("nb"))
+          .groupBy(col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_common"), sum(col("term")).as("aa_dec"))
+          .filter(col("n_common") >= 2L)
+          .select(col("na").as("node_a"), col("nb").as("node_b"),
+            col("n_common"), col("aa_dec").cast("double").as("aa_score"))
+          .orderBy(col("node_a"), col("node_b"))
+      },
+      Some(s"""$prelude,
+        half AS (SELECT DISTINCT LEAST(source_id, target_id) AS a,
+            GREATEST(source_id, target_id) AS b
+          FROM edges WHERE source_id <> target_id),
+        und AS (SELECT a AS x, b AS y FROM half UNION ALL SELECT b, a FROM half),
+        deg AS (SELECT x, COUNT(*) AS d FROM und GROUP BY x),
+        cd AS (SELECT u.x, u.y, g.d FROM und u JOIN deg g USING (x)
+          WHERE g.d >= 2 AND g.d <= $MaxCoocDegree),
+        w AS (SELECT a.y AS na, b.y AS nb,
+            CAST(ROUND(1.0 / ln(CAST(a.d AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+          FROM cd a JOIN cd b ON a.x = b.x AND a.y < b.y)
+      SELECT na AS node_a, nb AS node_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        CAST(SUM(term) AS DOUBLE) AS aa_score
+      FROM w GROUP BY na, nb HAVING COUNT(*) >= 2
+      ORDER BY node_a, node_b""")
+    ),
+
+    QueryDef(
       // Neighbor-set Jaccard similarity — the link-prediction /
       // entity-resolution primitive ("how alike are two nodes'
       // neighborhoods"). Body in [[jaccardNeighbors]] so the spec can
