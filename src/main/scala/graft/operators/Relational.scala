@@ -298,6 +298,44 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      "q_events_markov",
+      // EVENT-TYPE TRANSITION MATRIX — the first-order Markov model of
+      // user behavior (what follows what: the "view → purchase vs
+      // view → error" read funnels summarize and this generalizes).
+      // Per user, consecutive event pairs under the house (ts,
+      // event_id) total order via ONE lead() window — the sessionize
+      // plan shape, no self-join; then a types² count aggregate and a
+      // per-from-type window over the TYPES²-sized count frame (never
+      // the events). p = n/n_from is one IEEE division of exact longs —
+      // bit-identical cross-engine, no rounding needed.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val counts = Tables(s, dir).events
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy(col("from_type"))
+        counts
+          .withColumn("n_from", sum(col("n")).over(wf))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM counts ORDER BY from_type, to_type""")
+    ),
+
+    QueryDef(
       "q_events_sessionize",
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
