@@ -503,7 +503,12 @@ object DevProbe {
         // wall-clock at 1x vs 10x
         probeScaledGraph(spark, sfDir, Seq(1, 10),
           Seq("spo_components", "spo_triangles", "spo_jaccard_neighbors",
-            "spo_bfs", "spo_pagerank"))
+            "spo_bfs", "spo_pagerank",
+            // r13 additions: seed-gated teleport (fixed 128-seed frame
+            // — rank rows scale with |V|, seeds don't), the walk-pair
+            // fanout (≤ 2·window per walk row), and the hub-excluded
+            // wedge plan
+            "spo_ppr", "spo_walk_skipgrams", "spo_adamic_adar"))
 
       case "jaccard" =>
         import org.apache.spark.sql.functions._

@@ -1435,6 +1435,60 @@ object Dedup extends QueryModule {
     ),
 
     QueryDef(
+      // EFFECTIVE (deduplicated) TOKEN CENSUS per source — the number a
+      // mixture designer actually budgets against: raw token counts
+      // overstate a source by exactly its duplication, so each doc's
+      // tokens are weighted by the soft-dedup rule (tokens /
+      // cluster_size — a cluster contributes one copy's worth) and the
+      // per-source dup_inflation ratio (raw/effective) says how
+      // duplicated the source is in one number. Same one-hash-join
+      // corpus plan as dedup_soft_weights; each weighted count is
+      // 6dp-rounded to DECIMAL before the order-independent exact sum
+      // (the perplexity discipline), and the ratio is one IEEE chain
+      // over the exact sums. Oracle shares the ONE cluster CTE.
+      "dedup_effective_tokens",
+      (s, dir) => {
+        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+          .join(clusters.select(col("doc_id"), col("cluster_size")),
+            Seq("doc_id"), "left")
+          .select(col("source"), col("ntok"),
+            round(col("ntok").cast("double") /
+                coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+              .cast("decimal(18,6)").as("wtok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("raw_sum"),
+            sum(col("wtok")).as("eff_dec"))
+          .select(col("source"), col("n_docs"),
+            col("raw_sum").cast("long").as("raw_tokens"),
+            col("eff_dec").cast("double").as("effective_tokens"),
+            (col("raw_sum").cast("double") / col("eff_dec").cast("double"))
+              .as("dup_inflation"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $ClusterCteSql,
+        cl AS (SELECT cc.id AS doc_id, sizes.cluster_size
+          FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id),
+        tk AS (SELECT d.source,
+            CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS ntok,
+            COALESCE(cl.cluster_size, 1) AS csz
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ntok) AS BIGINT) AS raw_tokens,
+            SUM(CAST(ROUND(CAST(ntok AS DOUBLE) / CAST(csz AS DOUBLE), 6)
+              AS DECIMAL(18,6))) AS eff_dec
+          FROM tk GROUP BY source)
+      SELECT source, n_docs, raw_tokens,
+        CAST(eff_dec AS DOUBLE) AS effective_tokens,
+        CAST(raw_tokens AS DOUBLE) / CAST(eff_dec AS DOUBLE) AS dup_inflation
+      FROM agg ORDER BY source""")
+    ),
+
+    QueryDef(
       // Canonical-representative selection — the step a real dedup
       // pipeline runs AFTER clustering: keep exactly one doc per
       // near-dup cluster (longest text wins, doc_id breaks ties) and
