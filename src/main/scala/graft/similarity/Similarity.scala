@@ -263,17 +263,27 @@ object Similarity extends QueryModule {
     * backs the gates — only the OUTPUT is truncated). */
   private[similarity] val PcaComponents = 16
 
-  /** One-pass covariance partials over the embedding column — the
-    * lloydStats kernel discipline: each partition emits (pid, count,
-    * Σv, packed upper-triangular Σvvᵀ), merged on the driver in fixed
-    * partition order so float summation is deterministic. Returns
-    * (n, mean, population covariance C = Σvvᵀ/n − mean·meanᵀ). */
+  /** One-pass covariance partials over the `array<float>` embedding
+    * column. See [[covarianceKernel]]. */
   private[similarity] def covarianceStats(s: org.apache.spark.sql.SparkSession,
                               data: org.apache.spark.sql.DataFrame):
+      (Long, Array[Double], Array[Array[Double]]) =
+    covarianceKernel(s, data, "embedding", floatInput = true)
+
+  /** THE one-pass covariance kernel (float and double array columns —
+    * one body, review finding r13: the double variant shipped as a
+    * near-verbatim copy that also dropped the cross-partition dim
+    * check) — the lloydStats discipline: each partition emits (pid,
+    * count, Σv, packed upper-triangular Σvvᵀ), merged on the driver in
+    * fixed partition order so float summation is deterministic.
+    * Returns (n, mean, population covariance C = Σvvᵀ/n − mean·meanᵀ). */
+  private def covarianceKernel(s: org.apache.spark.sql.SparkSession,
+                              data: org.apache.spark.sql.DataFrame,
+                              colName: String, floatInput: Boolean):
       (Long, Array[Double], Array[Array[Double]]) = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val embIdx = data.schema.fieldIndex("embedding")
+    val embIdx = data.schema.fieldIndex(colName)
     val partialSchema = StructType(Seq(
       StructField("part", IntegerType), StructField("cnt", LongType),
       StructField("vsum", ArrayType(DoubleType, containsNull = false)),
@@ -283,18 +293,22 @@ object Similarity extends QueryModule {
       var vsum: Array[Double] = null
       var outer: Array[Double] = null
       rows.foreach { row =>
-        val emb = row.getSeq[Float](embIdx)
+        // one boxed read per row either way (getSeq); the float/double
+        // branch costs a predictable test per element
+        val emb: Seq[Double] =
+          if (floatInput) row.getSeq[Float](embIdx).map(_.toDouble)
+          else row.getSeq[Double](embIdx)
         val d = emb.length
         if (vsum == null) { vsum = new Array[Double](d); outer = new Array[Double](d * (d + 1) / 2) }
         require(emb.length == vsum.length,
-          s"embed_pca requires a fixed embedding dim: saw ${emb.length} and ${vsum.length}")
+          s"covarianceKernel requires a fixed dim: saw ${emb.length} and ${vsum.length}")
         var i = 0
         var p = 0
         while (i < d) {
-          val xi = emb(i).toDouble
+          val xi = emb(i)
           vsum(i) += xi
           var j = i
-          while (j < d) { outer(p) += xi * emb(j).toDouble; j += 1; p += 1 }
+          while (j < d) { outer(p) += xi * emb(j); j += 1; p += 1 }
           i += 1
         }
         cnt += 1L
@@ -303,7 +317,7 @@ object Similarity extends QueryModule {
       else Iterator.single(Row(org.apache.spark.TaskContext.getPartitionId(), cnt,
         (vsum.toSeq: Seq[Double]), (outer.toSeq: Seq[Double])))
     }(Encoders.row(partialSchema)).collect()
-    require(partials.nonEmpty, "embed_pca on an empty embedding corpus")
+    require(partials.nonEmpty, "covarianceKernel on an empty corpus")
     val d = partials.head.getSeq[Double](2).length
     var n = 0L
     val vsum = new Array[Double](d)
@@ -334,73 +348,15 @@ object Similarity extends QueryModule {
     (n, mean, cov)
   }
 
-  /** [[covarianceStats]] over an `array<double>` column — the gate
+  /** [[covarianceKernel]] over an `array<double>` column — the gate
     * pass of `embed_whiten` (the whitened output is double-precision;
     * re-reading it as floats would fold storage rounding into the very
-    * residual the gate measures). Same fixed-partition-order merge. */
+    * residual the gate measures). */
   private[similarity] def covarianceStatsDouble(s: org.apache.spark.sql.SparkSession,
                               data: org.apache.spark.sql.DataFrame,
                               colName: String):
-      (Long, Array[Double], Array[Array[Double]]) = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
-    val embIdx = data.schema.fieldIndex(colName)
-    val partialSchema = StructType(Seq(
-      StructField("part", IntegerType), StructField("cnt", LongType),
-      StructField("vsum", ArrayType(DoubleType, containsNull = false)),
-      StructField("outer", ArrayType(DoubleType, containsNull = false))))
-    val partials = data.mapPartitions { rows =>
-      var cnt = 0L
-      var vsum: Array[Double] = null
-      var outer: Array[Double] = null
-      rows.foreach { row =>
-        val emb = row.getSeq[Double](embIdx)
-        val d = emb.length
-        if (vsum == null) { vsum = new Array[Double](d); outer = new Array[Double](d * (d + 1) / 2) }
-        require(emb.length == vsum.length, "covarianceStatsDouble: mixed dims")
-        var i = 0
-        var p = 0
-        while (i < d) {
-          val xi = emb(i)
-          vsum(i) += xi
-          var j = i
-          while (j < d) { outer(p) += xi * emb(j); j += 1; p += 1 }
-          i += 1
-        }
-        cnt += 1L
-      }
-      if (cnt == 0) Iterator.empty
-      else Iterator.single(Row(org.apache.spark.TaskContext.getPartitionId(), cnt,
-        (vsum.toSeq: Seq[Double]), (outer.toSeq: Seq[Double])))
-    }(Encoders.row(partialSchema)).collect()
-    require(partials.nonEmpty, "covarianceStatsDouble on an empty corpus")
-    val d = partials.head.getSeq[Double](2).length
-    var n = 0L
-    val vsum = new Array[Double](d)
-    val outer = new Array[Double](d * (d + 1) / 2)
-    partials.sortBy(_.getInt(0)).foreach { r =>
-      n += r.getLong(1)
-      val vs = r.getSeq[Double](2); val os = r.getSeq[Double](3)
-      var i = 0
-      while (i < d) { vsum(i) += vs(i); i += 1 }
-      i = 0
-      while (i < outer.length) { outer(i) += os(i); i += 1 }
-    }
-    val mean = vsum.map(_ / n)
-    val cov = Array.ofDim[Double](d, d)
-    var i = 0
-    var p = 0
-    while (i < d) {
-      var j = i
-      while (j < d) {
-        val c = outer(p) / n - mean(i) * mean(j)
-        cov(i)(j) = c; cov(j)(i) = c
-        j += 1; p += 1
-      }
-      i += 1
-    }
-    (n, mean, cov)
-  }
+      (Long, Array[Double], Array[Array[Double]]) =
+    covarianceKernel(s, data, colName, floatInput = false)
 
   /** embed_whiten body — PCA WHITENING applied to the corpus:
     * w = Λ^(−1/2) · Vᵀ · (v − mean) over the eigenbasis of the
@@ -458,7 +414,11 @@ object Similarity extends QueryModule {
         Row(row.getLong(idIdx), (out.toSeq: Seq[Double]))
       }
     }(Encoders.row(outSchema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (cleaner-managed), not persist: the gate pass
+      // and the returned frame both read this, but a persist entry
+      // would pin a corpus-sized double frame for the whole session
+      // with no release handle (review finding r13)
+      .localCheckpoint()
     val (_, wMean, wCov) = covarianceStatsDouble(s, whitened, "whitened")
     var offdiag = 0.0
     var diagErr = 0.0
@@ -850,11 +810,17 @@ object Similarity extends QueryModule {
       .withColumn("norm2", VectorOps.dot("embedding", "embedding"))
     // one scalar to the driver at index-build time: the corpus max norm
     val m2 = withN.agg(max(col("norm2"))).collect()(0).getDouble(0)
+    // localCheckpoint, NOT persist: the quantizer training + cell
+    // assignment make several passes, but a .persist() entry outlives
+    // the call with no handle to release it — every index build would
+    // pin a corpus-sized cache for the session (review finding r13).
+    // A localCheckpoint materializes once and is reclaimed by the
+    // ContextCleaner when the last reference drops.
     withN.select(col("vec_id"),
         concat(col("embedding"),
           array(sqrt(greatest(lit(0.0), lit(m2) - col("norm2"))).cast("float")))
           .as("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
   }
 
   /** [q, 0]-augmented probe/query rows for the MIPS serving paths —
@@ -1020,8 +986,10 @@ object Similarity extends QueryModule {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val vecs = data0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (cleaner-managed) — codebook training, cell
+    // assignment, the ADC scan, and the re-rank join all read this;
+    // a persist would pin it past the call (review finding r13)
+    val vecs = data0.localCheckpoint()
     val books = pqCodebooks(s, vecs, m, kSub, iters = 2)
     // probe list: nProbe nearest cells per query in the RAW space the
     // coarse quantizer was trained in (the knn_ivf rule verbatim)

@@ -91,10 +91,16 @@ object VectorIndex {
     *                side; collected and broadcast (the same contract as
     *                the knn query surface)
     */
+  /** `exclude`: candidate ids never admitted to the heaps — the
+    * streaming sink passes its own batch's ids so a crash-past-append
+    * REPLAY returns the identical top-k (excluding after the rank cut
+    * would instead let an already-appended batchmate crowd a genuine
+    * base neighbor out of the k, losing it from the replayed output —
+    * review finding r13). Batch-sized by contract. */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
-               k: Int, nprobe: Int): DataFrame =
+               k: Int, nprobe: Int, exclude: Set[Long] = Set.empty): DataFrame =
     probeCore(s, indexDir, queries, k, nprobe,
-      scoreDot = false, scoreName = "cosine")
+      scoreDot = false, scoreName = "cosine", exclude = exclude)
 
   /** Top-k MAXIMUM-INNER-PRODUCT neighbors off a [[buildMips]] index:
     * cell selection uses the zero-augmented query [q, 0] (the space the
@@ -103,13 +109,14 @@ object VectorIndex {
     * the scores are bit-identical to the unaugmented dot (the
     * knn_mips_ann identity). Output: (query_id, vec_id, dot, rk). */
   def probeMips(s: SparkSession, indexDir: String, queries: DataFrame,
-                k: Int, nprobe: Int): DataFrame =
+                k: Int, nprobe: Int, exclude: Set[Long] = Set.empty): DataFrame =
     probeCore(s, indexDir, queries, k, nprobe,
-      scoreDot = true, scoreName = "dot")
+      scoreDot = true, scoreName = "dot", exclude = exclude)
 
   private def probeCore(s: SparkSession, indexDir: String, queries: DataFrame,
                         k: Int, nprobe: Int,
-                        scoreDot: Boolean, scoreName: String): DataFrame = {
+                        scoreDot: Boolean, scoreName: String,
+                        exclude: Set[Long]): DataFrame = {
     val cents = loadCentroids(s, indexDir)
     val qIdIdx = queries.schema.fieldIndex("query_id")
     val qEmbIdx = queries.schema.fieldIndex("embedding")
@@ -136,6 +143,7 @@ object VectorIndex {
     val pruned = s.read.parquet(s"$indexDir/vectors")
       .filter(col("cell").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(needed.map(Int.box)): _*))
     val bq = s.sparkContext.broadcast(qCells)
+    val bx = s.sparkContext.broadcast(exclude)
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
@@ -149,11 +157,23 @@ object VectorIndex {
     // candidate rows ever leave a partition
     val partials = pruned.mapPartitions { rows =>
       val queries = bq.value
+      val excl = bx.value
       // heap root = the entry to evict (lowest cosine, then highest id)
       // — the same bounded-heap discipline as the brute-force kernel
       val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, c) => (-c, id) }
       val heaps = Array.fill(queries.length)(
         scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+      // heap MEMBERSHIP per query: a replayed append can deliver a
+      // bit-identical duplicate of a CURRENT member, which would pass
+      // the better-than-root test and occupy a second slot, evicting
+      // the true k-th distinct candidate before any downstream
+      // distinct could help (review finding r13 — the post-hoc
+      // dropDuplicates shrank the result instead of protecting it).
+      // A duplicate of an already-EVICTED id can never re-enter: the
+      // root it would have to beat is, by the eviction order, at
+      // least as good as the evicted entry.
+      val members = Array.fill(queries.length)(
+        scala.collection.mutable.HashSet.empty[Long])
       rows.foreach { row =>
         val emb = row.getSeq[Float](embIdx)
         val id = row.getLong(idIdx)
@@ -161,7 +181,8 @@ object VectorIndex {
         var qi = 0
         while (qi < queries.length) {
           val (qid, qemb, cells) = queries(qi)
-          if (id != qid && cells.contains(cell)) {
+          if (id != qid && !excl.contains(id) && !members(qi).contains(id) &&
+              cells.contains(cell)) {
             var dot = 0.0; var na = 0.0; var nb = 0.0
             var i = 0
             val n = math.min(qemb.length, emb.length)
@@ -178,10 +199,14 @@ object VectorIndex {
             }
             val c = if (scoreDot) dot else dot / (math.sqrt(na) * math.sqrt(nb))
             val h = heaps(qi)
-            if (h.size < k) h.enqueue((id, c))
+            if (h.size < k) { h.enqueue((id, c)); members(qi).add(id); () }
             else {
               val (wid, wc) = h.head
-              if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((id, c)) }
+              if (c > wc || (c == wc && id < wid)) {
+                h.dequeue(); members(qi).remove(wid)
+                h.enqueue((id, c)); members(qi).add(id)
+                ()
+              }
             }
           }
           qi += 1
@@ -195,11 +220,10 @@ object VectorIndex {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col(scoreName).desc, col("vec_id"))
-    // a replayed append can store a vector twice (see [[append]]); the
-    // duplicate candidate rows are bit-identical (same vector → same
-    // fold → same score), so the distinct makes the ranked result
-    // replay-invariant at the cost of one pass over the
-    // partitions × queries × k partials
+    // cross-PARTITION duplicates (a replayed append whose copies land
+    // in different files) are bit-identical rows; the distinct merges
+    // them before ranking — within a partition the heap membership set
+    // above already kept them out
     partials.dropDuplicates("query_id", "vec_id")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -220,15 +220,20 @@ object StreamVectorDedup {
     val vecs = batch.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val own = vecs.select(col("vec_id").as("base_id"))
+      // own ids are excluded INSIDE the probe's heaps, not filtered
+      // afterwards: a post-cut anti-join would let an already-appended
+      // batchmate (crash-past-append replay) crowd a genuine base
+      // neighbor out of the top-k and silently LOSE it from the
+      // replayed output (review finding r13) — in-heap exclusion keeps
+      // the replayed top-k identical to the first delivery's
+      val own = vecs.select(col("vec_id")).collect().map(_.getLong(0)).toSet
       graft.similarity.VectorIndex
         .probeIvf(s, indexDir,
           vecs.select(col("vec_id").as("query_id"), col("embedding")),
-          k, nprobe)
+          k, nprobe, exclude = own)
         .filter(col("cosine") >= tau)
         .select(col("query_id").as("new_id"), col("vec_id").as("base_id"),
           col("cosine"))
-        .join(broadcast(own), Seq("base_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       graft.similarity.VectorIndex.append(s, vecs, indexDir)
     } finally { vecs.unpersist(); () }

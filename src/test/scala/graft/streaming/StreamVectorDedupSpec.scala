@@ -65,12 +65,35 @@ class StreamVectorDedupSpec extends AnyFunSuite with SparkFixture {
         .foreach(r => assert(r.getAs[Double]("cosine") >= tau))
 
       // at-least-once: re-deliver the LAST batch with its own id — its
-      // vectors are already in the index; the own-id anti-join and the
-      // probe's duplicate-candidate distinct must rewrite identical
-      // output
+      // vectors are already in the index; the in-probe own-id exclusion
+      // and the duplicate-membership guard must rewrite identical output
       StreamVectorDedup.sink(idx, out, tau = tau, k = 50, nprobe = 8)(
         b2.toDF("vec_id", "embedding"), 1L)
       assert(pairSet() == expected, "replay changed the reported pairs")
+
+      // the CROWDING replay (review finding r13): at k = 1, a replayed
+      // batch containing two copies of the same base vector must still
+      // report each copy's base original — were own ids filtered AFTER
+      // the rank cut, the already-appended batchmate (also cosine 1.0,
+      // and id-ordered ahead) would occupy the single slot and the
+      // genuine base pair would vanish from the replayed output
+      val idx2 = s"$tmp/idx2"
+      val out2 = s"$tmp/out2"
+      graft.similarity.VectorIndex.buildIvf(spark, e, idx2, nCells = 8)
+      val crowd = Seq((300000L, src(2)._2), (300001L, src(2)._2))
+      def runCrowd(): Unit =
+        StreamVectorDedup.sink(idx2, out2, tau = tau, k = 1, nprobe = 8)(
+          crowd.toDF("vec_id", "embedding"), 0L)
+      runCrowd() // first delivery
+      val firstPairs = StreamVectorDedup.pairs(spark, out2)
+        .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("base_id"))).toSet
+      assert(firstPairs == Set((300000L, src(2)._1), (300001L, src(2)._1)),
+        s"unexpected first-delivery pairs: $firstPairs")
+      runCrowd() // crash-past-append replay: batch already in the index
+      val replayPairs = StreamVectorDedup.pairs(spark, out2)
+        .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("base_id"))).toSet
+      assert(replayPairs == firstPairs,
+        s"crowding replay lost a base pair: $replayPairs vs $firstPairs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
