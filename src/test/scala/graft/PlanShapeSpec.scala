@@ -371,6 +371,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "alignment degenerated to a product")
   }
 
+  test("decontam_semantic: benchmark broadcast NLJ, argmax is a partial aggregate, no corpus shuffle join") {
+    val p = plan("decontam_semantic")
+    // eval-suite side broadcast; the corpus streams through once
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "corpus pass degenerated to a shuffle join")
+    // the per-doc argmax combines map-side (max(struct(...)) partials)
+    assert(p.contains("partial_max"), "argmax not map-side combinable")
+  }
+
+  test("q_hybrid_rrf: both rankings are TakeOrdered top-20, stats broadcast, no global sort before the cut") {
+    val p = plan("q_hybrid_rrf")
+    val takeOrdered = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(takeOrdered >= 2, s"expected both 20-row cuts as TakeOrdered, got $takeOrdered")
+    assert(p.contains("BroadcastExchange"), "bm25 stats / dense query not broadcast")
+  }
+
+  test("spo_adamic_adar: wedge self-join is an equi-join on the center, never a cartesian") {
+    val p = plan("spo_adamic_adar")
+    assert(!p.contains("CartesianProduct"), "wedge join degenerated to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "wedge join degenerated to NLJ")
+    // the pair count combines map-side before the (na, nb) shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "pair aggregate not map-side combinable")
+  }
+
+  test("spo_walk_skipgrams: the positional self-join keys on walk_id, count is two-phase") {
+    val p = plan("spo_walk_skipgrams")
+    assert(!p.contains("CartesianProduct"), "positional join degenerated to a cartesian")
+    assert(p.contains("partial_count"), "pair count not map-side combinable")
+  }
+
+  test("q_events_markov: one events window, the share window runs on the types-squared count frame") {
+    val p = plan("q_events_markov")
+    // exactly one window over events (lead); the second window's input is
+    // the aggregated count frame — visible as the partial/final aggregate
+    // BETWEEN the two Window nodes
+    val windows = "Window \\(".r.findAllIn(p).length
+    assert(windows == 2, s"expected lead + share windows, got $windows")
+    assert(p.contains("partial_count"), "transition count not map-side combinable")
+  }
+
+  test("dedup_effective_tokens / dedup_soft_weights: corpus touched by one join, weighted census combines map-side") {
+    val pw = plan("dedup_soft_weights")
+    assert(!pw.contains("CartesianProduct"))
+    val pe = plan("dedup_effective_tokens")
+    assert(pe.contains("partial_sum"), "weighted census not map-side combinable")
+  }
+
   test("partitioned writes prune partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
