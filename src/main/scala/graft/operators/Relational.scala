@@ -298,6 +298,38 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      "q_events_paths",
+      // TOP USER JOURNEYS — the 3-step path census behind every "how do
+      // users actually reach purchase/error" analysis (q_events_markov's
+      // first-order matrix forgets history; 3-step paths expose it).
+      // TWO leads over the SAME (user, ts, event_id) window — one
+      // window exec, one pass over events — then a types³-bounded count
+      // and a TakeOrdered top-20 (count DESC, path ASC): nothing
+      // downstream of the window scales with events.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, dir).events
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+          .limit(20)
+      },
+      Some("""WITH seq AS (
+        SELECT event_type AS s1,
+          lead(event_type, 1) OVER w AS s2,
+          lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE s3 IS NOT NULL
+      GROUP BY s1, s2, s3
+      ORDER BY n DESC, s1, s2, s3 LIMIT 20""")
+    ),
+
+    QueryDef(
       "q_events_markov",
       // EVENT-TYPE TRANSITION MATRIX — the first-order Markov model of
       // user behavior (what follows what: the "view → purchase vs
