@@ -139,6 +139,59 @@ object Multimodal extends QueryModule {
     ),
 
     QueryDef(
+      // RESIZE planning + the stubbed pixel kernel's write-side
+      // plumbing — the ViT/CLIP preprocessing step (aspect-fit into a
+      // 224 box): out dims are pure integer arithmetic (fit the longer
+      // side, floor the shorter, ≥1 guard), so the PLAN is
+      // oracle-exact; the pixel kernel being stubbed (no codecs in the
+      // container), the "resized" container is REBUILT with the new
+      // header dims and a deterministic md5-derived payload, then
+      // REPARSED with the same column expressions — the output's
+      // out_w/out_h/payload_hex come from the reconstructed BINARY,
+      // not the plan, so a broken write path cannot hash-match the
+      // oracle's arithmetic. out_bytes (out_w·out_h·3) is the decode
+      // budget a batch scheduler packs on. All column expressions —
+      // payload bytes of the SOURCE are never read (the header-only
+      // discipline of this tier).
+      "mm_resize",
+      (s, dir) => {
+        val t = 224L
+        val meta = extractMeta(withBlobs(Tables(s, dir).documents))
+        val planned = meta.select(col("doc_id"), col("width"), col("height"))
+          .withColumn("p_w", when(col("width") >= col("height"), lit(t))
+            .otherwise(greatest(lit(1L), expr(s"width * $t div height"))))
+          .withColumn("p_h", when(col("width") >= col("height"),
+              greatest(lit(1L), expr(s"height * $t div width")))
+            .otherwise(lit(t)))
+        val rebuilt = planned.withColumn("rblob", concat(
+          lit("GRFT".getBytes("UTF-8")),
+          be4(col("p_w")), be4(col("p_h")), be4(lit(1L)),
+          unhex(md5(concat_ws(":", col("doc_id"), col("p_w"), col("p_h"))))))
+        rebuilt.select(col("doc_id"), col("width"), col("height"),
+            beField(col("rblob"), 5).as("out_w"),
+            beField(col("rblob"), 9).as("out_h"),
+            (beField(col("rblob"), 5) * beField(col("rblob"), 9) * lit(3L))
+              .as("out_bytes"),
+            hex(substring(col("rblob"), 17, 4)).as("payload_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+          CAST(16 + doc_id % 64 AS BIGINT) AS width,
+          CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height
+        FROM documents),
+      p AS (SELECT doc_id, width, height,
+          CAST(CASE WHEN width >= height THEN 224
+               ELSE GREATEST(1, width * 224 // height) END AS BIGINT) AS out_w,
+          CAST(CASE WHEN width >= height THEN GREATEST(1, height * 224 // width)
+               ELSE 224 END AS BIGINT) AS out_h
+        FROM m)
+      SELECT doc_id, width, height, out_w, out_h,
+        CAST(out_w * out_h * 3 AS BIGINT) AS out_bytes,
+        upper(substr(md5(concat_ws(':', doc_id, out_w, out_h)), 1, 8)) AS payload_hex
+      FROM p ORDER BY doc_id""")
+    ),
+
+    QueryDef(
       // audio plumbing: fixed-rate 1-second tumbling windows over each
       // clip, exploded to window rows (start sample + actual window
       // length, final window truncated) — the batch shape a feature
