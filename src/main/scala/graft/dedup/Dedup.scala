@@ -1435,6 +1435,53 @@ object Dedup extends QueryModule {
     ),
 
     QueryDef(
+      // DEDUP-WEIGHTED SAMPLING — sample_stratified's draw chain with
+      // dedup_soft_weights' acceptance rule: doc kept iff
+      // hashU32(doc_id) < (1/cluster_size)·M, so each near-dup cluster
+      // contributes ONE expected survivor and the sample is
+      // dedup-neutral in expectation without ever materializing a
+      // dedup pass (the draw and the weight are both pure functions of
+      // the row + the staged cluster frame). Per source: docs, the
+      // exact expected survivor count (Σ weights, 6dp-decimal sums),
+      // and the realized kept count — expected vs realized IS the
+      // sampler's calibration read. One hash join + one aggregate; the
+      // draw chain is CorpusOps.hashU32 (the ONE Lehmer chain — shared,
+      // not re-derived), the weight rule and cluster CTE are
+      // dedup_soft_weights' verbatim.
+      "sample_dedup_weighted",
+      (s, dir) => {
+        import graft.pipeline.CorpusOps
+        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val base = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+          .join(clusters.select(col("doc_id"), col("cluster_size")),
+            Seq("doc_id"), "left")
+          .withColumn("w", lit(1.0) / coalesce(col("cluster_size"), lit(1L)))
+        val kept = CorpusOps.hashU32(col("doc_id")).cast("double") <
+          col("w") * lit(CorpusOps.HashMod)
+        base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(round(col("w"), 6).cast("decimal(18,6)")).as("exp_dec"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"),
+            col("exp_dec").cast("double").as("expected_kept"),
+            col("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $ClusterCteSql,
+        cl AS (SELECT cc.id AS doc_id, sizes.cluster_size
+          FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id),
+        w AS (SELECT d.doc_id, d.source,
+            1.0 / COALESCE(cl.cluster_size, 1) AS w
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS expected_kept,
+        CAST(SUM(CASE WHEN CAST(${graft.pipeline.CorpusOps.HashU32Sql} AS DOUBLE) <
+          w * 2147483647.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM w GROUP BY source ORDER BY source""")
+    ),
+
+    QueryDef(
       // EFFECTIVE (deduplicated) TOKEN CENSUS per source — the number a
       // mixture designer actually budgets against: raw token counts
       // overstate a source by exactly its duplication, so each doc's

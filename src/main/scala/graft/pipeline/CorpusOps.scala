@@ -32,11 +32,12 @@ object CorpusOps extends QueryModule {
     * rates to 1.0 on small corpora). Measured: realized rate within
     * 0.03 of configured at 50 docs, 0.006 at 500.
     */
-  private def hashU32(id: Column): Column =
+  // private[graft]: dedup's weighted sampling reuses the ONE draw chain
+  private[graft] def hashU32(id: Column): Column =
     (((id % lit(2147483647L)) * lit(48271L)) % lit(2147483647L) * lit(48271L)) % lit(2147483647L)
-  private val HashU32Sql =
+  private[graft] val HashU32Sql =
     "(((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647"
-  private val HashMod = 2147483647.0
+  private[graft] val HashMod = 2147483647.0
 
   /** `'srcN'` → N — the synthetic source id carries its stratum number. */
   private def srcNum(source: Column): Column = substring(source, 4, 10).cast("int")
