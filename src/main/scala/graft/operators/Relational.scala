@@ -298,6 +298,68 @@ object Relational extends QueryModule {
     ),
 
     QueryDef(
+      "q_supplier_pareto",
+      // REVENUE CONCENTRATION per nation (the 80/20 read behind vendor
+      // risk / mixture audits): how many suppliers carry 80% of a
+      // nation's revenue, and how dominant is the top one. Supplier
+      // revenues are exact Money decimals (the §5 discipline); the
+      // cumulative runs per nation over SUPPLIER-level aggregates
+      // (bounded groups — never a window over lineitem), and the 80%
+      // crossing is a PURE DECIMAL comparison, 10·(cum − rev) <
+      // 8·total — no float threshold, no rounding, so the count is
+      // exact in both engines. A supplier is "needed" when the
+      // cumulative BEFORE it had not yet reached 80% — this counts the
+      // crossing supplier in, which is the standard Pareto-k.
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val m = Exact.Money
+        val revPerSupp = t.lineitem
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("s_suppkey"))
+          .agg(sum(col("l_extendedprice").cast(m) *
+            (lit(1).cast(m) - col("l_discount").cast(m))).as("rev"))
+        val wOrd = Window.partitionBy(col("n_name"))
+          .orderBy(col("rev").desc, col("s_suppkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("n_name"))
+        revPerSupp
+          .withColumn("cum", sum(col("rev")).over(wOrd))
+          .withColumn("total", sum(col("rev")).over(wAll))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            max(col("total")).as("total_dec"),
+            sum(when(lit(10) * (col("cum") - col("rev")) < lit(8) * col("total"),
+              1L).otherwise(0L)).as("n_for_80pct"),
+            max(col("rev")).as("top_dec"))
+          .select(col("n_name").as("nation"), col("n_suppliers"),
+            col("total_dec").cast("double").as("total_revenue"),
+            col("n_for_80pct"),
+            (col("top_dec").cast("double") / col("total_dec").cast("double"))
+              .as("top1_share"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH r AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      c AS (SELECT nation, rev,
+          SUM(rev) OVER (PARTITION BY nation ORDER BY rev DESC, s_suppkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(rev) OVER (PARTITION BY nation) AS total
+        FROM r)
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        CAST(MAX(total) AS DOUBLE) AS total_revenue,
+        CAST(SUM(CASE WHEN 10 * (cum - rev) < 8 * total THEN 1 ELSE 0 END) AS BIGINT) AS n_for_80pct,
+        CAST(MAX(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top1_share
+      FROM c GROUP BY nation ORDER BY nation""")
+    ),
+
+    QueryDef(
       "q_events_paths",
       // TOP USER JOURNEYS — the 3-step path census behind every "how do
       // users actually reach purchase/error" analysis (q_events_markov's
