@@ -244,6 +244,48 @@ object StreamVectorDedup {
     s.read.parquet(outDir)
 }
 
+/** Streaming face of `q_events_markov`: per-user event-type transition
+  * rows off the live stream, with the LAST event carried in state so a
+  * transition that straddles a micro-batch boundary is never lost — the
+  * property a per-batch lead() window cannot have (its last row has no
+  * successor until the next batch arrives, and by then the window has
+  * forgotten it). Emits one row per (user, consecutive-pair); the
+  * consumer aggregates to the (from, to) matrix — transition counts are
+  * plain sums, so any downstream rollup (per batch, per day, global)
+  * composes exactly with the batch operator's counts.
+  *
+  * Ordering contract: events are sorted per user within the batch by
+  * (ts_us, event_id) — the batch operator's total order — and batches
+  * are assumed event-time-monotone per user across deliveries (the
+  * sessionizer's watermark assumption). State per user: the single
+  * last (ts_us, event_id, type) triple — O(users), never stream-bound.
+  * StreamMarkovSpec pins one-batch ≡ batch q_events_markov counts and
+  * split-feed ≡ single-feed (the boundary transition preserved).
+  */
+object StreamMarkov {
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class Trans(user_id: Long, from_type: String, to_type: String)
+
+  def transitions(events: Dataset[Ev]): Dataset[Trans] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[(Long, Long, String)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_._3).toSeq ++ sorted.map(_.event_type)
+            val last = sorted.last
+            state.update((last.ts_us, last.event_id, last.event_type))
+            types.sliding(2).collect {
+              case Seq(a, b) => Trans(uid, a, b)
+            }
+          }
+      }
+  }
+}
+
 /** Watermarked stream-stream join: purchases join the same user's views
   * within a bounded lookback — the streaming form of the batch as-of /
   * interval join. Both sides carry watermarks AND the join condition
