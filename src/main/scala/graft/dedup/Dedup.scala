@@ -159,6 +159,25 @@ object Dedup extends QueryModule {
   private[graft] def stagedWordSetPairs(s: SparkSession, dir: String): DataFrame =
     stagedPairsCache.get(s, dir).pairs
 
+  /** Session-staged near-dup CLUSTER frame (doc_id, cluster_id,
+    * cluster_size) — FIVE queries consume it (dedup_clusters,
+    * dedup_canonical, dedup_soft_weights, dedup_effective_tokens,
+    * sample_dedup_weighted); each used to re-run the vocabulary probe
+    * (an eager take(65) job) plus the propagation/union-find clustering
+    * from scratch over the already-staged pairs (review finding r13).
+    * The same materialized-artifact discipline as the pair frame: a
+    * 100 TB pipeline computes clusters once beside the corpus and every
+    * consumer reads them. */
+  private val stagedClustersCache =
+    new graft.operators.SessionStaged[DataFrame]((s, dir) =>
+      clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
+        pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      df => { df.unpersist(); () })
+
+  private[graft] def stagedClusters(s: SparkSession, dir: String): DataFrame =
+    stagedClustersCache.get(s, dir)
+
   /** doc_id + distinct lowercase word set. */
   private[graft] def wordSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("ws"))
@@ -1388,8 +1407,7 @@ object Dedup extends QueryModule {
       // it fits ([[maskClustersDriver]] — it was already broadcast-sized
       // by construction), distributed propagation otherwise.
       "dedup_clusters",
-      (s, dir) => clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-        pairsOpt = Some(() => stagedWordSetPairs(s, dir))),
+      (s, dir) => stagedClusters(s, dir),
       Some(s"""WITH $ClusterCteSql
       SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
@@ -1414,8 +1432,7 @@ object Dedup extends QueryModule {
       // cannot drift.
       "dedup_soft_weights",
       (s, dir) => {
-        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val clusters = stagedClusters(s, dir)
         Tables(s, dir).documents.select(col("doc_id"))
           .join(clusters.select(col("doc_id"), col("cluster_size")),
             Seq("doc_id"), "left")
@@ -1451,8 +1468,7 @@ object Dedup extends QueryModule {
       "sample_dedup_weighted",
       (s, dir) => {
         import graft.pipeline.CorpusOps
-        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val clusters = stagedClusters(s, dir)
         val base = Tables(s, dir).documents.select(col("doc_id"), col("source"))
           .join(clusters.select(col("doc_id"), col("cluster_size")),
             Seq("doc_id"), "left")
@@ -1495,8 +1511,7 @@ object Dedup extends QueryModule {
       // over the exact sums. Oracle shares the ONE cluster CTE.
       "dedup_effective_tokens",
       (s, dir) => {
-        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val clusters = stagedClusters(s, dir)
         Tables(s, dir).documents
           .select(col("doc_id"), col("source"),
             size(split(lower(col("text")), " ")).cast("long").as("ntok"))
@@ -1548,8 +1563,7 @@ object Dedup extends QueryModule {
       "dedup_canonical",
       (s, dir) => {
         val docs = Tables(s, dir).documents.select(col("doc_id"), col("n_chars"))
-        val clusters = clusterDocsFromWs(s, stagedDocFeatures(s, dir).ws,
-          pairsOpt = Some(() => stagedWordSetPairs(s, dir)))
+        val clusters = stagedClusters(s, dir)
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("n_chars").desc, col("doc_id").asc)
         val flagged = clusters.join(docs, "doc_id")

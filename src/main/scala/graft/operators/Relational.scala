@@ -312,13 +312,13 @@ object Relational extends QueryModule {
       // crossing supplier in, which is the standard Pareto-k.
       (s, dir) => {
         val t = Tables(s, dir)
-        val m = Exact.Money
         val revPerSupp = t.lineitem
           .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
           .join(t.nation, col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), col("s_suppkey"))
-          .agg(sum(col("l_extendedprice").cast(m) *
-            (lit(1).cast(m) - col("l_discount").cast(m))).as("rev"))
+          // the ONE money rule (discPrice) — review finding r13: a
+          // first draft inlined its own copy of the decimal chain
+          .agg(sum(discPrice).as("rev"))
         val wOrd = Window.partitionBy(col("n_name"))
           .orderBy(col("rev").desc, col("s_suppkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -339,10 +339,9 @@ object Relational extends QueryModule {
               .as("top1_share"))
           .orderBy(col("nation"))
       },
-      Some("""WITH r AS (
+      Some(s"""WITH r AS (
         SELECT n.n_name AS nation, s.s_suppkey,
-          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          SUM($discPriceSql) AS rev
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey

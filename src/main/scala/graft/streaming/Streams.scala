@@ -275,6 +275,22 @@ object StreamMarkov {
           val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
+            // LOUD ordering contract (review finding r13: the carried
+            // (ts, id) were stored but never read, so a late delivery
+            // would silently emit a transition the batch operator
+            // orders differently — counts diverging forever with no
+            // error). A transition already emitted against the carried
+            // last event cannot be unsaid, so a violated contract
+            // refuses, it does not guess — the BFS round-bound
+            // discipline applied to event-time monotonicity.
+            state.getOption.foreach { case (lts, lid, _) =>
+              val h = sorted.head
+              require(h.ts_us > lts || (h.ts_us == lts && h.event_id > lid),
+                s"StreamMarkov: out-of-order delivery for user $uid — batch head " +
+                  s"(ts_us=${h.ts_us}, id=${h.event_id}) is not after the carried last " +
+                  s"(ts_us=$lts, id=$lid); transitions emitted against the carried event " +
+                  "cannot be reordered retroactively")
+            }
             val types = state.getOption.map(_._3).toSeq ++ sorted.map(_.event_type)
             val last = sorted.last
             state.update((last.ts_us, last.event_id, last.event_type))

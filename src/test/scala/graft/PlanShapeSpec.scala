@@ -412,11 +412,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_count"), "transition count not map-side combinable")
   }
 
-  test("dedup_effective_tokens / dedup_soft_weights: corpus touched by one join, weighted census combines map-side") {
+  test("dedup_effective_tokens / dedup_soft_weights: pruned corpus side joins the STAGED cluster frame") {
     val pw = plan("dedup_soft_weights")
     assert(!pw.contains("CartesianProduct"))
+    // the corpus side of the weight join reads doc_id ONLY — a
+    // regression that re-featurizes the corpus inline (instead of
+    // joining the staged cluster artifact) must read text there and
+    // flip this (review finding r13: the earlier assertions could not
+    // see that)
+    assert(pw.contains("ReadSchema: struct<doc_id:bigint>"),
+      "corpus side not pruned to doc_id — inline re-featurization?")
+    assert(pw.contains("InMemoryTableScan"),
+      "cluster frame not read from the session-staged artifact")
     val pe = plan("dedup_effective_tokens")
     assert(pe.contains("partial_sum"), "weighted census not map-side combinable")
+    assert(pe.contains("InMemoryTableScan"),
+      "cluster frame not read from the session-staged artifact")
   }
 
   test("partitioned writes prune partitions on read") {

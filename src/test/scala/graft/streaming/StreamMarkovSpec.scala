@@ -60,4 +60,25 @@ class StreamMarkovSpec extends AnyFunSuite with SparkFixture {
     val usersB = b.map(_.user_id).toSet
     assert((usersA & usersB).nonEmpty, "degenerate split: no user straddles the cut")
   }
+
+  test("out-of-order delivery refuses loudly instead of silently diverging from batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = transitions(input.toDS()).writeStream
+      .format("memory").queryName("smk_ooo").outputMode("append").start()
+    try {
+      input.addData(Seq(Ev(1L, 1000L, 10L, "view"), Ev(1L, 2000L, 11L, "click")))
+      q.processAllAvailable()
+      // a LATE event for user 1, earlier than the carried (2000, 11)
+      input.addData(Seq(Ev(1L, 1500L, 12L, "purchase")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("out-of-order delivery")),
+        s"expected the loud ordering refusal, got: ${messages(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
 }
