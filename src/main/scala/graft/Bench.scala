@@ -177,6 +177,12 @@ object Bench {
         stageTier("wordset_pairs") {
           graft.dedup.Dedup.stagedWordSetPairs(spark, sfDir).count(); ()
         },
+        stageTier("clusters") {
+          // r13: the cluster frame became a session-staged artifact
+          // consumed by five queries — its one-time propagation build
+          // must not land inside whichever of them runs first
+          graft.dedup.Dedup.stagedClusters(spark, sfDir).count(); ()
+        },
         stageTier("angular") {
           graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
         },
