@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *  - `centroids/` — the coarse quantizer (nCells × dims doubles, a
   *    driver-sized table trained by the same deterministic two-pass
   *    Lloyd's as `knn_ivf`);
-  *  - `vectors/` — every vector tagged with its cell, written
+  *  - `gen=N/vectors/` — every vector tagged with its cell, written
   *    `partitionBy("cell")`, so each IVF inverted list IS a parquet
-  *    partition directory.
+  *    partition directory; N is the committed compaction generation
+  *    (see the generational-layout note below).
   *
   * The at-scale payoff is that probing nprobe of nCells lists is
   * PARTITION PRUNING, not a filter: the probe plan's scan touches only
@@ -27,6 +28,58 @@ import org.apache.spark.sql.functions._
   * per-partition bounded heaps — the corpus side is never shuffled.
   */
 object VectorIndex {
+
+  // ---- generational layout (the BandIndex discipline, applied to
+  // inverted lists): vectors live under gen=N/vectors; [[append]]
+  // accumulates one file set per batch inside the current generation
+  // (the streaming ingest loop's small-files problem), [[compact]]
+  // folds into gen=N+1 with replayed duplicates dropped, flips the
+  // commit via temp-file + ATOMIC_MOVE, then reaps the old generation.
+  // A crash before the flip leaves readers on the intact old
+  // generation (a re-run overwrites the same next generation); a crash
+  // after it leaves only invisible leftovers. Centroids are OUTSIDE
+  // the generations — the quantizer is frozen, cell ids never change,
+  // so compaction is a pure file rewrite. Single-writer, like the
+  // sink. ----
+
+  private def commitPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_commit")
+
+  /** Committed generation; 0 before any compaction. */
+  private[graft] def currentGen(indexDir: String): Long = {
+    val p = commitPath(indexDir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.stripPrefix("gen=").toLong
+  }
+
+  private[graft] def vectorsPath(indexDir: String): String =
+    s"$indexDir/gen=${currentGen(indexDir)}/vectors"
+
+  /** Fold the current generation into the next: duplicate vector rows
+    * (at-least-once replayed appends — bit-identical by the append
+    * contract, so dropping on vec_id is deterministic) removed, each
+    * cell's list rewritten as one co-located file set instead of one
+    * per append. Readers flip atomically via the commit record. */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val gen = currentGen(indexDir)
+    val next = gen + 1
+    // Overwrite: a crashed earlier attempt at this generation is
+    // replaced wholesale before any reader can see it
+    s.read.parquet(s"$indexDir/gen=$gen/vectors")
+      .dropDuplicates("vec_id")
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$indexDir/gen=$next/vectors")
+    val tmp = java.nio.file.Paths.get(indexDir, "_commit.tmp")
+    java.nio.file.Files.write(tmp, s"gen=$next".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, commitPath(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$indexDir/gen=$gen"))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Train the quantizer, tag vectors, and persist both halves.
     * Deterministic: same data + params → byte-identical centroids and
@@ -46,7 +99,7 @@ object VectorIndex {
     s.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Similarity.assignCells(s, data, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(indexDir))
   }
 
   /** The persisted quantizer, driver-sized by construction. */
@@ -70,7 +123,7 @@ object VectorIndex {
     val cents = loadCentroids(s, indexDir)
     Similarity.assignCells(s, data, cents)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+      .write.mode("append").partitionBy("cell").parquet(vectorsPath(indexDir))
   }
 
   /** Build the persisted MIPS index: the SAME [[buildIvf]] layout over
@@ -140,7 +193,7 @@ object VectorIndex {
       qs.map { case (id, emb) => (id, emb, nearestCells(emb)) }
     val needed: Array[Int] = qCells.flatMap(_._3).distinct.sorted
     // cell is a PARTITION column of vectors/ — isin() prunes at planning
-    val pruned = s.read.parquet(s"$indexDir/vectors")
+    val pruned = s.read.parquet(vectorsPath(indexDir))
       .filter(col("cell").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(needed.map(Int.box)): _*))
     val bq = s.sparkContext.broadcast(qCells)
     val bx = s.sparkContext.broadcast(exclude)

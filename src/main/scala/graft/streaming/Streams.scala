@@ -212,9 +212,19 @@ object StreamNearDedup {
 object StreamVectorDedup {
 
   /** `foreachBatch` body. The index at `indexDir` must exist
-    * (built over the base corpus via `VectorIndex.buildIvf`). */
+    * (built over the base corpus via `VectorIndex.buildIvf`).
+    * `compactEvery` > 0 folds the index's generations every N batches
+    * ([[graft.similarity.VectorIndex.compact]]): each append leaves one
+    * file set per touched cell per batch, so an unbounded ingest run
+    * otherwise accumulates a small-files problem in every inverted
+    * list — the StreamNearDedup/BandIndex rationale verbatim.
+    * Compaction runs AFTER the append on the same single-writer
+    * thread; a crash anywhere in it leaves the committed generation
+    * intact, and a replayed batch probes identically against a
+    * compacted or uncompacted index (spec-pinned). */
   def sink(indexDir: String, outDir: String,
-           tau: Double = 0.9, k: Int = 5, nprobe: Int = 4)
+           tau: Double = 0.9, k: Int = 5, nprobe: Int = 4,
+           compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     val vecs = batch.select(col("vec_id"), col("embedding"))
@@ -236,6 +246,8 @@ object StreamVectorDedup {
           col("cosine"))
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       graft.similarity.VectorIndex.append(s, vecs, indexDir)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        graft.similarity.VectorIndex.compact(s, indexDir)
     } finally { vecs.unpersist(); () }
   }
 

@@ -104,7 +104,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkFixture {
         val ca = VectorIndex.loadCentroids(spark, a).map(_.toSeq).toSeq
         val cb = VectorIndex.loadCentroids(spark, b).map(_.toSeq).toSeq
         assert(ca == cb)
-        def cells(p: String) = spark.read.parquet(s"$p/vectors")
+        def cells(p: String) = spark.read.parquet(VectorIndex.vectorsPath(p))
           .select(col("vec_id"), col("cell")).collect()
           .map(r => r.getLong(0) -> r.getInt(1)).toMap
         assert(cells(a) == cells(b))

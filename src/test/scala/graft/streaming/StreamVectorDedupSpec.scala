@@ -94,6 +94,29 @@ class StreamVectorDedupSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("base_id"))).toSet
       assert(replayPairs == firstPairs,
         s"crowding replay lost a base pair: $replayPairs vs $firstPairs")
+
+      // COMPACTION: the replayed index holds duplicate postings of the
+      // crowd batch; folding the generation must flip the commit, drop
+      // the duplicates, and leave probes IDENTICAL — a fresh delivery
+      // after compaction still pairs against everything
+      val gen0 = graft.similarity.VectorIndex.currentGen(idx2)
+      val before = spark.read.parquet(
+        graft.similarity.VectorIndex.vectorsPath(idx2)).count()
+      graft.similarity.VectorIndex.compact(spark, idx2)
+      assert(graft.similarity.VectorIndex.currentGen(idx2) == gen0 + 1,
+        "commit record did not flip")
+      val after = spark.read.parquet(
+        graft.similarity.VectorIndex.vectorsPath(idx2))
+      assert(after.count() < before, "replayed duplicates survived compaction")
+      assert(after.select("vec_id").distinct().count() == after.count(),
+        "compaction left duplicate vec_ids")
+      StreamVectorDedup.sink(idx2, out2, tau = tau, k = 1, nprobe = 8)(
+        Seq((400000L, src(3)._2)).toDF("vec_id", "embedding"), 2L)
+      val post = StreamVectorDedup.pairs(spark, out2)
+        .filter(col("new_id") === 400000L)
+        .collect().map(r => r.getAs[Long]("base_id")).toSet
+      assert(post == Set(src(3)._1),
+        s"post-compaction probe diverged: $post")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
