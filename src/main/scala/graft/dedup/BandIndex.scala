@@ -49,16 +49,11 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
-  private def commitPath(indexDir: String) =
-    java.nio.file.Paths.get(indexDir, "_commit")
-
-  /** Committed generation; 0 before any compaction. */
-  private[graft] def currentGen(indexDir: String): Long = {
-    val p = commitPath(indexDir)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .trim.stripPrefix("gen=").toLong
-  }
+  /** Committed generation; 0 before any compaction (the shared
+    * [[graft.operators.Generations]] mechanism — review finding r13:
+    * the parse/flip machinery existed as per-index copies). */
+  private[graft] def currentGen(indexDir: String): Long =
+    graft.operators.Generations.currentGen(indexDir)
 
   private[graft] def bandsPath(indexDir: String): String =
     s"$indexDir/gen=${currentGen(indexDir)}/bands"
@@ -86,11 +81,7 @@ object BandIndex {
       .dropDuplicates("doc_id")
       .repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/gen=$next/features")
-    val tmp = java.nio.file.Paths.get(indexDir, "_commit.tmp")
-    java.nio.file.Files.write(tmp, s"gen=$next".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, commitPath(indexDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.operators.Generations.flip(indexDir, next)
     deleteDir(s"$indexDir/gen=$gen")
   }
 

@@ -30,28 +30,22 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   // ---- generational layout (the BandIndex discipline, applied to
-  // inverted lists): vectors live under gen=N/vectors; [[append]]
-  // accumulates one file set per batch inside the current generation
-  // (the streaming ingest loop's small-files problem), [[compact]]
-  // folds into gen=N+1 with replayed duplicates dropped, flips the
-  // commit via temp-file + ATOMIC_MOVE, then reaps the old generation.
-  // A crash before the flip leaves readers on the intact old
-  // generation (a re-run overwrites the same next generation); a crash
-  // after it leaves only invisible leftovers. Centroids are OUTSIDE
-  // the generations — the quantizer is frozen, cell ids never change,
-  // so compaction is a pure file rewrite. Single-writer, like the
-  // sink. ----
-
-  private def commitPath(indexDir: String) =
-    java.nio.file.Paths.get(indexDir, "_commit")
+  // inverted lists; mechanism shared via graft.operators.Generations):
+  // vectors live under gen=N/vectors; [[append]] accumulates one file
+  // set per batch inside the current generation (the streaming ingest
+  // loop's small-files problem), [[compact]] folds into gen=N+1 with
+  // replayed duplicates dropped and flips the commit via temp-file +
+  // ATOMIC_MOVE. Stale generations are reaped at the START of the next
+  // compact, not after the flip (reader grace + crash-leak bound — see
+  // [[compact]]). A crash before the flip leaves readers on the intact
+  // old generation (a re-run overwrites the same next generation).
+  // Centroids are OUTSIDE the generations — the quantizer is frozen,
+  // cell ids never change, so compaction is a pure file rewrite.
+  // Single-writer, like the sink. ----
 
   /** Committed generation; 0 before any compaction. */
-  private[graft] def currentGen(indexDir: String): Long = {
-    val p = commitPath(indexDir)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .trim.stripPrefix("gen=").toLong
-  }
+  private[graft] def currentGen(indexDir: String): Long =
+    graft.operators.Generations.currentGen(indexDir)
 
   private[graft] def vectorsPath(indexDir: String): String =
     s"$indexDir/gen=${currentGen(indexDir)}/vectors"
@@ -60,9 +54,34 @@ object VectorIndex {
     * (at-least-once replayed appends — bit-identical by the append
     * contract, so dropping on vec_id is deterministic) removed, each
     * cell's list rewritten as one co-located file set instead of one
-    * per append. Readers flip atomically via the commit record. */
+    * per append.
+    *
+    * Reaping is DEFERRED (review finding r13): stale generations are
+    * swept at the START of the next compact, never right after the
+    * flip — an in-flight probe that resolved its file listing against
+    * the old generation keeps a full compaction interval of grace
+    * (deleting immediately failed it mid-scan), and a crash between
+    * flip and reap strands the old generation only until the next
+    * sweep instead of forever. A reader older than one whole
+    * compaction cycle can still race — the snapshot-reclaim contract
+    * every MVCC store carries; production adds a TTL to the sweep.
+    *
+    * No-op when every cell holds at most one file: a single-writer
+    * append emits one file set per batch, so ≤ 1 file per cell means
+    * no appends (and no replayed duplicates) since the last fold —
+    * the fold would be a pure O(corpus) rewrite for nothing. When it
+    * does fold, the rewrite IS full-index (the simplest crash-safe
+    * form; the nightly-job shape) — size `compactEvery` accordingly,
+    * leveled per-cell compaction is the production refinement. */
   def compact(s: SparkSession, indexDir: String): Unit = {
     val gen = currentGen(indexDir)
+    graft.operators.Generations.reapOthers(indexDir, gen)
+    val genDir = new java.io.File(s"$indexDir/gen=$gen/vectors")
+    val multiFile = Option(genDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .exists(c => Option(c.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")) > 1)
+    if (!multiFile) return
     val next = gen + 1
     // Overwrite: a crashed earlier attempt at this generation is
     // replaced wholesale before any reader can see it
@@ -71,14 +90,7 @@ object VectorIndex {
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$indexDir/gen=$next/vectors")
-    val tmp = java.nio.file.Paths.get(indexDir, "_commit.tmp")
-    java.nio.file.Files.write(tmp, s"gen=$next".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, commitPath(indexDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    try org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"$indexDir/gen=$gen"))
-    catch { case scala.util.control.NonFatal(_) => () }
+    graft.operators.Generations.flip(indexDir, next)
   }
 
   /** Train the quantizer, tag vectors, and persist both halves.

@@ -117,6 +117,24 @@ class StreamVectorDedupSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => r.getAs[Long]("base_id")).toSet
       assert(post == Set(src(3)._1),
         s"post-compaction probe diverged: $post")
+
+      // the SINK-DRIVEN trigger (review finding r13: only the manual
+      // compact call was pinned): one more delivery with
+      // compactEvery = 1 must probe (pairs correct), append, then fold
+      // — the generation advances, and the deferred-reap sweep at the
+      // start of that fold deletes the generations left stale above
+      val genNow = graft.similarity.VectorIndex.currentGen(idx2)
+      StreamVectorDedup.sink(idx2, out2, tau = tau, k = 1, nprobe = 8,
+        compactEvery = 1)(
+        Seq((500000L, src(4)._2)).toDF("vec_id", "embedding"), 3L)
+      assert(graft.similarity.VectorIndex.currentGen(idx2) == genNow + 1,
+        "sink-driven compactEvery did not fold the generation")
+      assert(!new java.io.File(s"$idx2/gen=$gen0").exists,
+        "stale generation survived the next compaction's reap sweep")
+      val post5 = StreamVectorDedup.pairs(spark, out2)
+        .filter(col("new_id") === 500000L)
+        .collect().map(r => r.getAs[Long]("base_id")).toSet
+      assert(post5 == Set(src(4)._1), s"sink-triggered fold broke the probe: $post5")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
