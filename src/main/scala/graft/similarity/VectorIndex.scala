@@ -111,6 +111,12 @@ object VectorIndex {
     s.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Similarity.assignCells(s, data, cents)
+      // one file set per cell FROM BUILD TIME: compact()'s no-op check
+      // reads ">1 file in a cell" as "appends happened since the last
+      // fold" — an un-repartitioned multi-partition build would leave
+      // several files per cell and make the first scheduled compact a
+      // full-corpus rewrite with nothing to fold (ADVICE r13)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(indexDir))
   }
 
@@ -118,6 +124,14 @@ object VectorIndex {
   def loadCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
     s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** The frozen MIPS augmentation constant, present iff the index was
+    * built by [[buildMips]]. One row; its absence IS the IVF/MIPS
+    * dispatch bit [[append]] keys on. */
+  private[graft] def loadMipsM2(s: SparkSession, indexDir: String): Option[Double] =
+    if (new java.io.File(s"$indexDir/mips_m2").exists())
+      Some(s.read.parquet(s"$indexDir/mips_m2").collect()(0).getDouble(0))
+    else None
 
   /** Fold new vectors INTO an existing index under its FROZEN
     * quantizer — the ingest loop's growth step (see
@@ -130,10 +144,38 @@ object VectorIndex {
     * streaming sink anti-joins the probing batch's own ids, so
     * duplicates cost bytes, not correctness (the BandIndex.append
     * contract). The repartition on the partition column keeps each
-    * touched cell one file per append, not one per upstream task. */
+    * touched cell one file per append, not one per upstream task.
+    *
+    * MIPS indexes (ADVICE r13): a [[buildMips]] index lives in the
+    * (d+1)-dim norm-augmented space, and an unaugmented append would
+    * silently mix d-dim vectors into it — nearestCell's min-length fold
+    * hides the mismatch and the equal-norm invariant the quantizer was
+    * trained on breaks with no error. `append` now dispatches on the
+    * persisted M²: MIPS indexes re-augment incoming d-dim vectors under
+    * the FROZEN M² (a new vector with |x|² > M² is refused loudly —
+    * [[Similarity.augmentWithM2]]; the Neyshabur–Srebro reduction is
+    * only valid under the trained bound, so outgrowing it is an offline
+    * rebuild, the same contract as retraining the centroids). Both
+    * paths then REQUIRE the stored dim to match the centroid dim —
+    * the mismatch the min-length folds would otherwise eat. */
   def append(s: SparkSession, data: DataFrame, indexDir: String): Unit = {
     val cents = loadCentroids(s, indexDir)
-    Similarity.assignCells(s, data, cents)
+    val prepared = loadMipsM2(s, indexDir) match {
+      case Some(m2) =>
+        Similarity.augmentWithM2(
+          data.select(col("vec_id"), col("embedding"))
+            .withColumn("norm2", VectorOps.dot("embedding", "embedding")), m2)
+      case None => data
+    }
+    val d = cents.headOption.map(_.length)
+      .getOrElse(sys.error(s"append: no centroids under $indexDir"))
+    Similarity.assignCells(s, prepared, cents)
+      .withColumn("embedding",
+        when(size(col("embedding")) =!= lit(d),
+          raise_error(concat(lit("append: vector dim "),
+            size(col("embedding")).cast("string"),
+            lit(s" != index dim $d"))))
+          .otherwise(col("embedding")))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(vectorsPath(indexDir))
   }
@@ -143,10 +185,23 @@ object VectorIndex {
     * extra float per stored vector, all augmented vectors sharing the
     * corpus max norm M), so the quantizer carves (direction, magnitude)
     * jointly and [[probeMips]]'s pruned scan ranks by the exact dot.
-    * The knn_mips_ann reduction as a build-once/probe-many artifact. */
+    * The knn_mips_ann reduction as a build-once/probe-many artifact.
+    * M² is PERSISTED beside the centroids — it is part of the frozen
+    * quantizer: [[append]] needs it to re-augment new vectors in the
+    * trained space, and without it a correct MIPS append is not even
+    * possible (ADVICE r13). */
   def buildMips(s: SparkSession, data: DataFrame, indexDir: String,
-                nCells: Int, iters: Int = 2): Unit =
-    buildIvf(s, Similarity.normAugmented(data), indexDir, nCells, iters)
+                nCells: Int, iters: Int = 2): Unit = {
+    val (aug, m2) = Similarity.normAugmentedWithM2(data)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+        List(Row(m2): Row).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("m2",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/mips_m2")
+    buildIvf(s, aug, indexDir, nCells, iters)
+  }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the
     * nprobe nearest cells per query. Output: (query_id, vec_id, cosine,

@@ -54,6 +54,26 @@ class OutputBoundarySpec extends AnyFunSuite with SparkFixture {
       s"bare DECIMAL output columns (cast to DOUBLE at the boundary, §5): ${offenders.mkString(", ")}")
   }
 
+  test("no query output carries a non-atomic TOP-LEVEL column (array/map/struct)") {
+    // third boundary class, learned in r13: the driver's gate
+    // pandas-sorts EVERY output (even no-oracle ones) to canonicalize
+    // it, and sort_values on an ndarray cell raises `unhashable type`
+    // — embed_whiten's raw array<double> column was the round's only
+    // FAIL, crashing before the harness could even count rows. Vectors
+    // must cross the boundary as scalars (norm / leading components /
+    // a rounded digest); the full-width frame stays an internal API.
+    val offenders = schemas.flatMap { case (name, schema) =>
+      schema.fields.toSeq.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.catalogString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic top-level output columns (driver's pandas sort crashes on these, §5): ${offenders.mkString(", ")}")
+  }
+
   test("no query output schema NESTS a timestamp (value check cannot reach it)") {
     // the second-alignment value check below only drives top-level
     // columns; a timestamp buried in a struct/array/map would dodge it,

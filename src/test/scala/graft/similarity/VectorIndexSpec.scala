@@ -98,6 +98,89 @@ class VectorIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a fresh buildIvf leaves ≤1 file per cell, so the first compact is a no-op") {
+    // compact()'s no-op heuristic reads ">1 parquet file in a cell" as
+    // "appends happened"; a build that skipped the cell repartition
+    // would break that from day one and pay a full-corpus rewrite with
+    // nothing to fold (ADVICE r13)
+    withIndex { idx =>
+      val cells = Option(new java.io.File(VectorIndex.vectorsPath(idx)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cells.nonEmpty)
+      cells.foreach { c =>
+        val n = Option(c.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+        assert(n <= 1, s"${c.getName} holds $n files straight from build")
+      }
+      VectorIndex.compact(spark, idx)
+      assert(VectorIndex.currentGen(idx) == 0L,
+        "compact folded a fresh index (no-op heuristic broken)")
+    }
+  }
+
+  test("MIPS append re-augments under the frozen M² and exhaustive probe stays exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mips_app").toString
+    try {
+      // split so the BUILD half contains the corpus max-norm vector —
+      // the frozen M² must bound every later append (the documented
+      // growth contract)
+      val norms = embeddings
+        .withColumn("n2", VectorOps.dot("embedding", "embedding"))
+        .select(col("vec_id"), col("n2")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val maxId = norms.maxBy(t => (t._2, t._1))._1
+      val build = embeddings.filter(col("vec_id") % 2 === 0 || col("vec_id") === maxId)
+      val extra = embeddings.filter(col("vec_id") % 2 =!= 0 && col("vec_id") =!= maxId)
+      VectorIndex.buildMips(spark, build, tmp, NCells)
+      val m2 = VectorIndex.loadMipsM2(spark, tmp)
+      assert(m2.isDefined, "buildMips must persist M² beside the centroids")
+      // append RAW d-dim vectors: the index must re-augment them itself
+      VectorIndex.append(spark, extra, tmp)
+      // every stored vector — built or appended — is (d+1)-dim
+      val dims = spark.read.parquet(VectorIndex.vectorsPath(tmp))
+        .select(org.apache.spark.sql.functions.size(col("embedding")).as("d"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(dims == Set(VectorIndex.loadCentroids(spark, tmp).head.length),
+        s"mixed dims in the index: $dims")
+      // exhaustive probe over the grown index ≡ exact MIPS on the full
+      // corpus, dot bits included (augment coordinate never in the fold)
+      val exact = Similarity.mipsTopK(spark, embeddings)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSet
+      val got = VectorIndex.probeMips(spark, tmp, queries, K, nprobe = NCells)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("dot")), r.getAs[Long]("rk"))).toSet
+      assert(got == exact, "appended MIPS index diverged from exact MIPS")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("MIPS append refuses a vector outside the frozen norm bound, loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mips_oob").toString
+    try {
+      val norms = embeddings
+        .withColumn("n2", VectorOps.dot("embedding", "embedding"))
+        .select(col("vec_id"), col("n2")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val maxId = norms.maxBy(t => (t._2, t._1))._1
+      // train WITHOUT the max-norm vector, then try to append it: its
+      // |x|² exceeds the frozen M², the reduction's validity bound
+      VectorIndex.buildMips(spark, embeddings.filter(col("vec_id") =!= maxId),
+        tmp, NCells)
+      val ex = intercept[Exception] {
+        VectorIndex.append(spark, embeddings.filter(col("vec_id") === maxId), tmp)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("rebuild the index")),
+        s"expected the loud MIPS-bound refusal, got: ${ex.getMessage}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("rebuilding the index is deterministic") {
     withIndex { a =>
       withIndex { b =>

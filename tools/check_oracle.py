@@ -34,6 +34,19 @@ def main(sf_dir, out_dir):
             print(f"[MISS] {name}: no parquet output"); n_fail += 1; continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracle:
+            # the driver's gate canonicalizes (sorts + hashes) even
+            # no-oracle outputs — r13's embed_whiten shipped an
+            # array<double> column that crashed its pandas sort while
+            # this branch happily printed [ROWS], so the pre-close
+            # sweep said "0 FAIL" against an artifact recording 1 err.
+            # Reproduce the driver's behavior: canon() must succeed.
+            try:
+                canon(got)
+            except Exception as e:
+                print(f"[ERR ] {name}: no-oracle output not canonicalizable "
+                      f"(driver gate would record err): {type(e).__name__}: {e}")
+                n_fail += 1
+                continue
             print(f"[ROWS] {name}: rows={len(got)} (no oracle)")
             continue
         try:
