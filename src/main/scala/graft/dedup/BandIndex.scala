@@ -46,6 +46,12 @@ import org.apache.spark.sql.functions._
   * old generation and a re-run overwrites the same next generation; a
   * crash after the flip leaves only invisible leftovers. Single-writer
   * (the foreachBatch driver thread), like the stream itself.
+  *
+  * LOCAL-FS CONTRACT: generation/commit handling and the compact no-op
+  * check go through `java.io.File` (see
+  * [[graft.operators.Generations]]) — index directories must be on a
+  * local filesystem; HDFS/S3 deployment ports that one shared
+  * mechanism to the Hadoop `FileSystem` API.
   */
 object BandIndex {
 

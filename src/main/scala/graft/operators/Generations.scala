@@ -9,6 +9,13 @@ package graft.operators
   * reaps eagerly, VectorIndex defers; the POLICY stays with the caller,
   * the mechanism lives here). ParquetGraphSink keeps its own two-field
   * `gen=N through=M` record — different state, same move discipline.
+  *
+  * LOCAL-FS CONTRACT: commit read/flip and the reap sweep go through
+  * `java.nio.file`/`java.io.File`, so index directories must live on a
+  * local filesystem. An HDFS/S3 deployment replaces these with the
+  * Hadoop `FileSystem` API (open/create+rename for the flip — object
+  * stores without atomic rename need a conditional put) — one
+  * mechanism to port, since every persisted index shares this object.
   */
 object Generations {
 

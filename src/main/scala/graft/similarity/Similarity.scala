@@ -390,7 +390,10 @@ object Similarity extends QueryModule {
     * zero. Rows-only BY DESIGN (eigensolve inside — the embed_pca
     * class); WhitenSpec pins identity-covariance on an engineered
     * anisotropic+correlated corpus, planted-correlation removal, and
-    * rerun byte-identity. */
+    * rerun byte-identity. Row order is NOT part of the contract — the
+    * former trailing .orderBy(vec_id) was a corpus-wide global sort for
+    * presentation only and was dropped in r15 (consumers that need an
+    * order sort their own driver-sized outputs). */
   private[graft] def whiten(s: org.apache.spark.sql.SparkSession,
                             vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -447,8 +450,34 @@ object Similarity extends QueryModule {
       .withColumn("whiten_offdiag", lit(math.rint(offdiag * 1e9) / 1e9))
       .withColumn("whiten_diag_err", lit(math.rint(diagErr * 1e9) / 1e9))
       .withColumn("whiten_mean_resid", lit(math.rint(meanResid * 1e9) / 1e9))
-      .orderBy(col("vec_id"))
   }
+
+  /** embed_whiten's OUTPUT-BOUNDARY projection of the full-width
+    * [[whiten]] frame: the vector crosses the driver gate as SCALARS —
+    * 6dp L2 norm (left-fold, the house float chain) + the first four
+    * components — never a raw array<double> (the r13 FAIL class,
+    * machine-banned by OutputBoundarySpec). Factored out so the spec
+    * can pin the rank-deficient path directly: component reads are
+    * `try_element_at`, NOT `element_at`, because this repo runs ANSI-on
+    * (Spark 4 default, never disabled) and a plain element_at past the
+    * array end THROWS INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of
+    * returning NULL — a corpus keeping < 4 components would crash the
+    * driver gate, the exact class the r14 rewrite was meant to fix
+    * (ADVICE r14). try_element_at NULLs out-of-bounds, which the
+    * harness sorts fine. No output .orderBy: a corpus-wide global sort
+    * for presentation only (the driver sorts during canonicalization) —
+    * dropped in r15 along with whiten()'s internal sort. */
+  private[graft] def whitenScalars(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    w.select(
+      col("vec_id"),
+      round(sqrt(aggregate(col("whitened"), lit(0.0),
+        (acc, x) => acc + x * x)), 6).as("w_norm"),
+      round(try_element_at(col("whitened"), lit(1)), 6).as("w0"),
+      round(try_element_at(col("whitened"), lit(2)), 6).as("w1"),
+      round(try_element_at(col("whitened"), lit(3)), 6).as("w2"),
+      round(try_element_at(col("whitened"), lit(4)), 6).as("w3"),
+      col("n_components"), col("whiten_offdiag"),
+      col("whiten_diag_err"), col("whiten_mean_resid"))
 
   /** Deterministic cyclic Jacobi eigensolve for the tiny symmetric
     * covariance (d ≤ a few hundred): row-major (p, q) sweeps, fixed
@@ -1667,27 +1696,23 @@ object Similarity extends QueryModule {
       // third boundary class after DECIMAL and sub-second TIMESTAMP,
       // now machine-banned by OutputBoundarySpec. The query surfaces
       // the vector as SCALARS: its 6dp-rounded L2 norm (a left-fold —
-      // the house float chain) and the first four components
-      // (element_at past n_components yields NULL, which the harness
-      // sorts fine). The full-vector frame stays the internal API
-      // ([[whiten]]) for the whitened dedup consumer; determinism of
-      // the component values is WhitenSpec's rerun-byte-identity pin.
+      // the house float chain) and the first four components. The
+      // component reads are try_element_at, NOT element_at: this repo
+      // runs ANSI-on (Spark 4 default, never disabled), where a plain
+      // element_at past the array end THROWS
+      // INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of returning NULL —
+      // a rank-deficient corpus keeping < 4 components would crash the
+      // gate, the exact class this query was rewritten to fix (ADVICE
+      // r14). try_element_at NULLs out-of-bounds, which the harness
+      // sorts fine. No output .orderBy: a corpus-wide global sort for
+      // presentation only (the driver sorts during canonicalization) —
+      // dropped, with whiten()'s internal sort, in r15. The full-vector
+      // frame stays the internal API ([[whiten]]) for the whitened
+      // dedup consumer; determinism of the component values is
+      // WhitenSpec's rerun-byte-identity pin (order-insensitive).
       "embed_whiten",
-      (s, dir) => {
-        val w = whiten(s,
-          Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))
-        w.select(
-          col("vec_id"),
-          round(sqrt(aggregate(col("whitened"), lit(0.0),
-            (acc, x) => acc + x * x)), 6).as("w_norm"),
-          round(element_at(col("whitened"), 1), 6).as("w0"),
-          round(element_at(col("whitened"), 2), 6).as("w1"),
-          round(element_at(col("whitened"), 3), 6).as("w2"),
-          round(element_at(col("whitened"), 4), 6).as("w3"),
-          col("n_components"), col("whiten_offdiag"),
-          col("whiten_diag_err"), col("whiten_mean_resid"))
-          .orderBy(col("vec_id"))
-      },
+      (s, dir) => whitenScalars(whiten(s,
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))),
       None
     ),
 

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   * the driver against the driver-sized centroid table; candidate
   * scoring is one broadcast-queries pass over the pruned scan with
   * per-partition bounded heaps — the corpus side is never shuffled.
+  *
+  * FILESYSTEM CONTRACT (shared with [[graft.dedup.BandIndex]] and
+  * [[graft.operators.Generations]]): the index directory must be on a
+  * LOCAL filesystem — generation listing, the commit flip, and the
+  * compact no-op check all go through `java.io.File`/`java.nio.file`,
+  * which a Hadoop-compatible store (HDFS/S3) does not serve. Deploying
+  * the persisted-index tier against such a store means resolving these
+  * paths through the Hadoop `FileSystem` API (and replacing ATOMIC_MOVE
+  * with the store's rename/conditional-put commit). The DATA
+  * reads/writes are already store-agnostic (`spark.read.parquet`);
+  * [[loadMipsM2]] probes by reading, not by `File.exists`, so the
+  * IVF/MIPS dispatch bit is store-agnostic too.
   */
 object VectorIndex {
 
@@ -98,6 +110,13 @@ object VectorIndex {
     * assignments (fixed-order float merges, lowest-id init). */
   def buildIvf(s: SparkSession, data: DataFrame, indexDir: String,
                nCells: Int, iters: Int = 2): Unit = {
+    // A (re)build is a PLAIN-IVF build unless buildMips says otherwise
+    // AFTER this completes: a stale mips_m2 from a former MIPS index in
+    // the same directory would make append() mis-dispatch every future
+    // batch to MIPS augmentation (ADVICE r14) — sweep it first.
+    val m2Dir = new java.io.File(s"$indexDir/mips_m2")
+    if (m2Dir.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(m2Dir)
     val cents = Similarity.coarseCentroids(s, data, nCells, iters)
     import scala.jdk.CollectionConverters._
     val centRows: java.util.List[Row] =
@@ -127,11 +146,18 @@ object VectorIndex {
 
   /** The frozen MIPS augmentation constant, present iff the index was
     * built by [[buildMips]]. One row; its absence IS the IVF/MIPS
-    * dispatch bit [[append]] keys on. */
+    * dispatch bit [[append]] keys on. Probed by READING, not
+    * `File.exists` (ADVICE r14): an existence check through
+    * `java.io.File` is local-FS-only, and a MIPS index on HDFS/S3
+    * would silently dispatch as plain IVF — the exact silent-mix bug
+    * the marker exists to prevent. Only the path-missing error class
+    * maps to None; a corrupt or unreadable marker still throws. */
   private[graft] def loadMipsM2(s: SparkSession, indexDir: String): Option[Double] =
-    if (new java.io.File(s"$indexDir/mips_m2").exists())
-      Some(s.read.parquet(s"$indexDir/mips_m2").collect()(0).getDouble(0))
-    else None
+    try Some(s.read.parquet(s"$indexDir/mips_m2").collect()(0).getDouble(0))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 
   /** Fold new vectors INTO an existing index under its FROZEN
     * quantizer — the ingest loop's growth step (see
@@ -189,10 +215,19 @@ object VectorIndex {
     * M² is PERSISTED beside the centroids — it is part of the frozen
     * quantizer: [[append]] needs it to re-augment new vectors in the
     * trained space, and without it a correct MIPS append is not even
-    * possible (ADVICE r13). */
+    * possible (ADVICE r13). The marker is written LAST (ADVICE r14):
+    * persisting the new M² before [[buildIvf]] trains would pair a
+    * fresh M² with the PREVIOUS build's centroids after a mid-build
+    * crash — if the old index was MIPS of the same dim, later appends
+    * would silently augment under the wrong bound (dims match, so the
+    * loud dim check never fires). Writing it after the build means a
+    * crash leaves at worst a marker-less IVF index over augmented
+    * vectors, where the next d-dim append trips the dim check loudly
+    * (and buildIvf itself sweeps any stale marker first). */
   def buildMips(s: SparkSession, data: DataFrame, indexDir: String,
                 nCells: Int, iters: Int = 2): Unit = {
     val (aug, m2) = Similarity.normAugmentedWithM2(data)
+    buildIvf(s, aug, indexDir, nCells, iters)
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
         List(Row(m2): Row).asJava,
@@ -200,7 +235,6 @@ object VectorIndex {
           org.apache.spark.sql.types.StructField("m2",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/mips_m2")
-    buildIvf(s, aug, indexDir, nCells, iters)
   }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the

@@ -181,6 +181,35 @@ class VectorIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("plain-IVF rebuild over a former MIPS directory clears the stale M² marker") {
+    // ADVICE r14: without the sweep, the leftover mips_m2 would make
+    // every future append mis-dispatch to MIPS augmentation — the
+    // appended vectors would be (d+1)-dim in a d-dim index, permanently
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rebuild").toString
+    try {
+      VectorIndex.buildMips(spark, embeddings, tmp, NCells)
+      assert(VectorIndex.loadMipsM2(spark, tmp).isDefined)
+      val half = embeddings.filter(col("vec_id") % 2 === 0)
+      val rest = embeddings.filter(col("vec_id") % 2 =!= 0)
+      VectorIndex.buildIvf(spark, half, tmp, NCells)
+      assert(VectorIndex.loadMipsM2(spark, tmp).isEmpty,
+        "stale mips_m2 survived a plain-IVF rebuild")
+      // append dispatches PLAIN: raw d-dim vectors stored unaugmented
+      VectorIndex.append(spark, rest, tmp)
+      val d = VectorIndex.loadCentroids(spark, tmp).head.length
+      val dims = spark.read.parquet(VectorIndex.vectorsPath(tmp))
+        .select(org.apache.spark.sql.functions.size(col("embedding")).as("d"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(dims == Set(d), s"appended vectors augmented in a plain index: $dims")
+      val got = VectorIndex.probeIvf(spark, tmp, queries, K, nprobe = NCells)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+          r.getAs[Long]("rk")).toMap
+      assert(got == brute(), "post-rebuild exhaustive probe diverged from brute force")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("rebuilding the index is deterministic") {
     withIndex { a =>
       withIndex { b =>

@@ -51,10 +51,36 @@ class WhitenSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("rerun is byte-identical") {
+    // sorted in-spec: whiten() no longer carries a presentation-only
+    // global sort (r15), so collect order is not part of the contract
     def run() = Similarity.whiten(spark, corpus).collect()
       .map(r => (r.getLong(0),
         r.getSeq[Double](r.fieldIndex("whitened")).map(java.lang.Double.doubleToLongBits).toSeq)).toSeq
+      .sortBy(_._1)
     assert(run() == run())
+  }
+
+  test("rank-deficient corpus: the scalar boundary NULLs missing components instead of throwing") {
+    // ADVICE r14: under ANSI (this repo's default, never disabled) a
+    // plain element_at past the array end THROWS — a corpus whose
+    // whitening keeps < 4 components would crash the driver gate. The
+    // boundary uses try_element_at; this pins the fix on a 4-dim corpus
+    // of rank 2 (dims 2/3 are exact copies of dims 0/1 → dropped).
+    import spark.implicits._
+    val rankDeficient = (0 until 100).map { i =>
+      val a = ((i * 37) % 101 - 50) / 10.0
+      val b = ((i * 53) % 89 - 44) / 10.0
+      (i.toLong, Array(a.toFloat, b.toFloat, a.toFloat, b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.whitenScalars(Similarity.whiten(spark, rankDeficient)).collect()
+    assert(out.length == 100)
+    val r0 = out.head
+    assert(r0.getAs[Long]("n_components") == 2L)
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("w0")) &&
+      !r.isNullAt(r.fieldIndex("w1"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("w2")) &&
+      r.isNullAt(r.fieldIndex("w3"))),
+      "components past n_components must surface as NULL, not throw")
   }
 
   test("shipped corpus: every direction whitened, gates near zero") {
