@@ -468,6 +468,25 @@ object Dedup extends QueryModule {
     * The division matches the SQL mirror exactly (int/int in IEEE
     * double), so oracle results stay bit-identical.
     */
+  /** (vec_a, vec_b) similarity pairs → transitive clusters with sizes —
+    * the dedup_semantic assembly, factored (r15) so the raw-space and
+    * whitened-space queries share one definition. Connectivity solves
+    * on the driver when the pair summary fits (Components.autoLabel —
+    * one collect instead of a loop of per-round jobs), distributed
+    * min-label propagation + star-contraction fallback above the cap.
+    * Every node IS a pair endpoint, so the endpoint variant skips the
+    * membership/isolated anti-joins (which would re-run the pair
+    * generation plan). */
+  private[dedup] def semanticClusterFrame(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val undirected = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val labels = graft.graph.Components.autoLabelEndpoints(s, undirected)
+    labels
+      .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   private def jaccardKernel(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -1762,21 +1781,9 @@ object Dedup extends QueryModule {
       // per-round jobs), distributed min-label propagation + star-
       // contraction fallback above the cap.
       "dedup_semantic",
-      (s, dir) => {
-        val pairs = AngularBlocking
-          .cosinePairsStaged(s, dir, SemanticTau)
-          .select(col("vec_a"), col("vec_b"))
-        val undirected = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-          .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        // every node IS a pair endpoint, so the endpoint variant skips
-        // the membership/isolated anti-joins (which would re-run the
-        // angular-blocking plan)
-        val labels = graft.graph.Components.autoLabelEndpoints(s, undirected)
-        labels
-          .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), "comp")
-          .select(col("id").as("vec_id"), col("comp").as("cluster_id"), col("cluster_size"))
-          .orderBy(col("vec_id"))
-      },
+      (s, dir) => semanticClusterFrame(s,
+        AngularBlocking.cosinePairsStaged(s, dir, SemanticTau)
+          .select(col("vec_a"), col("vec_b"))),
       Some(s"""WITH pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1793,6 +1800,49 @@ object Dedup extends QueryModule {
       SELECT cc.id AS vec_id, cc.cluster_id, sizes.cluster_size
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
       ORDER BY vec_id""")
+    ),
+
+    QueryDef(
+      // SEMANTIC DEDUP OVER THE WHITENED SPACE (VERDICT r14 item 3 —
+      // embed_whiten's consumer): SemDeDup whitens BEFORE cosine
+      // clustering, because one dominant embedding direction inflates
+      // every pairwise cosine and glues distinct meaning clusters into
+      // one component — whitening equalizes the directions so the
+      // threshold separates again (WhitenedDedupSpec demonstrates the
+      // failure on an engineered anisotropic corpus: raw clustering
+      // collapses the planted clusters, whitened recovers them
+      // exactly; on an isotropic corpus both agree). Pipeline: the
+      // SESSION-STAGED whitened frame (ONE eigensolve shared with
+      // embed_whiten — localCheckpoint'd, so this query scans
+      // materialized blocks, plan-pinned) → float-cast for the
+      // recall-1 angular-blocked pair generation (same engine as
+      // dedup_semantic, never all-pairs) → transitive clusters. Same
+      // 100 TB shape as dedup_semantic plus whiten's two corpus
+      // passes. Rows-only BY DESIGN (eigensolve inside — the
+      // embed_whiten class) with the whiten gate columns riding as
+      // FILTERS: a mis-applied basis (offdiag/diag_err off identity)
+      // empties the result and flips the driver's rows-only check.
+      "dedup_semantic_whitened",
+      (s, dir) => {
+        val w = graft.similarity.Similarity.stagedWhitenFrame(s, dir)
+        // the blocking kernel is float-typed; the cast is deterministic
+        // and verification cosines are re-computed in double — the
+        // operator defines similarity IN the whitened space
+        val vecs = w.select(col("vec_id"),
+          transform(col("whitened"), x => x.cast("float")).as("embedding"))
+        val pairs = AngularBlocking.cosinePairs(s, vecs, SemanticTau)
+          .select(col("vec_a"), col("vec_b"))
+        val gates = w.agg(
+          max(col("n_components")).as("n_components"),
+          max(col("whiten_offdiag")).as("whiten_offdiag"),
+          max(col("whiten_diag_err")).as("whiten_diag_err"))
+        semanticClusterFrame(s, pairs)
+          .crossJoin(broadcast(gates))
+          .filter(col("whiten_offdiag") < 0.01 && col("whiten_diag_err") < 0.01)
+          .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+            col("n_components"), col("whiten_offdiag"), col("whiten_diag_err"))
+      },
+      None
     ),
 
     QueryDef(

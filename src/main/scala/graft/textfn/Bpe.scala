@@ -85,6 +85,37 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist trained merges as a parquet vocab artifact — the released
+    * tokenizer a production loop ships and [[load]]s, the frozen-
+    * constant discipline the persisted indexes use for centroids /
+    * mips_m2 / BM25 stats. Rank IS the merge's training position;
+    * [[load]] restores training order exactly (BpeVocabSpec pins the
+    * roundtrip byte-identical). Driver-sized by construction
+    * (≤ NumMerges rows). */
+  def save(s: org.apache.spark.sql.SparkSession,
+           merges: Seq[(String, String)], dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        org.apache.spark.sql.Row(i, l, r)
+      }.toList.asJava
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false)))
+    s.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d vocab, merges in training order. */
+  def load(s: org.apache.spark.sql.SparkSession, dir: String): Vector[(String, String)] =
+    s.read.parquet(dir)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("left")),
+        r.getString(r.fieldIndex("right")))).toVector
+
   /** One left-to-right greedy pass replacing every adjacent `pair`
     * occurrence (overlaps resolve leftmost-first: "aaa" + (a,a) →
     * [aa, a]). */

@@ -1,0 +1,277 @@
+package graft.textfn
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted sparse (BM25) retrieval index: build over the corpus once,
+  * serve top-k term queries many times — the SPARSE mirror of
+  * [[graft.similarity.VectorIndex]] (VERDICT r14 item 1: the dense side
+  * had a partition-pruned persisted index with frozen constants, append
+  * and generational compaction, while `text_bm25` recomputed the full
+  * DF/TF census per run).
+  *
+  * Layout under one directory:
+  *
+  *  - `stats/` — ONE frozen row (n_docs, sum_dl): the corpus-level BM25
+  *    constants, persisted at build time exactly like `mips_m2` — they
+  *    are part of the frozen scorer, not of the postings;
+  *  - `terms/` — frozen per-term document frequencies (term, df),
+  *    written `partitionBy("shard")` with
+  *    shard = pmod(hash(term), nShards), so a probe's df lookup reads
+  *    only the queried terms' shards;
+  *  - `gen=N/postings/` — the inverted lists (term, doc_id, tf, dl),
+  *    partitioned by the SAME shard function, so each term's posting
+  *    list lives in exactly one parquet partition directory.
+  *
+  * The at-scale payoff mirrors the IVF probe: a query's terms cover a
+  * bounded shard set derived driver-side (≤ |terms| ints), and the
+  * posting scan is PARTITION PRUNING, not a filter — disk read scales
+  * with |terms|/nShards of the postings, never the corpus
+  * (plan-asserted in TermIndexSpec; probe-cost metric vector in SURVEY
+  * §6). Scoring is the exact `text_bm25` expression chain over the
+  * pruned rows: per-term contributions pivoted into FIXED query order
+  * and left-folded, so the double arithmetic is bit-identical to the
+  * inline query's — TermIndexSpec pins probe ≡ [[TextQueries.bm25Top20]]
+  * bit-for-bit, and the `text_bm25_indexed` QueryDef carries the same
+  * DuckDB oracle as `text_bm25` through the driver gate.
+  *
+  * FROZEN-STATS CONTRACT (the frozen-quantizer discipline): [[append]]
+  * adds postings for NEW docs under the build-time (n_docs, sum_dl, df)
+  * — IDF and avgdl do not drift between rebuilds, exactly as FAISS adds
+  * vectors under frozen centroids. Consequences, both deterministic and
+  * spec-pinned: already-indexed docs' scores NEVER change when the
+  * corpus grows (no reranking storms between rebuilds), and appended
+  * docs score under the frozen stats (a term unseen at build time keeps
+  * df = 0 — its idf is the max the frozen scorer can assign). Refreshing
+  * the stats is an offline [[build]], the same contract as retraining
+  * the quantizer.
+  *
+  * Candidate semantics: the probe ranks docs containing ≥ 1 query term
+  * (standard sparse retrieval — a doc with no query term has BM25 score
+  * exactly 0 and no posting to find it by). Equality with the inline
+  * top-k therefore requires ≥ k matching docs, which the spec asserts
+  * before pinning (the shipped corpus matches on ~96% of docs).
+  *
+  * GROWTH LIFECYCLE + LOCAL-FS CONTRACT: generations, the commit flip,
+  * compact's no-op heuristic, and replay tolerance are the shared
+  * [[graft.operators.Generations]] mechanism — see the BandIndex /
+  * VectorIndex headers; index directories must be on a local filesystem
+  * (the data reads/writes themselves are store-agnostic).
+  */
+object TermIndex {
+
+  /** Shard count — build and probe must agree (a pure function of the
+    * term, so a term's full posting list lives in exactly one shard). */
+  val DefaultShards = 256
+
+  private[graft] def currentGen(indexDir: String): Long =
+    graft.operators.Generations.currentGen(indexDir)
+
+  private[graft] def postingsPath(indexDir: String): String =
+    s"$indexDir/gen=${currentGen(indexDir)}/postings"
+
+  /** The frozen scorer constants (n_docs, sum_dl) — exact integers
+    * surfaced as doubles, the same representation `text_bm25`'s stats
+    * aggregate produces. */
+  private[graft] def loadStats(s: SparkSession, indexDir: String): (Double, Double) = {
+    val r = s.read.parquet(s"$indexDir/stats").collect()(0)
+    (r.getDouble(r.fieldIndex("n_docs")), r.getDouble(r.fieldIndex("sum_dl")))
+  }
+
+  /** `shard = pmod(hash(term), nShards)` as a Column — THE one shard
+    * function, used by build, append, and the probe's driver-side term
+    * lookup (same expression tree, so assignment can never drift). */
+  private def shardCol(nShards: Int) =
+    pmod(hash(col("term")), lit(nShards)).cast("int")
+
+  /** (doc_id, dl, term) token rows with the `text_bm25` tokenization
+    * verbatim: split on single space, lowercase, empties kept — dl
+    * counts them and the scorer's tf/df arithmetic must see the same
+    * integers the inline query computes. */
+  private def tokenRows(docs: DataFrame) =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+
+  /** The (term, doc_id, tf, dl, shard) posting rows for `docs`. */
+  private def postingRows(docs: DataFrame, nShards: Int) =
+    tokenRows(docs)
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("shard", shardCol(nShards))
+
+  /** Tokenize, aggregate, and persist all three halves. Deterministic:
+    * same docs + nShards → identical postings, df table, and stats. */
+  def build(s: SparkSession, docs: DataFrame, indexDir: String,
+            nShards: Int = DefaultShards): Unit = {
+    val posts = postingRows(docs, nShards)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one file set per shard FROM BUILD TIME (the VectorIndex build
+      // discipline): compact()'s no-op check reads ">1 file in a shard"
+      // as "appends happened since the last fold"
+      posts.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(postingsPath(indexDir))
+      // frozen df: distinct containing docs per term ≡ one posting row
+      // per (term, doc) — the same integer text_bm25's array_contains
+      // sum produces. OUTSIDE the generations, like the centroids.
+      posts.groupBy(col("term"), col("shard"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$indexDir/terms")
+      // frozen corpus constants: every doc has ≥ 1 posting (split("")
+      // yields [""]), so the per-doc fold over postings is exact
+      posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          sum(col("dl").cast("long")).cast("double").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    } finally { posts.unpersist(); () }
+  }
+
+  /** Fold NEW docs' postings into the current generation under the
+    * FROZEN stats — the ingest loop's growth step. Doc ids must be new
+    * arrivals (disjoint from the index); an at-least-once replay may
+    * append a doc's rows twice — the rows are bit-identical by
+    * determinism of the tokenize/aggregate, [[probe]]'s per-term `max`
+    * pivot absorbs them, and [[compact]] folds them away. */
+  def append(s: SparkSession, docs: DataFrame, indexDir: String,
+             nShards: Int = DefaultShards): Unit =
+    postingRows(docs, nShards)
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard")
+      .parquet(postingsPath(indexDir))
+
+  /** Fold the current generation into the next: replayed-duplicate
+    * postings dropped (exact-duplicate rows — deterministic), each
+    * shard's postings rewritten as one co-located file set. No-op when
+    * every shard holds ≤ 1 file (no appends since the last fold — the
+    * VectorIndex heuristic, valid from build time because build
+    * repartitions on the partition column). Reaping deferred to the
+    * START of the next compact (reader grace — the shared discipline). */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val gen = currentGen(indexDir)
+    graft.operators.Generations.reapOthers(indexDir, gen)
+    val genDir = new java.io.File(s"$indexDir/gen=$gen/postings")
+    val multiFile = Option(genDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .exists(c => Option(c.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")) > 1)
+    if (!multiFile) return
+    val next = gen + 1
+    s.read.parquet(s"$indexDir/gen=$gen/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+      .distinct()
+      .repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$indexDir/gen=$next/postings")
+    graft.operators.Generations.flip(indexDir, next)
+  }
+
+  /** Top-k BM25 (k1 = 1.2, b = 0.75) docs for `terms`, reading only the
+    * queried terms' posting shards. Output (doc_id, score) — the
+    * `text_bm25` shape, scores bit-identical to the inline query's for
+    * every returned doc. `nShards` must match the build. */
+  def probe(s: SparkSession, indexDir: String, terms: Seq[String], k: Int,
+            nShards: Int = DefaultShards): DataFrame =
+    probeRel(s, s.read.parquet(postingsPath(indexDir)),
+      s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
+      terms, k, nShards)
+
+  /** [[probe]] over pre-read relations + stats — the staged QueryDef
+    * path (file listing and footers read once per session, the
+    * BandIndex.probeRel rationale). */
+  private[graft] def probeRel(s: SparkSession, postings: DataFrame,
+                              termsRel: DataFrame, stats: (Double, Double),
+                              terms: Seq[String], k: Int,
+                              nShards: Int): DataFrame = {
+    require(terms.nonEmpty, "TermIndex.probe: empty term list")
+    val (nDocs, sumDl) = stats
+    // driver-side shard selection through the SAME expression tree the
+    // writers used — a LocalTableScan job over |terms| rows, never the
+    // corpus
+    import org.apache.spark.sql.Encoders
+    val needed: Array[Int] = s.createDataset(terms)(Encoders.STRING)
+      .toDF("term").select(shardCol(nShards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val shardFilter = col("shard")
+      .isin(needed.toIndexedSeq.map(Int.box): _*)
+    // frozen df per queried term: ≤ |terms| rows off the pruned terms
+    // shards; a term absent at build time keeps df = 0 (the frozen-
+    // scorer contract — max idf, deterministic)
+    val dfByTerm: Map[String, Double] = termsRel
+      .filter(shardFilter && col("term").isin(terms: _*))
+      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+        r.getDouble(r.fieldIndex("df"))).toMap
+    // shard is a PARTITION column of postings/ — isin() prunes at
+    // planning; the term filter rides into the row groups
+    val pruned = postings.filter(shardFilter && col("term").isin(terms: _*))
+    // pivot the ≤ |terms| posting rows per doc into FIXED query order;
+    // max() over bit-identical replay duplicates is that value, and dl
+    // is functionally dependent on doc_id
+    val aggs = max(col("dl")).as("dl") +: terms.zipWithIndex.map {
+      case (t, i) => max(when(col("term") === lit(t), col("tf"))).as(s"tf_$i")
+    }
+    val perDoc = pruned.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // the text_bm25 expression chain VERBATIM (same literals, same
+    // shapes, same left fold) over the frozen constants — Catalyst
+    // folds the constant subterms with the same double arithmetic the
+    // inline query's codegen runs, so per-doc scores are bit-identical.
+    // A missing term's tf coalesces to 0.0: its contribution is
+    // idf·0/positive = +0.0, the additive identity — the fold's bits
+    // match the inline sum over all |terms| positions.
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val contrib = terms.zipWithIndex.map { case (t, i) =>
+      val tf = coalesce(col(s"tf_$i"), lit(0.0))
+      val dfT = lit(dfByTerm.getOrElse(t, 0.0))
+      val idf = log(lit(1.0) +
+        (lit(nDocs) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    perDoc
+      .select(col("doc_id"), round(contrib, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Session-staged index over `dir`'s FULL documents table, built in a
+    * temp dir at most once per (session, dataset) — the BandIndex
+    * staging discipline, so the oracle-gated `text_bm25_indexed` query
+    * and the bench both probe a prebuilt index instead of rebuilding
+    * per run. Cached relations are valid because the staged index is
+    * immutable for the session; the growth paths ([[append]]/
+    * [[compact]]) read fresh via the `indexDir` overload. */
+  final case class StagedIndex(dir: String, postings: DataFrame,
+                               termsRel: DataFrame, stats: (Double, Double))
+
+  private val staged = new graft.operators.SessionStaged[StagedIndex](
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_termidx").toString
+      try {
+        build(s, graft.operators.Tables(s, dir).documents
+          .select(col("doc_id"), col("text")), tmp)
+        StagedIndex(tmp, s.read.parquet(postingsPath(tmp)),
+          s.read.parquet(s"$tmp/terms"), loadStats(s, tmp))
+      } catch {
+        case t: Throwable => deleteDir(tmp); throw t
+      }
+    },
+    idx => deleteDir(idx.dir))
+
+  // staged index dirs must not outlive the JVM (the BandIndex rule)
+  Runtime.getRuntime.addShutdownHook(new Thread(() => staged.clear()))
+
+  private def deleteDir(dir: String): Unit =
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private[graft] def stagedIndex(s: SparkSession, dir: String): StagedIndex =
+    staged.get(s, dir)
+
+  private[graft] def probeStaged(s: SparkSession, idx: StagedIndex,
+                                 terms: Seq[String], k: Int): DataFrame =
+    probeRel(s, idx.postings, idx.termsRel, idx.stats, terms, k, DefaultShards)
+}

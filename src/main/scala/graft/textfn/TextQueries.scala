@@ -497,6 +497,25 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // BM25 SERVED OFF THE PERSISTED POSTINGS INDEX ([[TermIndex]] —
+      // the sparse mirror of VectorIndex, VERDICT r14 item 1): the same
+      // top-20, but the corpus was tokenized ONCE at build time into
+      // shard-partitioned inverted lists with frozen (n_docs, sum_dl,
+      // df), and the probe reads only the queried terms' shards
+      // (partition pruning — ≤ 3/256 of the postings here) instead of
+      // re-running the full DF/TF census. Session-staged build (the
+      // dedup_indexed discipline), so gate and bench measure the
+      // SERVING cost. Oracle is text_bm25's SQL VERBATIM: the probe's
+      // pivoted fixed-order contribution fold is bit-identical to the
+      // inline expression chain (TermIndexSpec pins it), so the driver
+      // hash-compares the index path against the same DuckDB statement.
+      "text_bm25_indexed",
+      (s, dir) => TermIndex.probeStaged(s, TermIndex.stagedIndex(s, dir),
+        Bm25Terms, 20),
+      Some(Bm25Sql)
+    ),
+
+    QueryDef(
       // TOKENIZER-FAITHFUL token counts: real BPE merges (graft.textfn
       // Bpe — train on the corpus's own capped word-frequency summary,
       // broadcast merge ranks, rank-priority encode in the partition
@@ -516,67 +535,10 @@ object TextQueries extends QueryModule {
       // the classic toy merge sequence, and training determinism.
       "text_tokens_bpe",
       (s, dir) => {
-        import org.apache.spark.sql.{Encoders, Row}
-        import org.apache.spark.sql.types._
         val docs = Tables(s, dir).documents
-        // driver-sized training input: top-VocabCap words by count —
-        // one map-side-combined aggregate + TakeOrdered, deterministic
-        // (count DESC, word ASC), never the corpus
-        val wordFreq = docs
-          .select(explode(split(lower(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy(col("w")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("w"))
-          .limit(Bpe.VocabCap)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
         val ranksBc = s.sparkContext.broadcast(
-          Bpe.train(wordFreq).zipWithIndex.toMap)
-        val outSchema = StructType(Seq(
-          StructField("doc_id", LongType, nullable = false),
-          StructField("n_words", LongType, nullable = false),
-          StructField("n_chars_tok", LongType, nullable = false),
-          StructField("n_bpe", LongType, nullable = false),
-          StructField("n_est", LongType, nullable = false),
-          StructField("bad_words", LongType, nullable = false)))
-        // explicit partition count for the CPU-heavy stage — the
-        // shingleFeatures repartition rationale (AQE would coalesce a
-        // bare repartition(col) of ~MBs of text to one partition)
-        val numParts = s.sparkContext.defaultParallelism
-        val src = docs
-          .select(col("doc_id"), lower(col("text")).as("t"),
-            subtokenCount(col("text")).as("n_est"))
-          .repartition(numParts, col("doc_id"))
-        val perDoc = src.mapPartitions { iter =>
-          val ranks = ranksBc.value
-          // memo value = encoded token count, NEGATED when the merged
-          // symbols fail to reconstruct the word (checked once per
-          // distinct word; nonempty words encode to >= 1 token so the
-          // sign is never ambiguous)
-          val memo = new java.util.HashMap[String, Integer]()
-          iter.map { row =>
-            val toks = row.getString(1).split(" ", -1)
-            var nWords = 0L; var nChars = 0L; var nBpe = 0L; var bad = 0L
-            var i = 0
-            while (i < toks.length) {
-              val w = toks(i)
-              if (w.nonEmpty) {
-                var v = memo.get(w)
-                if (v == null) {
-                  val enc = Bpe.encode(w, ranks)
-                  val ok = enc.mkString == w
-                  v = Integer.valueOf(if (ok) enc.length else -enc.length)
-                  memo.put(w, v)
-                }
-                nWords += 1; nChars += w.length
-                if (v.intValue() < 0) { bad += 1; nBpe -= v.intValue() }
-                else nBpe += v.intValue()
-              }
-              i += 1
-            }
-            Row(row.getLong(0), nWords, nChars, nBpe, row.getLong(2), bad)
-          }
-        }(Encoders.row(outSchema))
+          trainedMerges(docs).zipWithIndex.toMap)
+        val perDoc = bpeCountKernel(s, docs, ranksBc)
         val ratio = perDoc.agg(
           (sum(col("n_chars_tok")).cast("double") /
             sum(col("n_bpe")).cast("double")).as("corpus_chars_per_bpe"))
@@ -588,6 +550,60 @@ object TextQueries extends QueryModule {
             col("n_bpe"), col("n_est"),
             round(col("corpus_chars_per_bpe"), 6).as("corpus_chars_per_bpe"))
           .orderBy(col("doc_id"))
+      },
+      None
+    ),
+
+    QueryDef(
+      // APPLY A FROZEN BPE VOCAB (VERDICT r14 item 5 — the tokenizer
+      // parity of the frozen-quantizer append): text_tokens_bpe trains
+      // on the corpus it encodes; production tokenizes NEW data with a
+      // RELEASED tokenizer. Here merges are trained on the base split
+      // (doc_id % 7 != 0 — the house base/delta split), FROZEN, and
+      // applied to every doc including the held-out split the vocab
+      // never saw. The apply is the rank-priority BPE encoder (lowest
+      // trained rank first — the correct application of BPE merges;
+      // greedy longest-match against the symbol set is the WordPiece
+      // variant and would NOT reproduce the trainer's segmentation),
+      // via the same memoized kernel; BpeVocabSpec pins apply(frozen
+      // vocab) ≡ the trainer's own segmentation on every training word,
+      // and the parquet save/load roundtrip ([[Bpe.save]]/[[Bpe.load]]
+      // — the persisted-artifact face the streaming/production loop
+      // loads, the centroids/mips_m2 discipline). Encoding is CLOSED
+      // over any input (symbols partition the word, chars are the
+      // fallback), so holdout words always reconstruct — bad_words
+      // stays a kernel-bug gate exactly as in text_tokens_bpe.
+      // Rows-only BY DESIGN (iterative trained merges — the
+      // text_tokens_bpe class) with the same three driver-visible
+      // gates, the compression floor applied PER SPLIT: a frozen vocab
+      // that only memorized its training data collapses the holdout
+      // ratio to ~1 and empties the result; the envelope and bad-word
+      // filters zero rows on kernel bugs. No output .orderBy (r15
+      // house rule: the driver sorts during canonicalization).
+      "text_bpe_apply",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val ranksBc = s.sparkContext.broadcast(
+          trainedMerges(docs.filter(col("doc_id") % 7 =!= 0))
+            .zipWithIndex.toMap)
+        val perDoc = bpeCountKernel(s, docs, ranksBc)
+          .withColumn("holdout", (col("doc_id") % 7 === 0).cast("long"))
+        val ratios = perDoc.agg(
+          (sum(when(col("holdout") === 0L, col("n_chars_tok"))).cast("double") /
+            sum(when(col("holdout") === 0L, col("n_bpe"))).cast("double"))
+            .as("train_chars_per_bpe"),
+          (sum(when(col("holdout") === 1L, col("n_chars_tok"))).cast("double") /
+            sum(when(col("holdout") === 1L, col("n_bpe"))).cast("double"))
+            .as("holdout_chars_per_bpe"))
+        perDoc.crossJoin(broadcast(ratios))
+          .filter(col("bad_words") === 0L &&
+            col("n_bpe").between(col("n_words"), col("n_chars_tok")) &&
+            col("train_chars_per_bpe") > MinBpeCompression &&
+            col("holdout_chars_per_bpe") > MinBpeCompression)
+          .select(col("doc_id"), col("holdout"), col("n_words"),
+            col("n_chars_tok"), col("n_bpe"),
+            round(col("train_chars_per_bpe"), 6).as("train_chars_per_bpe"),
+            round(col("holdout_chars_per_bpe"), 6).as("holdout_chars_per_bpe"))
       },
       None
     ),
@@ -857,13 +873,19 @@ object TextQueries extends QueryModule {
     * computing 1.2+1.0 in Scala doubles need not equal the parsed
     * literal 2.2's nearest double, and one ulp here would shift the
     * 6dp rounding. */
+  /** THE query-term list, shared by `text_bm25` (inline census),
+    * `text_bm25_indexed` (TermIndex probe), and `q_hybrid_rrf`'s
+    * sparse leg — one definition so the oracle-shared trio cannot
+    * drift. */
+  private[graft] val Bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
+
   private[graft] def bm25Top20(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
     val k1 = 1.2
     val k1p1 = 2.2
     val b = 0.75
     val oneMinusB = 0.25
-    val terms = Seq("spark", "merge", "vector")
+    val terms = Bm25Terms
     val base = Tables(s, dir).documents
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -995,6 +1017,83 @@ object TextQueries extends QueryModule {
             AND ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AS is_en,
           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS norm_md5
         FROM documents)"""
+
+  /** Driver-sized BPE training input off `docs`: top-VocabCap words by
+    * count — one map-side-combined aggregate + TakeOrdered,
+    * deterministic (count DESC, word ASC), never the corpus — then the
+    * deterministic merge trainer. Shared by `text_tokens_bpe` (trains
+    * on its own corpus) and `text_bpe_apply` (trains on the base split,
+    * FREEZES, applies everywhere). */
+  private[textfn] def trainedMerges(docs: org.apache.spark.sql.DataFrame): Vector[(String, String)] = {
+    val wordFreq = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(Bpe.VocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.train(wordFreq)
+  }
+
+  /** THE per-doc BPE counting kernel: encodes every word of `docs`
+    * under the broadcast merge ranks, memoized per distinct word (Zipf
+    * ⇒ amortized ~1 hash probe/token). One definition for both the
+    * self-trained and frozen-vocab queries, so the encode/reconstruct
+    * discipline cannot fork. Output: (doc_id, n_words, n_chars_tok,
+    * n_bpe, n_est, bad_words). */
+  private def bpeCountKernel(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      ranksBc: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_chars_tok", LongType, nullable = false),
+      StructField("n_bpe", LongType, nullable = false),
+      StructField("n_est", LongType, nullable = false),
+      StructField("bad_words", LongType, nullable = false)))
+    // explicit partition count for the CPU-heavy stage — the
+    // shingleFeatures repartition rationale (AQE would coalesce a
+    // bare repartition(col) of ~MBs of text to one partition)
+    val numParts = s.sparkContext.defaultParallelism
+    val src = docs
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        subtokenCount(col("text")).as("n_est"))
+      .repartition(numParts, col("doc_id"))
+    src.mapPartitions { iter =>
+      val ranks = ranksBc.value
+      // memo value = encoded token count, NEGATED when the merged
+      // symbols fail to reconstruct the word (checked once per
+      // distinct word; nonempty words encode to >= 1 token so the
+      // sign is never ambiguous)
+      val memo = new java.util.HashMap[String, Integer]()
+      iter.map { row =>
+        val toks = row.getString(1).split(" ", -1)
+        var nWords = 0L; var nChars = 0L; var nBpe = 0L; var bad = 0L
+        var i = 0
+        while (i < toks.length) {
+          val w = toks(i)
+          if (w.nonEmpty) {
+            var v = memo.get(w)
+            if (v == null) {
+              val enc = Bpe.encode(w, ranks)
+              val ok = enc.mkString == w
+              v = Integer.valueOf(if (ok) enc.length else -enc.length)
+              memo.put(w, v)
+            }
+            nWords += 1; nChars += w.length
+            if (v.intValue() < 0) { bad += 1; nBpe -= v.intValue() }
+            else nBpe += v.intValue()
+          }
+          i += 1
+        }
+        Row(row.getLong(0), nWords, nChars, nBpe, row.getLong(2), bad)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Corpus-level compression floor for `text_tokens_bpe`'s quality
     * gate: trained merges must shrink the corpus at least 30% past the

@@ -23,20 +23,22 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the remaining twelve have no exact SQL mirror even in principle:
+    // the remaining sixteen have no exact SQL mirror even in principle:
     // seven approximate BY DESIGN (LSH/IVF/PQ/MIPS-ANN recall, HLL
-    // error, KLL quantile error) plus text_tokens_bpe, spo_mst,
-    // cluster_kmeans, spo_betweenness, and embed_pca, whose iterative
-    // data-dependent recurrences no SQL engine expresses (BpeSpec /
-    // MstSpec / KmeansSpec / BetweennessSpec / PcaSpec pin them
-    // against independent references instead; knn_mips_ann's trained
-    // quantizer is the knn_ivf class, with SimilaritySpec's
-    // exhaustive-equality pin); dedup_simhash graduated to
-    // oracle-exact via md5_number_lower
+    // error, KLL quantile error) plus text_tokens_bpe, text_bpe_apply,
+    // spo_mst, cluster_kmeans, spo_betweenness, and embed_pca, whose
+    // iterative data-dependent recurrences no SQL engine expresses
+    // (BpeSpec / BpeVocabSpec / MstSpec / KmeansSpec / BetweennessSpec
+    // / PcaSpec pin them against independent references instead;
+    // knn_mips_ann's trained quantizer is the knn_ivf class, with
+    // SimilaritySpec's exhaustive-equality pin); dedup_simhash
+    // graduated to oracle-exact via md5_number_lower
     assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
       "knn_mips_ann", "knn_mips_ivfpq",
-      "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe", "spo_mst",
-      "cluster_kmeans", "spo_betweenness", "embed_pca", "embed_whiten"))
+      "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe",
+      "text_bpe_apply", "spo_mst",
+      "cluster_kmeans", "spo_betweenness", "embed_pca", "embed_whiten",
+      "dedup_semantic_whitened"))
   }
 
   test("q_approx_distinct HLL stays within its accuracy bound") {

@@ -1,0 +1,137 @@
+package graft.textfn
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted sparse (BM25) index — the VectorIndexSpec discipline
+  * applied to the postings tier. Pins (1) probe ≡ the inline
+  * `text_bm25` census BIT-FOR-BIT (doubleToLongBits on every score),
+  * (2) the partition-pruned probe plan, (3) the frozen-stats growth
+  * contract: base docs' scores never move under append, appends are
+  * replay-invariant, compact folds duplicates and preserves the probe,
+  * (4) deterministic rebuilds. */
+class TermIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 20
+
+  private def docs = graft.operators.Tables(spark, dir).documents
+    .select(col("doc_id"), col("text"))
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"),
+      java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSeq
+
+  private def withIndex[A](d: org.apache.spark.sql.DataFrame)(f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ti").toString
+    try {
+      TermIndex.build(spark, d, tmp)
+      f(tmp)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("probe equals the inline text_bm25 top-20 bit-for-bit") {
+    // the equality contract needs >= K docs containing >= 1 query term
+    // (the probe ranks matching docs only); assert it holds here so a
+    // future testdata change fails loudly instead of masking the pin
+    val matching = docs.filter(
+      TextQueries.Bm25Terms.map(t =>
+        array_contains(split(lower(col("text")), " "), t)).reduce(_ || _))
+      .count()
+    assert(matching >= K, s"corpus has only $matching matching docs")
+    val inline = collectScores(TextQueries.bm25Top20(spark, dir))
+    withIndex(docs) { idx =>
+      val probed = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K))
+      assert(probed == inline)
+    }
+  }
+
+  test("the probe scan is partition-pruned to the queried terms' shards") {
+    withIndex(docs) { idx =>
+      val df = TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K)
+      df.collect()
+      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val scan = leaves.find(_.contains("postings")).getOrElse(
+        fail("no postings scan in the probe plan"))
+      assert(scan.contains("PartitionFilters:") && scan.contains("shard"),
+        s"postings scan not partition-pruned: $scan")
+    }
+  }
+
+  test("frozen stats: base docs' scores never move when the corpus grows") {
+    // base/delta on the house split; the delta ids are new arrivals
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    withIndex(base) { idx =>
+      val before = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, 1000))
+        .filter { case (id, _) => id % 7 != 0 }.toMap
+      TermIndex.append(spark, delta, idx)
+      val after = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, 1000))
+      // every base doc's score is bit-identical to its pre-append score
+      after.filter { case (id, _) => id % 7 != 0 }.foreach { case (id, s) =>
+        assert(before(id) == s, s"base doc $id rescored under append")
+      }
+      // appended docs joined the candidate set (delta matches exist at
+      // this corpus density), scored under the FROZEN base stats
+      assert(after.exists { case (id, _) => id % 7 == 0 })
+    }
+  }
+
+  test("append is replay-invariant and compact folds the duplicates") {
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    withIndex(base) { idx =>
+      TermIndex.append(spark, delta, idx)
+      val once = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K))
+      TermIndex.append(spark, delta, idx) // at-least-once replay
+      val twice = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K))
+      assert(twice == once, "replayed append changed the probe")
+      val gen0 = TermIndex.currentGen(idx)
+      TermIndex.compact(spark, idx)
+      assert(TermIndex.currentGen(idx) == gen0 + 1, "compact did not fold")
+      val compacted = collectScores(
+        TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K))
+      assert(compacted == once, "compact changed the probe")
+      // folded generation holds exactly the distinct postings
+      val rows = spark.read.parquet(TermIndex.postingsPath(idx))
+      assert(rows.count() == rows.distinct().count(),
+        "compacted generation still holds duplicate postings")
+      // nothing to fold now -> no-op (no new generation)
+      TermIndex.compact(spark, idx)
+      assert(TermIndex.currentGen(idx) == gen0 + 1,
+        "compact of a folded index was not a no-op")
+    }
+  }
+
+  test("rebuild is deterministic: postings, terms, and stats byte-identical") {
+    def fingerprint(idx: String): (Seq[String], Seq[String], (Double, Double)) = (
+      spark.read.parquet(TermIndex.postingsPath(idx))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+        .collect().map(_.toString).toSeq.sorted,
+      spark.read.parquet(s"$idx/terms").collect().map(_.toString).toSeq.sorted,
+      TermIndex.loadStats(spark, idx))
+    val a = withIndex(docs)(fingerprint)
+    val b = withIndex(docs)(fingerprint)
+    assert(a == b)
+  }
+
+  test("a query term unseen at build time keeps frozen df = 0 and still scores") {
+    withIndex(docs) { idx =>
+      // "spark" present + a term no doc contains: result must equal the
+      // single-term probe (the unseen term contributes +0.0 to every
+      // candidate), not crash or shift scores
+      val mixed = collectScores(TermIndex.probe(spark, idx,
+        Seq("spark", "zz_no_such_term_zz"), K))
+      val alone = collectScores(TermIndex.probe(spark, idx, Seq("spark"), K))
+      assert(mixed == alone)
+    }
+  }
+}
