@@ -1121,6 +1121,29 @@ object DevProbe {
           }
         }
 
+      case "ivfpq_curve" =>
+        // VERDICT r14 item 4: knn_mips_ivfpq's recall gate passed at
+        // 0.62 with rerank=32 — over the 0.3 floor but thin, and the
+        // default window was a guess. Measure recall@K of the full
+        // IVF+PQ MIPS stack against the exact MIPS top-K across the
+        // (nProbe, rerank) grid at this sf, so the shipped default can
+        // sit at the measured knee (recorded in SURVEY §6).
+        import org.apache.spark.sql.functions.col
+        val e = graft.operators.Tables(spark, sfDir).embeddings
+        val exact = graft.similarity.Similarity.mipsTopK(spark, e)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (nProbe <- Seq(4, 8); rerank <- Seq(32, 64, 128, 256, 512)) {
+          t(f"ivfpq np=$nProbe%d rr=$rerank%d") {
+            val ann = graft.similarity.Similarity.mipsIvfPq(spark, e,
+              nCells = 16, nProbe = nProbe, m = 8, kSub = 16, rerank = rerank)
+              .select(col("qid"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall = (ann & exact).size.toDouble / exact.size
+            println(f"  np=$nProbe rr=$rerank recall=$recall%.3f")
+          }
+        }
+
       case "objects" =>
         t("spo_objects total") {
           SparkEntry.queries("spo_objects")(spark, sfDir).count()

@@ -1262,7 +1262,15 @@ object Similarity extends QueryModule {
       "knn_mips_ivfpq",
       (s, dir) => {
         val e = Tables(s, dir).embeddings
-        val ann = mipsIvfPq(s, e, nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 32)
+        // rerank = 256 is the MEASURED knee of the recall/rerank curve
+        // at sf0.1 (VERDICT r14 item 4; full grid in SURVEY §6):
+        // 32→0.62, 64→0.80, 128→0.86, 256→0.98, 512→1.00 at nProbe=4,
+        // and doubling nProbe to 8 LOWERS recall at every fixed window
+        // (more PQ-distorted candidates compete for the same rerank
+        // slots). The rerank window is the cheap lever — a per-query
+        // constant number of exact dots — so the default sits at the
+        // knee rather than the r13 guess of 32.
+        val ann = mipsIvfPq(s, e, nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 256)
         withRecallGate(ann, mipsTopK(s, e))
           .orderBy(col("qid"), col("rk"))
       },
