@@ -194,6 +194,19 @@ object Bench {
         },
         stageTier("chunk_vectors") {
           graft.dedup.Dedup.stagedChunkBlocking(spark, sfDir).assigned.count(); ()
+        },
+        stageTier("term_index") {
+          // r15: the persisted BM25 postings index — build-once, so
+          // text_bm25_indexed measures the SERVING probe, not the build
+          graft.textfn.TermIndex.stagedIndex(spark, sfDir); ()
+        },
+        stageTier("whiten") {
+          // r15: the whitened frame gained a second consumer
+          // (dedup_semantic_whitened); the one-per-session eigensolve
+          // and the whitened-space blocking must not land inside
+          // whichever consumer runs first
+          graft.similarity.Similarity.stagedWhitenFrame(spark, sfDir).count()
+          graft.dedup.AngularBlocking.warmWhitenedStaged(spark, sfDir)
         })
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers

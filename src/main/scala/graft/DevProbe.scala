@@ -1121,6 +1121,60 @@ object DevProbe {
           }
         }
 
+      case "termidx" =>
+        // TermIndex serving-cost probe (VERDICT r14 item 1, the
+        // bi_probe_one treatment): build the postings index at 1× and
+        // SCALE_K× the corpus, then time (a) the partition-pruned
+        // 3-term probe and (b) the inline text_bm25 census over the
+        // same corpus. The probe's scan prunes to ≤ 3/256 of the
+        // postings (same shard count at both scales — coverage is a
+        // pure function of the query, not the corpus); the inline
+        // census tokenizes the FULL corpus per run. Both scale
+        // linearly in corpus size — the claim under measurement is the
+        // CONSTANT: the probe reads ~1% of the bytes and shuffles ~0.
+        // Token suffixing is OFF: replicas must keep the real term
+        // distribution so the query terms' posting lists actually grow
+        // k× (suffixed copies would move all their mass to unqueried
+        // terms and fake a flat probe).
+        import org.apache.spark.sql.functions.col
+        val k = sys.env.getOrElse("SCALE_K", "10").toInt
+        val docs0 = graft.operators.Tables(spark, sfDir).documents
+        val terms = Seq("spark", "merge", "vector")
+        withScaledTmp(spark, "ti", Seq(1, k)) { (kk, tmp) =>
+          replicatedDocs(spark, docs0, kk, suffixTokens = false)
+            .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        } { (kk, tmp) =>
+          val docs = graft.operators.Tables(spark, tmp).documents
+            .select(col("doc_id"), col("text"))
+          val idx = s"$tmp/termidx"
+          t(s"ti_build x$kk") {
+            graft.textfn.TermIndex.build(spark, docs, idx)
+          }
+          t(s"ti_probe x$kk") {
+            val n = graft.textfn.TermIndex
+              .probe(spark, idx, terms, 20).count()
+            println(s"  probe x$kk rows=$n")
+          }
+          t(s"ti_probe_2nd x$kk") {
+            val n = graft.textfn.TermIndex
+              .probe(spark, idx, terms, 20).count()
+            println(s"  probe_2nd x$kk rows=$n")
+          }
+          t(s"ti_inline_bm25 x$kk") {
+            val n = graft.textfn.TextQueries.bm25Top20(spark, tmp).count()
+            println(s"  inline x$kk rows=$n")
+          }
+          // shard coverage OUTSIDE the timed blocks (driver-side, tiny)
+          import org.apache.spark.sql.Encoders
+          val shards = spark.createDataset(terms)(Encoders.STRING).toDF("term")
+            .select(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(col("term")),
+              org.apache.spark.sql.functions.lit(graft.textfn.TermIndex.DefaultShards))
+              .cast("int"))
+            .distinct().count()
+          println(s"  probe x$kk shards=$shards/${graft.textfn.TermIndex.DefaultShards}")
+        }
+
       case "ivfpq_curve" =>
         // VERDICT r14 item 4: knn_mips_ivfpq's recall gate passed at
         // 0.62 with rerank=32 — over the 0.3 floor but thin, and the

@@ -294,6 +294,27 @@ object AngularBlocking {
   def cosinePairsStaged(s: SparkSession, dir: String, tau: Double): DataFrame =
     pairsFrom(stagedCache.get(s, dir), tau)
 
+  /** The WHITENED-space sibling of [[stagedCache]] (r15): the blocking
+    * over the session-staged whitened frame is tau-independent and
+    * dataset-keyed exactly like the raw one, and building it inside
+    * `dedup_semantic_whitened` charged that query ~1.2 s/run of
+    * assignment + cell-stats work the raw query never pays. The
+    * float-cast is deterministic; the whitened frame itself is built
+    * (one eigensolve) by the Similarity staging it keys off. */
+  private val stagedWhitenedCache = new graft.operators.SessionStaged[Blocking](
+    (s, dir) => buildBlocking(
+      graft.similarity.Similarity.stagedWhitenFrame(s, dir)
+        .select(col("vec_id"),
+          transform(col("whitened"), x => x.cast("float")).as("embedding"))),
+    releaseBlocking)
+
+  private[graft] def warmWhitenedStaged(s: SparkSession, dir: String): Unit = {
+    stagedWhitenedCache.get(s, dir); ()
+  }
+
+  def cosinePairsWhitenedStaged(s: SparkSession, dir: String, tau: Double): DataFrame =
+    pairsFrom(stagedWhitenedCache.get(s, dir), tau)
+
   def cosinePairs(spark: SparkSession, vecs: DataFrame, tau: Double,
                   nPlanes: Int = 4, dims: Int = -1, seed: Long = 7L): DataFrame = {
     // dims < 0: derive from the first row (one single-row job,

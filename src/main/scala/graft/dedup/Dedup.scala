@@ -463,11 +463,6 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Sorted-merge set intersection + jaccard in a tight JVM loop.
-    * Requires `set_a`/`set_b` sorted string arrays; appends `jaccard`.
-    * The division matches the SQL mirror exactly (int/int in IEEE
-    * double), so oracle results stay bit-identical.
-    */
   /** (vec_a, vec_b) similarity pairs → transitive clusters with sizes —
     * the dedup_semantic assembly, factored (r15) so the raw-space and
     * whitened-space queries share one definition. Connectivity solves
@@ -487,6 +482,11 @@ object Dedup extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Sorted-merge set intersection + jaccard in a tight JVM loop.
+    * Requires `set_a`/`set_b` sorted string arrays; appends `jaccard`.
+    * The division matches the SQL mirror exactly (int/int in IEEE
+    * double), so oracle results stay bit-identical.
+    */
   private def jaccardKernel(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -1825,12 +1825,12 @@ object Dedup extends QueryModule {
       "dedup_semantic_whitened",
       (s, dir) => {
         val w = graft.similarity.Similarity.stagedWhitenFrame(s, dir)
-        // the blocking kernel is float-typed; the cast is deterministic
-        // and verification cosines are re-computed in double — the
+        // session-staged whitened blocking (the cosinePairsStaged
+        // discipline): the assignment + cell stats are tau-independent
+        // and the blocking kernel's float-cast is deterministic;
+        // verification cosines are re-computed in double — the
         // operator defines similarity IN the whitened space
-        val vecs = w.select(col("vec_id"),
-          transform(col("whitened"), x => x.cast("float")).as("embedding"))
-        val pairs = AngularBlocking.cosinePairs(s, vecs, SemanticTau)
+        val pairs = AngularBlocking.cosinePairsWhitenedStaged(s, dir, SemanticTau)
           .select(col("vec_a"), col("vec_b"))
         val gates = w.agg(
           max(col("n_components")).as("n_components"),

@@ -1,6 +1,6 @@
 package graft.textfn
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted sparse (BM25) retrieval index: build over the corpus once,
@@ -61,8 +61,14 @@ import org.apache.spark.sql.functions._
 object TermIndex {
 
   /** Shard count — build and probe must agree (a pure function of the
-    * term, so a term's full posting list lives in exactly one shard). */
-  val DefaultShards = 256
+    * term, so a term's full posting list lives in exactly one shard).
+    * 64 is the gate-scale default (the BandIndex sizing: at 256 the
+    * build paid ~3× in small-file fan — 14.7 s vs 5.5 s staging at
+    * sf0.1 — for pruning ratio the 3-term probe can't use); a 100 TB
+    * deployment raises nShards with the corpus so each shard directory
+    * stays in the few-hundred-MB band, exactly like BandIndex's XL
+    * probe runs 1024. */
+  val DefaultShards = 64
 
   private[graft] def currentGen(indexDir: String): Long =
     graft.operators.Generations.currentGen(indexDir)

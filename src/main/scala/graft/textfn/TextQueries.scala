@@ -502,7 +502,7 @@ object TextQueries extends QueryModule {
       // top-20, but the corpus was tokenized ONCE at build time into
       // shard-partitioned inverted lists with frozen (n_docs, sum_dl,
       // df), and the probe reads only the queried terms' shards
-      // (partition pruning — ≤ 3/256 of the postings here) instead of
+      // (partition pruning — ≤ 3/64 of the postings here) instead of
       // re-running the full DF/TF census. Session-staged build (the
       // dedup_indexed discipline), so gate and bench measure the
       // SERVING cost. Oracle is text_bm25's SQL VERBATIM: the probe's
