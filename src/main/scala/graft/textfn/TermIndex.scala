@@ -50,7 +50,13 @@ import org.apache.spark.sql.functions._
   * (standard sparse retrieval — a doc with no query term has BM25 score
   * exactly 0 and no posting to find it by). Equality with the inline
   * top-k therefore requires ≥ k matching docs, which the spec asserts
-  * before pinning (the shipped corpus matches on ~96% of docs).
+  * before pinning (the shipped corpus matches on ~96% of docs). Strict
+  * edge of that contract: a matching doc whose contribution 6dp-rounds
+  * to 0.000000 (an extreme dl against a tiny idf) ties with the
+  * non-candidates the inline query CAN rank by doc_id and the probe
+  * cannot see — so the bit-for-bit claim is "≥ k docs with
+  * rounded-positive scores", a strictly weaker precondition than the
+  * one the spec asserts holds here (min top-20 score ≈ 1).
   *
   * GROWTH LIFECYCLE + LOCAL-FS CONTRACT: generations, the commit flip,
   * compact's no-op heuristic, and replay tolerance are the shared
@@ -127,9 +133,13 @@ object TermIndex {
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$indexDir/terms")
-      // frozen corpus constants: every doc has ≥ 1 posting (split("")
-      // yields [""]), so the per-doc fold over postings is exact
-      posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      // frozen corpus constants — computed from `docs` with the inline
+      // census's own aggregate shape, NOT from the postings: a NULL
+      // text produces no posting rows (explode drops the doc) but the
+      // inline stats still COUNT the doc in n_docs (and skip its null
+      // dl in the sum), and the frozen constants must match the census
+      // bit-for-bit on every input, not just null-free ones
+      docs.select(size(split(lower(col("text")), " ")).cast("double").as("dl"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
           sum(col("dl").cast("long")).cast("double").as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
