@@ -256,6 +256,56 @@ object StreamVectorDedup {
     s.read.parquet(outDir)
 }
 
+/** Continuous sparse retrieval off the live ingest — the SPARSE sibling
+  * of [[StreamVectorDedup]]'s growth loop (r15, completing the serving
+  * symmetry the persisted [[graft.textfn.TermIndex]] opened): each
+  * micro-batch of (doc_id, text) docs folds its postings into the
+  * persisted index under the FROZEN scorer stats, then the STANDING
+  * term query re-probes the grown index and publishes the current
+  * corpus-wide BM25 top-k — the continuous-top-k / alerting shape
+  * ("keep the best k docs for this query as the corpus streams in").
+  *
+  * Append-then-probe order, unlike the dedup loops: the batch's own
+  * docs are WANTED in the result (they compete for the top-k
+  * immediately), so there is no self-exclusion. Crash/replay contract:
+  * the per-batch output write is an idempotent overwrite; a crash after
+  * the append replays the batch onto an index already holding its
+  * postings — bit-identical rows the probe's per-term max() pivot
+  * absorbs — so the replayed top-k is IDENTICAL (spec-pinned), and
+  * compaction folds the duplicates away on its normal cadence. Frozen
+  * stats mean published results never rescore as the corpus grows: a
+  * doc leaves the top-k only by being OUTRANKED, never by IDF drift —
+  * the alerting-feed stability property (rescoring is an offline
+  * rebuild, the TermIndex contract). Probe cost per batch: the queried
+  * terms' shards only (partition pruning), independent of batch count.
+  */
+object StreamSparseTopK {
+
+  /** `foreachBatch` body. The index at `indexDir` must exist (built
+    * over the base corpus with the same `nShards`); `terms` is the
+    * standing query. `compactEvery` > 0 folds the postings generations
+    * every N batches — the StreamNearDedup/BandIndex small-files
+    * rationale verbatim, same single-writer thread, same
+    * crash-leaves-committed-generation-intact guarantee. */
+  def sink(indexDir: String, outDir: String, terms: Seq[String],
+           k: Int = 20,
+           nShards: Int = graft.textfn.TermIndex.DefaultShards,
+           compactEvery: Int = 0)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val s = batch.sparkSession
+    graft.textfn.TermIndex.append(s,
+      batch.select(col("doc_id"), col("text")), indexDir, nShards)
+    graft.textfn.TermIndex.probe(s, indexDir, terms, k, nShards)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+      graft.textfn.TermIndex.compact(s, indexDir)
+  }
+
+  /** Every published top-k so far, tagged with its batch id. */
+  def results(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+}
+
 /** Streaming face of `q_events_markov`: per-user event-type transition
   * rows off the live stream, with the LAST event carried in state so a
   * transition that straddles a micro-batch boundary is never lost — the
