@@ -1197,6 +1197,29 @@ object DevProbe {
             println(f"  np=$nProbe rr=$rerank recall=$recall%.3f")
           }
         }
+        // the COSINE stack (knn_pq / knn_ivfpq) over the same grid —
+        // same rerank-window trap, different reference (brute cosine)
+        val bf = SparkEntry.queries("knn_bruteforce")(spark, sfDir)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (rerank <- Seq(32, 64, 128, 256, 512)) {
+          t(f"ivfpq_cos np=4 rr=$rerank%d") {
+            val ann = graft.similarity.Similarity.pqAdcTopK(spark, sfDir,
+              m = 8, kSub = 16, rerank = rerank, ivf = Some((16, 4)))
+              .select(col("qid"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall = (ann & bf).size.toDouble / bf.size
+            println(f"  cos np=4 rr=$rerank recall=$recall%.3f")
+          }
+          t(f"pq_cos flat rr=$rerank%d") {
+            val ann = graft.similarity.Similarity.pqAdcTopK(spark, sfDir,
+              m = 8, kSub = 16, rerank = rerank, ivf = None)
+              .select(col("qid"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall = (ann & bf).size.toDouble / bf.size
+            println(f"  pq flat rr=$rerank recall=$recall%.3f")
+          }
+        }
 
       case "objects" =>
         t("spo_objects total") {

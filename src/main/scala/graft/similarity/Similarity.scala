@@ -1039,7 +1039,7 @@ object Similarity extends QueryModule {
     * `ivf = None` degenerate (every row in one always-probed cell), so
     * the heap tie-break, candidate window, and re-rank tail exist
     * exactly once. */
-  private[similarity] def pqAdcTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def pqAdcTopK(s: org.apache.spark.sql.SparkSession, dir: String,
                                     m: Int, kSub: Int, rerank: Int,
                                     ivf: Option[(Int, Int)]): org.apache.spark.sql.DataFrame = {
     val e = Tables(s, dir).embeddings
@@ -1509,8 +1509,13 @@ object Similarity extends QueryModule {
       // the ivf = None degenerate of the shared [[pqAdcTopK]] kernel:
       // one always-probed cell, so every row is ADC-scored for every
       // query — the whole-corpus compression regime, heap tie-break
-      // and re-rank tail shared with knn_ivfpq by construction
-      (s, dir) => pqAdcTopK(s, dir, m = 8, kSub = 16, rerank = 32, ivf = None),
+      // and re-rank tail shared with knn_ivfpq by construction.
+      // rerank = 256 per the r15 measured curve (§6): the flat scan
+      // ADC-scores the WHOLE corpus, so its window needs the most
+      // headroom of the three PQ variants — 0.54 recall at the old 32,
+      // 0.86 at 256 (0.94 at 512; the window is per-query constant
+      // cost, the knee balances it against the +0.08 tail)
+      (s, dir) => pqAdcTopK(s, dir, m = 8, kSub = 16, rerank = 256, ivf = None),
       None
     ),
 
@@ -1532,8 +1537,12 @@ object Similarity extends QueryModule {
       // when dialed to exhaustive.
       "knn_ivfpq",
       (s, dir) => {
+        // Rerank = 256: the cosine stack's measured curve (§6) matches
+        // the MIPS stack's exactly — 0.62 at the old 32, 0.98 at the
+        // 256 knee, 1.00 at 512 — so both IVFPQ deployments ship the
+        // same measured default rather than the r13 guess
         val nCells = 16; val nProbe = 4
-        val M = 8; val Ksub = 16; val Rerank = 32
+        val M = 8; val Ksub = 16; val Rerank = 256
         ivfpq(s, dir, nCells, nProbe, M, Ksub, Rerank)
       },
       None
