@@ -1281,9 +1281,16 @@ object Similarity extends QueryModule {
       // HYBRID RETRIEVAL FUSION (VERDICT r12 item 7) — the standard RAG
       // retrieval shape: reciprocal-rank fusion (Cormack et al. 2009,
       // rrf(d) = Σ_lists 1/(60 + rank_d)) of the SPARSE lexical ranking
-      // (text_bm25's top-20 for its fixed 3-term query — the exact
-      // staged body, reused via TextQueries.bm25Top20) and a DENSE
-      // ranking (top-20 by cosine to query vector 0, one codegen'd
+      // and a DENSE ranking. The sparse leg is SERVED OFF THE PERSISTED
+      // POSTINGS INDEX (r15: TermIndex.probeStaged — the partition-
+      // pruned probe, not a corpus census; its scores are bit-identical
+      // to text_bm25's inline chain, TermIndexSpec's doubleToLongBits
+      // pin, so the oracle below still embeds the text_bm25 SQL
+      // VERBATIM and the fusion's ranks cannot drift). This is the RAG
+      // deployment shape end-to-end: both retrieval legs now run
+      // against maintained indexes/staged artifacts rather than
+      // per-query corpus passes. The dense leg stays
+      // (top-20 by cosine to query vector 0, one codegen'd
       // cosine pass + TakeOrdered — the knn machinery's plan, never a
       // global sort). RRF is rank arithmetic: each fused score is ONE
       // addition of two exact-integer-derived reciprocals, so there is
@@ -1299,7 +1306,9 @@ object Similarity extends QueryModule {
       // frames — free at any corpus size.
       "q_hybrid_rrf",
       (s, dir) => {
-        val sparse = graft.textfn.TextQueries.bm25Top20(s, dir)
+        val sparse = graft.textfn.TermIndex.probeStaged(s,
+          graft.textfn.TermIndex.stagedIndex(s, dir),
+          graft.textfn.TextQueries.Bm25Terms, 20)
         val ws = Window.orderBy(col("score").desc, col("doc_id"))
         val srk = sparse.select(col("doc_id"),
           row_number().over(ws).cast("long").as("sparse_rank"))
