@@ -447,4 +447,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("indexed BM25 serves off a pruned posting scan with a top-k cut, never a census") {
+    val p = plan("text_bm25_indexed")
+    // the probe's scan is partition-pruned to the queried terms' shards
+    assert(p.contains("PartitionFilters") && p.contains("shard"),
+      "postings scan not partition-pruned")
+    // top-k is per-partition heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), "top-20 planned as a global sort")
+    // the serving path must not tokenize the corpus: no explode/generate
+    // stage and no scan of the documents table in the probe plan
+    assert(!p.contains("Generate"), "probe plan re-tokenizes (explode present)")
+    assert(!p.contains("documents.parquet"), "probe plan scans the corpus")
+  }
 }
