@@ -253,6 +253,87 @@ object TermIndex {
       .limit(k)
   }
 
+  /** BATCH retrieval: top-k BM25 per query over a query batch — the
+    * document-at-a-time scoring JOIN, where [[probe]] is the
+    * single-standing-query pivot. The shapes differ because the costs
+    * do: a fixed query pivots its ≤ m terms into columns and left-folds
+    * raw doubles (bit-identical to the inline census); a BATCH of
+    * queries joins (qid, term) rows against the pruned postings, so
+    * per-(query, doc) contributions arrive in shuffle order and the sum
+    * must not depend on it — each per-term contribution is 6dp-rounded
+    * to DECIMAL(18,6) and summed EXACTLY (the text_perplexity
+    * discipline: order-independent, engine-independent), surfacing as
+    * DOUBLE. Scores therefore differ from [[probe]]'s raw-double fold
+    * only inside the 1e-6 rounding quantum; ranking is over the exact
+    * decimal, fully deterministic, and the `text_bm25_batch` QueryDef
+    * carries a DuckDB oracle that reproduces it bit-for-bit.
+    *
+    * Scan cost: ONE pruned pass over the union of all queries' term
+    * shards — queries ride as a broadcast, the postings side never
+    * shuffles before the per-(qid, doc) aggregate. Terms unseen at
+    * build time keep frozen df = 0 (the [[probe]] contract — appended
+    * postings for such terms still score). Duplicate terms within a
+    * query are deduped (a repeated term is one term, not double tf). */
+  def probeBatch(s: SparkSession, indexDir: String,
+                 queries: Seq[(Long, Seq[String])], k: Int,
+                 nShards: Int = DefaultShards): DataFrame =
+    probeBatchRel(s, s.read.parquet(postingsPath(indexDir)),
+      s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
+      queries, k, nShards)
+
+  private[graft] def probeBatchRel(s: SparkSession, postings: DataFrame,
+                                   termsRel: DataFrame, stats: (Double, Double),
+                                   queries: Seq[(Long, Seq[String])], k: Int,
+                                   nShards: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "TermIndex.probeBatch: empty query batch or empty term list")
+    val (nDocs, sumDl) = stats
+    val allTerms = queries.flatMap(_._2).distinct
+    import org.apache.spark.sql.Encoders
+    val needed: Array[Int] = s.createDataset(allTerms)(Encoders.STRING)
+      .toDF("term").select(shardCol(nShards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val shardFilter = col("shard")
+      .isin(needed.toIndexedSeq.map(Int.box): _*)
+    val dfByTerm: Map[String, Double] = termsRel
+      .filter(shardFilter && col("term").isin(allTerms: _*))
+      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+        r.getDouble(r.fieldIndex("df"))).toMap
+    // (term, df) for EVERY queried term — frozen df = 0 for terms
+    // unseen at build, so post-append postings still score (the same
+    // contract as the single-query probe; an inner join against only
+    // the found terms would silently drop them)
+    val termStats = s.createDataFrame(
+      allTerms.map(t => (t, dfByTerm.getOrElse(t, 0.0)))).toDF("term", "df")
+    val qRows = s.createDataFrame(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("qid", "term")
+    val pruned = postings.filter(shardFilter && col("term").isin(allTerms: _*))
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    // replay duplicates (bit-identical posting rows) must not
+    // double-count: dedup the pruned rows on their key first
+    val scored = pruned
+      .dropDuplicates("term", "doc_id")
+      .join(broadcast(qRows), "term")
+      .join(broadcast(termStats), "term")
+      .withColumn("c", round(contrib, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("score_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_dec").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"),
+        col("score_dec").cast("double").as("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Session-staged index over `dir`'s FULL documents table, built in a
     * temp dir at most once per (session, dataset) — the BandIndex
     * staging discipline, so the oracle-gated `text_bm25_indexed` query
@@ -290,4 +371,10 @@ object TermIndex {
   private[graft] def probeStaged(s: SparkSession, idx: StagedIndex,
                                  terms: Seq[String], k: Int): DataFrame =
     probeRel(s, idx.postings, idx.termsRel, idx.stats, terms, k, DefaultShards)
+
+  private[graft] def probeBatchStaged(s: SparkSession, idx: StagedIndex,
+                                      queries: Seq[(Long, Seq[String])],
+                                      k: Int): DataFrame =
+    probeBatchRel(s, idx.postings, idx.termsRel, idx.stats, queries, k,
+      DefaultShards)
 }

@@ -516,6 +516,26 @@ object TextQueries extends QueryModule {
     ),
 
     QueryDef(
+      // BATCH retrieval off the SAME persisted index — top-5 BM25 per
+      // query for a 3-query batch ([[TermIndex.probeBatch]]): where
+      // text_bm25_indexed pivots its one standing query into fixed
+      // columns, a BATCH joins (qid, term) rows against ONE pruned
+      // posting scan (the union of all queries' shards) — the
+      // document-at-a-time scoring join a retrieval service runs for
+      // many queries at once. Per-(query, doc) contributions arrive in
+      // shuffle order, so each per-term contribution is 6dp-rounded to
+      // DECIMAL and summed EXACTLY (the text_perplexity discipline:
+      // order- and engine-independent), ranked over the exact decimal,
+      // surfaced as DOUBLE (§5 boundary rule). The third query carries
+      // the corpus's one rare term (`dup`, df 26 of ~500 docs at
+      // sf0.01) so the idf spread is exercised, not just the Zipf head.
+      "text_bm25_batch",
+      (s, dir) => TermIndex.probeBatchStaged(s, TermIndex.stagedIndex(s, dir),
+        Bm25BatchQueries, 5),
+      Some(Bm25BatchSql)
+    ),
+
+    QueryDef(
       // TOKENIZER-FAITHFUL token counts: real BPE merges (graft.textfn
       // Bpe — train on the corpus's own capped word-frequency summary,
       // broadcast merge ranks, rank-priority encode in the partition
@@ -1093,6 +1113,49 @@ object TextQueries extends QueryModule {
         Row(row.getLong(0), nWords, nChars, nBpe, row.getLong(2), bad)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** The fixed 3-query batch for `text_bm25_batch`: the standing trio,
+    * a Zipf-head query, and a query carrying the corpus's one rare
+    * term — declared once so the Spark body and the oracle's VALUES
+    * list cannot drift. */
+  private[graft] val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge", "vector"),
+    1L -> Seq("join", "hash", "batch"),
+    2L -> Seq("stream", "window", "dup"))
+
+  /** text_bm25_batch oracle: the same DAAT shape in SQL — per-term
+    * contributions ROUND(·, 6) to DECIMAL, EXACT decimal sums per
+    * (query, doc), rank over the decimal, DOUBLE at the boundary. */
+  private[graft] val Bm25BatchSql: String = {
+    val valuesList = Bm25BatchQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH queries(qid, term) AS (VALUES $valuesList),
+      base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+          CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl FROM base),
+      dfs AS (SELECT q.term,
+          CAST(SUM(CASE WHEN list_contains(b.toks, q.term) THEN 1 ELSE 0 END) AS DOUBLE) AS df
+        FROM (SELECT DISTINCT term FROM queries) q, base b GROUP BY q.term),
+      hits AS (SELECT q.qid, q.term, b.doc_id, b.dl,
+          CAST(len(list_filter(b.toks, x -> x = q.term)) AS DOUBLE) AS tf
+        FROM queries q JOIN base b ON list_contains(b.toks, q.term)),
+      contrib AS (SELECT h.qid, h.doc_id,
+          CAST(ROUND(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / (s.sum_dl / s.n_docs))),
+          6) AS DECIMAL(18,6)) AS c
+        FROM hits h JOIN dfs d USING (term), s),
+      scores AS (SELECT qid, doc_id, SUM(c) AS score_dec
+        FROM contrib GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, CAST(score_dec AS DOUBLE) AS score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rk
+        FROM scores)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rk
+      FROM r WHERE rk <= 5 ORDER BY qid, rk"""
   }
 
   /** Corpus-level compression floor for `text_tokens_bpe`'s quality

@@ -123,6 +123,39 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("batch probe agrees with the single-query probe to the rounding quantum") {
+    withIndex(docs) { idx =>
+      val single = TermIndex.probe(spark, idx, TextQueries.Bm25Terms, 20)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      val batch = TermIndex.probeBatch(spark, idx,
+        Seq(7L -> TextQueries.Bm25Terms), 20)
+        .collect()
+      assert(batch.forall(_.getAs[Long]("qid") == 7L))
+      // the batch path 6dp-rounds each per-term contribution BEFORE the
+      // (order-independent) decimal sum, the single path left-folds raw
+      // doubles then rounds once — scores agree within m half-quanta
+      val b = batch.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(b.keySet == single.keySet,
+        s"top-20 sets diverged: ${b.keySet -- single.keySet} vs ${single.keySet -- b.keySet}")
+      b.foreach { case (id, s) =>
+        assert(math.abs(s - single(id)) <= 2e-6, s"doc $id: $s vs ${single(id)}")
+      }
+    }
+  }
+
+  test("batch probe is replay-invariant (duplicate postings never double-count)") {
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val q = Seq(0L -> Seq("spark", "merge"), 1L -> Seq("vector"))
+    withIndex(base) { idx =>
+      TermIndex.append(spark, delta, idx)
+      val once = TermIndex.probeBatch(spark, idx, q, 10).collect().map(_.toString).toSeq
+      TermIndex.append(spark, delta, idx) // at-least-once replay
+      val twice = TermIndex.probeBatch(spark, idx, q, 10).collect().map(_.toString).toSeq
+      assert(twice == once, "replayed append changed batch-probe scores")
+    }
+  }
+
   test("a query term unseen at build time keeps frozen df = 0 and still scores") {
     withIndex(docs) { idx =>
       // "spark" present + a term no doc contains: result must equal the
