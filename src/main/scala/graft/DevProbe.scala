@@ -1164,6 +1164,13 @@ object DevProbe {
             val n = graft.textfn.TextQueries.bm25Top20(spark, tmp).count()
             println(s"  inline x$kk rows=$n")
           }
+          t(s"ti_probe_batch x$kk") {
+            val n = graft.textfn.TermIndex.probeBatch(spark, idx,
+              Seq(0L -> Seq("spark", "merge", "vector"),
+                1L -> Seq("join", "hash", "batch"),
+                2L -> Seq("stream", "window", "dup")), 5).count()
+            println(s"  probe_batch x$kk rows=$n")
+          }
           // shard coverage OUTSIDE the timed blocks (driver-side, tiny)
           import org.apache.spark.sql.Encoders
           val shards = spark.createDataset(terms)(Encoders.STRING).toDF("term")
