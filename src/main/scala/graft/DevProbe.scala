@@ -1182,6 +1182,31 @@ object DevProbe {
           println(s"  probe x$kk shards=$shards/${graft.textfn.TermIndex.DefaultShards}")
         }
 
+      case "lsh_curve" =>
+        // knn_lsh recall vs scan fraction across the (bands × planes)
+        // grid — the same evidence discipline as ivfpq_curve: recall
+        // alone is half the picture, the verified-candidate volume is
+        // the cost that buys it.
+        import org.apache.spark.sql.functions.col
+        val e = graft.operators.Tables(spark, sfDir).embeddings
+        val nCorpus = e.count()
+        val bf = SparkEntry.queries("knn_bruteforce")(spark, sfDir)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val nQ = bf.map(_._1).size
+        for (nb <- Seq(8, 16, 32); ppb <- Seq(4, 6, 8)) {
+          t(f"lsh nb=$nb%d ppb=$ppb%d") {
+            val ann = graft.similarity.Similarity.lshTopK(spark, sfDir, nb, ppb)
+              .select(col("qid"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall = (ann & bf).size.toDouble / bf.size
+            val cands = graft.similarity.Similarity
+              .lshCandidateCount(spark, sfDir, nb, ppb)
+            val frac = cands.toDouble / (nCorpus.toDouble * nQ)
+            println(f"  nb=$nb ppb=$ppb recall=$recall%.3f scan_frac=$frac%.3f")
+          }
+        }
+
       case "ivfpq_curve" =>
         // VERDICT r14 item 4: knn_mips_ivfpq's recall gate passed at
         // 0.62 with rerank=32 — over the 0.3 floor but thin, and the

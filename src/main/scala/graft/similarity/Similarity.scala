@@ -1005,6 +1005,53 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col(scoreName), col("rk"))
   }
 
+  /** knn_lsh body, parameterized on the banding so the recall/scan
+    * curve is measurable (`PROBE=lsh_curve`, §6 grid): one kernel pass
+    * computes every band's sign-bucket ((vec_id, band, bucket) — the
+    * per-plane HOF fold version interprets nBands·planes lambdas per
+    * row); the query side (NQueries rows) bucketizes directly rather
+    * than filtering the corpus kernel a second time; candidate IDS
+    * first (narrow distinct — a distinct over float-array columns
+    * hashes megabytes per row), vectors joined back after; exact
+    * cosine verify + per-query top-K. */
+  private[graft] def lshTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+                             nBands: Int, planesPerBand: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val bucketed = bucketize(s, e, nBands, planesPerBand)
+    val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands, planesPerBand)
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val candIds = bucketed.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = candIds
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "qid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** Candidate volume of [[lshTopK]]'s banding at the given params —
+    * the SCAN-FRACTION side of the recall curve (distinct (qid,
+    * candidate) pairs the exact verify must score). */
+  private[graft] def lshCandidateCount(s: org.apache.spark.sql.SparkSession, dir: String,
+                                       nBands: Int, planesPerBand: Int): Long = {
+    val e = Tables(s, dir).embeddings
+    val bucketed = bucketize(s, e, nBands, planesPerBand)
+    val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands, planesPerBand)
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    bucketed.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct().count()
+  }
+
   /** SimilaritySpec's recall floor, shared with the driver-visible
     * recall gate below so spec and gate cannot drift. */
   private[graft] val RecallFloor = 0.3
@@ -1425,38 +1472,12 @@ object Similarity extends QueryModule {
       // regime where cosine LSH is weakest — real embedding corpora
       // cluster much tighter and recall rises accordingly.)
       "knn_lsh",
-      (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        // (vec_id, band, bucket) for all vectors: one kernel pass
-        // computing every band's sign-bucket (the per-plane HOF fold
-        // version interprets 96 lambdas per row)
-        val bucketed = bucketize(s, e, nBands = 16, planesPerBand = 6)
-        // bucketize the query side directly (10 rows) rather than
-        // filtering the full corpus kernel a second time
-        val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands = 16, planesPerBand = 6)
-          .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-        // candidate ids first (narrow distinct), vectors joined back after
-        // — a distinct over float-array columns hashes megabytes per row
-        val candIds = bucketed.join(broadcast(qb), Seq("band", "bucket"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"))
-          .distinct()
-        val queries = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val cands = candIds
-          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-          .join(broadcast(queries), "qid")
-        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        val ann = cands
-          .withColumn("cosine", cosineNative(col("qe"), col("embedding")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
-        // driver-visible quality gate: measured recall vs exact top-k
-        // as a column, rows emptied below the spec floor
-        withRecallGate(ann, bruteForceTopK(s, dir))
-          .orderBy(col("qid"), col("rk"))
-      },
+      // nBands = 16, planesPerBand = 6: see [[lshTopK]] — the r15
+      // measured (bands × planes) grid kept this point (§6)
+      (s, dir) => withRecallGate(
+          lshTopK(s, dir, nBands = 16, planesPerBand = 6),
+          bruteForceTopK(s, dir))
+        .orderBy(col("qid"), col("rk")),
       None
     ),
 
