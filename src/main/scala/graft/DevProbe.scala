@@ -1201,7 +1201,7 @@ object DevProbe {
               .map(r => (r.getLong(0), r.getLong(1))).toSet
             val recall = (ann & bf).size.toDouble / bf.size
             val cands = graft.similarity.Similarity
-              .lshCandidateCount(spark, sfDir, nb, ppb)
+              .lshCandidates(spark, sfDir, nb, ppb).count()
             val frac = cands.toDouble / (nCorpus.toDouble * nQ)
             println(f"  nb=$nb ppb=$ppb recall=$recall%.3f scan_frac=$frac%.3f")
           }

@@ -1014,19 +1014,27 @@ object Similarity extends QueryModule {
     * first (narrow distinct — a distinct over float-array columns
     * hashes megabytes per row), vectors joined back after; exact
     * cosine verify + per-query top-K. */
-  private[graft] def lshTopK(s: org.apache.spark.sql.SparkSession, dir: String,
-                             nBands: Int, planesPerBand: Int): org.apache.spark.sql.DataFrame = {
+  /** The banding's distinct (qid, candidate) pairs — THE candidate set
+    * [[lshTopK]] verifies, exposed separately because its VOLUME is the
+    * scan-fraction side of the §6 recall grid. */
+  private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
+                                   nBands: Int, planesPerBand: Int): org.apache.spark.sql.DataFrame = {
     val e = Tables(s, dir).embeddings
     val bucketed = bucketize(s, e, nBands, planesPerBand)
     val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands, planesPerBand)
       .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-    val candIds = bucketed.join(broadcast(qb), Seq("band", "bucket"))
+    bucketed.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
+  }
+
+  private[graft] def lshTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+                             nBands: Int, planesPerBand: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir).embeddings
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cands = candIds
+    val cands = lshCandidates(s, dir, nBands, planesPerBand)
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries), "qid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
@@ -1035,21 +1043,6 @@ object Similarity extends QueryModule {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
-  }
-
-  /** Candidate volume of [[lshTopK]]'s banding at the given params —
-    * the SCAN-FRACTION side of the recall curve (distinct (qid,
-    * candidate) pairs the exact verify must score). */
-  private[graft] def lshCandidateCount(s: org.apache.spark.sql.SparkSession, dir: String,
-                                       nBands: Int, planesPerBand: Int): Long = {
-    val e = Tables(s, dir).embeddings
-    val bucketed = bucketize(s, e, nBands, planesPerBand)
-    val qb = bucketize(s, e.filter(col("vec_id") < NQueries), nBands, planesPerBand)
-      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-    bucketed.join(broadcast(qb), Seq("band", "bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
-      .distinct().count()
   }
 
   /** SimilaritySpec's recall floor, shared with the driver-visible
