@@ -111,6 +111,39 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("adversarial corpus: probe ≡ inline census bit-for-bit beyond the shipped data") {
+    // edges the shipped corpus never exercises: empty text (dl = 1 via
+    // [""]), term-stuffed short docs, one extreme-dl doc diluting its
+    // single hit, repeated terms, docs sharing no query term
+    import spark.implicits._
+    val rows: Seq[(Long, String)] =
+      (0L until 25L).map(i => i -> s"spark merge filler$i vector spark") ++
+      Seq(
+        100L -> "",
+        101L -> "spark spark spark spark",
+        102L -> (("pad " * 5000) + "spark"),
+        103L -> "merge",
+        104L -> "nothing shared here at all",
+        105L -> "vector vector merge spark vector")
+    val tmpData = java.nio.file.Files.createTempDirectory("graft_ti_adv").toString
+    try {
+      rows.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmpData/documents.parquet")
+      val inline = collectScores(TextQueries.bm25Top20(spark, tmpData))
+      // ≥ 20 docs with rounded-positive scores — the equality precondition
+      assert(inline.count { case (_, bits) =>
+        java.lang.Double.longBitsToDouble(bits) > 0.0 } >= K)
+      withIndex(spark.read.parquet(s"$tmpData/documents.parquet")
+        .select(col("doc_id"), col("text"))) { idx =>
+        val probed = collectScores(
+          TermIndex.probe(spark, idx, TextQueries.Bm25Terms, K))
+        assert(probed == inline)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpData))
+    }
+  }
+
   test("rebuild is deterministic: postings, terms, and stats byte-identical") {
     def fingerprint(idx: String): (Seq[String], Seq[String], (Double, Double)) = (
       spark.read.parquet(TermIndex.postingsPath(idx))
