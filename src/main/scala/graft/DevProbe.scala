@@ -1126,12 +1126,14 @@ object DevProbe {
         // bi_probe_one treatment): build the postings index at 1× and
         // SCALE_K× the corpus, then time (a) the partition-pruned
         // 3-term probe and (b) the inline text_bm25 census over the
-        // same corpus. The probe's scan prunes to ≤ 3/256 of the
-        // postings (same shard count at both scales — coverage is a
+        // same corpus. The probe's scan prunes to ≤ 3/64 of the
+        // postings (TermIndex.DefaultShards; same shard count at both
+        // scales — coverage is a
         // pure function of the query, not the corpus); the inline
         // census tokenizes the FULL corpus per run. Both scale
         // linearly in corpus size — the claim under measurement is the
-        // CONSTANT: the probe reads ~1% of the bytes and shuffles ~0.
+        // CONSTANT: the probe reads a bounded shard fraction (~5% of
+        // the postings at TermIndex.DefaultShards = 64) and shuffles ~0.
         // Token suffixing is OFF: replicas must keep the real term
         // distribution so the query terms' posting lists actually grow
         // k× (suffixed copies would move all their mass to unqueried

@@ -1346,6 +1346,10 @@ object Similarity extends QueryModule {
       // frames — free at any corpus size.
       "q_hybrid_rrf",
       (s, dir) => {
+        // the sparse leg reuses text_bm25's oracle through the index —
+        // same >= k rounded-positive-matches precondition, asserted
+        // loudly once per (session, dataset) (ADVICE r15)
+        graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
         val sparse = graft.textfn.TermIndex.probeStaged(s,
           graft.textfn.TermIndex.stagedIndex(s, dir),
           graft.textfn.TextQueries.Bm25Terms, 20)

@@ -510,8 +510,11 @@ object TextQueries extends QueryModule {
       // inline expression chain (TermIndexSpec pins it), so the driver
       // hash-compares the index path against the same DuckDB statement.
       "text_bm25_indexed",
-      (s, dir) => TermIndex.probeStaged(s, TermIndex.stagedIndex(s, dir),
-        Bm25Terms, 20),
+      (s, dir) => {
+        assertBm25IndexedPrecondition(s, dir)
+        TermIndex.probeStaged(s, TermIndex.stagedIndex(s, dir),
+          Bm25Terms, 20)
+      },
       Some(Bm25Sql)
     ),
 
@@ -1115,6 +1118,36 @@ object TextQueries extends QueryModule {
     }(Encoders.row(outSchema))
   }
 
+  /** Oracle-equality precondition for the INDEX-served BM25 entries
+    * (`text_bm25_indexed`, `q_hybrid_rrf`'s sparse leg), asserted once
+    * per (session, dataset) so a violation fails LOUDLY with its cause
+    * named instead of surfacing as an opaque driver hash mismatch
+    * (ADVICE r15): both reuse the inline `text_bm25` oracle, but probe
+    * ≡ inline requires ≥ k docs matching the standing query with
+    * rounded-positive scores — the probe cannot rank the zero-score
+    * non-candidates the inline query tie-breaks by doc_id. The check IS
+    * the serving probe (k rows, sub-second off the staged index), so it
+    * can never drift from the thing it guards. */
+  private val bm25IndexedPrecond = new graft.operators.SessionStaged[Unit](
+    (s, dir) => {
+      val rows = TermIndex.probeStaged(s, TermIndex.stagedIndex(s, dir),
+        Bm25Terms, 20).collect()
+      val minScore = rows.foldLeft(Double.PositiveInfinity)(
+        (m, r) => math.min(m, r.getAs[Double]("score")))
+      require(rows.length == 20 && minScore > 0.0,
+        "text_bm25_indexed oracle precondition violated: the corpus has " +
+          s"fewer than 20 documents matching ${Bm25Terms.mkString("/")} " +
+          s"with rounded-positive BM25 scores (got ${rows.length} rows, " +
+          s"min score $minScore) — the persisted-index probe ranks only " +
+          "docs containing >= 1 query term and cannot reproduce the " +
+          "inline query's doc_id tie-break over zero-score docs. " +
+          "Regenerated/sparser testdata: adjust Bm25Terms or k.")
+    })
+
+  private[graft] def assertBm25IndexedPrecondition(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    bm25IndexedPrecond.get(s, dir)
+
   /** The fixed 3-query batch for `text_bm25_batch`: the standing trio,
     * a Zipf-head query, and a query carrying the corpus's one rare
     * term — declared once so the Spark body and the oracle's VALUES
@@ -1128,8 +1161,12 @@ object TextQueries extends QueryModule {
     * contributions ROUND(·, 6) to DECIMAL, EXACT decimal sums per
     * (query, doc), rank over the decimal, DOUBLE at the boundary. */
   private[graft] val Bm25BatchSql: String = {
+    // ts.distinct: probeBatchRel dedups terms per query (a repeated
+    // term is one term, not double tf) — the VALUES list must share
+    // that rule by construction or a future batch with a repeated term
+    // would make the oracle double-count its contribution (ADVICE r15)
     val valuesList = Bm25BatchQueries
-      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
       .mkString(", ")
     s"""WITH queries(qid, term) AS (VALUES $valuesList),
       base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,

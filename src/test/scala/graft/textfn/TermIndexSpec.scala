@@ -158,20 +158,37 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
 
   test("batch probe agrees with the single-query probe to the rounding quantum") {
     withIndex(docs) { idx =>
-      val single = TermIndex.probe(spark, idx, TextQueries.Bm25Terms, 20)
-        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      // the batch path 6dp-rounds each per-term contribution BEFORE the
+      // (order-independent) decimal sum, the single path left-folds raw
+      // doubles then rounds once — scores agree within m half-quanta
+      // (2e-6 for the 3-term query). Membership at the rank-20 BOUNDARY
+      // is therefore corpus-dependent (a near-tie at rank 20 can
+      // legitimately flip between the two rounding schemes — ADVICE
+      // r15), so the assertion is the real contract, not exact keySet
+      // equality: batch members must be boundary-legitimate under the
+      // single path, and docs CLEARLY above the batch boundary must be
+      // batch members.
+      val singleRows = TermIndex.probe(spark, idx, TextQueries.Bm25Terms, 25)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+      val single25 = singleRows.toMap
+      val s20 = singleRows(math.min(19, singleRows.length - 1))._2
       val batch = TermIndex.probeBatch(spark, idx,
         Seq(7L -> TextQueries.Bm25Terms), 20)
         .collect()
       assert(batch.forall(_.getAs[Long]("qid") == 7L))
-      // the batch path 6dp-rounds each per-term contribution BEFORE the
-      // (order-independent) decimal sum, the single path left-folds raw
-      // doubles then rounds once — scores agree within m half-quanta
       val b = batch.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
-      assert(b.keySet == single.keySet,
-        s"top-20 sets diverged: ${b.keySet -- single.keySet} vs ${single.keySet -- b.keySet}")
+      val b20 = b.values.min
       b.foreach { case (id, s) =>
-        assert(math.abs(s - single(id)) <= 2e-6, s"doc $id: $s vs ${single(id)}")
+        assert(single25.contains(id),
+          s"batch doc $id is not in the single path's top-25")
+        assert(math.abs(s - single25(id)) <= 2e-6, s"doc $id: $s vs ${single25(id)}")
+        assert(single25(id) >= s20 - 2e-6,
+          s"batch doc $id scores ${single25(id)} — below the single boundary $s20")
+      }
+      singleRows.take(20).foreach { case (id, s) =>
+        if (s > b20 + 2e-6)
+          assert(b.contains(id),
+            s"doc $id scores $s, clearly above the batch boundary $b20, but is absent")
       }
     }
   }
