@@ -1182,6 +1182,37 @@ object DevProbe {
               .cast("int"))
             .distinct().count()
           println(s"  probe x$kk shards=$shards/${graft.textfn.TermIndex.DefaultShards}")
+
+          // ENGINEERED HIGH-DF probe (VERDICT r15 item 4): every doc
+          // gains a universal "the" token, the query pairs the corpus's
+          // rare term with it. The max-score branch generates candidates
+          // from the rare postings only and proves the dense term can't
+          // rank a dense-only doc — measured against the exhaustive
+          // probe over the same index, whose pivot aggregate holds
+          // corpus-scale state.
+          import org.apache.spark.sql.functions.{concat, lit, when}
+          val stopDocs = docs.withColumn("text",
+            when(col("text").isNotNull, concat(col("text"), lit(" the"))))
+          val idxStop = s"$tmp/termidx_stop"
+          t(s"ti_build_stop x$kk") {
+            graft.textfn.TermIndex.build(spark, stopDocs, idxStop)
+          }
+          val denseTerms = Seq("dup", "the")
+          t(s"ti_probe_dense_maxscore x$kk") {
+            val pruned0 = graft.textfn.TermIndex.maxScorePruned.get()
+            val n = graft.textfn.TermIndex
+              .probe(spark, idxStop, denseTerms, 20).count()
+            println(s"  dense_maxscore x$kk rows=$n engaged=" +
+              (graft.textfn.TermIndex.maxScorePruned.get() - pruned0))
+          }
+          t(s"ti_probe_dense_exhaustive x$kk") {
+            val n = graft.textfn.TermIndex.probeRelExhaustive(spark,
+              spark.read.parquet(graft.textfn.TermIndex.postingsPath(idxStop)),
+              spark.read.parquet(s"$idxStop/terms"),
+              graft.textfn.TermIndex.loadStats(spark, idxStop),
+              denseTerms, 20, graft.textfn.TermIndex.DefaultShards).count()
+            println(s"  dense_exhaustive x$kk rows=$n")
+          }
         }
 
       case "lsh_curve" =>

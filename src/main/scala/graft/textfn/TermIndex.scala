@@ -195,9 +195,58 @@ object TermIndex {
       s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
       terms, k, nShards)
 
+  /** df/n_docs above which a query term is DENSE for [[probeRel]]'s
+    * max-score candidate pruning: its posting list covers the majority
+    * of the corpus, so "docs containing it" is not a candidate set —
+    * it is the corpus. Its analytic impact ceiling is correspondingly
+    * small (idf ≤ ln 2 at 0.5, → 0 as df → n), which is what makes the
+    * bound check below pass for real stopword-class terms. */
+  val MaxScoreDenseDfFrac = 0.5
+
+  /** Rounding margin for the max-score bound check: output scores are
+    * 6dp-rounded, so a non-candidate's ROUNDED score can sit half a
+    * quantum above its true score — the k-th candidate must clear the
+    * dense ceiling by a full quantum before pruning is provably safe. */
+  private val MaxScoreQuantum = 1e-6
+
+  /** Probe-count telemetry for the max-score branch (spec + DevProbe
+    * visibility — the branch decision is otherwise invisible from the
+    * returned frame). */
+  private[graft] val maxScorePruned = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val maxScoreFellBack = new java.util.concurrent.atomic.AtomicLong
+
   /** [[probe]] over pre-read relations + stats — the staged QueryDef
     * path (file listing and footers read once per session, the
-    * BandIndex.probeRel rationale). */
+    * BandIndex.probeRel rationale).
+    *
+    * MAX-SCORE CANDIDATE PRUNING (VERDICT r15 item 4): a stopword-class
+    * query term defeats shard pruning from inside — its posting list IS
+    * the corpus, so the per-doc pivot aggregate holds corpus-scale
+    * state and the top-k heaps rank every document. The fix is the
+    * classic max-score split under the frozen scorer: per-term BM25
+    * contribution is strictly below `2.2·idf(df)` for every possible tf
+    * and dl (the tf→∞ limit; dl ≥ 1 — and idf uses FROZEN df, so the
+    * ceiling holds for appended postings too). Terms with
+    * df > [[MaxScoreDenseDfFrac]]·n_docs are DENSE; the rest are
+    * SPARSE. When both classes are present, candidates are the docs
+    * holding ≥ 1 sparse posting; they are scored EXACTLY (all terms,
+    * the verbatim chain — semi-join restricts rows, never arithmetic),
+    * and the k-th candidate's rounded score θ is checked driver-side
+    * against the dense ceiling Σ_dense 2.2·idf: a dense-only doc scores
+    * strictly below that sum, so θ − Σ > quantum proves no pruned doc
+    * could enter the top-k even through a rounded tie (ties break on
+    * doc_id; the margin makes the exclusion strict). If the proof fails
+    * (dense terms genuinely decide the ranking, or < k candidates), the
+    * probe FALLS BACK to the exhaustive path — pruning is an
+    * optimization with a proof obligation, never a semantics change.
+    * Cost shape at 100 TB: the dense posting scan still streams (exact
+    * tf for candidates lives only there — the floor for exact BM25
+    * without a forward index), but aggregate state and the rank cut
+    * drop from corpus-scale to candidate-scale. The pruned branch
+    * materializes its k rows driver-side to run the proof (the probe
+    * already collects shard/df lookups driver-side; k is
+    * result-sized). All-sparse queries — the standing QueryDefs — take
+    * the untouched single-pass path, bit-identical plan and all. */
   private[graft] def probeRel(s: SparkSession, postings: DataFrame,
                               termsRel: DataFrame, stats: (Double, Double),
                               terms: Seq[String], k: Int,
@@ -223,13 +272,60 @@ object TermIndex {
     // shard is a PARTITION column of postings/ — isin() prunes at
     // planning; the term filter rides into the row groups
     val pruned = postings.filter(shardFilter && col("term").isin(terms: _*))
+    val sparseTerms = terms.filter(t =>
+      dfByTerm.getOrElse(t, 0.0) <= MaxScoreDenseDfFrac * nDocs)
+    val denseTerms = terms.filterNot(sparseTerms.contains)
+    if (denseTerms.isEmpty || sparseTerms.isEmpty)
+      // all-sparse (the standing queries): one pass, lazy, unchanged.
+      // All-dense: no sparse candidate generator exists — exhaustive.
+      rankTopK(s, pruned, stats, dfByTerm, terms, k)
+    else {
+      // candidate docs: ≥ 1 sparse posting. distinct BEFORE the semi
+      // join (a doc with several sparse terms must not fan the join)
+      val candDocs = pruned.filter(col("term").isin(sparseTerms: _*))
+        .select(col("doc_id")).distinct()
+      val top = rankTopK(s, pruned.join(candDocs, Seq("doc_id"), "left_semi"),
+        stats, dfByTerm, terms, k).collect()
+      // dense ceiling: Σ over dense terms of the analytic per-term max
+      val denseCeiling = denseTerms.map { t =>
+        val df = dfByTerm.getOrElse(t, 0.0)
+        2.2 * math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      }.sum
+      val proofHolds = top.length == k &&
+        top.last.getDouble(top.last.fieldIndex("score")) - denseCeiling >
+          MaxScoreQuantum
+      if (proofHolds) {
+        maxScorePruned.incrementAndGet()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(top.toList.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+          .orderBy(col("score").desc, col("doc_id"))
+      } else {
+        maxScoreFellBack.incrementAndGet()
+        rankTopK(s, pruned, stats, dfByTerm, terms, k)
+      }
+    }
+  }
+
+  /** The exhaustive scoring chain over a posting source: pivot, the
+    * verbatim `text_bm25` contribution fold, top-k. Exposed
+    * `private[graft]` pieces-together so the spec can pin the max-score
+    * branch against the unpruned path on the same relations. */
+  private def rankTopK(s: SparkSession, src: DataFrame,
+                       stats: (Double, Double), dfByTerm: Map[String, Double],
+                       terms: Seq[String], k: Int): DataFrame = {
+    val (nDocs, sumDl) = stats
     // pivot the ≤ |terms| posting rows per doc into FIXED query order;
     // max() over bit-identical replay duplicates is that value, and dl
     // is functionally dependent on doc_id
     val aggs = max(col("dl")).as("dl") +: terms.zipWithIndex.map {
       case (t, i) => max(when(col("term") === lit(t), col("tf"))).as(s"tf_$i")
     }
-    val perDoc = pruned.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val perDoc = src.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     // the text_bm25 expression chain VERBATIM (same literals, same
     // shapes, same left fold) over the frozen constants — Catalyst
     // folds the constant subterms with the same double arithmetic the
@@ -253,6 +349,27 @@ object TermIndex {
       .limit(k)
   }
 
+  /** The exhaustive probe with max-score pruning DISABLED — the spec's
+    * reference side for pinning the pruned branch's equality. */
+  private[graft] def probeRelExhaustive(s: SparkSession, postings: DataFrame,
+                                        termsRel: DataFrame,
+                                        stats: (Double, Double),
+                                        terms: Seq[String], k: Int,
+                                        nShards: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val needed: Array[Int] = s.createDataset(terms)(Encoders.STRING)
+      .toDF("term").select(shardCol(nShards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val shardFilter = col("shard")
+      .isin(needed.toIndexedSeq.map(Int.box): _*)
+    val dfByTerm: Map[String, Double] = termsRel
+      .filter(shardFilter && col("term").isin(terms: _*))
+      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+        r.getDouble(r.fieldIndex("df"))).toMap
+    rankTopK(s, postings.filter(shardFilter && col("term").isin(terms: _*)),
+      stats, dfByTerm, terms, k)
+  }
+
   /** BATCH retrieval: top-k BM25 per query over a query batch — the
     * document-at-a-time scoring JOIN, where [[probe]] is the
     * single-standing-query pivot. The shapes differ because the costs
@@ -273,7 +390,17 @@ object TermIndex {
     * shuffles before the per-(qid, doc) aggregate. Terms unseen at
     * build time keep frozen df = 0 (the [[probe]] contract — appended
     * postings for such terms still score). Duplicate terms within a
-    * query are deduped (a repeated term is one term, not double tf). */
+    * query are deduped (a repeated term is one term, not double tf).
+    *
+    * Top-k cost (VERDICT r15): the rank is declared as a row_number
+    * window + filter and Catalyst's InferWindowGroupLimit plans it
+    * two-phase — a PARTIAL WindowGroupLimit below the qid exchange cuts
+    * each map task's output to ≤ k rows per query off its local sort,
+    * so the per-query reducer ranks ≤ partitions×k survivors, never the
+    * full candidate aggregate (a common-term query's corpus-scale
+    * candidate set is sorted in parallel map-side, exactly the
+    * partitionTopK discipline the dense batch paths hand-roll —
+    * PlanShapeSpec pins the Partial node so the shape is load-bearing). */
   def probeBatch(s: SparkSession, indexDir: String,
                  queries: Seq[(Long, Seq[String])], k: Int,
                  nShards: Int = DefaultShards): DataFrame =

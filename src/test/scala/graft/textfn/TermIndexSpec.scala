@@ -156,6 +156,83 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("max-score pruning: a stopword-class term engages the pruned branch, result bit-identical") {
+    import spark.implicits._
+    // every doc gains a universal token → df("the") = n_docs, the
+    // dense class by any threshold. The sparse partner must actually BE
+    // sparse: the shipped corpus's standing terms are Zipf-head tokens
+    // (df ≈ 0.77·n — themselves dense at the 0.5 threshold, which is
+    // why the standing QueryDefs take the exhaustive path unchanged);
+    // `dup` is the corpus's one rare term (df = 25 of 500 here).
+    val stopworded = docs.withColumn("text",
+      when(col("text").isNotNull, concat(col("text"), lit(" the"))))
+    withIndex(stopworded) { idx =>
+      val terms = Seq("dup", "the")
+      val prunedBefore = TermIndex.maxScorePruned.get()
+      val got = collectScores(TermIndex.probe(spark, idx, terms, K))
+      assert(TermIndex.maxScorePruned.get() == prunedBefore + 1,
+        "dense+sparse query did not take the max-score branch")
+      val want = collectScores(TermIndex.probeRelExhaustive(spark,
+        spark.read.parquet(TermIndex.postingsPath(idx)),
+        spark.read.parquet(s"$idx/terms"),
+        TermIndex.loadStats(spark, idx), terms, K, TermIndex.DefaultShards))
+      assert(got == want, "pruned branch diverged from the exhaustive probe")
+    }
+  }
+
+  test("max-score pruning falls back when dense terms genuinely decide the ranking") {
+    import spark.implicits._
+    // 30 docs: 10 long docs carry the sparse term `rare` (contribution
+    // ~0.63 each), 18 short docs carry only the dense term `mid`
+    // (df = 0.6·n > the 0.5 threshold; contribution ~0.81 — the TRUE
+    // top-5 is dense-only docs the candidate generator cannot see).
+    // The k-th candidate (0.63) does NOT clear the dense ceiling
+    // (2.2·idf ≈ 1.14), so the proof fails and the probe must fall
+    // back to the exhaustive path — a silent prune here would return
+    // the wrong five documents.
+    val rows =
+      (0 until 10).map(i => (i.toLong,
+        ("rare" +: (0 until 49).map(j => s"f${i}_$j")).mkString(" "))) ++
+      (10 until 28).map(i => (i.toLong, "mid pad")) ++
+      (28 until 30).map(i => (i.toLong, "pad pad"))
+    val d = rows.toDF("doc_id", "text")
+    withIndex(d) { idx =>
+      val fellBackBefore = TermIndex.maxScoreFellBack.get()
+      val got = TermIndex.probe(spark, idx, Seq("rare", "mid"), 5).collect()
+      assert(TermIndex.maxScoreFellBack.get() == fellBackBefore + 1,
+        "unprovable prune did not fall back")
+      val topIds = got.map(_.getAs[Long]("doc_id")).toSet
+      assert(topIds.forall(id => id >= 10 && id < 28),
+        s"true top-5 is the dense-only docs; got $topIds")
+      val want = TermIndex.probeRelExhaustive(spark,
+        spark.read.parquet(TermIndex.postingsPath(idx)),
+        spark.read.parquet(s"$idx/terms"),
+        TermIndex.loadStats(spark, idx), Seq("rare", "mid"), 5,
+        TermIndex.DefaultShards).collect()
+      assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    }
+  }
+
+  test("max-score pruning falls back when there are fewer than k candidates") {
+    import spark.implicits._
+    val rows =
+      (0 until 3).map(i => (i.toLong, s"rare doc_$i")) ++
+      (3 until 20).map(i => (i.toLong, "the the"))
+    val d = rows.toDF("doc_id", "text")
+    withIndex(d) { idx =>
+      val fellBackBefore = TermIndex.maxScoreFellBack.get()
+      // df("the") = 17/20 > 0.5 → dense; only 3 candidate docs < k=10
+      val got = TermIndex.probe(spark, idx, Seq("rare", "the"), 10).collect()
+      assert(TermIndex.maxScoreFellBack.get() == fellBackBefore + 1)
+      val want = TermIndex.probeRelExhaustive(spark,
+        spark.read.parquet(TermIndex.postingsPath(idx)),
+        spark.read.parquet(s"$idx/terms"),
+        TermIndex.loadStats(spark, idx), Seq("rare", "the"), 10,
+        TermIndex.DefaultShards).collect()
+      assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    }
+  }
+
   test("batch probe agrees with the single-query probe to the rounding quantum") {
     withIndex(docs) { idx =>
       // the batch path 6dp-rounds each per-term contribution BEFORE the
