@@ -92,9 +92,9 @@ ${shardLines.mkString(",\n")}
       .parquet(s"$outDir/shards")
     val written = docs.sparkSession.read.parquet(s"$outDir/shards")
     val m = manifestOf(nShards, statsOf(written))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "_manifest.json"),
-      renderJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Hadoop FileSystem API (r16): the manifest must land wherever the
+    // shards land — local, HDFS, or object store alike
+    graft.operators.IndexFs.writeSmall(s"$outDir/_manifest.json", renderJson(m))
     m
   }
 
@@ -102,10 +102,7 @@ ${shardLines.mkString(",\n")}
     * persisted manifest — true iff every shard (and the totals)
     * matches. */
   def verify(s: SparkSession, outDir: String): Boolean = {
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(outDir, "_manifest.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val txt = graft.operators.IndexFs.readSmall(s"$outDir/_manifest.json")
     val written = s.read.parquet(s"$outDir/shards")
     val stats = statsOf(written)
     // rebuild the manifest from disk + recomputed stats and compare the

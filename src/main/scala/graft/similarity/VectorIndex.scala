@@ -27,17 +27,18 @@ import org.apache.spark.sql.functions._
   * scoring is one broadcast-queries pass over the pruned scan with
   * per-partition bounded heaps — the corpus side is never shuffled.
   *
-  * FILESYSTEM CONTRACT (shared with [[graft.dedup.BandIndex]] and
-  * [[graft.operators.Generations]]): the index directory must be on a
-  * LOCAL filesystem — generation listing, the commit flip, and the
-  * compact no-op check all go through `java.io.File`/`java.nio.file`,
-  * which a Hadoop-compatible store (HDFS/S3) does not serve. Deploying
-  * the persisted-index tier against such a store means resolving these
-  * paths through the Hadoop `FileSystem` API (and replacing ATOMIC_MOVE
-  * with the store's rename/conditional-put commit). The DATA
-  * reads/writes are already store-agnostic (`spark.read.parquet`);
-  * [[loadMipsM2]] probes by reading, not by `File.exists`, so the
-  * IVF/MIPS dispatch bit is store-agnostic too.
+  * FILESYSTEM (r16, VERDICT r15 item 1 — shared with
+  * [[graft.dedup.BandIndex]] and [[graft.operators.Generations]]):
+  * generation listing, the commit markers, the compact no-op check,
+  * and the stale-marker sweep all resolve through the Hadoop
+  * `FileSystem` API ([[graft.operators.IndexFs]]) — local paths serve
+  * through `file://` unchanged, HDFS/S3 through their registered
+  * schemes, and the commit needs no rename at all (marker-file names
+  * carry the generation — see Generations). HadoopFsIndexSpec drives
+  * the full build/append/compact/probe lifecycle over a non-`file:`
+  * scheme. The DATA reads/writes were always store-agnostic
+  * (`spark.read.parquet`); [[loadMipsM2]] probes by reading, not by
+  * existence-checking, so the IVF/MIPS dispatch bit is too.
   */
 object VectorIndex {
 
@@ -88,11 +89,11 @@ object VectorIndex {
   def compact(s: SparkSession, indexDir: String): Unit = {
     val gen = currentGen(indexDir)
     graft.operators.Generations.reapOthers(indexDir, gen)
-    val genDir = new java.io.File(s"$indexDir/gen=$gen/vectors")
-    val multiFile = Option(genDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .exists(c => Option(c.listFiles()).getOrElse(Array.empty)
-        .count(_.getName.endsWith(".parquet")) > 1)
+    val multiFile = graft.operators.IndexFs
+      .list(s"$indexDir/gen=$gen/vectors")
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .exists(c => graft.operators.IndexFs.list(c.getPath.toString)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
     if (!multiFile) return
     val next = gen + 1
     // Overwrite: a crashed earlier attempt at this generation is
@@ -114,9 +115,7 @@ object VectorIndex {
     // AFTER this completes: a stale mips_m2 from a former MIPS index in
     // the same directory would make append() mis-dispatch every future
     // batch to MIPS augmentation (ADVICE r14) — sweep it first.
-    val m2Dir = new java.io.File(s"$indexDir/mips_m2")
-    if (m2Dir.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(m2Dir)
+    graft.operators.IndexFs.delete(s"$indexDir/mips_m2")
     val cents = Similarity.coarseCentroids(s, data, nCells, iters)
     import scala.jdk.CollectionConverters._
     val centRows: java.util.List[Row] =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import graft.operators.IndexFs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Production-shaped graph sink: the durable sibling of the in-memory
@@ -29,10 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - the union of the previous base generation and all newly applied
   *    batches is written to `base/gen=<n+1>` (overwrite mode — a
   *    crashed earlier attempt at the same generation is replaced);
-  *  - a commit record (`_compaction/commit`, written via temp file +
-  *    ATOMIC_MOVE) flips readers to the new generation and records
-  *    `through` = the highest batch id folded in; only then are folded
-  *    batch directories, their markers, and stale generations deleted.
+  *  - a commit marker (`_compaction/commit.gen=<n+1>.through=<m>` —
+  *    the generation AND `through` = the highest folded batch id ride
+  *    in the NAME, readers take the max-gen marker, so a racing reader
+  *    parses either the old or the new record, never a partial one;
+  *    the [[graft.operators.Generations]] discipline, no rename
+  *    needed) flips readers to the new generation; only then are
+  *    folded batch directories, their markers, stale generations, and
+  *    superseded commit markers deleted.
   *
   * Crash anywhere in that sequence is safe: before the commit flip,
   * readers still see old base + batch dirs and a re-run overwrites the
@@ -53,43 +57,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ParquetGraphSink(tablePath: String) extends Serializable {
 
   private def triplesDir = s"$tablePath/triples"
-  private def appliedDir = Paths.get(tablePath, "_applied")
+  private def appliedDir = s"$tablePath/_applied"
+  private def compactionDir = s"$tablePath/_compaction"
   private def batchDir(id: Long) = s"$triplesDir/batch_id=$id"
   private def genDir(gen: Long) = s"$tablePath/base/gen=$gen"
-  private def commitFile: Path = Paths.get(tablePath, "_compaction", "commit")
+  private def commitMarker(gen: Long, through: Long) =
+    s"commit.gen=$gen.through=$through"
 
-  /** (generation, highest folded batch id); (0, -1) before any compaction. */
-  private def commitState: (Long, Long) =
-    if (!Files.exists(commitFile)) (0L, -1L)
-    else {
-      val parts = new String(Files.readAllBytes(commitFile), "UTF-8").trim.split(" ")
-      (parts(0).stripPrefix("gen=").toLong, parts(1).stripPrefix("through=").toLong)
-    }
+  /** (generation, highest folded batch id); (0, -1) before any
+    * compaction. Max-gen marker wins — the Generations read rule. */
+  private def commitState: (Long, Long) = {
+    val records = IndexFs.list(compactionDir)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("commit.gen="))
+      .map { n =>
+        val parts = n.stripPrefix("commit.gen=").split("\\.through=")
+        (parts(0).toLong, parts(1).toLong)
+      }
+    if (records.isEmpty) (0L, -1L) else records.maxBy(_._1)
+  }
 
   /** foreachBatch body. Safe under replays and restarts (see class doc). */
   def merge(batch: DataFrame, batchId: Long): Unit = {
-    Files.createDirectories(appliedDir)
-    val marker = appliedDir.resolve(batchId.toString)
+    val marker = s"$appliedDir/$batchId"
     // a batch already folded into the base has no marker anymore — the
     // commit record refuses its replay instead
-    if (batchId > commitState._2 && !Files.exists(marker)) {
+    if (batchId > commitState._2 && !IndexFs.exists(marker)) {
       batch.select("subject", "predicate", "object", "ts_us")
         .write.mode("overwrite").parquet(batchDir(batchId))
-      Files.createFile(marker)
+      IndexFs.createMarker(marker)
     }
   }
 
   /** Batch ids durably applied and not yet folded into the base. */
   def appliedBatchIds: Seq[Long] = {
-    import scala.jdk.CollectionConverters._
     val through = commitState._2
-    if (!Files.isDirectory(appliedDir)) Seq.empty
-    else {
-      val s = Files.list(appliedDir)
-      try s.iterator().asScala.map(_.getFileName.toString.toLong)
-        .filter(_ > through).toSeq.sorted
-      finally s.close()
-    }
+    IndexFs.list(appliedDir)
+      .map(_.getPath.getName.toLong)
+      .filter(_ > through).toSeq.sorted
   }
 
   /** Fold every applied batch into the next base generation and reap
@@ -107,32 +112,25 @@ final class ParquetGraphSink(tablePath: String) extends Serializable {
     spark.read.parquet(srcs: _*)
       .select("subject", "predicate", "object", "ts_us")
       .write.mode("overwrite").parquet(genDir(newGen))
-    Files.createDirectories(commitFile.getParent)
-    val tmp = commitFile.getParent.resolve("commit.tmp")
-    Files.write(tmp, s"gen=$newGen through=$newThrough".getBytes("UTF-8"))
-    Files.move(tmp, commitFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // the atomically-visible flip: the new record's NAME carries both
+    // fields, readers take the max generation
+    IndexFs.createMarker(s"$compactionDir/${commitMarker(newGen, newThrough)}",
+      s"gen=$newGen through=$newThrough")
     cleanup(newGen, newThrough)
   }
 
-  /** Delete base generations other than `keepGen` and batch data +
-    * markers folded through `through` — everything invisible to
-    * readers of the current commit. */
+  /** Delete base generations other than `keepGen`, batch data +
+    * markers folded through `through`, and superseded commit records —
+    * everything invisible to readers of the current commit. */
   private def cleanup(keepGen: Long, through: Long): Unit = {
-    import scala.jdk.CollectionConverters._
-    def reap(dir: Path, keep: String => Boolean): Unit =
-      if (Files.isDirectory(dir)) {
-        val s = Files.list(dir)
-        val stale = try s.iterator().asScala.filterNot(p => keep(p.getFileName.toString)).toList
-        finally s.close()
-        stale.foreach(p =>
-          try org.apache.commons.io.FileUtils.forceDelete(p.toFile)
-          catch { case _: Throwable => () })
-      }
-    reap(Paths.get(tablePath, "base"), _ == s"gen=$keepGen")
-    reap(Paths.get(triplesDir),
-      name => name.stripPrefix("batch_id=").toLong > through)
+    def reap(dir: String, keep: String => Boolean): Unit =
+      IndexFs.list(dir)
+        .filterNot(st => keep(st.getPath.getName))
+        .foreach(st => IndexFs.deleteQuietly(st.getPath.toString))
+    reap(s"$tablePath/base", _ == s"gen=$keepGen")
+    reap(triplesDir, name => name.stripPrefix("batch_id=").toLong > through)
     reap(appliedDir, _.toLong > through)
+    reap(compactionDir, _ == commitMarker(keepGen, through))
   }
 
   /** Materialize (objects, relationships) from everything durably

@@ -58,11 +58,14 @@ import org.apache.spark.sql.functions._
   * rounded-positive scores", a strictly weaker precondition than the
   * one the spec asserts holds here (min top-20 score ≈ 1).
   *
-  * GROWTH LIFECYCLE + LOCAL-FS CONTRACT: generations, the commit flip,
-  * compact's no-op heuristic, and replay tolerance are the shared
+  * GROWTH LIFECYCLE: generations, the commit markers, compact's no-op
+  * heuristic, and replay tolerance are the shared
   * [[graft.operators.Generations]] mechanism — see the BandIndex /
-  * VectorIndex headers; index directories must be on a local filesystem
-  * (the data reads/writes themselves are store-agnostic).
+  * VectorIndex headers. All index metadata resolves through the Hadoop
+  * `FileSystem` API ([[graft.operators.IndexFs]], r16 — VERDICT r15
+  * item 1), so the index serves off local FS, HDFS, or object stores
+  * alike; HadoopFsIndexSpec drives the lifecycle over a non-`file:`
+  * scheme.
   */
 object TermIndex {
 
@@ -169,11 +172,11 @@ object TermIndex {
   def compact(s: SparkSession, indexDir: String): Unit = {
     val gen = currentGen(indexDir)
     graft.operators.Generations.reapOthers(indexDir, gen)
-    val genDir = new java.io.File(s"$indexDir/gen=$gen/postings")
-    val multiFile = Option(genDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-      .exists(c => Option(c.listFiles()).getOrElse(Array.empty)
-        .count(_.getName.endsWith(".parquet")) > 1)
+    val multiFile = graft.operators.IndexFs
+      .list(s"$indexDir/gen=$gen/postings")
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .exists(c => graft.operators.IndexFs.list(c.getPath.toString)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
     if (!multiFile) return
     val next = gen + 1
     s.read.parquet(s"$indexDir/gen=$gen/postings")
@@ -489,8 +492,7 @@ object TermIndex {
   Runtime.getRuntime.addShutdownHook(new Thread(() => staged.clear()))
 
   private def deleteDir(dir: String): Unit =
-    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-    catch { case scala.util.control.NonFatal(_) => () }
+    graft.operators.IndexFs.deleteQuietly(dir)
 
   private[graft] def stagedIndex(s: SparkSession, dir: String): StagedIndex =
     staged.get(s, dir)
