@@ -306,6 +306,70 @@ object StreamSparseTopK {
     s.read.parquet(outDir)
 }
 
+/** Streaming face of `produce_delivery_report` (r16 — the ack side of
+  * the producer, which is ASYNC by nature: librdkafka invokes dr_cb
+  * per message as broker acks arrive, so the stream is the callback's
+  * native shape and the batch query is its aggregate snapshot). Each
+  * micro-batch of produced frames updates per-partition cumulative
+  * counters and emits the partition's CURRENT report row — produced /
+  * delivered / failed / high-water offset — the live view an ops
+  * dashboard tails while a backfill produce runs.
+  *
+  * Broker model shared with the batch QueryDef by construction (same
+  * constants, same arithmetic): keyed partitioner
+  * floorMod(key, nParts), the offline partition fails every message
+  * (LEADER_NOT_AVAILABLE — the per-partition failure class real
+  * delivery reports surface), fresh-topic consecutive offsets make
+  * the high-water mark n_delivered − 1 (−1 while a partition has
+  * delivered nothing, the Kafka empty-partition convention). The
+  * serializer-failure guard is the batch query's filter verbatim: a
+  * null/≤ CP1-header-sized frame never reaches the broker, so it
+  * counts in NO column. Counters are order-independent sums, so the
+  * report is replay- and split-invariant by construction; state per
+  * partition is three longs — O(nParts), never stream-bound.
+  * StreamDeliveryReportSpec pins single-batch ≡ the batch QueryDef's
+  * aggregate rows and split-feed ≡ single-feed on the final report.
+  */
+object StreamDeliveryReport {
+
+  /** One produced frame: the partitioner key + the frame's byte size
+    * (the report needs validity and routing, never the payload). */
+  final case class Msg(key: String, n_bytes: Long)
+
+  final case class PartState(produced: Long, delivered: Long, failed: Long)
+
+  final case class Report(partition: Int, n_produced: Long,
+                          n_delivered: Long, n_failed: Long,
+                          max_offset: Long, err_reason: String)
+
+  /** CP1 frame floor: magic byte + 4-byte schema id — anything not
+    * strictly larger carries no payload (the batch query's filter). */
+  private val MinFrameBytes = 5L
+
+  def reports(msgs: Dataset[Msg], nParts: Int = 8, offline: Int = 7)
+      : Dataset[Report] = {
+    import msgs.sparkSession.implicits._
+    msgs
+      .filter(m => m.n_bytes > MinFrameBytes)
+      .groupByKey(m => math.floorMod(m.key.toLong, nParts.toLong).toInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (p: Int, batch: Iterator[Msg], state: GroupState[PartState]) =>
+          val st = state.getOption.getOrElse(PartState(0L, 0L, 0L))
+          var produced = st.produced
+          var delivered = st.delivered
+          var failed = st.failed
+          batch.foreach { _ =>
+            produced += 1
+            if (p == offline) failed += 1 else delivered += 1
+          }
+          state.update(PartState(produced, delivered, failed))
+          Iterator.single(Report(p, produced, delivered, failed,
+            delivered - 1L,
+            if (p == offline) "LEADER_NOT_AVAILABLE" else "NONE"))
+      }
+  }
+}
+
 /** Streaming face of `q_events_markov`: per-user event-type transition
   * rows off the live stream, with the LAST event carried in state so a
   * transition that straddles a micro-batch boundary is never lost — the
