@@ -1167,11 +1167,13 @@ object DevProbe {
             println(s"  inline x$kk rows=$n")
           }
           t(s"ti_probe_batch x$kk") {
+            val p0 = graft.textfn.TermIndex.maxScoreBatchPruned.get()
             val n = graft.textfn.TermIndex.probeBatch(spark, idx,
               Seq(0L -> Seq("spark", "merge", "vector"),
                 1L -> Seq("join", "hash", "batch"),
                 2L -> Seq("stream", "window", "dup")), 5).count()
-            println(s"  probe_batch x$kk rows=$n")
+            println(s"  probe_batch x$kk rows=$n engaged=" +
+              (graft.textfn.TermIndex.maxScoreBatchPruned.get() - p0))
           }
           // shard coverage OUTSIDE the timed blocks (driver-side, tiny)
           import org.apache.spark.sql.Encoders

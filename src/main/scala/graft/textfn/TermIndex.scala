@@ -411,10 +411,31 @@ object TermIndex {
       s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
       queries, k, nShards)
 
+  /** Batch-probe telemetry, the [[maxScorePruned]] siblings. */
+  private[graft] val maxScoreBatchPruned = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val maxScoreBatchFellBack = new java.util.concurrent.atomic.AtomicLong
+
+  /** BATCH MAX-SCORE (r16, the single-probe discipline per query): a
+    * stopword inside ANY batch query makes the per-(qid, doc) aggregate
+    * corpus-scale — the partial rank cut bounds the SORT, not the
+    * aggregate state. Queries mixing sparse (df ≤ 0.5·n) and dense
+    * terms restrict their contribution rows to candidate (qid, doc)
+    * pairs holding ≥ 1 sparse posting BEFORE the aggregate; all-sparse
+    * and all-dense queries stay unrestricted. The proof is per mixed
+    * query over the DECIMAL boundary: an excluded dense-only doc's
+    * score is Σ_dense round(c_t, 6) ≤ Σ_dense(2.2·idf_t + 5e-7), so the
+    * k-th candidate must clear Σ_dense 2.2·idf by (|dense|+1) rounding
+    * quanta. Any mixed query failing its proof (or returning < k rows)
+    * falls the WHOLE batch back to the exhaustive plan — same
+    * optimization-with-a-proof-obligation contract as [[probeRel]],
+    * never a semantics change (the oracle-gated batch rides whichever
+    * branch and hashes identically). The pruned branch materializes
+    * its ≤ |queries|·k rows driver-side to run the proof. */
   private[graft] def probeBatchRel(s: SparkSession, postings: DataFrame,
                                    termsRel: DataFrame, stats: (Double, Double),
                                    queries: Seq[(Long, Seq[String])], k: Int,
-                                   nShards: Int): DataFrame = {
+                                   nShards: Int,
+                                   pruneMaxScore: Boolean = true): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "TermIndex.probeBatch: empty query batch or empty term list")
     val (nDocs, sumDl) = stats
@@ -444,24 +465,87 @@ object TermIndex {
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-    // replay duplicates (bit-identical posting rows) must not
-    // double-count: dedup the pruned rows on their key first
-    val scored = pruned
-      .dropDuplicates("term", "doc_id")
-      .join(broadcast(qRows), "term")
-      .join(broadcast(termStats), "term")
-      .withColumn("c", round(contrib, 6)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("c")).as("score_dec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score_dec").desc, col("doc_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("doc_id"),
-        col("score_dec").cast("double").as("score"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
+
+    /** The full ranked plan over an optional (qid, doc_id) candidate
+      * restriction — the UNRESTRICTED call is the exhaustive batch. */
+    def ranked(restrictTo: Option[DataFrame]): DataFrame = {
+      // replay duplicates (bit-identical posting rows) must not
+      // double-count: dedup the pruned rows on their key first
+      val contribRows = pruned
+        .dropDuplicates("term", "doc_id")
+        .join(broadcast(qRows), "term")
+      val restricted = restrictTo match {
+        case Some(cands) => contribRows.join(cands, Seq("qid", "doc_id"), "left_semi")
+        case None => contribRows
+      }
+      val scored = restricted
+        .join(broadcast(termStats), "term")
+        .withColumn("c", round(contrib, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("c")).as("score_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score_dec").desc, col("doc_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("doc_id"),
+          col("score_dec").cast("double").as("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }
+
+    // per-query sparse/dense split under the frozen df
+    val split: Map[Long, (Seq[String], Seq[String])] = queries.map {
+      case (qid, ts) =>
+        val d = ts.distinct
+        val sparse = d.filter(t =>
+          dfByTerm.getOrElse(t, 0.0) <= MaxScoreDenseDfFrac * nDocs)
+        qid -> ((sparse, d.filterNot(sparse.contains)))
+    }.toMap
+    val mixedQids = queries.map(_._1)
+      .filter(q => split(q)._1.nonEmpty && split(q)._2.nonEmpty)
+    if (!pruneMaxScore || mixedQids.isEmpty) ranked(None)
+    else {
+      // candidate (qid, doc) pairs: mixed queries restricted to docs
+      // holding >= 1 of THEIR sparse terms; other queries unrestricted
+      // (their full (qid, doc) surface rides through the semi-join)
+      val sparseQRows = s.createDataFrame(
+        queries.flatMap { case (qid, ts) =>
+          if (mixedQids.contains(qid)) split(qid)._1.map(t => (qid, t))
+          else ts.distinct.map(t => (qid, t))
+        }).toDF("qid", "term")
+      val cands = pruned
+        .join(broadcast(sparseQRows), "term")
+        .select(col("qid"), col("doc_id")).distinct()
+      val top = ranked(Some(cands)).collect()
+      val kthByQid: Map[Long, (Double, Int)] = top.groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> ((rows.map(_.getDouble(2)).min, rows.length))
+        }
+      val proofHolds = mixedQids.forall { qid =>
+        val (kth, n) = kthByQid.getOrElse(qid, (0.0, 0))
+        val dense = split(qid)._2
+        val ceiling = dense.map { t =>
+          val df = dfByTerm.getOrElse(t, 0.0)
+          2.2 * math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        }.sum
+        n == k && kth - ceiling > (dense.size + 1) * MaxScoreQuantum
+      }
+      if (proofHolds) {
+        maxScoreBatchPruned.incrementAndGet()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(top.toList.asJava, StructType(Seq(
+            StructField("qid", LongType, nullable = false),
+            StructField("doc_id", LongType, nullable = false),
+            StructField("score", DoubleType, nullable = false),
+            StructField("rk", LongType, nullable = false))))
+          .orderBy(col("qid"), col("rk"))
+      } else {
+        maxScoreBatchFellBack.incrementAndGet()
+        ranked(None)
+      }
+    }
   }
 
   /** Session-staged index over `dir`'s FULL documents table, built in a

@@ -449,7 +449,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("batch BM25 bounds each query's top-k BEFORE the shuffle (no full-candidate window sort)") {
-    val p = plan("text_bm25_batch")
     // Catalyst's InferWindowGroupLimit turns the row_number <= k filter
     // into a two-phase rank cut: a PARTIAL WindowGroupLimit below the
     // qid exchange (each map task forwards <= k rows per query off its
@@ -459,6 +458,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // funnels through one sort task — this pin makes the bounded shape
     // load-bearing: an intervening operator that defeats the rewrite
     // (or a k above spark.sql.window.group.limit.threshold) fails here.
+    // Pinned on the EXHAUSTIVE branch explicitly: the standing batch's
+    // mixed query (dup + Zipf-head terms) engages the r16 batch
+    // max-score prune, whose accepted result is a driver-sized local
+    // relation with no window at all — both branches are covered.
+    val idx = graft.textfn.TermIndex.stagedIndex(spark, dir)
+    val df = graft.textfn.TermIndex.probeBatchRel(spark, idx.postings,
+      idx.termsRel, idx.stats, graft.textfn.TextQueries.Bm25BatchQueries, 5,
+      graft.textfn.TermIndex.DefaultShards, pruneMaxScore = false)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("WindowGroupLimit"), "no window group limit in the plan")
     assert(p.contains("row_number(), 5, Partial"),
       "per-query rank cut not applied map-side before the exchange")

@@ -233,6 +233,55 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("batch max-score: a mixed stopword query prunes, the whole batch stays exact") {
+    import spark.implicits._
+    val stopworded = docs.withColumn("text",
+      when(col("text").isNotNull, concat(col("text"), lit(" the"))))
+    withIndex(stopworded) { idx =>
+      // q0 mixed (rare sparse + universal dense), q1 all-dense
+      // (Zipf-head standing terms — unrestricted by construction)
+      val batch = Seq(0L -> Seq("dup", "the"), 1L -> Seq("spark", "merge"))
+      val prunedBefore = TermIndex.maxScoreBatchPruned.get()
+      val got = TermIndex.probeBatch(spark, idx, batch, 5)
+        .collect().map(_.toString).toSeq
+      assert(TermIndex.maxScoreBatchPruned.get() == prunedBefore + 1,
+        "mixed batch did not take the max-score branch")
+      val want = TermIndex.probeBatchRel(spark,
+        spark.read.parquet(TermIndex.postingsPath(idx)),
+        spark.read.parquet(s"$idx/terms"), TermIndex.loadStats(spark, idx),
+        batch, 5, TermIndex.DefaultShards, pruneMaxScore = false)
+        .collect().map(_.toString).toSeq
+      assert(got == want, "pruned batch diverged from the exhaustive batch")
+    }
+  }
+
+  test("batch max-score falls back when a dense term genuinely decides a query's ranking") {
+    import spark.implicits._
+    // the single-probe adversarial corpus: true top-5 for (rare, mid)
+    // is dense-only docs the candidate generator cannot see
+    val rows =
+      (0 until 10).map(i => (i.toLong,
+        ("rare" +: (0 until 49).map(j => s"f${i}_$j")).mkString(" "))) ++
+      (10 until 28).map(i => (i.toLong, "mid pad")) ++
+      (28 until 30).map(i => (i.toLong, "pad pad"))
+    withIndex(rows.toDF("doc_id", "text")) { idx =>
+      val batch = Seq(0L -> Seq("rare", "mid"))
+      val fellBackBefore = TermIndex.maxScoreBatchFellBack.get()
+      val got = TermIndex.probeBatch(spark, idx, batch, 5).collect()
+      assert(TermIndex.maxScoreBatchFellBack.get() == fellBackBefore + 1,
+        "unprovable batch prune did not fall back")
+      val topIds = got.map(_.getAs[Long]("doc_id")).toSet
+      assert(topIds.forall(id => id >= 10 && id < 28),
+        s"true top-5 is the dense-only docs; got $topIds")
+      val want = TermIndex.probeBatchRel(spark,
+        spark.read.parquet(TermIndex.postingsPath(idx)),
+        spark.read.parquet(s"$idx/terms"), TermIndex.loadStats(spark, idx),
+        batch, 5, TermIndex.DefaultShards, pruneMaxScore = false)
+        .collect().map(_.toString).toSeq
+      assert(got.map(_.toString).toSeq == want)
+    }
+  }
+
   test("batch probe agrees with the single-query probe to the rounding quantum") {
     withIndex(docs) { idx =>
       // the batch path 6dp-rounds each per-term contribution BEFORE the
