@@ -583,6 +583,68 @@ object AvroQueries extends QueryModule {
     ),
 
     QueryDef(
+      // the logging tier's LEVEL_CUTOFF + variant-shared line format
+      // (graft.logging.Loggers — Logging.h:41-58's compile-time level
+      // filter, create_log's shared format, Factory's type dispatch;
+      // the StdOut/Spd "daily" variants' differentiating behaviors are
+      // sink-shaped and spec-gated in LoggersSpec). Each event maps to
+      // a level, the default INFO cutoff drops TRACE/DEBUG BEFORE
+      // formatting, and the report aggregates per level: events seen,
+      // lines logged, distinct daily files the daily sink would rotate
+      // through, and the logged lines' total characters — the last
+      // makes the FORMAT load-bearing (a drifted create_log changes
+      // line lengths and fails the oracle, which rebuilds the same
+      // lines in SQL).
+      "log_level_cutoff",
+      (s, dir) => {
+        import graft.logging.Loggers
+        val ev = Tables(s, dir).events
+        val level = when(col("event_type") === "error", "ERROR")
+          .when(col("event_type") === "purchase", "WARN")
+          .when(col("event_type") === "signup", "INFO")
+          .when(col("event_type") === "view", "DEBUG")
+          .otherwise("TRACE")
+        val component = when(col("event_type") === "purchase", "Database")
+          .otherwise(lit("KafkaConsumerCallback"))
+        val withLine = ev
+          .withColumn("level", level)
+          .withColumn("line", Loggers.createLog(col("ts"), col("level"),
+            component, concat(lit("event_id="), col("event_id").cast("string"))))
+          .withColumn("kept", Loggers.atOrAbove(col("level")).cast("long"))
+        withLine.groupBy(col("level"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("kept")).as("n_logged"),
+            countDistinct(
+              when(col("kept") === 1L, substring(col("line"), 1, 10)))
+              .as("n_log_days"),
+            sum(when(col("kept") === 1L, length(col("line")).cast("long"))
+              .otherwise(0L)).as("logged_chars"))
+          .orderBy(col("level"))
+      },
+      Some("""WITH lv AS (
+        SELECT event_id, event_type, ts,
+          CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'purchase' THEN 'WARN'
+            WHEN 'signup' THEN 'INFO' WHEN 'view' THEN 'DEBUG'
+            ELSE 'TRACE' END AS level
+        FROM events),
+      lines AS (
+        SELECT level,
+          CASE WHEN level IN ('INFO', 'WARN', 'ERROR') THEN 1 ELSE 0 END AS kept,
+          strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d %H:%M:%S.%f') || ' [' ||
+            level || '] [' ||
+            CASE WHEN event_type = 'purchase' THEN 'Database'
+              ELSE 'KafkaConsumerCallback' END ||
+            '] event_id=' || event_id AS line
+        FROM lv)
+      SELECT level, COUNT(*) AS n_events,
+        CAST(SUM(kept) AS BIGINT) AS n_logged,
+        COUNT(DISTINCT CASE WHEN kept = 1 THEN substring(line, 1, 10) END) AS n_log_days,
+        CAST(SUM(CASE WHEN kept = 1 THEN length(line) ELSE 0 END) AS BIGINT) AS logged_chars
+      FROM lines GROUP BY level ORDER BY level""")
+    ),
+
+    QueryDef(
       "config_transform",
       (s, dir) => {
         val cfg = PipelineConfig.parseYaml(ConfigYaml)
