@@ -80,8 +80,11 @@ object ShutdownChannel {
   def listenForMarker(markerPath: String, pollMs: Long = 500L): ShutdownChannel = {
     val ch = new ShutdownChannel
     val t = new Thread(() => {
+      // resolve the filesystem ONCE — a poll loop re-cloning the whole
+      // Hadoop conf every tick is allocation for nothing (review r16)
+      val (fs, p) = graft.operators.IndexFs.resolve(markerPath)
       while (!ch.isShutdownRequested) {
-        if (graft.operators.IndexFs.exists(markerPath)) ch.requestShutdown()
+        if (fs.exists(p)) ch.requestShutdown()
         else Thread.sleep(pollMs)
       }
     }, "graft-shutdown-marker")

@@ -351,7 +351,16 @@ object StreamDeliveryReport {
     import msgs.sparkSession.implicits._
     msgs
       .filter(m => m.n_bytes > MinFrameBytes)
-      .groupByKey(m => math.floorMod(m.key.toLong, nParts.toLong).toInt)
+      .groupByKey { m =>
+        // keys come from the config's key column (numeric by the
+        // CsvProducer contract); a non-numeric key is a producer-config
+        // bug — fail with the cause NAMED, not a bare
+        // NumberFormatException three stack frames deep (review r16)
+        val k = m.key.toLongOption.getOrElse(sys.error(
+          s"StreamDeliveryReport: non-numeric partitioner key '${m.key}' — " +
+            "the producer's key column is not the configured numeric key"))
+        math.floorMod(k, nParts.toLong).toInt
+      }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (p: Int, batch: Iterator[Msg], state: GroupState[PartState]) =>
           val st = state.getOption.getOrElse(PartState(0L, 0L, 0L))
