@@ -466,16 +466,24 @@ object TermIndex {
     val contrib = idf * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
 
-    /** The full ranked plan over an optional (qid, doc_id) candidate
-      * restriction — the UNRESTRICTED call is the exhaustive batch. */
-    def ranked(restrictTo: Option[DataFrame]): DataFrame = {
+    /** The full ranked plan, optionally restricting the given qids'
+      * contribution rows to candidate (qid, doc_id) pairs — rows of
+      * every OTHER qid pass through untouched (an all-dense query's
+      * full surface riding a corpus-scale no-op semi-join would double
+      * its cost for nothing — review r16). The no-restriction call is
+      * the exhaustive batch. */
+    def ranked(restrictTo: Option[(Set[Long], DataFrame)]): DataFrame = {
       // replay duplicates (bit-identical posting rows) must not
       // double-count: dedup the pruned rows on their key first
       val contribRows = pruned
         .dropDuplicates("term", "doc_id")
         .join(broadcast(qRows), "term")
       val restricted = restrictTo match {
-        case Some(cands) => contribRows.join(cands, Seq("qid", "doc_id"), "left_semi")
+        case Some((qids, cands)) =>
+          val qidList = qids.toSeq.map(Long.box)
+          contribRows.filter(!col("qid").isin(qidList: _*))
+            .unionByName(contribRows.filter(col("qid").isin(qidList: _*))
+              .join(cands, Seq("qid", "doc_id"), "left_semi"))
         case None => contribRows
       }
       val scored = restricted
@@ -506,18 +514,19 @@ object TermIndex {
       .filter(q => split(q)._1.nonEmpty && split(q)._2.nonEmpty)
     if (!pruneMaxScore || mixedQids.isEmpty) ranked(None)
     else {
-      // candidate (qid, doc) pairs: mixed queries restricted to docs
-      // holding >= 1 of THEIR sparse terms; other queries unrestricted
-      // (their full (qid, doc) surface rides through the semi-join)
+      // candidate (qid, doc) pairs for the MIXED queries only: docs
+      // holding >= 1 of that query's sparse terms (bounded by the
+      // sparse terms' posting volume); all-sparse and all-dense
+      // queries bypass the restriction entirely
       val sparseQRows = s.createDataFrame(
         queries.flatMap { case (qid, ts) =>
           if (mixedQids.contains(qid)) split(qid)._1.map(t => (qid, t))
-          else ts.distinct.map(t => (qid, t))
+          else Nil
         }).toDF("qid", "term")
       val cands = pruned
         .join(broadcast(sparseQRows), "term")
         .select(col("qid"), col("doc_id")).distinct()
-      val top = ranked(Some(cands)).collect()
+      val top = ranked(Some((mixedQids.toSet, cands))).collect()
       val kthByQid: Map[Long, (Double, Int)] = top.groupBy(_.getLong(0))
         .map { case (qid, rows) =>
           qid -> ((rows.map(_.getDouble(2)).min, rows.length))
