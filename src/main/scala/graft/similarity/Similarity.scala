@@ -18,6 +18,65 @@ object Similarity extends QueryModule {
 
   private val K = 5
   private val NQueries = 10
+
+  /** The q_hybrid_rrf frame, factored so `q_rag_assemble` composes the
+    * SAME fused retrieval (both legs off their staged artifacts) as a
+    * stage — one definition, two consumers, zero drift. */
+  private def hybridRrf(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    // the sparse leg reuses text_bm25's oracle through the index —
+    // same >= k rounded-positive-matches precondition, asserted
+    // loudly once per (session, dataset) (ADVICE r15)
+    graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
+    val sparse = graft.textfn.TermIndex.probeStaged(s,
+      graft.textfn.TermIndex.stagedIndex(s, dir),
+      graft.textfn.TextQueries.Bm25Terms, 20)
+    val ws = Window.orderBy(col("score").desc, col("doc_id"))
+    val srk = sparse.select(col("doc_id"),
+      row_number().over(ws).cast("long").as("sparse_rank"))
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val dense = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.cosineNative(col("qe"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(20)
+    val wd = Window.orderBy(col("cos").desc, col("doc_id"))
+    val drk = dense.select(col("doc_id"),
+      row_number().over(wd).cast("long").as("dense_rank"))
+    srk.join(drk, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60L) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** q_hybrid_rrf's oracle, shared verbatim with q_rag_assemble's
+    * `fused` CTE. */
+  private def hybridRrfSql: String = s"""WITH srk AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
+        FROM (${graft.textfn.TextQueries.Bm25Sql}) b),
+      dense AS (
+        SELECT e.vec_id AS doc_id, ${cosineSql("qe", "embedding")} AS cos
+        FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q, embeddings e
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, doc_id LIMIT 20),
+      drk AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+        FROM dense)
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        COALESCE(s.sparse_rank, 0) AS sparse_rank,
+        COALESCE(d.dense_rank, 0) AS dense_rank,
+        ROUND(COALESCE(1.0 / (60 + s.sparse_rank), 0) + COALESCE(1.0 / (60 + d.dense_rank), 0), 6) AS rrf
+      FROM srk s FULL OUTER JOIN drk d ON s.doc_id = d.doc_id
+      ORDER BY rrf DESC, doc_id"""
   // knn_join neighborhood floor — matches dedup_embedding's CosineTau so
   // the same angular-blocked candidate plan serves both
   private val KnnJoinTau = 0.3
@@ -1345,57 +1404,78 @@ object Similarity extends QueryModule {
       // scan + top-k reduce); the fusion itself joins two 20-row
       // frames — free at any corpus size.
       "q_hybrid_rrf",
+      (s, dir) => hybridRrf(s, dir),
+      Some(hybridRrfSql)
+    ),
+
+    QueryDef(
+      // RAG CONTEXT ASSEMBLY (NEW r16) — the end-to-end serving
+      // composition downstream of retrieval: fuse both retrieval legs
+      // (the q_hybrid_rrf frame, served off the SAME staged artifacts),
+      // SUPPRESS near-duplicate candidates (a RAG context stuffed with
+      // near-identical passages wastes its token budget — the dedup
+      // tier's jaccard, applied to the ≤ 40-row candidate list), then
+      // PACK the survivors into a fixed token budget in fusion-rank
+      // order (the token_budget discipline over text_tokens' estimate).
+      // Four tiers composing in one query is the point: retrieval,
+      // dedup, text, and corpus-prep machinery all feeding one serving
+      // answer. Exactness: suppression is the ONE-PASS candidate rule —
+      // drop a doc whose distinct-token jaccard with ANY higher-ranked
+      // CANDIDATE (kept or not; higher = larger rrf, tie smaller
+      // doc_id) reaches 0.9 — deliberately defined join-shaped (a
+      // greedy kept-only chain is an iterative fold with no SQL
+      // mirror); jaccard is one division of two small exact ints,
+      // identical bits both engines. Packing is an exact running sum
+      // of ceil(len/4) token estimates, cut at 600. All candidate-side
+      // work is ≤ 40 rows — free at any corpus size; the heavy lifting
+      // stays inside the index-served legs.
+      "q_rag_assemble",
       (s, dir) => {
-        // the sparse leg reuses text_bm25's oracle through the index —
-        // same >= k rounded-positive-matches precondition, asserted
-        // loudly once per (session, dataset) (ADVICE r15)
-        graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
-        val sparse = graft.textfn.TermIndex.probeStaged(s,
-          graft.textfn.TermIndex.stagedIndex(s, dir),
-          graft.textfn.TextQueries.Bm25Terms, 20)
-        val ws = Window.orderBy(col("score").desc, col("doc_id"))
-        val srk = sparse.select(col("doc_id"),
-          row_number().over(ws).cast("long").as("sparse_rank"))
-        val e = Tables(s, dir).embeddings
-        val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-        val dense = e.filter(col("vec_id") =!= 0L)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id").as("doc_id"),
-            VectorOps.cosineNative(col("qe"), col("embedding")).as("cos"))
-          .orderBy(col("cos").desc, col("doc_id"))
-          .limit(20)
-        val wd = Window.orderBy(col("cos").desc, col("doc_id"))
-        val drk = dense.select(col("doc_id"),
-          row_number().over(wd).cast("long").as("dense_rank"))
-        srk.join(drk, Seq("doc_id"), "full_outer")
+        val docs = Tables(s, dir).documents
           .select(col("doc_id"),
-            coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
-            coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
-            round(
-              coalesce(lit(1.0) / (lit(60L) + col("sparse_rank")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60L) + col("dense_rank")), lit(0.0)),
-              6).as("rrf"))
+            array_distinct(split(lower(col("text")), " ")).as("toks"),
+            ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens"))
+        val cands = hybridRrf(s, dir)
+          .join(docs, "doc_id")
+          .select(col("doc_id"), col("rrf"), col("toks"), col("n_tokens"))
+        val hi = cands.select(col("doc_id").as("hi_id"),
+          col("rrf").as("hi_rrf"), col("toks").as("hi_toks"))
+        val suppressed = cands.join(broadcast(hi),
+            (col("hi_rrf") > col("rrf")) ||
+              (col("hi_rrf") === col("rrf") && col("hi_id") < col("doc_id")))
+          .filter(size(array_intersect(col("toks"), col("hi_toks"))).cast("double") /
+            size(array_union(col("toks"), col("hi_toks"))).cast("double") >= 0.9)
+          .select(col("doc_id")).distinct()
+        val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cands.join(suppressed, Seq("doc_id"), "left_anti")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= lit(600L))
+          .select(col("doc_id"), col("rrf"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("rrf").desc, col("doc_id"))
       },
-      Some(s"""WITH srk AS (
-        SELECT doc_id,
-          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
-        FROM (${graft.textfn.TextQueries.Bm25Sql}) b),
-      dense AS (
-        SELECT e.vec_id AS doc_id, ${cosineSql("qe", "embedding")} AS cos
-        FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q, embeddings e
-        WHERE e.vec_id <> 0
-        ORDER BY cos DESC, doc_id LIMIT 20),
-      drk AS (
-        SELECT doc_id,
-          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
-        FROM dense)
-      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
-        COALESCE(s.sparse_rank, 0) AS sparse_rank,
-        COALESCE(d.dense_rank, 0) AS dense_rank,
-        ROUND(COALESCE(1.0 / (60 + s.sparse_rank), 0) + COALESCE(1.0 / (60 + d.dense_rank), 0), 6) AS rrf
-      FROM srk s FULL OUTER JOIN drk d ON s.doc_id = d.doc_id
-      ORDER BY rrf DESC, doc_id""")
+      Some(s"""WITH fused AS ($hybridRrfSql),
+      docs AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+          CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents),
+      cands AS (
+        SELECT f.doc_id, f.rrf, d.toks, d.n_tokens
+        FROM fused f JOIN docs d USING (doc_id)),
+      suppressed AS (
+        SELECT DISTINCT c.doc_id FROM cands c JOIN cands h
+          ON (h.rrf > c.rrf OR (h.rrf = c.rrf AND h.doc_id < c.doc_id))
+          AND CAST(len(list_intersect(c.toks, h.toks)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(c.toks, h.toks))) AS DOUBLE) >= 0.9),
+      kept AS (
+        SELECT * FROM cands WHERE doc_id NOT IN (SELECT doc_id FROM suppressed)),
+      packed AS (
+        SELECT doc_id, rrf, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY rrf DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM kept)
+      SELECT doc_id, rrf, n_tokens, cum_tokens FROM packed
+      WHERE cum_tokens <= 600 ORDER BY rrf DESC, doc_id""")
     ),
 
     QueryDef(
