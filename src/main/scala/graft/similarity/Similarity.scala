@@ -77,6 +77,37 @@ object Similarity extends QueryModule {
         ROUND(COALESCE(1.0 / (60 + s.sparse_rank), 0) + COALESCE(1.0 / (60 + d.dense_rank), 0), 6) AS rrf
       FROM srk s FULL OUTER JOIN drk d ON s.doc_id = d.doc_id
       ORDER BY rrf DESC, doc_id"""
+  /** q_rag_assemble's suppress-then-pack stage over a candidate frame
+    * of (doc_id, rrf, toks, n_tokens), factored out of the QueryDef so
+    * RagAssembleSpec can pin the RULE on engineered candidate sets
+    * independent of the shipped corpus. Suppression is the ONE-PASS
+    * candidate rule — drop a doc whose distinct-token jaccard with ANY
+    * higher-fused-rank CANDIDATE (kept or not; higher = larger rrf, tie
+    * smaller doc_id) reaches `jaccardTau`; packing is the running-sum
+    * prefix cut at `budget` in fusion-rank order. Candidate frames are
+    * retrieval-sized (≤ tens of rows — broadcast self-join, global
+    * window), never corpus-sized. */
+  private[similarity] def assembleContext(
+      cands: org.apache.spark.sql.DataFrame,
+      jaccardTau: Double = 0.9,
+      budget: Long = 600L): org.apache.spark.sql.DataFrame = {
+    val hi = cands.select(col("doc_id").as("hi_id"),
+      col("rrf").as("hi_rrf"), col("toks").as("hi_toks"))
+    val suppressed = cands.join(broadcast(hi),
+        (col("hi_rrf") > col("rrf")) ||
+          (col("hi_rrf") === col("rrf") && col("hi_id") < col("doc_id")))
+      .filter(size(array_intersect(col("toks"), col("hi_toks"))).cast("double") /
+        size(array_union(col("toks"), col("hi_toks"))).cast("double") >= jaccardTau)
+      .select(col("doc_id")).distinct()
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cands.join(suppressed, Seq("doc_id"), "left_anti")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= lit(budget))
+      .select(col("doc_id"), col("rrf"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   // knn_join neighborhood floor — matches dedup_embedding's CosineTau so
   // the same angular-blocked candidate plan serves both
   private val KnnJoinTau = 0.3
@@ -1438,21 +1469,7 @@ object Similarity extends QueryModule {
         val cands = hybridRrf(s, dir)
           .join(docs, "doc_id")
           .select(col("doc_id"), col("rrf"), col("toks"), col("n_tokens"))
-        val hi = cands.select(col("doc_id").as("hi_id"),
-          col("rrf").as("hi_rrf"), col("toks").as("hi_toks"))
-        val suppressed = cands.join(broadcast(hi),
-            (col("hi_rrf") > col("rrf")) ||
-              (col("hi_rrf") === col("rrf") && col("hi_id") < col("doc_id")))
-          .filter(size(array_intersect(col("toks"), col("hi_toks"))).cast("double") /
-            size(array_union(col("toks"), col("hi_toks"))).cast("double") >= 0.9)
-          .select(col("doc_id")).distinct()
-        val w = Window.orderBy(col("rrf").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cands.join(suppressed, Seq("doc_id"), "left_anti")
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") <= lit(600L))
-          .select(col("doc_id"), col("rrf"), col("n_tokens"), col("cum_tokens"))
-          .orderBy(col("rrf").desc, col("doc_id"))
+        assembleContext(cands)
       },
       Some(s"""WITH fused AS ($hybridRrfSql),
       docs AS (
