@@ -52,10 +52,16 @@ object Generations {
   /** Delete every `gen=*` directory under `dir` other than `keep` —
     * the cleanup sweep a compactor runs BEFORE folding, so a crash
     * anywhere (including between a flip and a reap) strands a stale
-    * generation only until the next compaction instead of forever. */
-  def reapOthers(dir: String, keep: Long): Unit =
+    * generation only until the next compaction instead of forever.
+    * `protect` (r16, the [[ServingSnapshot]] retention seam) exempts
+    * generations pinned by a live snapshot: a reader serving off a
+    * published snapshot keeps its pinned generation on disk across
+    * compactions until the snapshot is retired — the next sweep after
+    * retirement reaps it. */
+  def reapOthers(dir: String, keep: Long, protect: Set[Long] = Set.empty): Unit =
     IndexFs.list(dir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        st.getPath.getName != s"gen=$keep")
+        st.getPath.getName != s"gen=$keep" &&
+        !st.getPath.getName.stripPrefix("gen=").toLongOption.exists(protect))
       .foreach(st => IndexFs.deleteQuietly(st.getPath.toString))
 }

@@ -97,4 +97,26 @@ private[graft] object IndexFs {
     * FILENAMES (see [[Generations]]), not content swaps. */
   def writeSmall(file: String, content: String): Unit =
     createMarker(file, content, overwrite = true)
+
+  /** All committed parquet data files under `dir`, recursively, as
+    * paths RELATIVE to `dir` — the [[ServingSnapshot]] publish step's
+    * file census. Committed = named `*.parquet` (Spark's writers land
+    * data files whole — rename-at-commit on HDFS/local, PUT-at-close on
+    * object stores — so a listed file is a readable file; in-flight
+    * work lives under `_temporary`, which this filter skips). Sorted
+    * for deterministic manifests. */
+  def listParquetRecursive(dir: String): Seq[String] = {
+    val (fs, p) = resolve(dir)
+    if (!fs.exists(p)) return Seq.empty
+    val base = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      if (full.endsWith(".parquet") && !full.contains("/_temporary/"))
+        out += full.stripPrefix(base)
+    }
+    out.result().sorted
+  }
 }

@@ -61,7 +61,10 @@ object VectorIndex {
     graft.operators.Generations.currentGen(indexDir)
 
   private[graft] def vectorsPath(indexDir: String): String =
-    s"$indexDir/gen=${currentGen(indexDir)}/vectors"
+    vectorsPathAt(indexDir, currentGen(indexDir))
+
+  private[graft] def vectorsPathAt(indexDir: String, gen: Long): String =
+    s"$indexDir/gen=$gen/vectors"
 
   /** Fold the current generation into the next: duplicate vector rows
     * (at-least-once replayed appends — bit-identical by the append
@@ -86,9 +89,10 @@ object VectorIndex {
     * does fold, the rewrite IS full-index (the simplest crash-safe
     * form; the nightly-job shape) — size `compactEvery` accordingly,
     * leveled per-cell compaction is the production refinement. */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+  def compact(s: SparkSession, indexDir: String,
+              protect: Set[Long] = Set.empty): Unit = {
     val gen = currentGen(indexDir)
-    graft.operators.Generations.reapOthers(indexDir, gen)
+    graft.operators.Generations.reapOthers(indexDir, gen, protect)
     val multiFile = graft.operators.IndexFs
       .list(s"$indexDir/gen=$gen/vectors")
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -255,6 +259,27 @@ object VectorIndex {
     probeCore(s, indexDir, queries, k, nprobe,
       scoreDot = false, scoreName = "cosine", exclude = exclude)
 
+  /** [[probeIvf]] pinned to a [[graft.operators.ServingSnapshot]] leg —
+    * the snapshot reader path: the resolved manifest names the exact
+    * vector FILES to serve, so the probe is immutable under later
+    * appends (which only ADD files to the generation directory) as well
+    * as compactions (which write a NEW generation directory). The
+    * centroids live OUTSIDE the generations and are frozen by contract,
+    * so cell selection is identical at every generation. Loud when the
+    * pinned generation is gone — retired-then-reaped, the snapshot
+    * lifecycle's named failure. */
+  def probeIvfPinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
+                     queries: DataFrame, k: Int, nprobe: Int,
+                     exclude: Set[Long] = Set.empty): DataFrame = {
+    require(graft.operators.IndexFs.exists(vectorsPathAt(leg.dir, leg.gen)),
+      s"VectorIndex.probeIvfPinned: generation ${leg.gen} of ${leg.dir} " +
+        "is gone — its snapshot was retired and the generation reaped " +
+        "(or it never committed); re-resolve the latest ServingSnapshot")
+    probeCore(s, leg.dir, queries, k, nprobe,
+      scoreDot = false, scoreName = "cosine", exclude = exclude,
+      pinned = Some(leg))
+  }
+
   /** Top-k MAXIMUM-INNER-PRODUCT neighbors off a [[buildMips]] index:
     * cell selection uses the zero-augmented query [q, 0] (the space the
     * index's quantizer was trained in); scoring is the exact dot — the
@@ -269,7 +294,9 @@ object VectorIndex {
   private def probeCore(s: SparkSession, indexDir: String, queries: DataFrame,
                         k: Int, nprobe: Int,
                         scoreDot: Boolean, scoreName: String,
-                        exclude: Set[Long]): DataFrame = {
+                        exclude: Set[Long],
+                        pinned: Option[graft.operators.ServingSnapshot.Leg] =
+                          None): DataFrame = {
     val cents = loadCentroids(s, indexDir)
     val qIdIdx = queries.schema.fieldIndex("query_id")
     val qEmbIdx = queries.schema.fieldIndex("embedding")
@@ -293,7 +320,11 @@ object VectorIndex {
       qs.map { case (id, emb) => (id, emb, nearestCells(emb)) }
     val needed: Array[Int] = qCells.flatMap(_._3).distinct.sorted
     // cell is a PARTITION column of vectors/ — isin() prunes at planning
-    val pruned = s.read.parquet(vectorsPath(indexDir))
+    // (pinned reads keep the inference via basePath over the file list)
+    val pruned = pinned.fold(s.read.parquet(vectorsPath(indexDir))) { leg =>
+      s.read.option("basePath", vectorsPathAt(leg.dir, leg.gen))
+        .parquet(leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f"): _*)
+    }
       .filter(col("cell").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(needed.map(Int.box)): _*))
     val bq = s.sparkContext.broadcast(qCells)
     val bx = s.sparkContext.broadcast(exclude)

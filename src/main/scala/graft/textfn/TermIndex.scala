@@ -83,7 +83,10 @@ object TermIndex {
     graft.operators.Generations.currentGen(indexDir)
 
   private[graft] def postingsPath(indexDir: String): String =
-    s"$indexDir/gen=${currentGen(indexDir)}/postings"
+    postingsPathAt(indexDir, currentGen(indexDir))
+
+  private[graft] def postingsPathAt(indexDir: String, gen: Long): String =
+    s"$indexDir/gen=$gen/postings"
 
   /** The frozen scorer constants (n_docs, sum_dl) — exact integers
     * surfaced as doubles, the same representation `text_bm25`'s stats
@@ -169,9 +172,10 @@ object TermIndex {
     * VectorIndex heuristic, valid from build time because build
     * repartitions on the partition column). Reaping deferred to the
     * START of the next compact (reader grace — the shared discipline). */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+  def compact(s: SparkSession, indexDir: String,
+              protect: Set[Long] = Set.empty): Unit = {
     val gen = currentGen(indexDir)
-    graft.operators.Generations.reapOthers(indexDir, gen)
+    graft.operators.Generations.reapOthers(indexDir, gen, protect)
     val multiFile = graft.operators.IndexFs
       .list(s"$indexDir/gen=$gen/postings")
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
@@ -197,6 +201,32 @@ object TermIndex {
     probeRel(s, s.read.parquet(postingsPath(indexDir)),
       s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
       terms, k, nShards)
+
+  /** [[probe]] pinned to a [[graft.operators.ServingSnapshot]] leg —
+    * the snapshot reader path: the resolved manifest names the exact
+    * posting FILES to serve, so the probe is immutable under later
+    * appends (which only ADD files to the generation directory) as well
+    * as compactions (which write a NEW generation directory). The df
+    * table and scorer stats live OUTSIDE the generations and are frozen
+    * by contract, so the pinned probe scores bit-identically to the
+    * probe that ran when the snapshot was published. Loud when the
+    * pinned generation is gone — retired-then-reaped, the snapshot
+    * lifecycle's named failure. */
+  def probePinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
+                  terms: Seq[String], k: Int,
+                  nShards: Int = DefaultShards): DataFrame = {
+    val base = postingsPathAt(leg.dir, leg.gen)
+    require(graft.operators.IndexFs.exists(base),
+      s"TermIndex.probePinned: generation ${leg.gen} of ${leg.dir} is " +
+        "gone — its snapshot was retired and the generation reaped (or " +
+        "it never committed); re-resolve the latest ServingSnapshot")
+    val files = leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f")
+    // basePath keeps shard= partition-directory inference (and with it
+    // the probe's partition pruning) over an explicit file list
+    probeRel(s, s.read.option("basePath", base).parquet(files: _*),
+      s.read.parquet(s"${leg.dir}/terms"), loadStats(s, leg.dir),
+      terms, k, nShards)
+  }
 
   /** df/n_docs above which a query term is DENSE for [[probeRel]]'s
     * max-score candidate pruning: its posting list covers the majority

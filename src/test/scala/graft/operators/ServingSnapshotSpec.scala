@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-index atomic-publish layer ([[ServingSnapshot]]): a
+  * published version pins BOTH retrieval legs' exact data-file sets in
+  * one manifest (no torn cross-index read), a pinned reader serves
+  * bit-identical results across later APPENDS — the case a bare
+  * generation pin cannot survive, since appends land new files inside
+  * the live generation — and across compactions (the
+  * protected-generation retention seam); retirement frees the pinned
+  * generation for the next sweep, after which the stale reader fails
+  * LOUDLY naming the cause; a duplicate publish of the same version is
+  * refused. */
+class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Terms = Seq("spark", "merge", "vector")
+  private val K = 10
+
+  private def docs = Tables(spark, dir).documents
+    .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 0)
+
+  private def vecs = Tables(spark, dir).embeddings
+    .select(col("vec_id"), col("embedding")).filter(col("vec_id") =!= 0L)
+
+  private def queryDf = {
+    import spark.implicits._
+    val q = Tables(spark, dir).embeddings
+      .filter(col("vec_id") === 0L).collect().head.getSeq[Float](1)
+    Seq((-1L, q)).toDF("query_id", "embedding")
+  }
+
+  private def sparseBits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+
+  private def denseBits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("vec_id"), col("cosine")).orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+
+  test("a pinned reader is bit-stable across appends and compactions; " +
+    "retire + sweep fails it loudly; fresh resolves see one consistent cut") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val term = s"$tmp/term"
+    val vec = s"$tmp/vec"
+    val snap = s"$tmp/snap"
+    try {
+      graft.textfn.TermIndex.build(spark, docs, term)
+      graft.similarity.VectorIndex.buildIvf(spark, vecs, vec, nCells = 16)
+
+      val v1 = ServingSnapshot.publish(snap, Map("sparse" -> term, "dense" -> vec))
+      assert(v1 == 1L)
+      val s1 = ServingSnapshot.resolveAt(snap, v1)
+      val sparse1 = sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), Terms, K))
+      val dense1 = denseBits(graft.similarity.VectorIndex.probeIvfPinned(
+        spark, s1.legs("dense"), queryDf, 5, 4))
+
+      // ingest moves on: appends land INSIDE the live generation — the
+      // case that breaks a bare generation pin. A doc engineered to take
+      // rank 1 arrives on both legs...
+      graft.textfn.TermIndex.append(spark,
+        Seq((900001L, "spark merge vector spark")).toDF("doc_id", "text"), term)
+      graft.similarity.VectorIndex.append(spark,
+        queryDf.select(lit(900001L).as("vec_id"), col("embedding")), vec)
+      // ...and the HEAD probe sees it immediately
+      assert(sparseBits(graft.textfn.TermIndex.probe(spark, term, Terms, K))
+        .exists(_._1 == 900001L))
+      // ...but the pinned v1 reader still serves EXACTLY its published
+      // world, bit for bit — the appended files are not in its manifest
+      assert(sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), Terms, K)) == sparse1)
+      assert(denseBits(graft.similarity.VectorIndex.probeIvfPinned(
+        spark, s1.legs("dense"), queryDf, 5, 4)) == dense1)
+
+      // compaction folds to generation 1; v1's pinned generation 0
+      // survives the sweep because the ingest loop protects live
+      // snapshots' generations
+      graft.textfn.TermIndex.compact(spark, term,
+        protect = ServingSnapshot.protectedGens(snap, term))
+      graft.similarity.VectorIndex.compact(spark, vec,
+        protect = ServingSnapshot.protectedGens(snap, vec))
+      assert(graft.textfn.TermIndex.currentGen(term) == 1L)
+      assert(sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), Terms, K)) == sparse1)
+      assert(denseBits(graft.similarity.VectorIndex.probeIvfPinned(
+        spark, s1.legs("dense"), queryDf, 5, 4)) == dense1)
+
+      // a second compact cycle (append to make it fold) runs the sweep
+      // again with v1 STILL live — generation 0 must still be protected
+      graft.textfn.TermIndex.append(spark,
+        Seq((900002L, "spark spark")).toDF("doc_id", "text"), term)
+      graft.textfn.TermIndex.compact(spark, term,
+        protect = ServingSnapshot.protectedGens(snap, term))
+      assert(sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), Terms, K)) == sparse1)
+
+      // publish v2: a fresh resolve sees the post-ingest world on BOTH
+      // legs — one consistent cut, never sparse-new/dense-old
+      val v2 = ServingSnapshot.publish(snap, Map("sparse" -> term, "dense" -> vec))
+      val s2 = ServingSnapshot.resolveAt(snap, v2)
+      assert(ServingSnapshot.resolve(snap).version == v2)
+      val sparse2 = sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s2.legs("sparse"), Terms, K))
+      val dense2 = denseBits(graft.similarity.VectorIndex.probeIvfPinned(
+        spark, s2.legs("dense"), queryDf, 5, 4))
+      assert(sparse2.exists(_._1 == 900001L), "v2 must see the appended doc")
+      assert(dense2.exists(_._1 == 900001L), "v2 must see the appended vector")
+      assert(!sparse1.exists(_._1 == 900001L))
+
+      // retire v1; the NEXT sweep (no longer protecting generation 0)
+      // reaps it, and the stale v1 reader fails with the cause named —
+      // never silently-empty results
+      ServingSnapshot.retire(snap, keepLatest = 1)
+      assert(!ServingSnapshot.protectedGens(snap, term).contains(0L))
+      graft.textfn.TermIndex.append(spark,
+        Seq((900003L, "merge merge")).toDF("doc_id", "text"), term)
+      graft.similarity.VectorIndex.append(spark,
+        queryDf.select(lit(900003L).as("vec_id"), col("embedding")), vec)
+      graft.textfn.TermIndex.compact(spark, term,
+        protect = ServingSnapshot.protectedGens(snap, term))
+      graft.similarity.VectorIndex.compact(spark, vec,
+        protect = ServingSnapshot.protectedGens(snap, vec))
+      val eTerm = intercept[IllegalArgumentException] {
+        graft.textfn.TermIndex.probePinned(spark, s1.legs("sparse"), Terms, K)
+      }
+      assert(eTerm.getMessage.contains("re-resolve"), eTerm.getMessage)
+      val eVec = intercept[IllegalArgumentException] {
+        graft.similarity.VectorIndex.probeIvfPinned(
+          spark, s1.legs("dense"), queryDf, 5, 4)
+      }
+      assert(eVec.getMessage.contains("re-resolve"), eVec.getMessage)
+      // the retired manifest itself resolves loudly
+      val eSnap = intercept[IllegalArgumentException] {
+        ServingSnapshot.resolveAt(snap, v1)
+      }
+      assert(eSnap.getMessage.contains("retired"), eSnap.getMessage)
+      // the v2 reader (still live, pinned at generation 1) is untouched
+      assert(sparseBits(graft.textfn.TermIndex.probePinned(
+        spark, s2.legs("sparse"), Terms, K)) == sparse2)
+      assert(denseBits(graft.similarity.VectorIndex.probeIvfPinned(
+        spark, s2.legs("dense"), queryDf, 5, 4)) == dense2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("a racing reader across a publish flip sees old or new wholly — " +
+    "and a duplicate publish of the same version is refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap2").toString
+    val term = s"$tmp/term"
+    val snap = s"$tmp/snap"
+    try {
+      graft.textfn.TermIndex.build(spark, docs, term)
+      ServingSnapshot.publish(snap, Map("sparse" -> term))
+      // simulate the losing side of a concurrent double-publish: the
+      // version-2 marker already exists when our create runs
+      val line = s"sparse\t$term\t0\tpostings/placeholder.parquet"
+      IndexFs.createMarker(s"$snap/_snap.v=2", line)
+      intercept[Exception] {
+        IndexFs.createMarker(s"$snap/_snap.v=2", "other", overwrite = false)
+      }
+      // a reader listing mid-flip parses {1} or {1,2} and takes max —
+      // resolveAt of whichever version it picked returns that version's
+      // FULL manifest (content is write-once), never a blend
+      val got = ServingSnapshot.resolve(snap)
+      assert(got.version == 2L && got.legs.keySet == Set("sparse"))
+      assert(got.legs("sparse").files == Seq("postings/placeholder.parquet"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
