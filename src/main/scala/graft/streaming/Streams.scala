@@ -306,6 +306,76 @@ object StreamSparseTopK {
     s.read.parquet(outDir)
 }
 
+/** Continuous DENSE retrieval off the live ingest — the dense sibling of
+  * [[StreamSparseTopK]] (r16, completing the standing-query symmetry the
+  * r15 sparse loop opened): each micro-batch of (vec_id, embedding)
+  * vectors is appended to the persisted [[graft.similarity.VectorIndex]]
+  * under its FROZEN coarse quantizer, then the STANDING query vectors
+  * re-probe the grown index and publish the current corpus-wide cosine
+  * top-k — the continuous-ANN / alerting shape ("keep the best k vectors
+  * for these queries as the corpus streams in").
+  *
+  * Append-then-probe like the sparse loop: the batch's own vectors are
+  * WANTED in the result (they compete for the top-k immediately), so
+  * there is no self-exclusion. Crash/replay contract: the per-batch
+  * output write is an idempotent overwrite; a crash after the append
+  * replays the batch onto an index already holding its vectors —
+  * bit-identical rows the probe absorbs BY CONSTRUCTION (in-partition
+  * heap membership sets + the cross-partition pre-rank
+  * dropDuplicates, review finding r13) — so the replayed top-k is
+  * IDENTICAL (spec-pinned), and compaction folds the duplicate rows
+  * away on its normal cadence. Frozen centroids mean cell assignment
+  * never drifts as the corpus grows: a vector leaves the top-k only by
+  * being OUTRANKED, never by re-quantization — re-training is an
+  * offline rebuild, the VectorIndex contract verbatim. Probe cost per
+  * batch: the queries' nprobe cells only (partition pruning),
+  * independent of batch count.
+  *
+  * Standing query ids MUST be negative: [[graft.similarity.VectorIndex
+  * .probeIvf]]'s kernel self-excludes `vec_id == query_id` (the knn
+  * convention, where queries are corpus members) — a standing query
+  * whose id collided with a corpus vector would silently never see that
+  * vector. Corpus ids are non-negative by convention, so the sink
+  * REFUSES non-negative query ids loudly instead of serving a silent
+  * blind spot. */
+object StreamDenseTopK {
+
+  /** `foreachBatch` body. The index at `indexDir` must exist (built over
+    * the base corpus via `VectorIndex.buildIvf`); `queries` is the
+    * standing (query_id < 0, embedding) set, driver-sized. `compactEvery`
+    * > 0 folds the vector generations every N batches — the shared
+    * small-files rationale, same single-writer thread, same
+    * crash-leaves-committed-generation-intact guarantee. */
+  def sink(indexDir: String, outDir: String,
+           queries: Seq[(Long, Array[Float])],
+           k: Int = 5, nprobe: Int = 4, compactEvery: Int = 0)
+      : (DataFrame, Long) => Unit = {
+    require(queries.nonEmpty, "StreamDenseTopK: no standing queries")
+    require(queries.forall(_._1 < 0),
+      s"StreamDenseTopK: standing query ids must be negative (got " +
+        s"${queries.map(_._1).filter(_ >= 0).mkString(", ")}) — probeIvf " +
+        "self-excludes vec_id == query_id, so a non-negative query id " +
+        "can collide with a corpus vector and silently never rank it")
+    (batch, id) => {
+      val s = batch.sparkSession
+      graft.similarity.VectorIndex.append(s,
+        batch.select(col("vec_id"), col("embedding")), indexDir)
+      val qdf = s.createDataFrame(
+        queries.map { case (qid, e) => (qid, e.toSeq) })
+        .toDF("query_id", "embedding")
+      graft.similarity.VectorIndex
+        .probeIvf(s, indexDir, qdf, k, nprobe)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        graft.similarity.VectorIndex.compact(s, indexDir)
+    }
+  }
+
+  /** Every published top-k so far, tagged with its batch id. */
+  def results(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+}
+
 /** Streaming face of `produce_delivery_report` (r16 — the ack side of
   * the producer, which is ASYNC by nature: librdkafka invokes dr_cb
   * per message as broker acks arrive, so the stream is the callback's
