@@ -110,13 +110,20 @@ private[graft] object IndexFs {
     if (!fs.exists(p)) return Seq.empty
     val base = fs.makeQualified(p).toString.stripSuffix("/") + "/"
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val full = st.getPath.toString
-      if (full.endsWith(".parquet") && !full.contains("/_temporary/"))
-        out += full.stripPrefix(base)
-    }
+    // hand-rolled recursion over listStatus: FileSystem.listFiles'
+    // LocatedFileStatus eagerly loads permissions through java.io.File
+    // on RawLocalFileSystem subclasses, which breaks under any
+    // non-`file:` scheme — the exact seam this helper exists to serve
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName != "_temporary") walk(st.getPath)
+        } else {
+          val full = st.getPath.toString
+          if (full.endsWith(".parquet")) out += full.stripPrefix(base)
+        }
+      }
+    walk(p)
     out.result().sorted
   }
 }

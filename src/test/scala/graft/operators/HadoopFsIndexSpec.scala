@@ -186,4 +186,36 @@ class HadoopFsIndexSpec extends AnyFunSuite with SparkFixture {
         "manifest verify failed over the scheme")
     }
   }
+
+  test("ServingSnapshot: publish/resolve/pinned-probe/retire lifecycle " +
+    "over a non-file scheme") {
+    withSchemePath { root =>
+      import spark.implicits._
+      val term = s"$root/term"
+      val snap = s"$root/snap"
+      graft.textfn.TermIndex.build(spark, docs.filter(col("doc_id") % 7 =!= 0), term)
+      val v1 = ServingSnapshot.publish(snap, Map("sparse" -> term))
+      val s1 = ServingSnapshot.resolveAt(snap, v1)
+      assert(s1.legs("sparse").files.nonEmpty &&
+        s1.legs("sparse").files.forall(_.startsWith("postings/")))
+      def bits(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("score")).collect()
+          .map(r => (r.getLong(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+      val pinned1 = bits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), graft.textfn.TextQueries.Bm25Terms, 20))
+      assert(pinned1 == bits(graft.textfn.TermIndex.probe(
+        spark, term, graft.textfn.TextQueries.Bm25Terms, 20)))
+      // append lands inside the live generation — the pinned view is
+      // immutable anyway, over the scheme
+      graft.textfn.TermIndex.append(spark,
+        Seq((900001L, "spark merge vector spark")).toDF("doc_id", "text"), term)
+      assert(bits(graft.textfn.TermIndex.probePinned(
+        spark, s1.legs("sparse"), graft.textfn.TextQueries.Bm25Terms, 20)) == pinned1)
+      assert(ServingSnapshot.protectedGens(snap, term) == Set(0L))
+      ServingSnapshot.retire(snap, keepLatest = 1)
+      assert(ServingSnapshot.currentVersion(snap) == v1,
+        "retire(1) must keep the newest version")
+    }
+  }
 }

@@ -149,6 +149,27 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the pinned probe keeps the partition-pruned scan: basePath over " +
+    "the manifest's file list preserves shard-directory inference") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap3").toString
+    val term = s"$tmp/term"
+    val snap = s"$tmp/snap"
+    try {
+      graft.textfn.TermIndex.build(spark, docs, term)
+      ServingSnapshot.publish(snap, Map("sparse" -> term))
+      val leg = ServingSnapshot.resolve(snap).legs("sparse")
+      val df = graft.textfn.TermIndex.probePinned(spark, leg, Terms, K)
+      df.collect()
+      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val scan = leaves.find(_.contains("postings")).getOrElse(
+        fail("no postings scan in the pinned probe plan"))
+      assert(scan.contains("PartitionFilters:") && scan.contains("shard"),
+        s"pinned postings scan not partition-pruned: $scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("a racing reader across a publish flip sees old or new wholly — " +
     "and a duplicate publish of the same version is refused") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_snap2").toString
