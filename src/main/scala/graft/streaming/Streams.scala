@@ -376,6 +376,63 @@ object StreamDenseTopK {
     s.read.parquet(outDir)
 }
 
+/** The full RAG ingest loop (r16) — ONE `foreachBatch` feeding BOTH
+  * retrieval legs and publishing a [[graft.operators.ServingSnapshot]]
+  * per micro-batch, so serving readers always resolve a CONSISTENT
+  * cross-index cut: a batch's documents enter the sparse postings index
+  * and the dense vector index on the same writer thread, and only the
+  * snapshot publish — after both appends — makes them visible to
+  * snapshot-resolving readers. Without this, the two single-leg loops
+  * ([[StreamSparseTopK]], [[StreamDenseTopK]]) each advance their index
+  * independently and a reader probing both mid-batch sees a document in
+  * one leg but not the other — exactly the torn read the snapshot
+  * manifest exists to prevent.
+  *
+  * Lifecycle per batch, single-writer (the shared sink contract):
+  * append sparse → append dense → publish snapshot (pins both legs'
+  * exact file sets at one instant) → retire old versions (keep
+  * `keepSnapshots`) → on the `compactEvery` cadence, compact BOTH legs
+  * with the LIVE snapshots' generations protected — a pinned reader
+  * keeps serving bit-identical results across folds until its version
+  * is retired, then fails loudly.
+  *
+  * Crash/replay contract: a crash-past-append replay re-appends the
+  * batch (new duplicate files — absorbed bit-identically by both
+  * probes' dedup discipline) and publishes one more snapshot version
+  * whose pinned probes return results BIT-IDENTICAL to the crashed
+  * attempt's (spec-pinned); version numbers advance monotonically and
+  * are cheap manifest files, so an extra version is noise the
+  * retirement policy sweeps.
+  */
+object StreamRagIngest {
+
+  /** `foreachBatch` body. Both indexes must exist (TermIndex.build /
+    * VectorIndex.buildIvf over the base corpus); batches carry
+    * (doc_id, text, embedding). */
+  def sink(termDir: String, vecDir: String, snapDir: String,
+           nShards: Int = graft.textfn.TermIndex.DefaultShards,
+           keepSnapshots: Int = 2, compactEvery: Int = 0)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val s = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.textfn.TermIndex.append(s,
+        b.select(col("doc_id"), col("text")), termDir, nShards)
+      graft.similarity.VectorIndex.append(s,
+        b.select(col("doc_id").as("vec_id"), col("embedding")), vecDir)
+      graft.operators.ServingSnapshot.publish(snapDir,
+        Map("sparse" -> termDir, "dense" -> vecDir))
+      graft.operators.ServingSnapshot.retire(snapDir, keepSnapshots)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+        graft.textfn.TermIndex.compact(s, termDir,
+          protect = graft.operators.ServingSnapshot.protectedGens(snapDir, termDir))
+        graft.similarity.VectorIndex.compact(s, vecDir,
+          protect = graft.operators.ServingSnapshot.protectedGens(snapDir, vecDir))
+      }
+    } finally { b.unpersist(); () }
+  }
+}
+
 /** Streaming face of `produce_delivery_report` (r16 — the ack side of
   * the producer, which is ASYNC by nature: librdkafka invokes dr_cb
   * per message as broker acks arrive, so the stream is the callback's
