@@ -45,6 +45,16 @@ object Similarity extends QueryModule {
     val wd = Window.orderBy(col("cos").desc, col("doc_id"))
     val drk = dense.select(col("doc_id"),
       row_number().over(wd).cast("long").as("dense_rank"))
+    fuseRrf(srk, drk)
+  }
+
+  /** RRF fusion of two ranked 20-row frames (doc_id, sparse_rank) ×
+    * (doc_id, dense_rank) — one definition for `q_hybrid_rrf` and
+    * `q_hybrid_snapshot`, so the fusion arithmetic cannot drift between
+    * the session-staged and snapshot-served paths. */
+  private def fuseRrf(srk: org.apache.spark.sql.DataFrame,
+                      drk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     srk.join(drk, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
@@ -54,7 +64,42 @@ object Similarity extends QueryModule {
           coalesce(lit(1.0) / (lit(60L) + col("dense_rank")), lit(0.0)),
           6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
-  }
+
+  /** Session-staged PUBLISHED snapshot over `dir`'s full corpus — both
+    * retrieval legs built as persisted indexes in a temp root, then one
+    * [[graft.operators.ServingSnapshot]] version published pinning
+    * their file sets; `q_hybrid_snapshot` serves off the RESOLVED
+    * manifest, the deployment read path end-to-end. The dense index
+    * includes vector 0 (the standing query) — the probe's
+    * vec_id == query_id self-exclusion keeps it out of its own
+    * neighbor list, the knn convention; pinning is a storage concern,
+    * exclusion a query concern. */
+  private final case class StagedSnapshot(
+      root: String, snapshot: graft.operators.ServingSnapshot.Snapshot)
+
+  private val SnapCells = 16
+
+  private val stagedSnapshot =
+    new graft.operators.SessionStaged[StagedSnapshot]((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ragsnap").toString
+      try {
+        val (term, vec, snap) = (s"$tmp/term", s"$tmp/vec", s"$tmp/snap")
+        graft.textfn.TermIndex.build(s,
+          Tables(s, dir).documents.select(col("doc_id"), col("text")), term)
+        graft.similarity.VectorIndex.buildIvf(s,
+          Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+          vec, nCells = SnapCells)
+        graft.operators.ServingSnapshot.publish(snap,
+          Map("sparse" -> term, "dense" -> vec))
+        StagedSnapshot(tmp, graft.operators.ServingSnapshot.resolve(snap))
+      } catch {
+        case t: Throwable =>
+          graft.operators.IndexFs.deleteQuietly(tmp); throw t
+      }
+    }, st => graft.operators.IndexFs.deleteQuietly(st.root))
+
+  // staged snapshot roots must not outlive the JVM (the TermIndex rule)
+  Runtime.getRuntime.addShutdownHook(new Thread(() => stagedSnapshot.clear()))
 
   /** q_hybrid_rrf's oracle, shared verbatim with q_rag_assemble's
     * `fused` CTE. */
@@ -1436,6 +1481,43 @@ object Similarity extends QueryModule {
       // frames — free at any corpus size.
       "q_hybrid_rrf",
       (s, dir) => hybridRrf(s, dir),
+      Some(hybridRrfSql)
+    ),
+
+    QueryDef(
+      // HYBRID RETRIEVAL OFF A PUBLISHED SNAPSHOT (NEW r16) — the same
+      // fused ranking as q_hybrid_rrf, but BOTH legs resolved through
+      // ONE ServingSnapshot manifest and served off its pinned file
+      // sets: the deployment read path (resolve → probePinned /
+      // probeIvfPinned → fuse) gated against the same DuckDB oracle as
+      // the inline computation. Exactness: the pinned sparse probe is
+      // the text_bm25 chain verbatim over the pinned postings
+      // (TermIndexSpec's bit-identity pin); the dense leg probes ALL
+      // nCells cells — exhaustive probing reproduces brute-force
+      // cosine top-k bit-for-bit (VectorIndexSpec's pin), while still
+      // exercising the pinned-file read path; fusion is shared code
+      // (fuseRrf). At deployment scale the dense leg drops nprobe
+      // below nCells and trades the oracle for the measured-recall
+      // gate — the knn_ivf story; the ORACLE-gated form is the
+      // exhaustive setting, which proves the serving plumbing changes
+      // NOTHING about the ranking.
+      "q_hybrid_snapshot",
+      (s, dir) => {
+        graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
+        val snap = stagedSnapshot.get(s, dir).snapshot
+        val sparse = graft.textfn.TermIndex.probePinned(
+          s, snap.legs("sparse"), graft.textfn.TextQueries.Bm25Terms, 20)
+        val ws = Window.orderBy(col("score").desc, col("doc_id"))
+        val srk = sparse.select(col("doc_id"),
+          row_number().over(ws).cast("long").as("sparse_rank"))
+        val qdf = Tables(s, dir).embeddings
+          .filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val drk = graft.similarity.VectorIndex.probeIvfPinned(
+            s, snap.legs("dense"), qdf, 20, nprobe = SnapCells)
+          .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
+        fuseRrf(srk, drk)
+      },
       Some(hybridRrfSql)
     ),
 
