@@ -200,6 +200,12 @@ object Bench {
           // text_bm25_indexed measures the SERVING probe, not the build
           graft.textfn.TermIndex.stagedIndex(spark, sfDir); ()
         },
+        stageTier("rag_snapshot") {
+          // r16: both retrieval legs as persisted indexes + one
+          // published ServingSnapshot — q_hybrid_snapshot measures the
+          // pinned-manifest read path, not the builds
+          graft.similarity.Similarity.warmStagedSnapshot(spark, sfDir)
+        },
         stageTier("whiten") {
           // r15: the whitened frame gained a second consumer
           // (dedup_semantic_whitened); the one-per-session eigensolve

@@ -1217,6 +1217,98 @@ object DevProbe {
           }
         }
 
+      case "ragsnap" =>
+        // ServingSnapshot serving-cost probe (r16): both retrieval legs
+        // built at 1x and SCALE_Kx, one snapshot published over them,
+        // then the PINNED probes timed. Claims under measurement:
+        // (a) publish is METADATA-scale — its cost tracks the data FILE
+        //     COUNT (printed), never corpus bytes (no data read);
+        // (b) the pinned sparse probe keeps the partition-pruned scan
+        //     (≤ |terms|/nShards of the postings) through the explicit
+        //     file list — flat coverage at every scale;
+        // (c) the pinned dense probe keeps nprobe/nCells cell pruning;
+        // (d) after an ingest append doubles the index's file count,
+        //     the OLD pinned probe's cost does not move (it reads its
+        //     pinned files only — immutability is also a COST property,
+        //     not just a correctness one).
+        import org.apache.spark.sql.functions._
+        val k = sys.env.getOrElse("SCALE_K", "10").toInt
+        val docs0 = graft.operators.Tables(spark, sfDir).documents
+        val emb0 = graft.operators.Tables(spark, sfDir).embeddings
+        val terms = Seq("spark", "merge", "vector")
+        def scaledEmb(n: Int) = (0 until n).map { i =>
+          emb0.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, p) =>
+              x * (pmod(hash(lit(i), p), lit(2)) * lit(2) - lit(1)).cast("float"))
+              .as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+        withScaledTmp(spark, "ragsnap", Seq(1, k)) { (kk, tmp) =>
+          replicatedDocs(spark, docs0, kk, suffixTokens = false)
+            .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+          scaledEmb(kk).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        } { (kk, tmp) =>
+          val docs = graft.operators.Tables(spark, tmp).documents
+            .select(col("doc_id"), col("text"))
+          val vecs = graft.operators.Tables(spark, tmp).embeddings
+            .select(col("vec_id"), col("embedding"))
+          val (term, vec, snap) = (s"$tmp/term", s"$tmp/vec", s"$tmp/snap")
+          t(s"rs_build_term x$kk") {
+            graft.textfn.TermIndex.build(spark, docs, term)
+          }
+          t(s"rs_build_vec x$kk") {
+            graft.similarity.VectorIndex.buildIvf(spark, vecs, vec, nCells = 16)
+          }
+          t(s"rs_publish x$kk") {
+            graft.operators.ServingSnapshot.publish(snap,
+              Map("sparse" -> term, "dense" -> vec))
+          }
+          val s1 = graft.operators.ServingSnapshot.resolve(snap)
+          println(s"  publish x$kk files=" +
+            s"${s1.legs.valuesIterator.map(_.files.size).sum}")
+          val qdf = vecs.filter(col("vec_id") === 0L)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          t(s"rs_probe_sparse x$kk") {
+            val n = graft.textfn.TermIndex
+              .probePinned(spark, s1.legs("sparse"), terms, 20).count()
+            println(s"  sparse x$kk rows=$n")
+          }
+          t(s"rs_probe_dense x$kk") {
+            val n = graft.similarity.VectorIndex
+              .probeIvfPinned(spark, s1.legs("dense"), qdf, 20, nprobe = 4)
+              .count()
+            println(s"  dense x$kk rows=$n")
+          }
+          // ingest moves on: append a 10% delta to both legs, publish
+          // again, and re-time the OLD pinned probes — flat by
+          // construction (they read the v1 file set only)
+          val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+          val deltaV = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+            .select((col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+          graft.textfn.TermIndex.append(spark, delta, term)
+          graft.similarity.VectorIndex.append(spark, deltaV, vec)
+          t(s"rs_republish x$kk") {
+            graft.operators.ServingSnapshot.publish(snap,
+              Map("sparse" -> term, "dense" -> vec))
+          }
+          val s2 = graft.operators.ServingSnapshot.resolve(snap)
+          println(s"  republish x$kk files=" +
+            s"${s2.legs.valuesIterator.map(_.files.size).sum}")
+          t(s"rs_probe_sparse_pinned_old x$kk") {
+            val n = graft.textfn.TermIndex
+              .probePinned(spark, s1.legs("sparse"), terms, 20).count()
+            println(s"  sparse_pinned_old x$kk rows=$n")
+          }
+          t(s"rs_probe_dense_pinned_old x$kk") {
+            val n = graft.similarity.VectorIndex
+              .probeIvfPinned(spark, s1.legs("dense"), qdf, 20, nprobe = 4)
+              .count()
+            println(s"  dense_pinned_old x$kk rows=$n")
+          }
+        }
+
       case "lsh_curve" =>
         // knn_lsh recall vs scan fraction across the (bands × planes)
         // grid — the same evidence discipline as ivfpq_curve: recall

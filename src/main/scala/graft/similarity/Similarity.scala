@@ -83,9 +83,13 @@ object Similarity extends QueryModule {
     new graft.operators.SessionStaged[StagedSnapshot]((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ragsnap").toString
       try {
-        val (term, vec, snap) = (s"$tmp/term", s"$tmp/vec", s"$tmp/snap")
-        graft.textfn.TermIndex.build(s,
-          Tables(s, dir).documents.select(col("doc_id"), col("text")), term)
+        // the sparse leg REUSES the session-staged TermIndex (the same
+        // immutable full-corpus artifact text_bm25_indexed and
+        // q_hybrid_rrf serve from) — the snapshot pins its files, it
+        // does not need a private copy; only the dense index and the
+        // manifest are built here
+        val term = graft.textfn.TermIndex.stagedIndex(s, dir).dir
+        val (vec, snap) = (s"$tmp/vec", s"$tmp/snap")
         graft.similarity.VectorIndex.buildIvf(s,
           Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
           vec, nCells = SnapCells)
@@ -100,6 +104,14 @@ object Similarity extends QueryModule {
 
   // staged snapshot roots must not outlive the JVM (the TermIndex rule)
   Runtime.getRuntime.addShutdownHook(new Thread(() => stagedSnapshot.clear()))
+
+  /** Bench staging hook: build + publish the session snapshot so
+    * `q_hybrid_snapshot` measures the SERVING read path, not the
+    * one-time index builds. */
+  private[graft] def warmStagedSnapshot(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): Unit = {
+    stagedSnapshot.get(s, dir); ()
+  }
 
   /** q_hybrid_rrf's oracle, shared verbatim with q_rag_assemble's
     * `fused` CTE. */

@@ -271,6 +271,10 @@ object VectorIndex {
   def probeIvfPinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
                      queries: DataFrame, k: Int, nprobe: Int,
                      exclude: Set[Long] = Set.empty): DataFrame = {
+    require(leg.files.forall(_.startsWith("vectors/")),
+      s"VectorIndex.probeIvfPinned: leg at ${leg.dir} pins non-vector " +
+        s"files (${leg.files.find(!_.startsWith("vectors/")).get}) — this " +
+        "leg is not a VectorIndex (wrong leg name resolved from the snapshot?)")
     require(graft.operators.IndexFs.exists(vectorsPathAt(leg.dir, leg.gen)),
       s"VectorIndex.probeIvfPinned: generation ${leg.gen} of ${leg.dir} " +
         "is gone — its snapshot was retired and the generation reaped " +

@@ -215,6 +215,10 @@ object TermIndex {
   def probePinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
                   terms: Seq[String], k: Int,
                   nShards: Int = DefaultShards): DataFrame = {
+    require(leg.files.forall(_.startsWith("postings/")),
+      s"TermIndex.probePinned: leg at ${leg.dir} pins non-postings files " +
+        s"(${leg.files.find(!_.startsWith("postings/")).get}) — this leg " +
+        "is not a TermIndex (wrong leg name resolved from the snapshot?)")
     val base = postingsPathAt(leg.dir, leg.gen)
     require(graft.operators.IndexFs.exists(base),
       s"TermIndex.probePinned: generation ${leg.gen} of ${leg.dir} is " +
