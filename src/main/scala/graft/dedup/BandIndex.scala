@@ -73,7 +73,8 @@ object BandIndex {
     * rewritten as one co-located file set instead of one per append.
     * Readers flip atomically via the commit record; the old generation
     * is reaped only after the flip. */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+  def compact(s: SparkSession, indexDir: String,
+              protect: Set[Long] = Set.empty): Unit = {
     import org.apache.spark.sql.SaveMode
     val gen = currentGen(indexDir)
     val next = gen + 1
@@ -89,7 +90,46 @@ object BandIndex {
       .repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/gen=$next/features")
     graft.operators.Generations.flip(indexDir, next)
-    deleteDir(s"$indexDir/gen=$gen")
+    // a generation pinned by a live ServingSnapshot survives the
+    // (eager, unlike the deferred-reap siblings) sweep until retirement
+    if (!protect(gen)) deleteDir(s"$indexDir/gen=$gen")
+  }
+
+  /** [[probe]] pinned to a [[graft.operators.ServingSnapshot]] leg —
+    * the snapshot reader path: the manifest names the exact band and
+    * feature files, so the probe is immutable under later appends
+    * (new files in the live generation) and compactions (new
+    * generation directories). The audit shape: re-run a dedup decision
+    * against the EXACT index state that made it. Loud when the pinned
+    * generation is gone — retired-then-reaped. */
+  def probePinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
+                  delta: DataFrame,
+                  tau: Double = Dedup.JaccardTauShingles,
+                  hotBandCap: Long = Dedup.IncrementalHotBandCap,
+                  nShards: Int = 64): DataFrame = {
+    require(leg.files.forall(f =>
+        f.startsWith("bands/") || f.startsWith("features/")),
+      s"BandIndex.probePinned: leg at ${leg.dir} pins files outside " +
+        s"bands/+features/ (${leg.files.find(f => !f.startsWith("bands/") &&
+          !f.startsWith("features/")).get}) — this leg is not a BandIndex " +
+        "(wrong leg name resolved from the snapshot?)")
+    val genDir = s"${leg.dir}/gen=${leg.gen}"
+    require(graft.operators.IndexFs.exists(genDir),
+      s"BandIndex.probePinned: generation ${leg.gen} of ${leg.dir} is " +
+        "gone — its snapshot was retired and the generation reaped (or " +
+        "it never committed); re-resolve the latest ServingSnapshot")
+    val bandFiles = leg.files.filter(_.startsWith("bands/"))
+      .map(f => s"$genDir/$f")
+    val featFiles = leg.files.filter(_.startsWith("features/"))
+      .map(f => s"$genDir/$f")
+    // basePath keeps shard= partition inference (and the probe's
+    // partition pruning) over the explicit band file list; features
+    // are unpartitioned
+    probeRel(
+      s.read.option("basePath", s"$genDir/bands").parquet(bandFiles: _*),
+      s.read.parquet(featFiles: _*),
+      Dedup.shingleFeatures(delta, withSig = true, withSim = false),
+      tau, hotBandCap, nShards)
   }
 
   /** Session-staged index over `dir`'s BASE split (doc_id % 7 != 0 —

@@ -284,6 +284,26 @@ object VectorIndex {
       pinned = Some(leg))
   }
 
+  /** [[probeMips]] pinned to a snapshot leg — same contract as
+    * [[probeIvfPinned]] (M² and centroids are frozen build artifacts
+    * outside the generations, so the pinned probe augments and ranks
+    * exactly as the publish-time probe did). */
+  def probeMipsPinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
+                      queries: DataFrame, k: Int, nprobe: Int,
+                      exclude: Set[Long] = Set.empty): DataFrame = {
+    require(leg.files.forall(_.startsWith("vectors/")),
+      s"VectorIndex.probeMipsPinned: leg at ${leg.dir} pins non-vector " +
+        s"files (${leg.files.find(!_.startsWith("vectors/")).get}) — this " +
+        "leg is not a VectorIndex (wrong leg name resolved from the snapshot?)")
+    require(graft.operators.IndexFs.exists(vectorsPathAt(leg.dir, leg.gen)),
+      s"VectorIndex.probeMipsPinned: generation ${leg.gen} of ${leg.dir} " +
+        "is gone — its snapshot was retired and the generation reaped " +
+        "(or it never committed); re-resolve the latest ServingSnapshot")
+    probeCore(s, leg.dir, queries, k, nprobe,
+      scoreDot = true, scoreName = "dot", exclude = exclude,
+      pinned = Some(leg))
+  }
+
   /** Top-k MAXIMUM-INNER-PRODUCT neighbors off a [[buildMips]] index:
     * cell selection uses the zero-augmented query [q, 0] (the space the
     * index's quantizer was trained in); scoring is the exact dot — the

@@ -160,7 +160,7 @@ object StreamNearDedup {
     * compacted or uncompacted index (spec-pinned). */
   def sink(indexDir: String, outDir: String, nShards: Int = 64,
            tau: Double = graft.dedup.Dedup.JaccardTauShingles,
-           compactEvery: Int = 0)
+           compactEvery: Int = 0, snapDir: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     // featurize ONCE per batch: the 128-perm signature kernel is the
@@ -181,7 +181,10 @@ object StreamNearDedup {
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       graft.dedup.BandIndex.appendFeats(feats, indexDir, nShards)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        graft.dedup.BandIndex.compact(s, indexDir)
+        // pinned ServingSnapshot generations survive the sweep
+        graft.dedup.BandIndex.compact(s, indexDir,
+          protect = snapDir.fold(Set.empty[Long])(
+            graft.operators.ServingSnapshot.protectedGens(_, indexDir)))
     } finally { feats.unpersist(); () }
   }
 
@@ -224,7 +227,7 @@ object StreamVectorDedup {
     * compacted or uncompacted index (spec-pinned). */
   def sink(indexDir: String, outDir: String,
            tau: Double = 0.9, k: Int = 5, nprobe: Int = 4,
-           compactEvery: Int = 0)
+           compactEvery: Int = 0, snapDir: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     val vecs = batch.select(col("vec_id"), col("embedding"))
@@ -247,7 +250,10 @@ object StreamVectorDedup {
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       graft.similarity.VectorIndex.append(s, vecs, indexDir)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        graft.similarity.VectorIndex.compact(s, indexDir)
+        // pinned ServingSnapshot generations survive the sweep
+        graft.similarity.VectorIndex.compact(s, indexDir,
+          protect = snapDir.fold(Set.empty[Long])(
+            graft.operators.ServingSnapshot.protectedGens(_, indexDir)))
     } finally { vecs.unpersist(); () }
   }
 
@@ -290,7 +296,7 @@ object StreamSparseTopK {
   def sink(indexDir: String, outDir: String, terms: Seq[String],
            k: Int = 20,
            nShards: Int = graft.textfn.TermIndex.DefaultShards,
-           compactEvery: Int = 0)
+           compactEvery: Int = 0, snapDir: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     graft.textfn.TermIndex.append(s,
@@ -298,7 +304,11 @@ object StreamSparseTopK {
     graft.textfn.TermIndex.probe(s, indexDir, terms, k, nShards)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
     if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-      graft.textfn.TermIndex.compact(s, indexDir)
+      // when serving readers hold ServingSnapshot versions over this
+      // index, their pinned generations survive the compaction sweep
+      graft.textfn.TermIndex.compact(s, indexDir,
+        protect = snapDir.fold(Set.empty[Long])(
+          graft.operators.ServingSnapshot.protectedGens(_, indexDir)))
   }
 
   /** Every published top-k so far, tagged with its batch id. */
@@ -348,7 +358,8 @@ object StreamDenseTopK {
     * crash-leaves-committed-generation-intact guarantee. */
   def sink(indexDir: String, outDir: String,
            queries: Seq[(Long, Array[Float])],
-           k: Int = 5, nprobe: Int = 4, compactEvery: Int = 0)
+           k: Int = 5, nprobe: Int = 4, compactEvery: Int = 0,
+           snapDir: Option[String] = None)
       : (DataFrame, Long) => Unit = {
     require(queries.nonEmpty, "StreamDenseTopK: no standing queries")
     require(queries.forall(_._1 < 0),
@@ -367,7 +378,10 @@ object StreamDenseTopK {
         .probeIvf(s, indexDir, qdf, k, nprobe)
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        graft.similarity.VectorIndex.compact(s, indexDir)
+        // pinned ServingSnapshot generations survive the sweep
+        graft.similarity.VectorIndex.compact(s, indexDir,
+          protect = snapDir.fold(Set.empty[Long])(
+            graft.operators.ServingSnapshot.protectedGens(_, indexDir)))
     }
   }
 

@@ -149,6 +149,73 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BandIndex joins the snapshot tier: the pinned dedup probe is the " +
+    "audit shape — bit-stable across appends and a protected compaction, " +
+    "wrong-leg manifests refused loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapband").toString
+    val band = s"$tmp/band"
+    val snap = s"$tmp/snap"
+    try {
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      graft.dedup.BandIndex.build(spark, base, band)
+      ServingSnapshot.publish(snap, Map("dedup" -> band))
+      val leg = ServingSnapshot.resolve(snap).legs("dedup")
+      def bits(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("delta_id"), col("base_id"), col("jaccard")).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val pinned1 = bits(graft.dedup.BandIndex.probePinned(spark, leg, delta))
+      // pinned ≡ head probe while nothing has moved
+      assert(pinned1 == bits(graft.dedup.BandIndex.probe(spark, band, delta)))
+      assert(pinned1.nonEmpty, "audit probe found no pairs — vacuous test")
+      // ingest moves on: the delta itself is appended, then a compaction
+      // folds with the pinned generation PROTECTED (BandIndex reaps
+      // eagerly, unlike the deferred-reap siblings — protection is
+      // load-bearing on the FIRST compact here)
+      graft.dedup.BandIndex.append(spark, delta, band)
+      graft.dedup.BandIndex.compact(spark, band,
+        protect = ServingSnapshot.protectedGens(snap, band))
+      assert(graft.dedup.BandIndex.currentGen(band) == 1L)
+      assert(bits(graft.dedup.BandIndex.probePinned(spark, leg, delta)) == pinned1,
+        "pinned audit probe moved after append + compaction")
+      // wrong-leg manifest refused loudly
+      val term = s"$tmp/term"
+      graft.textfn.TermIndex.build(spark, docs, term)
+      ServingSnapshot.publish(s"$tmp/snap2", Map("sparse" -> term))
+      val wrongLeg = ServingSnapshot.resolve(s"$tmp/snap2").legs("sparse")
+      val e = intercept[IllegalArgumentException] {
+        graft.dedup.BandIndex.probePinned(spark, wrongLeg, delta)
+      }
+      assert(e.getMessage.contains("not a BandIndex"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("probeMipsPinned serves the MIPS leg off a snapshot: exhaustive " +
+    "pinned probe equals the live exhaustive probe bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapmips").toString
+    val vec = s"$tmp/vec"
+    val snap = s"$tmp/snap"
+    try {
+      graft.similarity.VectorIndex.buildMips(spark, vecs, vec, nCells = 16)
+      ServingSnapshot.publish(snap, Map("mips" -> vec))
+      val leg = ServingSnapshot.resolve(snap).legs("mips")
+      def bits(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("dot")).orderBy(col("rk")).collect()
+          .map(r => (r.getLong(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+      val live = bits(graft.similarity.VectorIndex
+        .probeMips(spark, vec, queryDf, 5, nprobe = 16))
+      val pinned = bits(graft.similarity.VectorIndex
+        .probeMipsPinned(spark, leg, queryDf, 5, nprobe = 16))
+      assert(pinned == live && pinned.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("the pinned probe keeps the partition-pruned scan: basePath over " +
     "the manifest's file list preserves shard-directory inference") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_snap3").toString
