@@ -1236,6 +1236,9 @@ object DevProbe {
         val docs0 = graft.operators.Tables(spark, sfDir).documents
         val emb0 = graft.operators.Tables(spark, sfDir).embeddings
         val terms = Seq("spark", "merge", "vector")
+        // copies stride 10M — a source id at/above that would silently
+        // collide copies and corrupt the scale-linearity evidence
+        requireIdHeadroom(emb0, "vec_id", col("vec_id"), 10000000L)
         def scaledEmb(n: Int) = (0 until n).map { i =>
           emb0.select(
             (col("vec_id") + lit(i * 10000000L)).as("vec_id"),

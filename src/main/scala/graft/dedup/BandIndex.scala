@@ -90,9 +90,12 @@ object BandIndex {
       .repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/gen=$next/features")
     graft.operators.Generations.flip(indexDir, next)
-    // a generation pinned by a live ServingSnapshot survives the
-    // (eager, unlike the deferred-reap siblings) sweep until retirement
-    if (!protect(gen)) deleteDir(s"$indexDir/gen=$gen")
+    // eager sweep (BandIndex's original discipline — no deferred-reap
+    // grace), but over ALL stale generations, not just the one this
+    // fold consumed: a generation protected by a then-live snapshot in
+    // an earlier compact must be reclaimed by the FIRST sweep after its
+    // retirement, or it leaks forever (review finding r16)
+    graft.operators.Generations.reapOthers(indexDir, next, protect)
   }
 
   /** [[probe]] pinned to a [[graft.operators.ServingSnapshot]] leg —
@@ -107,17 +110,9 @@ object BandIndex {
                   tau: Double = Dedup.JaccardTauShingles,
                   hotBandCap: Long = Dedup.IncrementalHotBandCap,
                   nShards: Int = 64): DataFrame = {
-    require(leg.files.forall(f =>
-        f.startsWith("bands/") || f.startsWith("features/")),
-      s"BandIndex.probePinned: leg at ${leg.dir} pins files outside " +
-        s"bands/+features/ (${leg.files.find(f => !f.startsWith("bands/") &&
-          !f.startsWith("features/")).get}) — this leg is not a BandIndex " +
-        "(wrong leg name resolved from the snapshot?)")
+    graft.operators.ServingSnapshot.requireLeg(leg,
+      Seq("bands/", "features/"), "BandIndex.probePinned")
     val genDir = s"${leg.dir}/gen=${leg.gen}"
-    require(graft.operators.IndexFs.exists(genDir),
-      s"BandIndex.probePinned: generation ${leg.gen} of ${leg.dir} is " +
-        "gone — its snapshot was retired and the generation reaped (or " +
-        "it never committed); re-resolve the latest ServingSnapshot")
     val bandFiles = leg.files.filter(_.startsWith("bands/"))
       .map(f => s"$genDir/$f")
     val featFiles = leg.files.filter(_.startsWith("features/"))

@@ -27,18 +27,29 @@ package graft.operators
   * prevent. Data files are write-once (appends add, compaction writes
   * a NEW generation directory), so a pinned file set never changes
   * underneath its readers; the pinned probes
-  * (`TermIndex.probePinned` / `VectorIndex.probeIvfPinned`) read
+  * (`TermIndex.probePinned` / `VectorIndex.probeIvfPinned` /
+  * `VectorIndex.probeMipsPinned` / `BandIndex.probePinned`) read
   * exactly the listed files and score bit-identically to the probe
   * that ran at publish time, for as long as the snapshot lives.
   *
-  * ATOMICITY: the VERSION rides in the manifest's NAME (a racing
-  * reader lists {old} or {old, new} and takes the max — never a
-  * partial state; no renames, nothing an object store lacks), and the
-  * content is immutable once published (`overwrite = false`: a
-  * duplicate publish of the same version fails loudly instead of
-  * racing). Publish runs on the ingest writer thread BETWEEN batches —
-  * the same single-writer contract compaction already carries — so the
-  * file census never catches a leg mid-append.
+  * ATOMICITY: the VERSION rides in the manifest's NAME, so a racing
+  * reader listing the directory parses {old} or {old, new} and takes
+  * the max — never a half-written NAME. Content visibility is the
+  * subtler half: on object stores the manifest PUT lands whole at
+  * close, but on HDFS and local FS `create()` makes an EMPTY file
+  * visible before the content is written — so every manifest ends
+  * with a `#complete n=<lines>` FOOTER, writers emit it last, and
+  * readers treat a footer-less or short manifest as IN-FLIGHT:
+  * [[resolve]] falls back to the newest COMPLETE version (old-or-new
+  * semantics, exactly what a mid-publish reader should see) and
+  * [[resolveAt]] of an in-flight version fails loudly naming the
+  * cause. Duplicate publish of the same version is guarded by the
+  * no-overwrite create — a loud backstop on HDFS/local (where
+  * check-then-create still has a small race window) and best-effort on
+  * object stores without conditional put; the PRIMARY contract is the
+  * single writer the ingest sinks already are, the guard only turns a
+  * contract violation into a crash instead of silence where the store
+  * allows it.
   *
   * RETENTION: compaction reaps superseded generations, which would
   * pull pinned files out from under a serving reader. The ingest loop
@@ -47,91 +58,142 @@ package graft.operators
   * deletes old snapshot versions, after which the next sweep reaps the
   * freed generations. A reader holding a retired version gets the loud
   * missing-generation failure from its pinned probe, naming the cause
-  * — never silently-empty results.
+  * — never silently-empty results. Leg directories are stored
+  * FILESYSTEM-QUALIFIED (fs.makeQualified at publish), and
+  * [[protectedGens]] qualifies its argument the same way, so a
+  * publisher and a compactor spelling the same path differently
+  * (scheme prefix, trailing slash) can never silently drop protection.
   */
 object ServingSnapshot {
 
   private val MarkerPrefix = "_snap.v="
+  private val FooterPrefix = "#complete n="
 
-  /** One leg's pinned view: the index root, the generation its files
-    * live in, and the data files (relative to that generation's
-    * directory) that existed at publish. */
+  /** One leg's pinned view: the index root (filesystem-qualified), the
+    * generation its files live in, and the data files (relative to
+    * that generation's directory) that existed at publish. */
   final case class Leg(dir: String, gen: Long, files: Seq[String])
 
   /** One consistent cross-index cut. */
   final case class Snapshot(version: Long, legs: Map[String, Leg])
 
-  /** Latest published version; 0 before any publish. */
-  def currentVersion(snapDir: String): Long = {
-    val vs = IndexFs.list(snapDir).iterator
+  /** `dir` as its filesystem spells it — scheme-qualified, no trailing
+    * slash — so path comparisons (protection!) never depend on how the
+    * caller happened to write the path. */
+  private[graft] def qualified(dir: String): String = {
+    val (fs, p) = IndexFs.resolve(dir)
+    fs.makeQualified(p).toString
+  }
+
+  private def versionsOn(snapDir: String): Seq[Long] =
+    IndexFs.list(snapDir)
       .map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
-    if (vs.isEmpty) 0L else vs.max
+      // toLongOption: one stray non-numeric _snap.v=* file (partial
+      // upload, editor backup) must not take down every publish,
+      // resolve, and protected compact — the Generations discipline
+      .flatMap(_.stripPrefix(MarkerPrefix).toLongOption)
+      .toSeq.sorted
+
+  /** Latest version ON DISK (complete or in-flight); 0 before any
+    * publish. Publishers allocate from this — an in-flight version
+    * still owns its number. */
+  def currentVersion(snapDir: String): Long =
+    versionsOn(snapDir).lastOption.getOrElse(0L)
+
+  /** Parse a manifest if it is COMPLETE (footer present and line count
+    * matching — a `create()`-visible-but-unwritten or partially-written
+    * manifest fails both), else None. */
+  private def parseComplete(snapDir: String, version: Long): Option[Snapshot] = {
+    val file = s"$snapDir/$MarkerPrefix$version"
+    if (!IndexFs.exists(file)) return None
+    val lines = IndexFs.readSmall(file).split("\n").iterator
+      .filter(_.nonEmpty).toSeq
+    val body = lines.filterNot(_.startsWith("#"))
+    val complete = lines.lastOption.exists(l =>
+      l.startsWith(FooterPrefix) &&
+        l.stripPrefix(FooterPrefix).toLongOption.contains(body.size.toLong))
+    if (!complete) return None
+    val legs = body.map { line =>
+      val Array(name, dir, gen, f) = line.split("\t", 4)
+      (name, dir, gen.toLong, f)
+    }.groupBy(_._1).map { case (name, rows) =>
+      name -> Leg(rows.head._2, rows.head._3, rows.map(_._4))
+    }
+    Some(Snapshot(version, legs))
   }
 
   /** Publish a new snapshot version pinning each named leg's current
-    * committed generation AND its exact data-file census, atomically
-    * (the version-in-name create). Single-writer between ingest
-    * batches; a concurrent duplicate publish of the same version fails
-    * loudly on the no-overwrite create. */
+    * committed generation AND its exact data-file census. Single-writer
+    * between ingest batches (see the class doc's atomicity contract). */
   def publish(snapDir: String, legs: Map[String, String]): Long = {
     require(legs.nonEmpty, "ServingSnapshot.publish: no legs")
-    require(!legs.keysIterator.exists(n => n.contains("\t") || n.contains("\n")),
-      "ServingSnapshot.publish: leg names must not contain tabs/newlines")
+    require(!legs.keysIterator.exists(n =>
+        n.contains("\t") || n.contains("\n") || n.startsWith("#")),
+      "ServingSnapshot.publish: leg names must not contain tabs/newlines " +
+        "or start with '#' (the manifest comment/footer prefix)")
     val v = currentVersion(snapDir) + 1
-    val content = legs.toSeq.sortBy(_._1).flatMap { case (name, d) =>
-      val gen = Generations.currentGen(d)
-      val files = IndexFs.listParquetRecursive(s"$d/gen=$gen")
+    val body = legs.toSeq.sortBy(_._1).flatMap { case (name, d) =>
+      val qd = qualified(d)
+      val gen = Generations.currentGen(qd)
+      val files = IndexFs.listParquetRecursive(s"$qd/gen=$gen")
       require(files.nonEmpty,
         s"ServingSnapshot.publish: leg '$name' has no data files under " +
-          s"$d/gen=$gen — not a built index")
-      files.map(f => s"$name\t$d\t$gen\t$f")
-    }.mkString("\n")
+          s"$qd/gen=$gen — not a built index")
+      files.map(f => s"$name\t$qd\t$gen\t$f")
+    }
+    val content = (body :+ s"$FooterPrefix${body.size}").mkString("\n")
     IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v", content,
       overwrite = false)
     v
   }
 
-  /** The latest snapshot. Loud when none has been published. */
+  /** The newest COMPLETE snapshot — a manifest whose footer has not
+    * landed yet (a publish in flight on HDFS/local, where `create`
+    * exposes the file before the content) is skipped, giving the
+    * old-or-new semantics a mid-publish reader should see. Loud when
+    * nothing complete has been published. */
   def resolve(snapDir: String): Snapshot = {
-    val v = currentVersion(snapDir)
-    require(v > 0, s"ServingSnapshot.resolve: no snapshot published under $snapDir")
-    resolveAt(snapDir, v)
+    val complete = versionsOn(snapDir).reverseIterator
+      .map(parseComplete(snapDir, _))
+      .collectFirst { case Some(s) => s }
+    complete.getOrElse(throw new IllegalArgumentException(
+      s"ServingSnapshot.resolve: no complete snapshot published under $snapDir"))
   }
 
   /** A specific snapshot version — the handle a long-lived reader holds
-    * onto. Loud when the version was retired (or never published),
-    * naming the cause. */
+    * onto. Loud when the version was retired, never published, or is
+    * still in flight, naming the cause. */
   def resolveAt(snapDir: String, version: Long): Snapshot = {
-    val file = s"$snapDir/$MarkerPrefix$version"
-    require(IndexFs.exists(file),
+    require(IndexFs.exists(s"$snapDir/$MarkerPrefix$version"),
       s"ServingSnapshot.resolveAt: version $version not found under " +
         s"$snapDir — retired (or never published); re-resolve the " +
         "latest snapshot")
-    val legs = IndexFs.readSmall(file).split("\n").iterator
-      .filter(_.nonEmpty)
-      .map { line =>
-        val Array(name, dir, gen, f) = line.split("\t", 4)
-        (name, dir, gen.toLong, f)
-      }.toSeq.groupBy(_._1).map { case (name, rows) =>
-        name -> Leg(rows.head._2, rows.head._3, rows.map(_._4))
-      }
-    Snapshot(version, legs)
+    parseComplete(snapDir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"ServingSnapshot.resolveAt: version $version under $snapDir is " +
+          "incomplete — a publish in flight (or a torn write); re-resolve " +
+          "or retry"))
   }
 
-  /** Generations of `indexDir` pinned by any LIVE snapshot version —
-    * the `protect` set the ingest loop passes into its compact calls.
-    * Live versions are bounded by the retirement policy; manifests are
-    * small text files. */
-  def protectedGens(snapDir: String, indexDir: String): Set[Long] =
-    IndexFs.list(snapDir).iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .map(n => resolveAt(snapDir, n.stripPrefix(MarkerPrefix).toLong))
+  /** Generations pinned by any LIVE complete snapshot version, per
+    * QUALIFIED leg directory — ONE pass over the live manifests serving
+    * every index the caller compacts ([[protectedGens]] is the
+    * single-index convenience view). In-flight manifests are skipped:
+    * a publish in flight pins only the CURRENT generation, which a
+    * concurrent compact keeps anyway (it is the fold source). */
+  def protectedGensAll(snapDir: String): Map[String, Set[Long]] =
+    versionsOn(snapDir)
+      .flatMap(parseComplete(snapDir, _))
       .flatMap(_.legs.valuesIterator)
-      .collect { case Leg(d, g, _) if d == indexDir => g }
-      .toSet
+      .groupBy(_.dir)
+      .map { case (d, legs) => d -> legs.map(_.gen).toSet }
+
+  /** Generations of `indexDir` pinned by any LIVE snapshot version —
+    * the `protect` set a single-index ingest loop passes into its
+    * compact call. */
+  def protectedGens(snapDir: String, indexDir: String): Set[Long] =
+    protectedGensAll(snapDir).getOrElse(qualified(indexDir), Set.empty)
 
   /** Delete all but the newest `keepLatest` snapshot versions. The
     * freed generations are reaped by the NEXT compaction sweep (whose
@@ -139,12 +201,27 @@ object ServingSnapshot {
     * index data itself. */
   def retire(snapDir: String, keepLatest: Int = 1): Unit = {
     require(keepLatest >= 1, "ServingSnapshot.retire: keepLatest must be >= 1")
-    val vs = IndexFs.list(snapDir)
-      .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
-      .sorted
-    vs.dropRight(keepLatest)
+    versionsOn(snapDir).dropRight(keepLatest)
       .foreach(v => IndexFs.deleteQuietly(s"$snapDir/$MarkerPrefix$v"))
+  }
+
+  /** Shared pinned-probe admission check: the leg's files must all sit
+    * under one of `prefixes` (else the caller resolved the WRONG leg —
+    * a TermIndex probe handed a vector leg, etc.) and the pinned
+    * generation directory must still exist (else the snapshot was
+    * retired and reaped). One definition so the refusal wording and
+    * diagnostics cannot drift across the four pinned readers. */
+  private[graft] def requireLeg(leg: Leg, prefixes: Seq[String],
+                                component: String): Unit = {
+    leg.files.find(f => !prefixes.exists(f.startsWith)) foreach { bad =>
+      throw new IllegalArgumentException(
+        s"$component: leg at ${leg.dir} pins file '$bad' outside " +
+          s"${prefixes.mkString("/")} — this leg is not a $component index " +
+          "(wrong leg name resolved from the snapshot?)")
+    }
+    require(IndexFs.exists(s"${leg.dir}/gen=${leg.gen}"),
+      s"$component: generation ${leg.gen} of ${leg.dir} is gone — its " +
+        "snapshot was retired and the generation reaped (or it never " +
+        "committed); re-resolve the latest ServingSnapshot")
   }
 }

@@ -271,14 +271,17 @@ object VectorIndex {
   def probeIvfPinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
                      queries: DataFrame, k: Int, nprobe: Int,
                      exclude: Set[Long] = Set.empty): DataFrame = {
-    require(leg.files.forall(_.startsWith("vectors/")),
-      s"VectorIndex.probeIvfPinned: leg at ${leg.dir} pins non-vector " +
-        s"files (${leg.files.find(!_.startsWith("vectors/")).get}) — this " +
-        "leg is not a VectorIndex (wrong leg name resolved from the snapshot?)")
-    require(graft.operators.IndexFs.exists(vectorsPathAt(leg.dir, leg.gen)),
-      s"VectorIndex.probeIvfPinned: generation ${leg.gen} of ${leg.dir} " +
-        "is gone — its snapshot was retired and the generation reaped " +
-        "(or it never committed); re-resolve the latest ServingSnapshot")
+    graft.operators.ServingSnapshot.requireLeg(leg, Seq("vectors/"),
+      "VectorIndex.probeIvfPinned")
+    // both IVF and MIPS legs pin vectors/ — the file prefix cannot tell
+    // them apart, but the persisted mips_m2 marker can: probing a MIPS
+    // index as plain IVF selects cells against (d+1)-dim centroids with
+    // a d-dim query and silently degrades recall, the exact wrong-leg
+    // mistake the loud refusal exists for
+    require(loadMipsM2(s, leg.dir).isEmpty,
+      s"VectorIndex.probeIvfPinned: ${leg.dir} is a MIPS index " +
+        "(mips_m2 present) — use probeMipsPinned, or re-resolve the " +
+        "intended IVF leg")
     probeCore(s, leg.dir, queries, k, nprobe,
       scoreDot = false, scoreName = "cosine", exclude = exclude,
       pinned = Some(leg))
@@ -291,14 +294,14 @@ object VectorIndex {
   def probeMipsPinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
                       queries: DataFrame, k: Int, nprobe: Int,
                       exclude: Set[Long] = Set.empty): DataFrame = {
-    require(leg.files.forall(_.startsWith("vectors/")),
-      s"VectorIndex.probeMipsPinned: leg at ${leg.dir} pins non-vector " +
-        s"files (${leg.files.find(!_.startsWith("vectors/")).get}) — this " +
-        "leg is not a VectorIndex (wrong leg name resolved from the snapshot?)")
-    require(graft.operators.IndexFs.exists(vectorsPathAt(leg.dir, leg.gen)),
-      s"VectorIndex.probeMipsPinned: generation ${leg.gen} of ${leg.dir} " +
-        "is gone — its snapshot was retired and the generation reaped " +
-        "(or it never committed); re-resolve the latest ServingSnapshot")
+    graft.operators.ServingSnapshot.requireLeg(leg, Seq("vectors/"),
+      "VectorIndex.probeMipsPinned")
+    // the mirror of probeIvfPinned's dispatch: a plain-IVF leg has no
+    // frozen M², so a correct MIPS probe over it is not even possible
+    require(loadMipsM2(s, leg.dir).isDefined,
+      s"VectorIndex.probeMipsPinned: ${leg.dir} is a plain IVF index " +
+        "(no mips_m2) — use probeIvfPinned, or re-resolve the intended " +
+        "MIPS leg")
     probeCore(s, leg.dir, queries, k, nprobe,
       scoreDot = true, scoreName = "dot", exclude = exclude,
       pinned = Some(leg))

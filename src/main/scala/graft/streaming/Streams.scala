@@ -438,10 +438,12 @@ object StreamRagIngest {
         Map("sparse" -> termDir, "dense" -> vecDir))
       graft.operators.ServingSnapshot.retire(snapDir, keepSnapshots)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-        graft.textfn.TermIndex.compact(s, termDir,
-          protect = graft.operators.ServingSnapshot.protectedGens(snapDir, termDir))
-        graft.similarity.VectorIndex.compact(s, vecDir,
-          protect = graft.operators.ServingSnapshot.protectedGens(snapDir, vecDir))
+        // ONE pass over the live manifests serves both legs' protection
+        val prot = graft.operators.ServingSnapshot.protectedGensAll(snapDir)
+        def of(d: String) = prot.getOrElse(
+          graft.operators.ServingSnapshot.qualified(d), Set.empty[Long])
+        graft.textfn.TermIndex.compact(s, termDir, protect = of(termDir))
+        graft.similarity.VectorIndex.compact(s, vecDir, protect = of(vecDir))
       }
     } finally { b.unpersist(); () }
   }

@@ -215,15 +215,9 @@ object TermIndex {
   def probePinned(s: SparkSession, leg: graft.operators.ServingSnapshot.Leg,
                   terms: Seq[String], k: Int,
                   nShards: Int = DefaultShards): DataFrame = {
-    require(leg.files.forall(_.startsWith("postings/")),
-      s"TermIndex.probePinned: leg at ${leg.dir} pins non-postings files " +
-        s"(${leg.files.find(!_.startsWith("postings/")).get}) — this leg " +
-        "is not a TermIndex (wrong leg name resolved from the snapshot?)")
+    graft.operators.ServingSnapshot.requireLeg(leg, Seq("postings/"),
+      "TermIndex.probePinned")
     val base = postingsPathAt(leg.dir, leg.gen)
-    require(graft.operators.IndexFs.exists(base),
-      s"TermIndex.probePinned: generation ${leg.gen} of ${leg.dir} is " +
-        "gone — its snapshot was retired and the generation reaped (or " +
-        "it never committed); re-resolve the latest ServingSnapshot")
     val files = leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f")
     // basePath keeps shard= partition-directory inference (and with it
     // the probe's partition pruning) over an explicit file list

@@ -188,6 +188,23 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
         graft.dedup.BandIndex.probePinned(spark, wrongLeg, delta)
       }
       assert(e.getMessage.contains("not a BandIndex"), e.getMessage)
+      // LEAK regression (review finding r16): the generation protected
+      // above must be reclaimed by the FIRST sweep after retirement —
+      // BandIndex reaps eagerly and used to delete only the gen it just
+      // folded, so a once-protected generation leaked forever
+      ServingSnapshot.publish(snap, Map("dedup" -> band)) // pins gen 1
+      ServingSnapshot.retire(snap, keepLatest = 1)        // frees gen 0
+      graft.dedup.BandIndex.append(spark,
+        delta.limit(5).select((col("doc_id") + 800000000L).as("doc_id"),
+          col("text")), band)
+      graft.dedup.BandIndex.compact(spark, band,
+        protect = ServingSnapshot.protectedGens(snap, band))
+      assert(!IndexFs.exists(s"$band/gen=0"),
+        "retired generation 0 survived the first post-retirement sweep")
+      val eGone = intercept[IllegalArgumentException] {
+        graft.dedup.BandIndex.probePinned(spark, leg, delta)
+      }
+      assert(eGone.getMessage.contains("re-resolve"), eGone.getMessage)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
@@ -211,6 +228,21 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
       val pinned = bits(graft.similarity.VectorIndex
         .probeMipsPinned(spark, leg, queryDf, 5, nprobe = 16))
       assert(pinned == live && pinned.nonEmpty)
+      // IVF and MIPS legs both pin vectors/ — the mips_m2 marker is the
+      // dispatcher (review finding r16): probing a MIPS leg as plain
+      // IVF would silently select cells in the wrong space
+      val eIvf = intercept[IllegalArgumentException] {
+        graft.similarity.VectorIndex.probeIvfPinned(spark, leg, queryDf, 5, 4)
+      }
+      assert(eIvf.getMessage.contains("probeMipsPinned"), eIvf.getMessage)
+      val ivfDir = s"$tmp/ivf"
+      graft.similarity.VectorIndex.buildIvf(spark, vecs, ivfDir, nCells = 16)
+      ServingSnapshot.publish(s"$tmp/snapIvf", Map("dense" -> ivfDir))
+      val ivfLeg = ServingSnapshot.resolve(s"$tmp/snapIvf").legs("dense")
+      val eMips = intercept[IllegalArgumentException] {
+        graft.similarity.VectorIndex.probeMipsPinned(spark, ivfLeg, queryDf, 5, 4)
+      }
+      assert(eMips.getMessage.contains("probeIvfPinned"), eMips.getMessage)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
@@ -248,7 +280,7 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
       // simulate the losing side of a concurrent double-publish: the
       // version-2 marker already exists when our create runs
       val line = s"sparse\t$term\t0\tpostings/placeholder.parquet"
-      IndexFs.createMarker(s"$snap/_snap.v=2", line)
+      IndexFs.createMarker(s"$snap/_snap.v=2", s"$line\n#complete n=1")
       intercept[Exception] {
         IndexFs.createMarker(s"$snap/_snap.v=2", "other", overwrite = false)
       }
@@ -258,6 +290,23 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
       val got = ServingSnapshot.resolve(snap)
       assert(got.version == 2L && got.legs.keySet == Set("sparse"))
       assert(got.legs("sparse").files == Seq("postings/placeholder.parquet"))
+      // TORN/IN-FLIGHT manifest (review finding r16): on HDFS/local,
+      // create() exposes an EMPTY file before the content lands — a
+      // footer-less manifest must not be served. resolve() falls back
+      // to the newest COMPLETE version; resolveAt names the cause; and
+      // the in-flight version still owns its number (publish allocates
+      // PAST it, never onto it)
+      IndexFs.createMarker(s"$snap/_snap.v=3", "")
+      assert(ServingSnapshot.resolve(snap).version == 2L,
+        "resolve served an in-flight manifest")
+      val eInflight = intercept[IllegalArgumentException] {
+        ServingSnapshot.resolveAt(snap, 3L)
+      }
+      assert(eInflight.getMessage.contains("incomplete"), eInflight.getMessage)
+      assert(ServingSnapshot.currentVersion(snap) == 3L)
+      // a stray non-numeric _snap.v=* file breaks nothing
+      IndexFs.createMarker(s"$snap/_snap.v=2.bak", "junk")
+      assert(ServingSnapshot.resolve(snap).version == 2L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
