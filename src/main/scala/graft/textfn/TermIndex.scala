@@ -439,6 +439,23 @@ object TermIndex {
       s.read.parquet(s"$indexDir/terms"), loadStats(s, indexDir),
       queries, k, nShards)
 
+  /** [[probeBatch]] pinned to a [[graft.operators.ServingSnapshot]]
+    * leg — the batch face of [[probePinned]], same immutability and
+    * loud-failure contract, scoring the verbatim batch chain over the
+    * pinned posting files. */
+  def probeBatchPinned(s: SparkSession,
+                       leg: graft.operators.ServingSnapshot.Leg,
+                       queries: Seq[(Long, Seq[String])], k: Int,
+                       nShards: Int = DefaultShards): DataFrame = {
+    graft.operators.ServingSnapshot.requireLeg(leg, Seq("postings/"),
+      "TermIndex.probeBatchPinned")
+    val base = postingsPathAt(leg.dir, leg.gen)
+    val files = leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f")
+    probeBatchRel(s, s.read.option("basePath", base).parquet(files: _*),
+      s.read.parquet(s"${leg.dir}/terms"), loadStats(s, leg.dir),
+      queries, k, nShards)
+  }
+
   /** Batch-probe telemetry, the [[maxScorePruned]] siblings. */
   private[graft] val maxScoreBatchPruned = new java.util.concurrent.atomic.AtomicLong
   private[graft] val maxScoreBatchFellBack = new java.util.concurrent.atomic.AtomicLong

@@ -257,6 +257,16 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
       graft.textfn.TermIndex.build(spark, docs, term)
       ServingSnapshot.publish(snap, Map("sparse" -> term))
       val leg = ServingSnapshot.resolve(snap).legs("sparse")
+      // the batch face rides the same pinned relation: pinned batch ≡
+      // live batch bit-for-bit on the immutable index
+      val queries = Seq(0L -> Terms, 1L -> Seq("join", "hash"))
+      def batchBits(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("doc_id"), col("score")).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      assert(batchBits(graft.textfn.TermIndex.probeBatchPinned(
+          spark, leg, queries, 5)) ==
+        batchBits(graft.textfn.TermIndex.probeBatch(spark, term, queries, 5)))
       val df = graft.textfn.TermIndex.probePinned(spark, leg, Terms, K)
       df.collect()
       val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
