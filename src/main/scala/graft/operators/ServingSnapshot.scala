@@ -195,6 +195,22 @@ object ServingSnapshot {
   def protectedGens(snapDir: String, indexDir: String): Set[Long] =
     protectedGensAll(snapDir).getOrElse(qualified(indexDir), Set.empty)
 
+  /** Integrity check for a resolved snapshot — the CorpusExport.verify
+    * discipline applied to manifests: every pinned data file must still
+    * exist on its filesystem. Returns the missing files (empty = intact).
+    * An ops primitive for the serving side: run it before promoting a
+    * reader to a version, or after an incident, to distinguish "the
+    * manifest is fine" from "someone deleted data out from under it" —
+    * a pinned probe would fail mid-scan with a storage-layer error; this
+    * names the files up front. Metadata-only (one existence check per
+    * pinned file, no data read). */
+  def verify(snapshot: Snapshot): Seq[String] =
+    snapshot.legs.valuesIterator.flatMap { leg =>
+      leg.files.iterator
+        .map(f => s"${leg.dir}/gen=${leg.gen}/$f")
+        .filterNot(IndexFs.exists)
+    }.toSeq
+
   /** Delete all but the newest `keepLatest` snapshot versions. The
     * freed generations are reaped by the NEXT compaction sweep (whose
     * [[protectedGens]] no longer includes them) — retire never touches

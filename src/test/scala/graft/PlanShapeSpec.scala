@@ -487,4 +487,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Generate"), "probe plan re-tokenizes (explode present)")
     assert(!p.contains("documents.parquet"), "probe plan scans the corpus")
   }
+
+  test("q_hybrid_snapshot's sparse leg keeps the pruned pinned scan and " +
+    "never re-tokenizes; the fused frame is retrieval-sized") {
+    val p = plan("q_hybrid_snapshot")
+    // pinned postings read: still partition-pruned through the explicit
+    // file list (basePath preserves shard inference)
+    assert(p.contains("PartitionFilters") && p.contains("shard"),
+      "pinned postings scan not partition-pruned")
+    // the serving path reads INDEX artifacts, never the documents table
+    assert(!p.contains("Generate"), "snapshot plan re-tokenizes")
+    assert(!p.contains("documents.parquet"), "snapshot plan scans the corpus")
+  }
+
+  test("q_rag_assemble's candidate-side work is broadcast-joined (no " +
+    "corpus-scale shuffle on the suppression self-join)") {
+    val p = plan("q_rag_assemble")
+    // suppression joins the ≤ 40-row candidate list against itself as a
+    // broadcast nested-loop/hash join — a SortMergeJoin there would mean
+    // a corpus-scale shuffle crept into the candidate stage
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "suppression self-join not broadcast")
+  }
 }

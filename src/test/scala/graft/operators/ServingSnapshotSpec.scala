@@ -279,6 +279,27 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("verify() is the integrity primitive: intact snapshot -> empty; " +
+    "a deleted pinned file is named up front, metadata-only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapv").toString
+    val term = s"$tmp/term"
+    val snap = s"$tmp/snap"
+    try {
+      graft.textfn.TermIndex.build(spark, docs, term)
+      ServingSnapshot.publish(snap, Map("sparse" -> term))
+      val snapshot = ServingSnapshot.resolve(snap)
+      assert(ServingSnapshot.verify(snapshot).isEmpty)
+      // someone deletes data out from under the manifest
+      val leg = snapshot.legs("sparse")
+      val victim = s"${leg.dir}/gen=${leg.gen}/${leg.files.head}"
+      IndexFs.delete(victim)
+      val missing = ServingSnapshot.verify(snapshot)
+      assert(missing == Seq(victim), s"got $missing")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("a racing reader across a publish flip sees old or new wholly — " +
     "and a duplicate publish of the same version is refused") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_snap2").toString
