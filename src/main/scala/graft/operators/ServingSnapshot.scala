@@ -125,22 +125,40 @@ object ServingSnapshot {
 
   /** Publish a new snapshot version pinning each named leg's current
     * committed generation AND its exact data-file census. Single-writer
-    * between ingest batches (see the class doc's atomicity contract). */
-  def publish(snapDir: String, legs: Map[String, String]): Long = {
+    * between ingest batches (see the class doc's atomicity contract).
+    * For indexes on the [[Generations]] layout; a component with its
+    * own commit encoding (ParquetGraphSink) builds its [[Leg]] itself
+    * and publishes through [[publishLegs]]. */
+  def publish(snapDir: String, legs: Map[String, String]): Long =
+    publishLegs(snapDir, legs.map { case (name, d) => name -> legOf(d) })
+
+  /** The current [[Leg]] of a standard [[Generations]]-layout index —
+    * committed generation + file census, dir qualified. */
+  def legOf(indexDir: String): Leg = {
+    val qd = qualified(indexDir)
+    val gen = Generations.currentGen(qd)
+    Leg(qd, gen, IndexFs.listParquetRecursive(s"$qd/gen=$gen"))
+  }
+
+  /** [[publish]] over caller-built legs — the seam for components whose
+    * commit state is not a bare `_commit.gen=N` marker (the graph
+    * sink's two-field record): the component computes (dir, gen, file
+    * census) under its own commit discipline, this writes the same
+    * atomic manifest. Dirs are re-qualified here, so a caller-built leg
+    * gets the same spelling-proof protection as the standard path. */
+  def publishLegs(snapDir: String, legs: Map[String, Leg]): Long = {
     require(legs.nonEmpty, "ServingSnapshot.publish: no legs")
     require(!legs.keysIterator.exists(n =>
         n.contains("\t") || n.contains("\n") || n.startsWith("#")),
       "ServingSnapshot.publish: leg names must not contain tabs/newlines " +
         "or start with '#' (the manifest comment/footer prefix)")
     val v = currentVersion(snapDir) + 1
-    val body = legs.toSeq.sortBy(_._1).flatMap { case (name, d) =>
-      val qd = qualified(d)
-      val gen = Generations.currentGen(qd)
-      val files = IndexFs.listParquetRecursive(s"$qd/gen=$gen")
-      require(files.nonEmpty,
+    val body = legs.toSeq.sortBy(_._1).flatMap { case (name, leg) =>
+      val qd = qualified(leg.dir)
+      require(leg.files.nonEmpty,
         s"ServingSnapshot.publish: leg '$name' has no data files under " +
-          s"$qd/gen=$gen — not a built index")
-      files.map(f => s"$name\t$qd\t$gen\t$f")
+          s"$qd/gen=${leg.gen} — not a built index")
+      leg.files.map(f => s"$name\t$qd\t${leg.gen}\t$f")
     }
     val content = (body :+ s"$FooterPrefix${body.size}").mkString("\n")
     IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v", content,

@@ -101,9 +101,9 @@ final class ParquetGraphSink(tablePath: String) extends Serializable {
     * the folded batch directories + markers. Idempotent; crash-safe at
     * every step (see class doc). No-op when nothing new is applied
     * (still reaps leftovers of a previously interrupted cleanup). */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession, protect: Set[Long] = Set.empty): Unit = {
     val (gen, through) = commitState
-    cleanup(gen, through)
+    cleanup(gen, through, protect)
     val applied = appliedBatchIds
     if (applied.isEmpty) return
     val newGen = gen + 1
@@ -116,21 +116,72 @@ final class ParquetGraphSink(tablePath: String) extends Serializable {
     // fields, readers take the max generation
     IndexFs.createMarker(s"$compactionDir/${commitMarker(newGen, newThrough)}",
       s"gen=$newGen through=$newThrough")
-    cleanup(newGen, newThrough)
+    cleanup(newGen, newThrough, protect)
   }
 
-  /** Delete base generations other than `keepGen`, batch data +
-    * markers folded through `through`, and superseded commit records —
+  /** Delete base generations other than `keepGen` (and any pinned by a
+    * live ServingSnapshot — the `protect` seam), batch data + markers
+    * folded through `through`, and superseded commit records —
     * everything invisible to readers of the current commit. */
-  private def cleanup(keepGen: Long, through: Long): Unit = {
+  private def cleanup(keepGen: Long, through: Long,
+                      protect: Set[Long] = Set.empty): Unit = {
     def reap(dir: String, keep: String => Boolean): Unit =
       IndexFs.list(dir)
         .filterNot(st => keep(st.getPath.getName))
         .foreach(st => IndexFs.deleteQuietly(st.getPath.toString))
-    reap(s"$tablePath/base", _ == s"gen=$keepGen")
+    reap(s"$tablePath/base", n => n == s"gen=$keepGen" ||
+      n.stripPrefix("gen=").toLongOption.exists(protect))
     reap(triplesDir, name => name.stripPrefix("batch_id=").toLong > through)
     reap(appliedDir, _.toLong > through)
     reap(compactionDir, _ == commitMarker(keepGen, through))
+  }
+
+  /** The sink's current state as a [[graft.operators.ServingSnapshot]]
+    * leg — dir is the BASE table (the sink's own commit encoding names
+    * the generation; [[graft.operators.ServingSnapshot.publishLegs]]
+    * takes it from here). REFUSES to pin while unfolded batch
+    * directories exist: they live outside the generational layout, so
+    * a manifest could not pin them — run [[compact]] first (the
+    * publish-after-compact ordering the ingest loop already follows).
+    * With the graph leg in the same manifest as the retrieval legs, one
+    * snapshot pins retrieval AND graph context at one instant — the
+    * knowledge-graph RAG serving cut. */
+  def leg(): graft.operators.ServingSnapshot.Leg = {
+    val (gen, _) = commitState
+    require(gen > 0, s"ParquetGraphSink.leg: nothing compacted under " +
+      s"$tablePath yet — compact() before publishing a snapshot")
+    val unfolded = appliedBatchIds
+    require(unfolded.isEmpty,
+      s"ParquetGraphSink.leg: unfolded batch dirs ${unfolded.mkString(",")} " +
+        s"under $tablePath — they live outside the generational layout " +
+        "and cannot be pinned; compact() before publishing a snapshot")
+    graft.operators.ServingSnapshot.Leg(s"$tablePath/base", gen,
+      IndexFs.listParquetRecursive(genDir(gen)))
+  }
+
+  /** [[graph]] pinned to a snapshot leg: the exact base-generation
+    * files the manifest lists, immutable under later merges and
+    * compactions (protected by the leg's live snapshot). Loud on a
+    * wrong-type leg (graph base files sit DIRECTLY in the generation
+    * dir — a leg pinning subdirectory files is some other index) and
+    * on a reaped generation. */
+  def graphPinned(spark: SparkSession,
+                  leg: graft.operators.ServingSnapshot.Leg)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    require(leg.files.forall(!_.contains("/")),
+      s"ParquetGraphSink.graphPinned: leg at ${leg.dir} pins files under " +
+        s"subdirectories (${leg.files.find(_.contains("/")).get}) — not a " +
+        "graph base leg (wrong leg name resolved from the snapshot?)")
+    require(IndexFs.exists(s"${leg.dir}/gen=${leg.gen}"),
+      s"ParquetGraphSink.graphPinned: generation ${leg.gen} of ${leg.dir} " +
+        "is gone — its snapshot was retired and the generation reaped " +
+        "(or it never committed); re-resolve the latest ServingSnapshot")
+    val t = spark.read
+      .parquet(leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f"): _*)
+      .select(col("subject"), col("predicate"), col("object"), col("ts_us"))
+    val objs = graft.graph.TripleStore.objects(t)
+    (objs, graft.graph.TripleStore.relationships(t, objs))
   }
 
   /** Materialize (objects, relationships) from everything durably

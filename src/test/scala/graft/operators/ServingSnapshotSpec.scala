@@ -279,6 +279,72 @@ class ServingSnapshotSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the graph store joins the snapshot: one manifest pins retrieval " +
+    "AND graph context at one instant; pinned graph bit-stable across " +
+    "merges + protected compaction; unfolded batches refused") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapg").toString
+    val (table, term, snap) = (s"$tmp/graph", s"$tmp/term", s"$tmp/snap")
+    try {
+      val triples = graft.graph.TripleStore.triplesFromEvents(
+        Tables(spark, dir).events)
+        .select(col("subject"), col("predicate"), col("object"), col("ts_us"))
+      val (b1, b2) = {
+        val rows = triples.collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        rows.splitAt(rows.length / 2)
+      }
+      def df(rows: Seq[(String, String, String, Long)]) =
+        rows.toDF("subject", "predicate", "object", "ts_us")
+      val sink = new graft.streaming.ParquetGraphSink(table)
+      sink.merge(df(b1), 0L)
+      // unfolded batches cannot be pinned — refuse loudly
+      val eUnfolded = intercept[IllegalArgumentException] { sink.leg() }
+      assert(eUnfolded.getMessage.contains("compact"), eUnfolded.getMessage)
+      sink.compact(spark)
+      // the knowledge-graph RAG cut: retrieval + graph in ONE manifest
+      graft.textfn.TermIndex.build(spark, docs, term)
+      ServingSnapshot.publishLegs(snap, Map(
+        "graph" -> sink.leg(),
+        "sparse" -> ServingSnapshot.legOf(term)))
+      val s1 = ServingSnapshot.resolve(snap)
+      def graphBits(legArg: ServingSnapshot.Leg) = {
+        val (objs, edges) = sink.graphPinned(spark, legArg)
+        (objs.collect().map(_.toSeq).toSet, edges.collect().map(_.toSeq).toSet)
+      }
+      val pinned1 = graphBits(s1.legs("graph"))
+      val (lo, le) = sink.graph(spark)
+      assert(pinned1 == (lo.collect().map(_.toSeq).toSet,
+        le.collect().map(_.toSeq).toSet))
+      // the stream moves on: merge + protected compact; the pinned graph
+      // is the publish-time graph, not the grown one
+      sink.merge(df(b2), 1L)
+      sink.compact(spark,
+        protect = ServingSnapshot.protectedGens(snap, s"$table/base"))
+      assert(graphBits(s1.legs("graph")) == pinned1,
+        "pinned graph moved after merge + compaction")
+      // wrong-leg: the sparse leg pins subdirectory files
+      val eWrong = intercept[IllegalArgumentException] {
+        sink.graphPinned(spark, s1.legs("sparse"))
+      }
+      assert(eWrong.getMessage.contains("not a graph base leg"), eWrong.getMessage)
+      // retire + next compact reaps; the stale pinned read fails loudly
+      ServingSnapshot.publishLegs(snap, Map("graph" -> sink.leg()))
+      ServingSnapshot.retire(snap, keepLatest = 1)
+      sink.merge(df(b1.take(3)).select(col("subject"),
+        concat(col("predicate"), lit("_x")).as("predicate"),
+        col("object"), col("ts_us")), 2L)
+      sink.compact(spark,
+        protect = ServingSnapshot.protectedGens(snap, s"$table/base"))
+      val eGone = intercept[IllegalArgumentException] {
+        sink.graphPinned(spark, s1.legs("graph"))
+      }
+      assert(eGone.getMessage.contains("re-resolve"), eGone.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("verify() is the integrity primitive: intact snapshot -> empty; " +
     "a deleted pinned file is named up front, metadata-only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_snapv").toString
