@@ -105,7 +105,19 @@ private[graft] object IndexFs {
     * object stores — so a listed file is a readable file; in-flight
     * work lives under `_temporary`, which this filter skips). Sorted
     * for deterministic manifests. */
-  def listParquetRecursive(dir: String): Seq[String] = {
+  def listParquetRecursive(dir: String): Seq[String] =
+    filesRecursive(dir, _.endsWith(".parquet"))
+
+  /** EVERY file under `dir`, recursively, relative + sorted — the
+    * [[ServingSnapshot.verify]] existence census: one listing per
+    * pinned generation directory answers "which pinned files still
+    * exist" as a set-diff in O(directories) filesystem calls, instead
+    * of one `exists` RPC per pinned file. No name filter: a pinned
+    * file must be found whatever a caller-built leg named it. */
+  def listFilesRecursive(dir: String): Seq[String] =
+    filesRecursive(dir, _ => true)
+
+  private def filesRecursive(dir: String, keep: String => Boolean): Seq[String] = {
     val (fs, p) = resolve(dir)
     if (!fs.exists(p)) return Seq.empty
     val base = fs.makeQualified(p).toString.stripSuffix("/") + "/"
@@ -120,7 +132,7 @@ private[graft] object IndexFs {
           if (st.getPath.getName != "_temporary") walk(st.getPath)
         } else {
           val full = st.getPath.toString
-          if (full.endsWith(".parquet")) out += full.stripPrefix(base)
+          if (keep(full)) out += full.stripPrefix(base)
         }
       }
     walk(p)

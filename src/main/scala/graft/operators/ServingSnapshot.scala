@@ -32,6 +32,22 @@ package graft.operators
   * exactly the listed files and score bit-identically to the probe
   * that ran at publish time, for as long as the snapshot lives.
   *
+  * TWO MANIFEST FORMS (r17 — the Iceberg manifest-list split, VERDICT
+  * r16 item 3b): a small cut inlines its file census in the version
+  * file. Past [[SplitThreshold]] pinned files, the version file instead
+  * NAMES one per-leg manifest file (`_snapleg.v=N.<leg>`) per leg, each
+  * carrying that leg's census under its own completeness footer — so at
+  * production file counts (10⁵–10⁶ per leg) a publish writes and a
+  * resolve reads per-leg files instead of one census-of-everything, and
+  * a single-leg consumer (a compactor computing protection for one
+  * index) still pays one version read + that leg's manifests. Write
+  * order makes the split form exactly as atomic as the inline form: leg
+  * manifests land FIRST (invisible — nothing references them), the
+  * version file last (the visibility point, no-overwrite create);
+  * readers treat a version whose referenced leg manifest is missing or
+  * footer-less as IN-FLIGHT, which also covers the retire race (retire
+  * deletes the version file first, then its leg manifests).
+  *
   * ATOMICITY: the VERSION rides in the manifest's NAME, so a racing
   * reader listing the directory parses {old} or {old, new} and takes
   * the max — never a half-written NAME. Content visibility is the
@@ -67,7 +83,16 @@ package graft.operators
 object ServingSnapshot {
 
   private val MarkerPrefix = "_snap.v="
+  private val LegMarkerPrefix = "_snapleg.v="
   private val FooterPrefix = "#complete n="
+  private val LegRefPrefix = "@leg\t"
+
+  /** Pinned-file count above which [[publishLegs]] writes the SPLIT
+    * form (per-leg manifest files named by the version file) instead of
+    * inlining the census. 10⁴ keeps the inline form for every
+    * gate-scale cut while production corpora (10⁵–10⁶ files per leg)
+    * get per-leg manifests — the Iceberg manifest-list sizing. */
+  val SplitThreshold = 10000
 
   /** One leg's pinned view: the index root (filesystem-qualified), the
     * generation its files live in, and the data files (relative to
@@ -101,26 +126,59 @@ object ServingSnapshot {
   def currentVersion(snapDir: String): Long =
     versionsOn(snapDir).lastOption.getOrElse(0L)
 
-  /** Parse a manifest if it is COMPLETE (footer present and line count
-    * matching — a `create()`-visible-but-unwritten or partially-written
-    * manifest fails both), else None. */
-  private def parseComplete(snapDir: String, version: Long): Option[Snapshot] = {
-    val file = s"$snapDir/$MarkerPrefix$version"
+  /** Read `file` if it exists and is COMPLETE (footer present and line
+    * count matching — a `create()`-visible-but-unwritten or
+    * partially-written manifest fails both), returning its body lines.
+    * An IO failure on the READ — the manifest vanished between the
+    * existence check and the open, or mid-read, which a concurrent
+    * [[retire]] makes routine — reads as absent, same as losing the
+    * exists check: the caller falls back to another version. */
+  private def completeBody(file: String): Option[Seq[String]] = {
     if (!IndexFs.exists(file)) return None
-    val lines = IndexFs.readSmall(file).split("\n").iterator
+    val content =
+      try IndexFs.readSmall(file)
+      catch { case _: java.io.IOException => return None }
+    val lines = content.split("\n").iterator
       .filter(_.nonEmpty).toSeq
     val body = lines.filterNot(_.startsWith("#"))
     val complete = lines.lastOption.exists(l =>
       l.startsWith(FooterPrefix) &&
         l.stripPrefix(FooterPrefix).toLongOption.contains(body.size.toLong))
-    if (!complete) return None
-    val legs = body.map { line =>
-      val Array(name, dir, gen, f) = line.split("\t", 4)
-      (name, dir, gen.toLong, f)
-    }.groupBy(_._1).map { case (name, rows) =>
-      name -> Leg(rows.head._2, rows.head._3, rows.map(_._4))
+    if (complete) Some(body) else None
+  }
+
+  private def legsOfRows(rows: Seq[(String, String, Long, String)]): Map[String, Leg] =
+    rows.groupBy(_._1).map { case (name, rs) =>
+      name -> Leg(rs.head._2, rs.head._3, rs.map(_._4))
     }
-    Some(Snapshot(version, legs))
+
+  /** Parse a manifest version if it is COMPLETE, else None. Inline
+    * form: the body IS the census. Split form: every body line is an
+    * `@leg` reference to a per-leg manifest file, each of which must
+    * itself exist and be complete — a missing or footer-less leg
+    * manifest makes the whole version in-flight (covers both a publish
+    * mid-write and a retire that already took the version's legs). */
+  private def parseComplete(snapDir: String, version: Long): Option[Snapshot] = {
+    completeBody(s"$snapDir/$MarkerPrefix$version").flatMap { body =>
+      if (body.exists(_.startsWith(LegRefPrefix))) {
+        // split form: strict — a mixed manifest is a writer bug, and
+        // serving half a cut would be the torn read this layer exists
+        // to prevent
+        if (!body.forall(_.startsWith(LegRefPrefix))) return None
+        val legBodies = body.map { line =>
+          val Array(_, _, legFile, _) = line.split("\t", 4)
+          completeBody(s"$snapDir/$legFile")
+        }
+        if (legBodies.exists(_.isEmpty)) None
+        else Some(Snapshot(version,
+          legsOfRows(legBodies.flatMap(_.get).map(parseCensusLine))))
+      } else Some(Snapshot(version, legsOfRows(body.map(parseCensusLine))))
+    }
+  }
+
+  private def parseCensusLine(line: String): (String, String, Long, String) = {
+    val Array(name, dir, gen, f) = line.split("\t", 4)
+    (name, dir, gen.toLong, f)
   }
 
   /** Publish a new snapshot version pinning each named leg's current
@@ -145,24 +203,62 @@ object ServingSnapshot {
     * sink's two-field record): the component computes (dir, gen, file
     * census) under its own commit discipline, this writes the same
     * atomic manifest. Dirs are re-qualified here, so a caller-built leg
-    * gets the same spelling-proof protection as the standard path. */
-  def publishLegs(snapDir: String, legs: Map[String, Leg]): Long = {
+    * gets the same spelling-proof protection as the standard path.
+    * `splitOver` is the [[SplitThreshold]] seam (tests drive the split
+    * form without 10⁴ files); production callers take the default. */
+  def publishLegs(snapDir: String, legs: Map[String, Leg],
+                  splitOver: Int = SplitThreshold): Long = {
     require(legs.nonEmpty, "ServingSnapshot.publish: no legs")
-    require(!legs.keysIterator.exists(n =>
-        n.contains("\t") || n.contains("\n") || n.startsWith("#")),
-      "ServingSnapshot.publish: leg names must not contain tabs/newlines " +
-        "or start with '#' (the manifest comment/footer prefix)")
-    val v = currentVersion(snapDir) + 1
-    val body = legs.toSeq.sortBy(_._1).flatMap { case (name, leg) =>
-      val qd = qualified(leg.dir)
-      require(leg.files.nonEmpty,
-        s"ServingSnapshot.publish: leg '$name' has no data files under " +
-          s"$qd/gen=${leg.gen} — not a built index")
-      leg.files.map(f => s"$name\t$qd\t${leg.gen}\t$f")
+    legs.keysIterator.foreach { n =>
+      require(!(n.contains("\t") || n.contains("\n") || n.contains("/") ||
+          n.startsWith("#") || n.startsWith("@")),
+        s"ServingSnapshot.publish: leg name '$n' must not contain tabs, " +
+          "newlines, or '/', or start with '#'/'@' (the manifest " +
+          "comment/footer/leg-reference prefixes and the split-manifest " +
+          "filename seam)")
     }
-    val content = (body :+ s"$FooterPrefix${body.size}").mkString("\n")
-    IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v", content,
-      overwrite = false)
+    val v = currentVersion(snapDir) + 1
+    val perLeg: Seq[(String, Seq[String])] = legs.toSeq.sortBy(_._1)
+      .map { case (name, leg) =>
+        val qd = qualified(leg.dir)
+        require(leg.files.nonEmpty,
+          s"ServingSnapshot.publish: leg '$name' has no data files under " +
+            s"$qd/gen=${leg.gen} — not a built index")
+        // a tab or newline anywhere in a pinned path would corrupt the
+        // 4-field line format or the footer's line count, producing a
+        // version that parses as permanently in-flight and is silently
+        // skipped by resolve — fail the PUBLISH loudly instead
+        // (ADVICE r16). The qualified dir is checked too: qualifying
+        // cannot introduce control characters, but the invariant should
+        // hold on what is actually written, not on an argument.
+        (qd +: leg.files).foreach { s =>
+          require(!(s.contains("\t") || s.contains("\n")),
+            s"ServingSnapshot.publish: leg '$name' pins a path containing " +
+              s"a tab or newline ('${s.take(80)}') — unencodable in the " +
+              "manifest line format")
+        }
+        name -> leg.files.map(f => s"$name\t$qd\t${leg.gen}\t$f")
+      }
+    def withFooter(body: Seq[String]): String =
+      (body :+ s"$FooterPrefix${body.size}").mkString("\n")
+    val totalFiles = perLeg.iterator.map(_._2.size).sum
+    if (totalFiles <= splitOver) {
+      IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v",
+        withFooter(perLeg.flatMap(_._2)), overwrite = false)
+    } else {
+      // split form: leg manifests first (invisible until referenced;
+      // overwrite=true because a crashed earlier attempt at this same
+      // version may have stranded them — they were never visible), the
+      // version file LAST as the atomic visibility point
+      val refs = perLeg.map { case (name, lines) =>
+        val legFile = s"$LegMarkerPrefix$v.$name"
+        IndexFs.createMarker(s"$snapDir/$legFile", withFooter(lines),
+          overwrite = true)
+        s"$LegRefPrefix$name\t$legFile\t${lines.size}"
+      }
+      IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v", withFooter(refs),
+        overwrite = false)
+    }
     v
   }
 
@@ -170,13 +266,33 @@ object ServingSnapshot {
     * landed yet (a publish in flight on HDFS/local, where `create`
     * exposes the file before the content) is skipped, giving the
     * old-or-new semantics a mid-publish reader should see. Loud when
-    * nothing complete has been published. */
+    * nothing complete has been published.
+    *
+    * The version listing is taken once per attempt, so a concurrent
+    * publish+retire can delete every LISTED version after the listing
+    * while a newer complete version exists (ADVICE r16) — on
+    * exhaustion the attempt repeats AS LONG AS THE LISTING KEEPS
+    * CHANGING (bounded; each change proves a publisher made progress,
+    * so a fresh newest version exists to parse), and throws only once
+    * two consecutive attempts saw the same version set: a STABLE
+    * listing with nothing complete really is an empty or all-torn
+    * snapshot directory, never a race. */
   def resolve(snapDir: String): Snapshot = {
-    val complete = versionsOn(snapDir).reverseIterator
-      .map(parseComplete(snapDir, _))
-      .collectFirst { case Some(s) => s }
-    complete.getOrElse(throw new IllegalArgumentException(
-      s"ServingSnapshot.resolve: no complete snapshot published under $snapDir"))
+    @annotation.tailrec
+    def loop(prev: Option[Seq[Long]], budget: Int): Snapshot = {
+      val vs = versionsOn(snapDir)
+      val hit = vs.reverseIterator
+        .map(parseComplete(snapDir, _))
+        .collectFirst { case Some(s) => s }
+      hit match {
+        case Some(s) => s
+        case None if budget > 0 && !prev.contains(vs) =>
+          loop(Some(vs), budget - 1)
+        case None => throw new IllegalArgumentException(
+          s"ServingSnapshot.resolve: no complete snapshot published under $snapDir")
+      }
+    }
+    loop(None, budget = 20)
   }
 
   /** A specific snapshot version — the handle a long-lived reader holds
@@ -215,28 +331,54 @@ object ServingSnapshot {
 
   /** Integrity check for a resolved snapshot — the CorpusExport.verify
     * discipline applied to manifests: every pinned data file must still
-    * exist on its filesystem. Returns the missing files (empty = intact).
-    * An ops primitive for the serving side: run it before promoting a
-    * reader to a version, or after an incident, to distinguish "the
-    * manifest is fine" from "someone deleted data out from under it" —
-    * a pinned probe would fail mid-scan with a storage-layer error; this
-    * names the files up front. Metadata-only (one existence check per
-    * pinned file, no data read). */
+    * exist on its filesystem. Returns the missing files, sorted (empty
+    * = intact). An ops primitive for the serving side: run it before
+    * promoting a reader to a version, or after an incident, to
+    * distinguish "the manifest is fine" from "someone deleted data out
+    * from under it" — a pinned probe would fail mid-scan with a
+    * storage-layer error; this names the files up front. Metadata-only
+    * and BATCHED (VERDICT r16 item 3a): one recursive listing per
+    * pinned generation directory + a set-diff — O(directories)
+    * filesystem calls, never one existence RPC per pinned file, which
+    * at production file counts (10⁵–10⁶ per leg) was minutes of
+    * sequential round-trips. */
   def verify(snapshot: Snapshot): Seq[String] =
-    snapshot.legs.valuesIterator.flatMap { leg =>
-      leg.files.iterator
-        .map(f => s"${leg.dir}/gen=${leg.gen}/$f")
-        .filterNot(IndexFs.exists)
-    }.toSeq
+    snapshot.legs.valuesIterator.toSeq
+      .groupBy(l => (l.dir, l.gen)).toSeq
+      .flatMap { case ((dir, gen), legs) =>
+        val existing = IndexFs.listFilesRecursive(s"$dir/gen=$gen").toSet
+        legs.iterator.flatMap(_.files.iterator)
+          .filterNot(existing)
+          .map(f => s"$dir/gen=$gen/$f")
+      }.distinct.sorted
 
-  /** Delete all but the newest `keepLatest` snapshot versions. The
-    * freed generations are reaped by the NEXT compaction sweep (whose
-    * [[protectedGens]] no longer includes them) — retire never touches
-    * index data itself. */
+  /** Delete old snapshot versions, keeping the newest `keepLatest`
+    * COMPLETE versions — plus every version NEWER than the oldest kept
+    * complete one (an in-flight publish above the cut still owns its
+    * number and must not be swept mid-write). Counting completeness
+    * matters (ADVICE r16): a crashed publish leaves a torn newest
+    * version, and a dropRight over all on-disk versions would count it
+    * toward the keep budget and delete the only COMPLETE version —
+    * after which resolve fails until the next successful publish.
+    * Torn versions BELOW the cut are garbage from crashed publishes
+    * and are swept with the retired ones. The freed generations are
+    * reaped by the NEXT compaction sweep (whose [[protectedGens]] no
+    * longer includes them) — retire never touches index data itself.
+    * Deletion order per version: the version file FIRST (readers stop
+    * resolving it atomically), then its split-form leg manifests. */
   def retire(snapDir: String, keepLatest: Int = 1): Unit = {
     require(keepLatest >= 1, "ServingSnapshot.retire: keepLatest must be >= 1")
-    versionsOn(snapDir).dropRight(keepLatest)
-      .foreach(v => IndexFs.deleteQuietly(s"$snapDir/$MarkerPrefix$v"))
+    val versions = versionsOn(snapDir)
+    val complete = versions.filter(parseComplete(snapDir, _).isDefined)
+    if (complete.size <= keepLatest) return
+    val cutoff = complete(complete.size - keepLatest)
+    versions.filter(_ < cutoff).foreach { v =>
+      IndexFs.deleteQuietly(s"$snapDir/$MarkerPrefix$v")
+      IndexFs.list(snapDir)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$LegMarkerPrefix$v."))
+        .foreach(n => IndexFs.deleteQuietly(s"$snapDir/$n"))
+    }
   }
 
   /** Shared pinned-probe admission check: the leg's files must all sit

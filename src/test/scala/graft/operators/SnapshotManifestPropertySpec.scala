@@ -67,6 +67,16 @@ class SnapshotManifestPropertySpec extends AnyFunSuite {
         val expected = got.legs.valuesIterator.flatMap(l =>
           l.files.map(f => s"${l.dir}/gen=${l.gen}/$f")).toSet
         assert(missing == expected, s"trial $trial: verify mismatch")
+        // the SPLIT form (r17, forced via splitOver = 0) is a pure
+        // encoding change: the same arbitrary cut must resolve to the
+        // identical snapshot through per-leg manifest files
+        val snapSplit = s"$tmp/snapsplit$trial"
+        val vS = ServingSnapshot.publishLegs(snapSplit, legs, splitOver = 0)
+        val gotS = ServingSnapshot.resolveAt(snapSplit, vS)
+        assert(gotS.version == v && gotS.legs == got.legs,
+          s"trial $trial: split/inline cut drift")
+        assert(ServingSnapshot.verify(gotS).toSet == expected,
+          s"trial $trial: split-form verify mismatch")
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
