@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // gate main: staged artifacts may be served from / written to the
+    // cross-invocation StageCache (keyed by dataset + code fingerprint,
+    // so a stale hit is impossible by construction)
+    graft.operators.StageCache.enableDefault()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -279,8 +279,30 @@ object AngularBlocking {
   def pairsFrom(b: Blocking, tau: Double): DataFrame =
     pairsFromAssignment(b.assigned, b.stats, tau)
 
+  /** [[buildBlocking]] with the ASSIGNMENT riding the cross-invocation
+    * [[graft.operators.StageCache]] (r17): the cell assignment is the
+    * expensive corpus pass and a pure function of (vecs, planes) — a
+    * cache hit is one parquet read. The per-cell (centroid, radius)
+    * stats are recomputed from the assigned frame either way (driver-
+    * sized aggregate; positional row access means the cached frame
+    * must and does preserve column order). `vecs` is by-name: on a hit
+    * the source frame — possibly itself an expensive staged build, the
+    * whitened case — is never constructed. */
+  private[graft] def buildBlockingCached(s: SparkSession, dataDir: String,
+                                         tier: String, version: Int,
+                                         nPlanes: Int = 4, seed: Long = 7L)
+                                        (vecs: => DataFrame): Blocking = {
+    val assigned = graft.operators.StageCache.frame(s, dataDir, tier, version,
+      persist = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) {
+      val nn = nonNullVecs(vecs)
+      assign(nn, nPlanes, deriveDims(nn).getOrElse(1), seed)
+    }
+    Blocking(assigned, cellStats(assigned, deriveDims(assigned).getOrElse(1)))
+  }
+
   private val stagedCache = new graft.operators.SessionStaged[Blocking](
-    (s, dir) => buildBlocking(graft.operators.Tables(s, dir).embeddings),
+    (s, dir) => buildBlockingCached(s, dir, "angular", 1)(
+      graft.operators.Tables(s, dir).embeddings),
     releaseBlocking)
 
   /** Materialize the staged assignment for `dir` (the builder's
@@ -302,7 +324,7 @@ object AngularBlocking {
     * float-cast is deterministic; the whitened frame itself is built
     * (one eigensolve) by the Similarity staging it keys off. */
   private val stagedWhitenedCache = new graft.operators.SessionStaged[Blocking](
-    (s, dir) => buildBlocking(
+    (s, dir) => buildBlockingCached(s, dir, "angular_whitened", 1)(
       graft.similarity.Similarity.stagedWhitenFrame(s, dir)
         .select(col("vec_id"),
           transform(col("whitened"), x => x.cast("float")).as("embedding"))),

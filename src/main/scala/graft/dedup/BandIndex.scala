@@ -145,22 +145,25 @@ object BandIndex {
 
   private val stagedIdx = new graft.operators.SessionStaged[StagedIndex](
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
-      try {
-        // reuse the session-staged feature pass instead of re-running
-        // the CPU-dominant 128-perm kernel over 6/7 of the corpus — the
-        // gate and bench stage exactly these columns moments earlier
+      // the index directory rides the cross-invocation StageCache
+      // (r17): a later JVM's staging is two relation opens, no build.
+      // On a miss the build still reuses the session-staged feature
+      // pass instead of re-running the CPU-dominant 128-perm kernel
+      // over 6/7 of the corpus
+      val (idxDir, _) = graft.operators.StageCache.dir(
+          s, dir, "band_index", 1, "graft_bandidx") { into =>
         writeFeats(Dedup.stagedDocFeatures(s, dir).feats
           .filter(col("doc_id") % 7 =!= 0)
           .select(col("doc_id"), col("ss"), col("bands")),
-          tmp, 64, org.apache.spark.sql.SaveMode.Overwrite)
-        StagedIndex(tmp, s.read.parquet(bandsPath(tmp)),
-          s.read.parquet(featuresPath(tmp)))
-      } catch {
-        case t: Throwable => deleteDir(tmp); throw t
+          into, 64, org.apache.spark.sql.SaveMode.Overwrite)
       }
+      StagedIndex(idxDir, s.read.parquet(bandsPath(idxDir)),
+        s.read.parquet(featuresPath(idxDir)))
     },
-    idx => deleteDir(idx.dir))
+    // cache entries outlive the session by design; only a cache-off
+    // scratch temp dir is reaped here
+    idx => if (!graft.operators.StageCache.isCachePath(idx.dir))
+      deleteDir(idx.dir))
 
   // staged index dirs must not outlive the JVM: nothing else evicts the
   // cache on a normal gate/bench/test exit, and each run would orphan a

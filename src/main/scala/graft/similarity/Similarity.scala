@@ -34,17 +34,24 @@ object Similarity extends QueryModule {
     val ws = Window.orderBy(col("score").desc, col("doc_id"))
     val srk = sparse.select(col("doc_id"),
       row_number().over(ws).cast("long").as("sparse_rank"))
-    val e = Tables(s, dir).embeddings
-    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-    val dense = e.filter(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id").as("doc_id"),
-        VectorOps.cosineNative(col("qe"), col("embedding")).as("cos"))
-      .orderBy(col("cos").desc, col("doc_id"))
-      .limit(20)
-    val wd = Window.orderBy(col("cos").desc, col("doc_id"))
-    val drk = dense.select(col("doc_id"),
-      row_number().over(wd).cast("long").as("dense_rank"))
+    // the dense leg serves off the STAGED IVF index (VERDICT r16 item
+    // 5) — the same maintained artifact the snapshot variant pins,
+    // probed live. Exhaustive probing (nprobe = nCells) makes the
+    // ranking bit-identical to the brute-force cosine top-20
+    // (VectorIndexSpec's pin), so the DuckDB oracle is unchanged while
+    // the per-query scan is the index's co-located cell files instead
+    // of a fresh corpus crossJoin — BOTH hybrid variants now read
+    // maintained artifacts, and at deployment scale this leg drops
+    // nprobe below nCells and trades the oracle for the measured-recall
+    // gate (the knn_ivf story). The query vector (vec_id 0) is in the
+    // index; probeIvf's vec_id == query_id self-exclusion keeps it out
+    // of its own neighbor list, exactly as the old `=!= 0` filter did.
+    val qdf = Tables(s, dir).embeddings
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val drk = graft.similarity.VectorIndex.probeIvf(
+        s, stagedSnapshot.get(s, dir).vecDir, qdf, 20, nprobe = SnapCells)
+      .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
     fuseRrf(srk, drk)
   }
 
@@ -74,33 +81,56 @@ object Similarity extends QueryModule {
     * vec_id == query_id self-exclusion keeps it out of its own
     * neighbor list, the knn convention; pinning is a storage concern,
     * exclusion a query concern. */
+  /** `root` holds only the per-session snapshot manifest; `vecDir` is
+    * the dense index's LIVE root (possibly a StageCache entry) —
+    * [[hybridRrf]] probes it directly (head state), while
+    * `q_hybrid_snapshot` reads the pinned leg. */
   private final case class StagedSnapshot(
-      root: String, snapshot: graft.operators.ServingSnapshot.Snapshot)
+      root: String, vecDir: String,
+      snapshot: graft.operators.ServingSnapshot.Snapshot)
 
   private val SnapCells = 16
 
   private val stagedSnapshot =
     new graft.operators.SessionStaged[StagedSnapshot]((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ragsnap").toString
-      try {
-        // the sparse leg REUSES the session-staged TermIndex (the same
-        // immutable full-corpus artifact text_bm25_indexed and
-        // q_hybrid_rrf serve from) — the snapshot pins its files, it
-        // does not need a private copy; only the dense index and the
-        // manifest are built here
-        val term = graft.textfn.TermIndex.stagedIndex(s, dir).dir
-        val (vec, snap) = (s"$tmp/vec", s"$tmp/snap")
+      // the sparse leg REUSES the session-staged TermIndex (the same
+      // immutable full-corpus artifact text_bm25_indexed and
+      // q_hybrid_rrf serve from) — the snapshot pins its files, it
+      // does not need a private copy
+      val term = graft.textfn.TermIndex.stagedIndex(s, dir).dir
+      // the dense index rides the cross-invocation StageCache (r17):
+      // build-once per (dataset, code) on the machine, one k-means +
+      // one partitioned write saved per later JVM
+      val (vec, _) = graft.operators.StageCache.dir(
+          s, dir, "rag_vec", 1, "graft_ragvec") { into =>
         graft.similarity.VectorIndex.buildIvf(s,
           Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
-          vec, nCells = SnapCells)
+          into, nCells = SnapCells)
+      }
+      // the MANIFEST is always published fresh per session (a census
+      // listing + one small file — ~0.03 s, §6 ragsnap record): it pins
+      // ABSOLUTE index paths, so caching it would couple this entry's
+      // lifetime to the exact on-disk location and census of the other
+      // two cache entries; publishing against whatever term/vec dirs
+      // THIS session resolved is both cheap and unconditionally correct
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ragsnap").toString
+      try {
+        val snap = s"$tmp/snap"
         graft.operators.ServingSnapshot.publish(snap,
           Map("sparse" -> term, "dense" -> vec))
-        StagedSnapshot(tmp, graft.operators.ServingSnapshot.resolve(snap))
+        StagedSnapshot(tmp, vec,
+          graft.operators.ServingSnapshot.resolve(snap))
       } catch {
         case t: Throwable =>
           graft.operators.IndexFs.deleteQuietly(tmp); throw t
       }
-    }, st => graft.operators.IndexFs.deleteQuietly(st.root))
+    }, st => {
+      graft.operators.IndexFs.deleteQuietly(st.root)
+      // the vec dir is scratch ONLY when the cache was off; a cache
+      // entry outlives the session by design
+      if (!graft.operators.StageCache.isCachePath(st.vecDir))
+        graft.operators.IndexFs.deleteQuietly(st.vecDir)
+    })
 
   // staged snapshot roots must not outlive the JVM (the TermIndex rule)
   Runtime.getRuntime.addShutdownHook(new Thread(() => stagedSnapshot.clear()))
@@ -609,8 +639,12 @@ object Similarity extends QueryModule {
     * identity and the checkpoint-scan plan (no second covariance
     * pass). No teardown: checkpoint blocks are cleaner-managed. */
   private val stagedWhiten = new graft.operators.SessionStaged[org.apache.spark.sql.DataFrame](
-    (s, dir) => whiten(s, graft.operators.Tables(s, dir).embeddings
-      .select(col("vec_id"), col("embedding"))))
+    (s, dir) => graft.operators.StageCache.frame(s, dir, "whiten", 1) {
+      // cache MISS/off: the one-per-session eigensolve + checkpoint;
+      // HIT: one parquet read, no covariance pass at all
+      whiten(s, graft.operators.Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding")))
+    })
 
   private[graft] def stagedWhitenFrame(s: org.apache.spark.sql.SparkSession,
                                        dir: String): org.apache.spark.sql.DataFrame =
@@ -1475,11 +1509,14 @@ object Similarity extends QueryModule {
       // pin, so the oracle below still embeds the text_bm25 SQL
       // VERBATIM and the fusion's ranks cannot drift). This is the RAG
       // deployment shape end-to-end: both retrieval legs now run
-      // against maintained indexes/staged artifacts rather than
-      // per-query corpus passes. The dense leg stays
-      // (top-20 by cosine to query vector 0, one codegen'd
-      // cosine pass + TakeOrdered — the knn machinery's plan, never a
-      // global sort). RRF is rank arithmetic: each fused score is ONE
+      // against maintained indexes rather than per-query corpus
+      // passes — r17 (VERDICT r16 item 5) moved the DENSE leg onto the
+      // staged IVF index too (probeIvf at nprobe = nCells: exhaustive
+      // probing is bit-identical to the brute-force cosine top-20, so
+      // the oracle is untouched while the scan reads co-located cell
+      // files; sub-exhaustive nprobe is the at-scale setting, gated by
+      // measured recall like knn_ivf). RRF is rank arithmetic: each
+      // fused score is ONE
       // addition of two exact-integer-derived reciprocals, so there is
       // zero float-order risk and the oracle reproduces it bit-for-bit
       // (the 6dp round is the §5 boundary discipline). Ranks are dense
@@ -1488,9 +1525,9 @@ object Similarity extends QueryModule {
       // Absent-from-list contributes 0 (the standard RRF convention);
       // the output carries both ranks (0 = not retrieved by that side)
       // so a reader can see WHY a doc fused high. At 100 TB both sides
-      // already scale (BM25: one stats broadcast + scan; dense: one
-      // scan + top-k reduce); the fusion itself joins two 20-row
-      // frames — free at any corpus size.
+      // already scale (BM25: partition-pruned postings probe; dense:
+      // cell-pruned index probe + per-partition heaps); the fusion
+      // itself joins two 20-row frames — free at any corpus size.
       "q_hybrid_rrf",
       (s, dir) => hybridRrf(s, dir),
       Some(hybridRrfSql)
