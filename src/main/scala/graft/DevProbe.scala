@@ -1215,6 +1215,50 @@ object DevProbe {
               denseTerms, 20, graft.textfn.TermIndex.DefaultShards).count()
             println(s"  dense_exhaustive x$kk rows=$n")
           }
+
+          // ALL-DENSE probe (r17, VERDICT r16 item 1 — the one case the
+          // max-score split routed exhaustive by construction): the
+          // query is the stopword ALONE, so no sparse anchor exists and
+          // candidates must come from the IMPACT BUCKETS instead — the
+          // probe reads `ib < j` partitions (a bounded sliver of the
+          // stopword's corpus-scale posting list), scores exactly, and
+          // proves the cut against the unread buckets' bound sum. The
+          // engineered spread gives the stopword tf 1..8 across docs so
+          // the top buckets are populated at every scale (a uniform-tf
+          // corpus would park everything in bucket 0 — trivially
+          // provable but measuring nothing). Claims: wall + aggregate
+          // state bounded by the top buckets' volume, not the corpus;
+          // engaged=1 at both scales.
+          import org.apache.spark.sql.functions.{pmod, repeat}
+          val adDocs = docs.withColumn("text",
+            when(col("text").isNotNull, concat(col("text"),
+              repeat(lit(" the"), 8).substr(
+                lit(1), (pmod(col("doc_id"), lit(8)) + 1).cast("int") * 4))))
+          val idxAd = s"$tmp/termidx_alldense"
+          t(s"ti_build_alldense x$kk") {
+            graft.textfn.TermIndex.build(spark, adDocs, idxAd)
+          }
+          t(s"ti_probe_alldense_impact x$kk") {
+            val p0 = graft.textfn.TermIndex.impactPruned.get()
+            val e0 = graft.textfn.TermIndex.impactEscalated.get()
+            val f0 = graft.textfn.TermIndex.impactFellBack.get()
+            val n = graft.textfn.TermIndex
+              .probe(spark, idxAd, Seq("the"), 20).count()
+            println(s"  alldense_impact x$kk rows=$n engaged=" +
+              (graft.textfn.TermIndex.impactPruned.get() - p0) +
+              " escalated=" +
+              (graft.textfn.TermIndex.impactEscalated.get() - e0) +
+              " fellback=" +
+              (graft.textfn.TermIndex.impactFellBack.get() - f0))
+          }
+          t(s"ti_probe_alldense_exhaustive x$kk") {
+            val n = graft.textfn.TermIndex.probeRelExhaustive(spark,
+              spark.read.parquet(graft.textfn.TermIndex.postingsPath(idxAd)),
+              spark.read.parquet(s"$idxAd/terms"),
+              graft.textfn.TermIndex.loadStats(spark, idxAd),
+              Seq("the"), 20, graft.textfn.TermIndex.DefaultShards).count()
+            println(s"  alldense_exhaustive x$kk rows=$n")
+          }
         }
 
       case "ragsnap" =>

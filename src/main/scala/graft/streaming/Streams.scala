@@ -422,10 +422,17 @@ object StreamRagIngest {
 
   /** `foreachBatch` body. Both indexes must exist (TermIndex.build /
     * VectorIndex.buildIvf over the base corpus); batches carry
-    * (doc_id, text, embedding). */
+    * (doc_id, text, embedding). `bpeDir` (r17, VERDICT r16 item 4)
+    * optionally names a [[graft.textfn.Bpe.saveVersioned]] vocab root:
+    * each published snapshot then ALSO pins the tokenizer generation
+    * that was current at the publish instant, so a resolved cut names
+    * index files AND the vocab that tokenized them — a vocab release
+    * (a new generation) never leaks into an already-published version
+    * (spec-pinned in BpeVocabSpec). */
   def sink(termDir: String, vecDir: String, snapDir: String,
            nShards: Int = graft.textfn.TermIndex.DefaultShards,
-           keepSnapshots: Int = 2, compactEvery: Int = 0)
+           keepSnapshots: Int = 2, compactEvery: Int = 0,
+           bpeDir: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val s = batch.sparkSession
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -435,7 +442,8 @@ object StreamRagIngest {
       graft.similarity.VectorIndex.append(s,
         b.select(col("doc_id").as("vec_id"), col("embedding")), vecDir)
       graft.operators.ServingSnapshot.publish(snapDir,
-        Map("sparse" -> termDir, "dense" -> vecDir))
+        Map("sparse" -> termDir, "dense" -> vecDir) ++
+          bpeDir.map("bpe" -> _))
       graft.operators.ServingSnapshot.retire(snapDir, keepSnapshots)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
         // ONE pass over the live manifests serves both legs' protection

@@ -110,11 +110,55 @@ object Bpe {
 
   /** Load a [[save]]d vocab, merges in training order. */
   def load(s: org.apache.spark.sql.SparkSession, dir: String): Vector[(String, String)] =
-    s.read.parquet(dir)
-      .orderBy(org.apache.spark.sql.functions.col("rank"))
+    fromFrame(s.read.parquet(dir))
+
+  private def fromFrame(df: org.apache.spark.sql.DataFrame): Vector[(String, String)] =
+    df.orderBy(org.apache.spark.sql.functions.col("rank"))
       .collect()
       .map(r => (r.getString(r.fieldIndex("left")),
         r.getString(r.fieldIndex("right")))).toVector
+
+  /** [[save]] onto the [[graft.operators.Generations]] layout (r17,
+    * VERDICT r16 item 4 — the tokenizer joins the serving cut): each
+    * released vocab is a NEW GENERATION under `dir/gen=N/vocab/`,
+    * never an overwrite, because a [[graft.operators.ServingSnapshot]]
+    * pins vocab FILES and an in-place swap would change a pinned
+    * version's tokenization underneath its readers — the exact drift
+    * the snapshot exists to prevent (retrieval results depend on the
+    * query/doc tokenizer as much as on the indexes). Old generations
+    * are tiny (≤ NumMerges rows) and stay until an explicit
+    * [[graft.operators.Generations.reapOthers]] with the live
+    * snapshots' generations protected, the shared retention seam. */
+  def saveVersioned(s: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], dir: String): Long = {
+    val cur = graft.operators.Generations.currentGen(dir)
+    val next =
+      if (!graft.operators.IndexFs.exists(s"$dir/gen=$cur/vocab")) cur
+      else cur + 1
+    save(s, merges, s"$dir/gen=$next/vocab")
+    if (next != cur) graft.operators.Generations.flip(dir, next)
+    next
+  }
+
+  /** The current released vocab under the [[saveVersioned]] layout. */
+  def loadVersioned(s: org.apache.spark.sql.SparkSession,
+                    dir: String): Vector[(String, String)] =
+    load(s, s"$dir/gen=${graft.operators.Generations.currentGen(dir)}/vocab")
+
+  /** The vocab a [[graft.operators.ServingSnapshot]] leg pins — the
+    * tokenizer HALF of a resolved serving cut: one manifest now names
+    * index files AND the vocab that tokenized them, so a reader can
+    * never pair new-vocab queries with old-vocab postings. Loud on a
+    * wrong leg or a reaped generation (the shared requireLeg
+    * contract). */
+  def loadPinned(s: org.apache.spark.sql.SparkSession,
+                 leg: graft.operators.ServingSnapshot.Leg): Vector[(String, String)] = {
+    graft.operators.ServingSnapshot.requireLeg(leg, Seq("vocab/"),
+      "Bpe.loadPinned")
+    val base = s"${leg.dir}/gen=${leg.gen}/vocab"
+    fromFrame(s.read.option("basePath", base)
+      .parquet(leg.files.map(f => s"${leg.dir}/gen=${leg.gen}/$f"): _*))
+  }
 
   /** One left-to-right greedy pass replacing every adjacent `pair`
     * occurrence (overlaps resolve leftmost-first: "aaa" + (a,a) →

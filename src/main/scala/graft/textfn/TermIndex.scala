@@ -15,13 +15,22 @@ import org.apache.spark.sql.functions._
   *  - `stats/` — ONE frozen row (n_docs, sum_dl): the corpus-level BM25
   *    constants, persisted at build time exactly like `mips_m2` — they
   *    are part of the frozen scorer, not of the postings;
-  *  - `terms/` — frozen per-term document frequencies (term, df),
-  *    written `partitionBy("shard")` with
-  *    shard = pmod(hash(term), nShards), so a probe's df lookup reads
-  *    only the queried terms' shards;
+  *  - `terms/` — frozen per-term document frequencies AND impact
+  *    ceilings (term, df, max_impact — the max over the build corpus
+  *    of the frozen-stats BM25 contribution, r17), written
+  *    `partitionBy("shard")` with shard = pmod(hash(term), nShards),
+  *    so a probe's term lookup reads only the queried terms' shards;
   *  - `gen=N/postings/` — the inverted lists (term, doc_id, tf, dl),
-  *    partitioned by the SAME shard function, so each term's posting
-  *    list lives in exactly one parquet partition directory.
+  *    partitioned by the SAME shard function AND by `ib`, the impact
+  *    bucket (r17): ib = floor(B·(1 − c/max_impact)) clamped to
+  *    [0, B−1] with B = [[ImpactBuckets]], where c is the posting's
+  *    frozen-stats contribution — bucket 0 holds each term's
+  *    highest-impact postings, and a posting in bucket ≥ j provably
+  *    contributes ≤ max_impact·(1 − j/B). The all-dense probe reads
+  *    the top bucket(s) first (partition pruning on ib) and stops when
+  *    the k-th candidate clears the remaining buckets' bound sum —
+  *    the WAND/impact-ordering discipline re-expressed as partition
+  *    layout.
   *
   * The at-scale payoff mirrors the IVF probe: a query's terms cover a
   * bounded shard set derived driver-side (≤ |terms| ints), and the
@@ -79,6 +88,17 @@ object TermIndex {
     * probe runs 1024. */
   val DefaultShards = 64
 
+  /** Impact buckets per term (B). Bucket boundaries are FRACTIONS of
+    * the term's stored max_impact, so assignment needs no quantiles and
+    * appended postings bucket deterministically under the frozen stats;
+    * a posting whose contribution exceeds the build-time max (possible
+    * after append: shorter doc, higher tf) clamps into bucket 0 — read
+    * first, so the bound for buckets ≥ 1 stays valid unconditionally.
+    * 8 gives j = 1 a 0.875·Σmax residual bound (tight enough for real
+    * stopword distributions) at a ≤ 8× file-count fan per shard that
+    * only build/compact pay. */
+  val ImpactBuckets = 8
+
   private[graft] def currentGen(indexDir: String): Long =
     graft.operators.Generations.currentGen(indexDir)
 
@@ -102,6 +122,34 @@ object TermIndex {
   private def shardCol(nShards: Int) =
     pmod(hash(col("term")), lit(nShards)).cast("int")
 
+  /** The per-posting BM25 contribution as a Column — THE one expression
+    * shape (identical literals and association as [[rankTopK]]'s fold
+    * and the batch chain), so a bucketing decision and the probe's
+    * scored contribution see the same double bits for the same posting.
+    * k1 = 1.2, b = 0.75 inlined as the house constants. */
+  private def contribCol(tf: org.apache.spark.sql.Column,
+                         dl: org.apache.spark.sql.Column,
+                         df: org.apache.spark.sql.Column,
+                         nDocs: Double, sumDl: Double) = {
+    val idf = log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
+    idf * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / (lit(sumDl) / lit(nDocs))))
+  }
+
+  /** Impact-bucket assignment from a posting's contribution and its
+    * term's ceiling: floor(B·(1 − c/m)) clamped to [0, B−1]. */
+  private def bucketCol(c: org.apache.spark.sql.Column,
+                        m: org.apache.spark.sql.Column) =
+    least(lit(ImpactBuckets - 1), greatest(lit(0),
+      floor(lit(ImpactBuckets.toDouble) * (lit(1.0) - c / m)))).cast("int")
+
+  /** The analytic contribution ceiling for a term UNSEEN at build time
+    * (frozen df = 0): idf(0)·2.2 — the tf→∞, any-dl supremum. Appends
+    * bucket such terms against this ceiling and the probe bounds them
+    * with the same value, so the pair can never disagree. */
+  private def unseenCeiling(nDocs: Double): Double =
+    2.2 * math.log(1.0 + (nDocs + 0.5) / 0.5)
+
   /** (doc_id, dl, term) token rows with the `text_bm25` tokenization
     * verbatim: split on single space, lowercase, empties kept — dl
     * counts them and the scorer's tf/df arithmetic must see the same
@@ -119,37 +167,62 @@ object TermIndex {
       .withColumn("shard", shardCol(nShards))
 
   /** Tokenize, aggregate, and persist all three halves. Deterministic:
-    * same docs + nShards → identical postings, df table, and stats. */
+    * same docs + nShards → identical postings, term table, and stats. */
   def build(s: SparkSession, docs: DataFrame, indexDir: String,
             nShards: Int = DefaultShards): Unit = {
-    val posts = postingRows(docs, nShards)
+    // frozen corpus constants FIRST (the impact layer buckets against
+    // avgdl) — computed from `docs` with the inline census's own
+    // aggregate shape, NOT from the postings: a NULL text produces no
+    // posting rows (explode drops the doc) but the inline stats still
+    // COUNT the doc in n_docs (and skip its null dl in the sum), and
+    // the frozen constants must match the census bit-for-bit on every
+    // input, not just null-free ones
+    val statsRow = docs
+      .select(size(split(lower(col("text")), " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl").cast("long")).cast("double").as("sum_dl"))
+      .collect()(0)
+    val (nDocs, sumDl) = (statsRow.getDouble(0),
+      if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1))
+    import org.apache.spark.sql.expressions.Window
+    // df + per-posting contribution + per-term impact ceiling in TWO
+    // window passes over ONE term-partitioned exchange (df is count
+    // over the term partition — one posting row per (term, doc), the
+    // same integer text_bm25's array_contains sum produces; max_impact
+    // is the max contribution under the frozen stats, r17)
+    val wTerm = Window.partitionBy(col("term"))
+    val withM = postingRows(docs, nShards)
+      .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
+      .withColumn("c", contribCol(col("tf"), col("dl"), col("df"), nDocs, sumDl))
+      .withColumn("max_impact", max(col("c")).over(wTerm))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one file set per shard FROM BUILD TIME (the VectorIndex build
-      // discipline): compact()'s no-op check reads ">1 file in a shard"
-      // as "appends happened since the last fold"
-      posts.repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard")
+      // one file set per (shard, ib) leaf FROM BUILD TIME (the
+      // VectorIndex build discipline): compact()'s no-op check reads
+      // ">1 file in a leaf" as "appends happened since the last fold"
+      withM
+        .withColumn("ib", bucketCol(col("c"), col("max_impact")))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("shard"), col("ib"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard", "ib")
         .parquet(postingsPath(indexDir))
-      // frozen df: distinct containing docs per term ≡ one posting row
-      // per (term, doc) — the same integer text_bm25's array_contains
-      // sum produces. OUTSIDE the generations, like the centroids.
-      posts.groupBy(col("term"), col("shard"))
-        .agg(count(lit(1)).cast("double").as("df"))
+      // frozen (df, max_impact) per term — OUTSIDE the generations,
+      // like the centroids
+      withM.select(col("term"), col("shard"), col("df"), col("max_impact"))
+        .distinct()
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$indexDir/terms")
-      // frozen corpus constants — computed from `docs` with the inline
-      // census's own aggregate shape, NOT from the postings: a NULL
-      // text produces no posting rows (explode drops the doc) but the
-      // inline stats still COUNT the doc in n_docs (and skip its null
-      // dl in the sum), and the frozen constants must match the census
-      // bit-for-bit on every input, not just null-free ones
-      docs.select(size(split(lower(col("text")), " ")).cast("double").as("dl"))
-        .agg(count(lit(1)).cast("double").as("n_docs"),
-          sum(col("dl").cast("long")).cast("double").as("sum_dl"))
+      s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(nDocs, sumDl)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.DoubleType, nullable = false),
+            org.apache.spark.sql.types.StructField("sum_dl",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
-    } finally { posts.unpersist(); () }
+    } finally { withM.unpersist(); () }
   }
 
   /** Fold NEW docs' postings into the current generation under the
@@ -159,11 +232,26 @@ object TermIndex {
     * determinism of the tokenize/aggregate, [[probe]]'s per-term `max`
     * pivot absorbs them, and [[compact]] folds them away. */
   def append(s: SparkSession, docs: DataFrame, indexDir: String,
-             nShards: Int = DefaultShards): Unit =
+             nShards: Int = DefaultShards): Unit = {
+    val (nDocs, sumDl) = loadStats(s, indexDir)
+    // bucket the new postings under the FROZEN (df, max_impact): a term
+    // unseen at build keeps df = 0 and buckets against the analytic
+    // ceiling; a seen term whose new posting beats the build-time max
+    // clamps into bucket 0 (read first — bound stays valid)
+    val termsRel = s.read.parquet(s"$indexDir/terms")
+      .select(col("term"), col("df"), col("max_impact"))
     postingRows(docs, nShards)
+      .join(termsRel, Seq("term"), "left")
+      .withColumn("dfv", coalesce(col("df"), lit(0.0)))
+      .withColumn("c", contribCol(col("tf"), col("dl"), col("dfv"), nDocs, sumDl))
+      .withColumn("ib", bucketCol(col("c"),
+        coalesce(col("max_impact"), lit(unseenCeiling(nDocs)))))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("shard"), col("ib"))
       .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard")
+      .write.mode("append").partitionBy("shard", "ib")
       .parquet(postingsPath(indexDir))
+  }
 
   /** Fold the current generation into the next: replayed-duplicate
     * postings dropped (exact-duplicate rows — deterministic), each
@@ -176,18 +264,24 @@ object TermIndex {
               protect: Set[Long] = Set.empty): Unit = {
     val gen = currentGen(indexDir)
     graft.operators.Generations.reapOthers(indexDir, gen, protect)
+    // leaves are (shard, ib) since r17 — the ">1 file per leaf means
+    // appends happened" heuristic now checks one level deeper
     val multiFile = graft.operators.IndexFs
       .list(s"$indexDir/gen=$gen/postings")
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .flatMap(sh => graft.operators.IndexFs.list(sh.getPath.toString))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ib="))
       .exists(c => graft.operators.IndexFs.list(c.getPath.toString)
         .count(_.getPath.getName.endsWith(".parquet")) > 1)
     if (!multiFile) return
     val next = gen + 1
     s.read.parquet(s"$indexDir/gen=$gen/postings")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("shard"), col("ib"))
       .distinct()
       .repartition(col("shard"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("shard")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard", "ib")
       .parquet(s"$indexDir/gen=$next/postings")
     graft.operators.Generations.flip(indexDir, next)
   }
@@ -246,6 +340,11 @@ object TermIndex {
   private[graft] val maxScorePruned = new java.util.concurrent.atomic.AtomicLong
   private[graft] val maxScoreFellBack = new java.util.concurrent.atomic.AtomicLong
 
+  /** Telemetry for the ALL-DENSE impact-bucket branch (r17). */
+  private[graft] val impactPruned = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val impactEscalated = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val impactFellBack = new java.util.concurrent.atomic.AtomicLong
+
   /** [[probe]] over pre-read relations + stats — the staged QueryDef
     * path (file listing and footers read once per session, the
     * BandIndex.probeRel rationale).
@@ -293,23 +392,40 @@ object TermIndex {
       .distinct().collect().map(_.getInt(0)).sorted
     val shardFilter = col("shard")
       .isin(needed.toIndexedSeq.map(Int.box): _*)
-    // frozen df per queried term: ≤ |terms| rows off the pruned terms
-    // shards; a term absent at build time keeps df = 0 (the frozen-
-    // scorer contract — max idf, deterministic)
-    val dfByTerm: Map[String, Double] = termsRel
+    // frozen (df, max_impact) per queried term: ≤ |terms| rows off the
+    // pruned terms shards; a term absent at build time keeps df = 0
+    // (the frozen-scorer contract — max idf, deterministic) and bounds
+    // at the analytic unseen ceiling
+    val termRows = termsRel
       .filter(shardFilter && col("term").isin(terms: _*))
-      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+      .collect()
+    val dfByTerm: Map[String, Double] = termRows
+      .map(r => r.getString(r.fieldIndex("term")) ->
         r.getDouble(r.fieldIndex("df"))).toMap
+    val hasImpacts = termsRel.schema.fieldNames.contains("max_impact")
+    val impactByTerm: Map[String, Double] =
+      if (!hasImpacts) Map.empty
+      else termRows.map(r => r.getString(r.fieldIndex("term")) ->
+        r.getDouble(r.fieldIndex("max_impact"))).toMap
     // shard is a PARTITION column of postings/ — isin() prunes at
     // planning; the term filter rides into the row groups
     val pruned = postings.filter(shardFilter && col("term").isin(terms: _*))
     val sparseTerms = terms.filter(t =>
       dfByTerm.getOrElse(t, 0.0) <= MaxScoreDenseDfFrac * nDocs)
     val denseTerms = terms.filterNot(sparseTerms.contains)
-    if (denseTerms.isEmpty || sparseTerms.isEmpty)
-      // all-sparse (the standing queries): one pass, lazy, unchanged.
-      // All-dense: no sparse candidate generator exists — exhaustive.
+    if (denseTerms.isEmpty)
+      // all-sparse (the standing queries): one pass, lazy, unchanged
       rankTopK(s, pruned, stats, dfByTerm, terms, k)
+    else if (sparseTerms.isEmpty)
+      // ALL-DENSE (stopword-only — VERDICT r16 item 1): no sparse
+      // anchor exists, so max-score can never engage; the impact
+      // buckets are the candidate generator instead
+      impactProbe(s, pruned, stats, dfByTerm, impactByTerm, terms, k,
+          hasImpacts && postings.schema.fieldNames.contains("ib"))
+        .getOrElse {
+          impactFellBack.incrementAndGet()
+          rankTopK(s, pruned, stats, dfByTerm, terms, k)
+        }
     else {
       // candidate docs: ≥ 1 sparse posting. distinct BEFORE the semi
       // join (a doc with several sparse terms must not fan the join)
@@ -327,19 +443,89 @@ object TermIndex {
           MaxScoreQuantum
       if (proofHolds) {
         maxScorePruned.incrementAndGet()
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(top.toList.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("score",
-              org.apache.spark.sql.types.DoubleType, nullable = false))))
-          .orderBy(col("score").desc, col("doc_id"))
+        topFrame(s, top)
       } else {
         maxScoreFellBack.incrementAndGet()
         rankTopK(s, pruned, stats, dfByTerm, terms, k)
       }
     }
+  }
+
+  /** Driver-materialized (doc_id, score) top rows back as a frame —
+    * shared by the max-score and impact-bucket pruned branches. */
+  private def topFrame(s: SparkSession,
+                       top: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(top.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** The ALL-DENSE probe over the impact-bucket layout (r17, VERDICT
+    * r16 item 1 — the last corpus-scale cliff in sparse serving): a
+    * stopword-only query has no sparse anchor, so [[probeRel]]'s
+    * max-score split routes it exhaustive by construction and the
+    * per-doc pivot holds corpus-scale aggregate state. Impact ordering
+    * is the standard fix (WAND/BMW re-expressed as PARTITION layout):
+    * candidates are the docs holding ≥ 1 posting in the top `j` impact
+    * buckets of ANY query term — a partition-pruned read of `ib < j`,
+    * a sliver of the postings — scored EXACTLY over all their postings
+    * (the semi-join restricts rows, never arithmetic, the max-score
+    * contract verbatim). PROOF OBLIGATION, checked driver-side: a
+    * non-candidate doc's every posting sits in buckets ≥ j, so its
+    * score is < Σ_t max_impact_t·(1 − j/B); if the k-th candidate's
+    * rounded score clears that bound by more than the rounding
+    * quantum, no pruned doc can enter the top-k even through a rounded
+    * tie. Fails → escalate j (read more buckets; each step is a
+    * geometric widening, counted in [[impactEscalated]]); exhausted →
+    * None and the caller runs the exhaustive plan ([[impactFellBack]])
+    * — an optimization with a proof obligation, never a semantics
+    * change. Terms unseen at build (frozen df = 0) bound at
+    * [[unseenCeiling]], exactly the ceiling their appends bucketed
+    * against. Cost shape at 100 TB: candidate generation reads
+    * |top buckets|/B of the queried shards; aggregate state and the
+    * rank cut drop from corpus-scale to candidate-scale; the exact
+    * scoring pass still streams the queried terms' postings (the
+    * max-score floor for exact BM25 without a forward index).
+    * `layoutOk` gates on a pre-r17 index layout (no ib partition / no
+    * max_impact column) — such an index probes exhaustively. */
+  private def impactProbe(s: SparkSession, pruned: DataFrame,
+                          stats: (Double, Double),
+                          dfByTerm: Map[String, Double],
+                          impactByTerm: Map[String, Double],
+                          terms: Seq[String], k: Int,
+                          layoutOk: Boolean): Option[DataFrame] = {
+    if (!layoutOk) return None
+    val (nDocs, _) = stats
+    def ceilingOf(t: String): Double =
+      if (dfByTerm.getOrElse(t, 0.0) == 0.0) unseenCeiling(nDocs)
+      else impactByTerm.getOrElse(t, unseenCeiling(nDocs))
+    val b = ImpactBuckets
+    var attempts = 0
+    for (j <- Seq(1, 2, 4)) {
+      attempts += 1
+      // ib is a PARTITION column — `< j` prunes at planning, so the
+      // candidate read touches only the top buckets' files
+      val cands = pruned.filter(col("ib") < j)
+        .select(col("doc_id")).distinct()
+      val top = rankTopK(s, pruned.join(cands, Seq("doc_id"), "left_semi"),
+        stats, dfByTerm, terms, k).collect()
+      val bound = terms.map(t => ceilingOf(t) * (1.0 - j.toDouble / b)).sum
+      val proofHolds = top.length == k &&
+        top.last.getDouble(top.last.fieldIndex("score")) - bound >
+          MaxScoreQuantum
+      if (proofHolds) {
+        impactPruned.incrementAndGet()
+        impactEscalated.addAndGet(attempts - 1L)
+        return Some(topFrame(s, top))
+      }
+    }
+    impactEscalated.addAndGet(attempts - 1L)
+    None
   }
 
   /** The exhaustive scoring chain over a posting source: pivot, the
@@ -614,17 +800,22 @@ object TermIndex {
 
   private val staged = new graft.operators.SessionStaged[StagedIndex](
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_termidx").toString
-      try {
+      // the index directory rides the cross-invocation StageCache
+      // (r17): tokenize + df census + partitioned writes run once per
+      // (dataset, code) on the machine; a later JVM's staging is three
+      // relation opens
+      val (idxDir, _) = graft.operators.StageCache.dir(
+          s, dir, "term_index", 1, "graft_termidx") { into =>
         build(s, graft.operators.Tables(s, dir).documents
-          .select(col("doc_id"), col("text")), tmp)
-        StagedIndex(tmp, s.read.parquet(postingsPath(tmp)),
-          s.read.parquet(s"$tmp/terms"), loadStats(s, tmp))
-      } catch {
-        case t: Throwable => deleteDir(tmp); throw t
+          .select(col("doc_id"), col("text")), into)
       }
+      StagedIndex(idxDir, s.read.parquet(postingsPath(idxDir)),
+        s.read.parquet(s"$idxDir/terms"), loadStats(s, idxDir))
     },
-    idx => deleteDir(idx.dir))
+    // cache entries outlive the session by design; only a cache-off
+    // scratch temp dir is reaped here
+    idx => if (!graft.operators.StageCache.isCachePath(idx.dir))
+      deleteDir(idx.dir))
 
   // staged index dirs must not outlive the JVM (the BandIndex rule)
   Runtime.getRuntime.addShutdownHook(new Thread(() => staged.clear()))

@@ -35,6 +35,57 @@ class BpeVocabSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the tokenizer joins the serving cut (r17): a snapshot pins the " +
+    "vocab generation; a vocab RELEASE is a new generation that never " +
+    "leaks into the pinned version; stale pins fail loudly after reap") {
+    val mergesV1 = Bpe.train(trainSummary)
+    // a deliberately different release: a truncated vocab segments
+    // differently, which is exactly the drift the pin must exclude
+    val mergesV2 = mergesV1.take(mergesV1.length / 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpesnap").toString
+    try {
+      val (vocab, term, snap) = (s"$tmp/vocab", s"$tmp/term", s"$tmp/snap")
+      assert(Bpe.saveVersioned(spark, mergesV1, vocab) == 0L)
+      graft.textfn.TermIndex.build(spark,
+        docs.select(col("doc_id"), col("text")).limit(50), term)
+      // the RAG sink's publish shape: indexes + the tokenizer in ONE cut
+      graft.operators.ServingSnapshot.publish(snap,
+        Map("sparse" -> term, "bpe" -> vocab))
+      val s1 = graft.operators.ServingSnapshot.resolve(snap)
+      assert(Bpe.loadPinned(spark, s1.legs("bpe")) == mergesV1)
+      // a vocab release lands generation 1; the HEAD read moves, the
+      // pinned read does not
+      assert(Bpe.saveVersioned(spark, mergesV2, vocab) == 1L)
+      assert(Bpe.loadVersioned(spark, vocab) == mergesV2)
+      assert(Bpe.loadPinned(spark, s1.legs("bpe")) == mergesV1,
+        "a vocab swap leaked into a pinned snapshot version")
+      // a fresh publish pins the new generation
+      graft.operators.ServingSnapshot.publish(snap,
+        Map("sparse" -> term, "bpe" -> vocab))
+      val s2 = graft.operators.ServingSnapshot.resolve(snap)
+      assert(Bpe.loadPinned(spark, s2.legs("bpe")) == mergesV2)
+      // wrong leg refused loudly
+      val eWrong = intercept[IllegalArgumentException] {
+        Bpe.loadPinned(spark, s2.legs("sparse"))
+      }
+      assert(eWrong.getMessage.contains("not a Bpe.loadPinned"), eWrong.getMessage)
+      // retire v1, reap with the LIVE snapshot's generations protected
+      // (the shared retention seam): the stale pinned read fails loudly
+      graft.operators.ServingSnapshot.retire(snap, keepLatest = 1)
+      graft.operators.Generations.reapOthers(vocab,
+        graft.operators.Generations.currentGen(vocab),
+        protect = graft.operators.ServingSnapshot.protectedGens(snap, vocab))
+      val eGone = intercept[IllegalArgumentException] {
+        Bpe.loadPinned(spark, s1.legs("bpe"))
+      }
+      assert(eGone.getMessage.contains("re-resolve"), eGone.getMessage)
+      assert(Bpe.loadPinned(spark, s2.legs("bpe")) == mergesV2,
+        "the live snapshot's vocab generation must survive the reap")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("applying the frozen vocab reproduces the trainer's own segmentation on every training word") {
     val merges = Bpe.train(trainSummary)
     val ranks = merges.zipWithIndex.toMap

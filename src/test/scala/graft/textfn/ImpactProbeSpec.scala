@@ -1,0 +1,144 @@
+package graft.textfn
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ALL-DENSE impact-bucket probe (r17, VERDICT r16 item 1): a
+  * stopword-only query has no sparse anchor, so the r16 max-score
+  * split routed it exhaustive — corpus-scale aggregate state by
+  * construction. The index now persists a per-term impact ceiling
+  * (max_impact beside df) and partitions postings by impact bucket;
+  * the probe reads the top bucket(s), scores those candidates EXACTLY,
+  * and keeps the cut only when the k-th candidate provably clears the
+  * unread buckets' bound sum — pruned ≡ exhaustive bit-for-bit, with
+  * escalation and a loud-counted fallback when the proof cannot hold.
+  * Corpora below are ENGINEERED onto specific buckets through the
+  * closed-form assignment (ib = floor(8·(1 − c/max)) over tf and dl),
+  * so each test pins one branch deterministically. */
+class ImpactProbeSpec extends AnyFunSuite with SparkFixture {
+
+  private val K = 10
+
+  /** doc i: tf copies of "the" + unique filler up to `dl` tokens —
+    * every doc matches the stopword; filler terms have df = 1 and are
+    * never queried. */
+  private def corpus(specs: Seq[(Int, Int)]) = {
+    import spark.implicits._
+    specs.zipWithIndex.map { case ((tf, dl), i) =>
+      require(dl > tf)
+      val toks = Seq.fill(tf)("the") ++
+        (0 until (dl - tf)).map(j => s"f${i}x$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+
+  private def withIndex[A](docs: org.apache.spark.sql.DataFrame)(f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_impact").toString
+    try { TermIndex.build(spark, docs, tmp); f(tmp) }
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def exhaustive(dir: String, terms: Seq[String], k: Int) =
+    TermIndex.probeRelExhaustive(spark,
+      spark.read.parquet(TermIndex.postingsPath(dir)),
+      spark.read.parquet(s"$dir/terms"),
+      TermIndex.loadStats(spark, dir), terms, k, TermIndex.DefaultShards)
+
+  private def counters() =
+    (TermIndex.impactPruned.get(), TermIndex.impactEscalated.get(),
+      TermIndex.impactFellBack.get())
+
+  test("proof engages at the top bucket: pruned ≡ exhaustive bit-for-bit " +
+    "and the candidate read is ib-partition-pruned") {
+    // 15 docs at the ceiling (tf 5, dl 8 → c = max_impact, bucket 0),
+    // 15 low (tf 1 → bucket ≥ 1); k = 10 ≤ 15 top-bucket docs and the
+    // 10th score m clears 0.875·m by ~0.0036 ≫ the 1e-6 quantum
+    val docs = corpus(Seq.fill(15)((5, 8)) ++ Seq.fill(15)((1, 8)))
+    withIndex(docs) { dir =>
+      val (p0, e0, f0) = counters()
+      val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
+      val (p1, e1, f1) = counters()
+      assert(p1 == p0 + 1 && e1 == e0 && f1 == f0,
+        s"expected one j=1 prune: pruned ${p1 - p0}, escalated ${e1 - e0}, fell back ${f1 - f0}")
+      assert(got == bits(exhaustive(dir, Seq("the"), K)),
+        "pruned result drifted from the exhaustive ranking")
+      // the top-bucket candidate read prunes on the ib PARTITION column
+      val cand = spark.read.parquet(TermIndex.postingsPath(dir))
+        .filter(col("ib") < 1)
+      cand.collect()
+      val scan = cand.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("postings"))
+        .getOrElse(fail("no postings scan"))
+      assert(scan.contains("PartitionFilters") && scan.contains("ib"),
+        s"ib not a partition filter: ${scan.take(400)}")
+    }
+  }
+
+  test("escalation: too few top-bucket candidates at j=1, proof lands at " +
+    "j=2 — still ≡ exhaustive") {
+    // 5 docs at the ceiling (bucket 0), 10 at c/m ≈ 0.775 (tf 2 →
+    // bucket 1), 15 low (bucket 3) — j=1 yields 5 < k candidates,
+    // j=2 yields 15 with the 10th at 0.775m > 0.75m bound
+    val docs = corpus(Seq.fill(5)((5, 8)) ++ Seq.fill(10)((2, 8)) ++
+      Seq.fill(15)((1, 8)))
+    withIndex(docs) { dir =>
+      val (p0, e0, f0) = counters()
+      val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
+      val (p1, e1, f1) = counters()
+      assert(p1 == p0 + 1 && e1 == e0 + 1 && f1 == f0,
+        s"expected one prune after one escalation: pruned ${p1 - p0}, " +
+          s"escalated ${e1 - e0}, fell back ${f1 - f0}")
+      assert(got == bits(exhaustive(dir, Seq("the"), K)))
+    }
+  }
+
+  test("unprovable case falls back to the exhaustive plan, loudly counted, " +
+    "result identical") {
+    // 3 docs at the ceiling, 27 long/low docs engineered PAST bucket 3
+    // (c/m ≈ 0.49 → bucket 4): every attempted j ∈ {1,2,4} sees only 3
+    // candidates < k — the proof can never hold
+    val docs = corpus(Seq.fill(3)((5, 8)) ++ Seq.fill(27)((1, 32)))
+    withIndex(docs) { dir =>
+      val (p0, e0, f0) = counters()
+      val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
+      val (p1, e1, f1) = counters()
+      assert(f1 == f0 + 1 && p1 == p0,
+        s"expected a fallback: pruned ${p1 - p0}, fell back ${f1 - f0}")
+      assert(e1 == e0 + 2, s"expected both escalations counted, got ${e1 - e0}")
+      assert(got == bits(exhaustive(dir, Seq("the"), K)))
+    }
+  }
+
+  test("append buckets under the frozen stats: a beyond-ceiling posting " +
+    "clamps into bucket 0 and ranks; unseen terms bound at the analytic " +
+    "ceiling; probe stays ≡ exhaustive") {
+    import spark.implicits._
+    val docs = corpus(Seq.fill(15)((5, 8)) ++ Seq.fill(15)((1, 8)))
+    withIndex(docs) { dir =>
+      // tf 7 in an 8-token doc beats every build-time contribution →
+      // c > max_impact → clamped to bucket 0 (read first, so the j=1
+      // candidate set sees it); plus a term unseen at build
+      TermIndex.append(spark,
+        Seq((900L, "the the the the the the the zzz"))
+          .toDF("doc_id", "text"), dir)
+      val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
+      assert(got == bits(exhaustive(dir, Seq("the"), K)))
+      assert(got.head._1 == 900L,
+        "the beyond-ceiling appended doc must rank first")
+      // replayed append: bit-identical rows, identical probe output
+      TermIndex.append(spark,
+        Seq((900L, "the the the the the the the zzz"))
+          .toDF("doc_id", "text"), dir)
+      assert(bits(TermIndex.probe(spark, dir, Seq("the"), K)) == got)
+      // compaction folds the replay away and keeps the ranking
+      TermIndex.compact(spark, dir)
+      assert(TermIndex.currentGen(dir) == 1L)
+      assert(bits(TermIndex.probe(spark, dir, Seq("the"), K)) == got)
+    }
+  }
+}
