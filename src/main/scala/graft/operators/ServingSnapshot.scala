@@ -157,24 +157,33 @@ object ServingSnapshot {
     * `@leg` reference to a per-leg manifest file, each of which must
     * itself exist and be complete — a missing or footer-less leg
     * manifest makes the whole version in-flight (covers both a publish
-    * mid-write and a retire that already took the version's legs). */
-  private def parseComplete(snapDir: String, version: Long): Option[Snapshot] = {
-    completeBody(s"$snapDir/$MarkerPrefix$version").flatMap { body =>
-      if (body.exists(_.startsWith(LegRefPrefix))) {
-        // split form: strict — a mixed manifest is a writer bug, and
-        // serving half a cut would be the torn read this layer exists
-        // to prevent
-        if (!body.forall(_.startsWith(LegRefPrefix))) return None
-        val legBodies = body.map { line =>
-          val Array(_, _, legFile, _) = line.split("\t", 4)
-          completeBody(s"$snapDir/$legFile")
-        }
-        if (legBodies.exists(_.isEmpty)) None
-        else Some(Snapshot(version,
-          legsOfRows(legBodies.flatMap(_.get).map(parseCensusLine))))
-      } else Some(Snapshot(version, legsOfRows(body.map(parseCensusLine))))
-    }
-  }
+    * mid-write and a retire that already took the version's legs).
+    * A manifest whose footer landed but whose body does not parse
+    * (truncated line, non-numeric generation — disk corruption or a
+    * foreign writer) reads as UNUSABLE, not as an outage: one bad
+    * version must not take down every resolve, retire, and protected
+    * compact of the snapshot directory (the stray-file discipline
+    * versionsOn already applies to names). */
+  private def parseComplete(snapDir: String, version: Long): Option[Snapshot] =
+    try {
+      completeBody(s"$snapDir/$MarkerPrefix$version").flatMap { body =>
+        if (body.exists(_.startsWith(LegRefPrefix))) {
+          // split form: strict — a mixed manifest is a writer bug, and
+          // serving half a cut would be the torn read this layer exists
+          // to prevent
+          if (!body.forall(_.startsWith(LegRefPrefix))) None
+          else {
+            val legBodies = body.map { line =>
+              val Array(_, _, legFile, _) = line.split("\t", 4)
+              completeBody(s"$snapDir/$legFile")
+            }
+            if (legBodies.exists(_.isEmpty)) None
+            else Some(Snapshot(version,
+              legsOfRows(legBodies.flatMap(_.get).map(parseCensusLine))))
+          }
+        } else Some(Snapshot(version, legsOfRows(body.map(parseCensusLine))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseCensusLine(line: String): (String, String, Long, String) = {
     val Array(name, dir, gen, f) = line.split("\t", 4)
@@ -272,27 +281,32 @@ object ServingSnapshot {
     * publish+retire can delete every LISTED version after the listing
     * while a newer complete version exists (ADVICE r16) — on
     * exhaustion the attempt repeats AS LONG AS THE LISTING KEEPS
-    * CHANGING (bounded; each change proves a publisher made progress,
-    * so a fresh newest version exists to parse), and throws only once
-    * two consecutive attempts saw the same version set: a STABLE
-    * listing with nothing complete really is an empty or all-torn
-    * snapshot directory, never a race. */
+    * CHANGING (each change proves a publisher made progress, so a
+    * fresh newest version exists to parse), with a short exponential
+    * backoff per lost round — a reader descheduled behind a
+    * fast-cycling publisher must stop racing it stride-for-stride or
+    * it can lose every round (observed in the race spec's adversarial
+    * tight loop). Throws only once two consecutive attempts saw the
+    * same version set (a STABLE listing with nothing complete really
+    * is an empty or all-torn snapshot directory, never a race) or the
+    * generous retry budget is spent. */
   def resolve(snapDir: String): Snapshot = {
     @annotation.tailrec
-    def loop(prev: Option[Seq[Long]], budget: Int): Snapshot = {
+    def loop(prev: Option[Seq[Long]], attempt: Int): Snapshot = {
       val vs = versionsOn(snapDir)
       val hit = vs.reverseIterator
         .map(parseComplete(snapDir, _))
         .collectFirst { case Some(s) => s }
       hit match {
         case Some(s) => s
-        case None if budget > 0 && !prev.contains(vs) =>
-          loop(Some(vs), budget - 1)
+        case None if attempt < 50 && !prev.contains(vs) =>
+          Thread.sleep(math.min(20L, 1L << math.min(attempt, 10)))
+          loop(Some(vs), attempt + 1)
         case None => throw new IllegalArgumentException(
           s"ServingSnapshot.resolve: no complete snapshot published under $snapDir")
       }
     }
-    loop(None, budget = 20)
+    loop(None, attempt = 0)
   }
 
   /** A specific snapshot version — the handle a long-lived reader holds

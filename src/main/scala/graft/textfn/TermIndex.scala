@@ -438,7 +438,7 @@ object TermIndex {
         val df = dfByTerm.getOrElse(t, 0.0)
         2.2 * math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
       }.sum
-      val proofHolds = top.length == k &&
+      val proofHolds = top.nonEmpty && top.length == k &&
         top.last.getDouble(top.last.fieldIndex("score")) - denseCeiling >
           MaxScoreQuantum
       if (proofHolds) {
@@ -515,7 +515,7 @@ object TermIndex {
       val top = rankTopK(s, pruned.join(cands, Seq("doc_id"), "left_semi"),
         stats, dfByTerm, terms, k).collect()
       val bound = terms.map(t => ceilingOf(t) * (1.0 - j.toDouble / b)).sum
-      val proofHolds = top.length == k &&
+      val proofHolds = top.nonEmpty && top.length == k &&
         top.last.getDouble(top.last.fieldIndex("score")) - bound >
           MaxScoreQuantum
       if (proofHolds) {

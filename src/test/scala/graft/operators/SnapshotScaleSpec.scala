@@ -92,6 +92,35 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a corrupt-but-footer-complete manifest reads as unusable, never " +
+    "as an outage: resolve falls back, resolveAt names it, retire sweeps it") {
+    withTmp { tmp =>
+      val legs = Map("sparse" -> mkLeg(tmp, "term", nDirs = 1, perDir = 2))
+      val snap = s"$tmp/snap"
+      ServingSnapshot.publishLegs(snap, legs) // v1 complete and well-formed
+      // v2: footer arithmetic holds but the body is garbage (a
+      // truncated line and a non-numeric generation — disk corruption
+      // or a foreign writer). Pre-r17 this threw a MatchError /
+      // NumberFormatException out of EVERY resolve and protected
+      // compact of the directory.
+      IndexFs.writeSmall(s"$snap/_snap.v=2",
+        "sparse-no-tabs-here\nsparse\tdir\tNOTANUMBER\tf.parquet\n#complete n=2")
+      assert(ServingSnapshot.resolve(snap).version == 1L,
+        "resolve crashed or served a corrupt manifest")
+      assert(ServingSnapshot.protectedGensAll(snap).nonEmpty)
+      val e = intercept[IllegalArgumentException] {
+        ServingSnapshot.resolveAt(snap, 2L)
+      }
+      assert(e.getMessage.contains("incomplete"), e.getMessage)
+      // a later publish supersedes it; retire sweeps the corrupt
+      // version below the cut like any other garbage
+      val v3 = ServingSnapshot.publishLegs(snap, legs)
+      ServingSnapshot.retire(snap, keepLatest = 1)
+      assert(!IndexFs.exists(s"$snap/_snap.v=2"))
+      assert(ServingSnapshot.resolve(snap).version == v3)
+    }
+  }
+
   test("retire counts only COMPLETE versions toward the keep budget: a " +
     "torn newest version cannot starve resolve; torn versions below " +
     "the cut are swept") {
