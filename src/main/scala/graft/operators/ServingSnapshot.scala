@@ -255,14 +255,26 @@ object ServingSnapshot {
       IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v",
         withFooter(perLeg.flatMap(_._2)), overwrite = false)
     } else {
-      // split form: leg manifests first (invisible until referenced;
-      // overwrite=true because a crashed earlier attempt at this same
-      // version may have stranded them — they were never visible), the
-      // version file LAST as the atomic visibility point
+      // split form: leg manifests first (invisible until referenced),
+      // the version file LAST as the atomic visibility point. Leg
+      // manifest names carry a PER-PUBLISH NONCE and are created
+      // no-overwrite (ADVICE r17 — the Iceberg unique-manifest-name
+      // discipline): named-only files written with overwrite=true let
+      // two publishers racing the same version silently cross their
+      // censuses — each overwrites the other's leg files before one
+      // wins the version-file create, and the surviving version then
+      // serves the loser's (or a mixed) cut. With a nonce each
+      // attempt's leg files are private to it, the version file
+      // references its own EXACT filenames, and the no-overwrite
+      // create turns a freak nonce collision into the same loud crash
+      // the inline form gives. A losing/crashed attempt's stranded
+      // files share the version's number and are swept by [[retire]]
+      // with (or after) that version.
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
       val refs = perLeg.map { case (name, lines) =>
-        val legFile = s"$LegMarkerPrefix$v.$name"
+        val legFile = s"$LegMarkerPrefix$v.$nonce.$name"
         IndexFs.createMarker(s"$snapDir/$legFile", withFooter(lines),
-          overwrite = true)
+          overwrite = false)
         s"$LegRefPrefix$name\t$legFile\t${lines.size}"
       }
       IndexFs.createMarker(s"$snapDir/$MarkerPrefix$v", withFooter(refs),
@@ -378,21 +390,44 @@ object ServingSnapshot {
     * and are swept with the retired ones. The freed generations are
     * reaped by the NEXT compaction sweep (whose [[protectedGens]] no
     * longer includes them) — retire never touches index data itself.
-    * Deletion order per version: the version file FIRST (readers stop
-    * resolving it atomically), then its split-form leg manifests. */
+    * Deletion order: version files FIRST (readers stop resolving them
+    * atomically), then every split-form leg manifest below the cut —
+    * INCLUDING orphans whose version file is already gone (ADVICE
+    * r17: a crash between a version file's delete and its leg
+    * manifests' left `_snapleg.v=N.*` stranded forever, because the
+    * per-version sweep could only reach versions still listed). Leg
+    * manifests at or above the cut are never touched: a publish
+    * writes its leg files BEFORE its version file, so sweeping them
+    * would tear an in-flight publish mid-write. */
   def retire(snapDir: String, keepLatest: Int = 1): Unit = {
     require(keepLatest >= 1, "ServingSnapshot.retire: keepLatest must be >= 1")
     val versions = versionsOn(snapDir)
     val complete = versions.filter(parseComplete(snapDir, _).isDefined)
-    if (complete.size <= keepLatest) return
-    val cutoff = complete(complete.size - keepLatest)
+    val cutoff: Long =
+      if (complete.size <= keepLatest) Long.MinValue
+      else complete(complete.size - keepLatest)
     versions.filter(_ < cutoff).foreach { v =>
       IndexFs.deleteQuietly(s"$snapDir/$MarkerPrefix$v")
-      IndexFs.list(snapDir)
-        .map(_.getPath.getName)
-        .filter(_.startsWith(s"$LegMarkerPrefix$v."))
-        .foreach(n => IndexFs.deleteQuietly(s"$snapDir/$n"))
     }
+    // ONE listing pass for every reclaimable leg manifest (nonce names
+    // still parse: the version number is the first dot-terminated
+    // field after the prefix). Reclaimable = below the cut, OR an
+    // ORPHAN: its version file is gone and its number is not above
+    // the newest listed version — a version file can only be absent
+    // at that height because a retire deleted it (this crash's strand)
+    // or a publish of it crashed pre-visibility; a LIVE in-flight
+    // publish always allocates above the listed maximum, so its
+    // not-yet-referenced leg files are never swept.
+    val onDisk = versions.toSet
+    val maxV = versions.lastOption.getOrElse(Long.MinValue)
+    IndexFs.list(snapDir)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(LegMarkerPrefix))
+      .foreach { n =>
+        n.stripPrefix(LegMarkerPrefix).takeWhile(_ != '.').toLongOption
+          .filter(v => v < cutoff || (!onDisk.contains(v) && v <= maxV))
+          .foreach(_ => IndexFs.deleteQuietly(s"$snapDir/$n"))
+      }
   }
 
   /** Shared pinned-probe admission check: the leg's files must all sit

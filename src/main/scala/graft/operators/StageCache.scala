@@ -93,7 +93,16 @@ object StageCache {
 
   /** md5 over (relative path | size | mtime) of every file under
     * `dir`, sorted — ONE definition for the cache key and the bench
-    * artifact's `testdata_fingerprint`. */
+    * artifact's `testdata_fingerprint`. The mtime is read at the
+    * filesystem's FULL precision (nanoseconds where the FS records
+    * them — ext4/tmpfs do), not `File.lastModified`'s milliseconds
+    * (ADVICE r17): a same-size in-place rewrite landing inside one
+    * millisecond would otherwise serve a stale staged artifact to the
+    * correctness gate with no invalidation. Sub-millisecond rewrites
+    * on a COARSE-mtime filesystem remain the documented residual
+    * assumption — closing it fully would mean hashing file contents,
+    * a full dataset read per JVM, which the fingerprint exists to
+    * avoid. */
   def fingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -101,8 +110,12 @@ object StageCache {
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val root = new java.io.File(dir)
+    def mtimeNanos(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified }
     val lines = walk(root).map(f =>
-      s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}")
+      s"${root.toPath.relativize(f.toPath)}|${f.length}|${mtimeNanos(f)}")
     md5(lines.mkString("\n"))
   }
 
@@ -246,7 +259,21 @@ object StageCache {
           built.write.mode("overwrite").parquet(s"$tmp/data")
         }
         if (built != null) built
-        else persisted(s.read.parquet(s"$dir/data"))
+        else {
+          // HIT path: materialize EAGERLY (VERDICT r17 item 1). The
+          // miss path is eager by construction — the cache write runs
+          // the build and fills the persist level — but a lazy
+          // read-back shifted the hit's parquet read + persist into
+          // whichever QUERY touched the artifact first, making warm
+          // and cold per-query numbers incomparable (warm
+          // dedup_containment 4.6 s vs 1.0 s cold, §7 r17) and
+          // charging disk-served tiers the re-read once per run. One
+          // count() here pulls the frame into its persist level while
+          // the STAGING tier still owns the timer.
+          val back = persisted(s.read.parquet(s"$dir/data"))
+          if (persist.isDefined) { back.count(); () }
+          back
+        }
     }
   }
 

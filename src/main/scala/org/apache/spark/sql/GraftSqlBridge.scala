@@ -28,6 +28,19 @@ object GraftSqlBridge {
   def analysisException(msg: String): AnalysisException =
     new AnalysisException("INTERNAL_ERROR", Map("message" -> msg))
 
+  /** True when `df`'s persist entry has MATERIALIZED column buffers —
+    * not merely a registered-but-lazy InMemoryRelation. The
+    * StageCacheSpec seam for asserting the cache hit path fills the
+    * persist level EAGERLY (VERDICT r17 item 1) without racing the
+    * context-wide RDD storage listing against concurrent suites. */
+  def isCacheMaterialized(df: Dataset[_]): Boolean = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .exists(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+  }
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * `spark.sql.extensions=graft.GraftExtensions` conf only applies to
     * sessions built with it). */

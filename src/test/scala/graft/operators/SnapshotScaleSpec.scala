@@ -44,10 +44,13 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
       val vi = ServingSnapshot.publishLegs(inline, legs)
       val vs = ServingSnapshot.publishLegs(split, legs, splitOver = 0)
       // the version file references per-leg manifests instead of
-      // inlining 34 census lines
+      // inlining 34 census lines; names carry the per-publish nonce
+      // (r18) between the version and the leg
       val markers = IndexFs.list(split).map(_.getPath.getName).sorted
-      assert(markers.contains("_snapleg.v=1.sparse") &&
-        markers.contains("_snapleg.v=1.dense"), markers.mkString(","))
+      assert(markers.exists(n => n.startsWith("_snapleg.v=1.") &&
+          n.endsWith(".sparse")) &&
+        markers.exists(n => n.startsWith("_snapleg.v=1.") &&
+          n.endsWith(".dense")), markers.mkString(","))
       assert(IndexFs.readSmall(s"$split/_snap.v=1").linesIterator
         .count(_.startsWith("@leg\t")) == 2)
       // both forms resolve to the SAME cut
@@ -64,7 +67,8 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
       val after = IndexFs.list(split).map(_.getPath.getName).toSet
       assert(!after.exists(_.startsWith("_snapleg.v=1.")),
         s"retired version's leg manifests survived: $after")
-      assert(after.contains("_snap.v=2") && after.contains("_snapleg.v=2.sparse"))
+      assert(after.contains("_snap.v=2") &&
+        after.exists(n => n.startsWith("_snapleg.v=2.") && n.endsWith(".sparse")))
       assert(ServingSnapshot.resolve(split).version == 2L)
     }
   }
@@ -76,9 +80,12 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
       val snap = s"$tmp/snap"
       ServingSnapshot.publishLegs(snap, legs, splitOver = 0) // v1 complete
       val v2 = ServingSnapshot.publishLegs(snap, legs, splitOver = 0)
+      // the nonce'd leg filename the version file actually references
+      def refOf(v: Long): String = IndexFs.readSmall(s"$snap/_snap.v=$v")
+        .linesIterator.find(_.startsWith("@leg\t")).get.split("\t", 4)(2)
       // the retire race / crashed-publish shape: version file present,
       // a referenced leg manifest gone
-      IndexFs.delete(s"$snap/_snapleg.v=$v2.sparse")
+      IndexFs.delete(s"$snap/${refOf(v2)}")
       assert(ServingSnapshot.resolve(snap).version == 1L,
         "resolve served a split version whose leg manifest is missing")
       val e = intercept[IllegalArgumentException] {
@@ -87,7 +94,7 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
       assert(e.getMessage.contains("incomplete"), e.getMessage)
       // same for a torn (footer-less) leg manifest
       val v3 = ServingSnapshot.publishLegs(snap, legs, splitOver = 0)
-      IndexFs.writeSmall(s"$snap/_snapleg.v=$v3.sparse", "sparse\tx\t0\ty.parquet")
+      IndexFs.writeSmall(s"$snap/${refOf(v3)}", "sparse\tx\t0\ty.parquet")
       assert(ServingSnapshot.resolve(snap).version == 1L)
     }
   }
@@ -225,6 +232,85 @@ class SnapshotScaleSpec extends AnyFunSuite with SparkFixture {
       readers.foreach(_.join(30000))
       assert(failures.isEmpty, s"race violations: ${failures.toArray.mkString("; ")}")
       assert(resolves.get() > 0, "readers never resolved — vacuous race")
+    }
+  }
+
+  test("two publishers racing the same version can never cross their leg " +
+    "censuses: nonce'd no-overwrite leg manifests (ADVICE r17)") {
+    withTmp { tmp =>
+      // each publisher pins its OWN index dirs, so a crossed census is
+      // detectable from the resolved legs' dir spellings
+      val legsA = Map(
+        "sparse" -> mkLeg(tmp, "termA", nDirs = 1, perDir = 3),
+        "dense" -> mkLeg(tmp, "vecA", nDirs = 1, perDir = 3))
+      val legsB = Map(
+        "sparse" -> mkLeg(tmp, "termB", nDirs = 1, perDir = 4),
+        "dense" -> mkLeg(tmp, "vecB", nDirs = 1, perDir = 4))
+      val snap = s"$tmp/snap"
+      // lockstep rounds for maximal same-version contention: both
+      // threads list, allocate the same v, write their leg files, and
+      // race the version-file create — the loser must crash loudly
+      // (the inline form's contract) and, post-fix, must be unable to
+      // have overwritten the winner's leg census first
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val published = new java.util.concurrent.atomic.AtomicLong(0L)
+      def publisher(legs: Map[String, ServingSnapshot.Leg]) = new Thread(() => {
+        for (_ <- 1 to 40) {
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          try {
+            ServingSnapshot.publishLegs(snap, legs, splitOver = 0)
+            published.incrementAndGet(); ()
+          } catch { case _: Throwable => () } // lost the version race
+        }
+      })
+      val ts = Seq(publisher(legsA), publisher(legsB))
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(published.get() > 0, "no publish ever succeeded — vacuous race")
+      def tagOf(leg: ServingSnapshot.Leg): String =
+        if (leg.dir.contains("termA") || leg.dir.contains("vecA")) "A" else "B"
+      for (v <- 1L to ServingSnapshot.currentVersion(snap)) {
+        val s = try Some(ServingSnapshot.resolveAt(snap, v))
+                catch { case _: IllegalArgumentException => None }
+        s.foreach { snapv =>
+          val tags = snapv.legs.valuesIterator.map(tagOf).toSet
+          assert(tags.size == 1,
+            s"version $v serves a MIXED census across publishers: " +
+              snapv.legs.view.mapValues(_.dir).toMap)
+          // and the census is the full two-leg cut of that publisher
+          assert(snapv.legs.keySet == Set("sparse", "dense"))
+          val want = if (tags.head == "A") legsA else legsB
+          assert(snapv.legs("sparse").files == want("sparse").files &&
+            snapv.legs("dense").files == want("dense").files,
+            s"version $v census does not match publisher ${tags.head}")
+        }
+      }
+    }
+  }
+
+  test("retire sweeps orphaned leg manifests whose version file is gone, " +
+    "but never an in-flight publish's legs above the listed max (ADVICE r17)") {
+    withTmp { tmp =>
+      val legs = Map("sparse" -> mkLeg(tmp, "term", nDirs = 1, perDir = 2))
+      val snap = s"$tmp/snap"
+      ServingSnapshot.publishLegs(snap, legs, splitOver = 0) // v1
+      ServingSnapshot.publishLegs(snap, legs, splitOver = 0) // v2
+      // a retire that crashed between deleting v1's version file and
+      // its leg manifests: pre-r18, later retires only swept legs of
+      // versions still listed, stranding these forever
+      IndexFs.delete(s"$snap/_snap.v=1")
+      // an in-flight publish above the listed max: leg manifest landed,
+      // version file not yet — must survive every sweep
+      IndexFs.createMarker(s"$snap/_snapleg.v=3.deadbeef.sparse",
+        "sparse\tx\t0\ty.parquet\n#complete n=1")
+      ServingSnapshot.retire(snap, keepLatest = 1)
+      val names = IndexFs.list(snap).map(_.getPath.getName).toSet
+      assert(!names.exists(_.startsWith("_snapleg.v=1.")),
+        s"orphaned v1 leg manifests survived the sweep: $names")
+      assert(names.exists(_.startsWith("_snapleg.v=2.")),
+        "swept the live version's leg manifests")
+      assert(names.contains("_snapleg.v=3.deadbeef.sparse"),
+        "swept an in-flight publish's leg manifest")
+      assert(ServingSnapshot.resolve(snap).version == 2L)
     }
   }
 
