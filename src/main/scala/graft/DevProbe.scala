@@ -496,6 +496,22 @@ object DevProbe {
         probeForcedGraphLoop(spark, sfDir, "mst")(half =>
           graft.graph.GraphQueries.mst(half, driverCap = 0L))
 
+      case "aa_plan" =>
+        // r18: adamic-adar executed-plan autopsy — the orderBy+limit
+        // variant flipped the wedge join to a per-run broadcast in
+        // full-bench context; this prints the AQE-final plan + wall
+        // for the shipped QueryDef after graph staging, twice
+        val g = graft.graph.TripleStore.staged(spark, sfDir)
+        g.half.count()
+        val fn = graft.SparkEntry.queries("spo_adamic_adar")
+        for (i <- 1 to 2) {
+          val df = fn(spark, sfDir)
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"aa run$i rows=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s")
+          if (i == 1) println(df.queryExecution.executedPlan.toString.take(4000))
+        }
+
       case "graph_scale" =>
         // 10x scale sanity for the §2.2 graph tier: replicate events with
         // disjoint user/key namespaces per copy (nodes AND edges scale
@@ -1238,19 +1254,28 @@ object DevProbe {
           t(s"ti_build_alldense x$kk") {
             graft.textfn.TermIndex.build(spark, adDocs, idxAd)
           }
-          t(s"ti_probe_alldense_impact x$kk") {
-            val p0 = graft.textfn.TermIndex.impactPruned.get()
-            val e0 = graft.textfn.TermIndex.impactEscalated.get()
-            val f0 = graft.textfn.TermIndex.impactFellBack.get()
-            val n = graft.textfn.TermIndex
-              .probe(spark, idxAd, Seq("the"), 20).count()
-            println(s"  alldense_impact x$kk rows=$n engaged=" +
-              (graft.textfn.TermIndex.impactPruned.get() - p0) +
-              " escalated=" +
-              (graft.textfn.TermIndex.impactEscalated.get() - e0) +
-              " fellback=" +
-              (graft.textfn.TermIndex.impactFellBack.get() - f0))
-          }
+          def timedImpactProbe(label: String): Unit =
+            t(label) {
+              val p0 = graft.textfn.TermIndex.impactPruned.get()
+              val e0 = graft.textfn.TermIndex.impactEscalated.get()
+              val f0 = graft.textfn.TermIndex.impactFellBack.get()
+              val n = graft.textfn.TermIndex
+                .probe(spark, idxAd, Seq("the"), 20).count()
+              println(s"  $label rows=$n engaged=" +
+                (graft.textfn.TermIndex.impactPruned.get() - p0) +
+                " escalated=" +
+                (graft.textfn.TermIndex.impactEscalated.get() - e0) +
+                " fellback=" +
+                (graft.textfn.TermIndex.impactFellBack.get() - f0))
+            }
+          graft.textfn.TermIndex.provenWidth.clear()
+          // first execution: histogram viability picks the start width,
+          // escalation discovers the proven one (r18 — the DISCOVERY
+          // cost); second execution starts at the memoized width — the
+          // steady-state serving cost (VERDICT r17 item 5's "one
+          // candidate round")
+          timedImpactProbe(s"ti_probe_alldense_impact x$kk")
+          timedImpactProbe(s"ti_probe_alldense_impact_steady x$kk")
           t(s"ti_probe_alldense_exhaustive x$kk") {
             val n = graft.textfn.TermIndex.probeRelExhaustive(spark,
               spark.read.parquet(graft.textfn.TermIndex.postingsPath(idxAd)),

@@ -1722,6 +1722,19 @@ object GraphQueries extends QueryModule {
       // two-hop-bounded). The ln is the bm25 libm-identical class.
       "spo_adamic_adar",
       (s, dir) => {
+        // r18 kept this EXACTLY the r17 shape after measuring both of
+        // the proposed optimizations backwards (§7 item 33): the
+        // wedge-center chain stays INLINE from the persisted half
+        // frame (every cached/staged-center variant was 1.7-6×
+        // slower — per-run adjacency broadcast rebuilds, or AQE's
+        // input-size-blind coalescing running the d² expansion
+        // single-threaded off a one-split parquet read-back), and the
+        // output stays the FULL pair-ordered result (top-K variants —
+        // TakeOrdered and two-phase window-rank alike — measured
+        // 33-50 s against 3.3 s here; the full global sort was never
+        // the ceiling in the first place, since an aggregate above it
+        // lets Catalyst eliminate the sort entirely, and the pair
+        // output is already hub-cap + n_common >= 2 bounded).
         val half = T.staged(s, dir).half
         val und = half.select(col("a").as("x"), col("b").as("y"))
           .unionByName(half.select(col("b").as("x"), col("a").as("y")))

@@ -91,6 +91,19 @@ object Similarity extends QueryModule {
 
   private val SnapCells = 16
 
+  /** `q_hybrid_recall`'s deployment dense-leg probe width — the
+    * knn_ivf setting (4 of 16 cells: ~25% of the corpus scored per
+    * query). */
+  private[graft] val DeployNProbe = 4
+
+  /** Spec + gate recall floor for the deployment-settings fused
+    * top-20 vs the exhaustive fused top-20 (one definition — the
+    * [[RecallFloor]] discipline): the sparse leg is proof-gated exact,
+    * so fused recall sits well above the dense-only knn_ivf floor;
+    * measured 0.95 / 0.95 / 1.00 at sf0.001 / 0.01 / 0.1 (§6),
+    * pinned at roughly half the measured band. */
+  private[graft] val HybridRecallFloor = 0.45
+
   private val stagedSnapshot =
     new graft.operators.SessionStaged[StagedSnapshot]((s, dir) => {
       // the sparse leg REUSES the session-staged TermIndex (the same
@@ -1568,6 +1581,61 @@ object Similarity extends QueryModule {
         fuseRrf(srk, drk)
       },
       Some(hybridRrfSql)
+    ),
+
+    QueryDef(
+      // HYBRID RETRIEVAL AT DEPLOYMENT SETTINGS (NEW r18, VERDICT r17
+      // item 3) — the standing gated row for the configuration a
+      // 100 TB deployment actually runs, which until r18 lived only in
+      // specs and §6 probes: the dense leg probes the staged IVF index
+      // SUB-EXHAUSTIVELY (nprobe = 4 of 16 cells — the knn_ivf
+      // setting, ~nprobe/nCells of the corpus scored per query); the
+      // sparse leg is the impact-pruned staged probe (the deployment
+      // branch — proof-gated EXACT, so only the dense leg trades
+      // exactness for read volume); fusion is the shared fuseRrf.
+      // Rows-only BY DESIGN (the trained coarse quantizer makes the
+      // sub-exhaustive ranking SQL-inexpressible — the knn_ivf class),
+      // with the knn_lsh/knn_ivf discipline made driver-visible: the
+      // MEASURED recall of the deployment fusion's top-20 against the
+      // exhaustive fusion's top-20 rides every row as a gate column
+      // and rows are FILTERED at the spec floor — a recall collapse
+      // empties the result and flips the driver's rows-only check
+      // instead of hiding in specs. Cost shape: both rankings are
+      // 20-row frames off staged indexes; the recall join is
+      // candidate-sized; the exhaustive side is gate-scale
+      // instrumentation (production measures recall offline on a
+      // sampled query set — which is exactly what this is).
+      "q_hybrid_recall",
+      (s, dir) => {
+        graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
+        val sparse = graft.textfn.TermIndex.probeStaged(s,
+          graft.textfn.TermIndex.stagedIndex(s, dir),
+          graft.textfn.TextQueries.Bm25Terms, 20)
+        val ws = Window.orderBy(col("score").desc, col("doc_id"))
+        val srk = sparse.select(col("doc_id"),
+          row_number().over(ws).cast("long").as("sparse_rank"))
+        val st = stagedSnapshot.get(s, dir)
+        val qdf = Tables(s, dir).embeddings
+          .filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        def drkAt(np: Int) = graft.similarity.VectorIndex.probeIvf(
+            s, st.vecDir, qdf, 20, nprobe = np)
+          .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
+        val deploy = fuseRrf(srk, drkAt(DeployNProbe)).limit(20)
+        val exact = fuseRrf(srk, drkAt(SnapCells)).limit(20)
+          .select(col("doc_id"))
+        val hit = deploy.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "leftsemi")
+          .agg(count(lit(1)).as("n_hit"))
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        val recall = hit.crossJoin(tot)
+          .select(round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"))
+        deploy.crossJoin(broadcast(recall))
+          .filter(col("recall") >= HybridRecallFloor)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      None
     ),
 
     QueryDef(

@@ -195,22 +195,35 @@ object TermIndex {
       .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
       .withColumn("c", contribCol(col("tf"), col("dl"), col("df"), nDocs, sumDl))
       .withColumn("max_impact", max(col("c")).over(wTerm))
+      .withColumn("ib", bucketCol(col("c"), col("max_impact")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one file set per (shard, ib) leaf FROM BUILD TIME (the
-      // VectorIndex build discipline): compact()'s no-op check reads
-      // ">1 file in a leaf" as "appends happened since the last fold"
+      // VectorIndex build discipline); the leaf census marker below is
+      // what compact()'s appends-happened check compares against
       withM
-        .withColumn("ib", bucketCol(col("c"), col("max_impact")))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"),
           col("shard"), col("ib"))
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard", "ib")
         .parquet(postingsPath(indexDir))
-      // frozen (df, max_impact) per term — OUTSIDE the generations,
-      // like the centroids
-      withM.select(col("term"), col("shard"), col("df"), col("max_impact"))
-        .distinct()
+      writeLeafCensus(postingsPath(indexDir))
+      // frozen (df, max_impact, per-bucket posting histogram) per term
+      // — OUTSIDE the generations, like the centroids. The histogram
+      // (r18, VERDICT r17 item 5) is the probe's driver-side
+      // k-th-candidate bound estimator: ib_counts[i] = build-time
+      // postings of the term in bucket i. Appends do NOT update it —
+      // true counts only grow, so every estimate derived from it is
+      // conservative (see impactProbe) and the frozen-terms contract
+      // stays intact.
+      val ibCountCols = (0 until ImpactBuckets).map(i =>
+        sum(when(col("ib") === i, 1L).otherwise(0L)).as(s"ibc_$i"))
+      withM.groupBy(col("term"), col("shard"), col("df"), col("max_impact"))
+        .agg(ibCountCols.head, ibCountCols.tail: _*)
+        .withColumn("ib_counts",
+          array((0 until ImpactBuckets).map(i => col(s"ibc_$i")): _*))
+        .select(col("term"), col("shard"), col("df"), col("max_impact"),
+          col("ib_counts"))
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$indexDir/terms")
@@ -230,16 +243,33 @@ object TermIndex {
     * arrivals (disjoint from the index); an at-least-once replay may
     * append a doc's rows twice — the rows are bit-identical by
     * determinism of the tokenize/aggregate, [[probe]]'s per-term `max`
-    * pivot absorbs them, and [[compact]] folds them away. */
+    * pivot absorbs them, and [[compact]] folds them away.
+    *
+    * LAYOUT TOLERANCE (ADVICE r17): against an index built by
+    * pre-impact (pre-r17) code — terms table without `max_impact`,
+    * postings without `ib=` partitions — append writes the LEGACY
+    * layout (shard-partitioned, no bucket column) so the generation
+    * stays structurally homogeneous and readable; the probe's
+    * `hasImpacts`/`ib` gates already route such an index exhaustive.
+    * Mixing bucketed files into an unbucketed directory would instead
+    * fail every later read with conflicting partition schemas. */
   def append(s: SparkSession, docs: DataFrame, indexDir: String,
              nShards: Int = DefaultShards): Unit = {
     val (nDocs, sumDl) = loadStats(s, indexDir)
+    val termsRaw = s.read.parquet(s"$indexDir/terms")
+    if (!termsRaw.schema.fieldNames.contains("max_impact")) {
+      postingRows(docs, nShards)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+        .repartition(col("shard"))
+        .write.mode("append").partitionBy("shard")
+        .parquet(postingsPath(indexDir))
+      return
+    }
     // bucket the new postings under the FROZEN (df, max_impact): a term
     // unseen at build keeps df = 0 and buckets against the analytic
     // ceiling; a seen term whose new posting beats the build-time max
     // clamps into bucket 0 (read first — bound stays valid)
-    val termsRel = s.read.parquet(s"$indexDir/terms")
-      .select(col("term"), col("df"), col("max_impact"))
+    val termsRel = termsRaw.select(col("term"), col("df"), col("max_impact"))
     postingRows(docs, nShards)
       .join(termsRel, Seq("term"), "left")
       .withColumn("dfv", coalesce(col("df"), lit(0.0)))
@@ -253,29 +283,92 @@ object TermIndex {
       .parquet(postingsPath(indexDir))
   }
 
+  /** Per-generation leaf-census marker, written beside the postings by
+    * [[build]] and [[compact]] (underscore prefix — invisible to
+    * Spark's file index, like `_SUCCESS`): the sorted list of
+    * `shard=X/ib=Y` leaf directories the last FOLD produced, under the
+    * manifest completeness-footer discipline. [[compact]]'s
+    * appends-happened check compares the census against the current
+    * leaf set — the pre-r18 ">1 file per leaf" heuristic alone missed
+    * appends whose postings land only in leaves EMPTY at build time (a
+    * lower-impact bucket the build never populated is a fresh
+    * single-file leaf), which were then never folded (ADVICE r17). */
+  private val LeafCensusFile = "_graft_leaves"
+
+  /** Current `(relative leaf dir, parquet file count)` pairs, sorted —
+    * LOUD on the pre-impact layout (postings files directly under
+    * `shard=`, no `ib=` level): compact cannot fold what it cannot
+    * read the `ib` column from, and silently no-opping forever was the
+    * failure mode (ADVICE r17). */
+  private def leafCensusOf(postingsDir: String): Seq[(String, Int)] = {
+    val shardDirs = graft.operators.IndexFs.list(postingsDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+    shardDirs.flatMap { sh =>
+      val entries = graft.operators.IndexFs.list(sh.getPath.toString)
+      if (entries.exists(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"TermIndex.compact: ${sh.getPath} holds postings files outside " +
+            "an ib= impact bucket — a pre-impact (pre-r17) index layout. " +
+            "Rebuild the index (TermIndex.build) to fold it; compacting " +
+            "the legacy layout in place would silently no-op forever")
+      entries
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ib="))
+        .map(ibd => (s"${sh.getPath.getName}/${ibd.getPath.getName}",
+          graft.operators.IndexFs.list(ibd.getPath.toString)
+            .count(_.getPath.getName.endsWith(".parquet"))))
+    }.sortBy(_._1)
+  }
+
+  private def writeLeafCensus(postingsDir: String): Unit = {
+    val names = leafCensusOf(postingsDir).map(_._1)
+    graft.operators.IndexFs.createMarker(s"$postingsDir/$LeafCensusFile",
+      (names :+ s"#complete n=${names.size}").mkString("\n"),
+      overwrite = true)
+  }
+
+  /** The census the last fold recorded; None when absent or torn
+    * (pre-r18 generation, crashed writer) — the caller then treats the
+    * generation as appended-to and folds once, which self-heals the
+    * marker. */
+  private def readLeafCensus(postingsDir: String): Option[Seq[String]] = {
+    val f = s"$postingsDir/$LeafCensusFile"
+    if (!graft.operators.IndexFs.exists(f)) return None
+    val lines =
+      try graft.operators.IndexFs.readSmall(f)
+        .split("\n").iterator.filter(_.nonEmpty).toSeq
+      catch { case _: java.io.IOException => return None }
+    val body = lines.filterNot(_.startsWith("#"))
+    if (lines.lastOption.contains(s"#complete n=${body.size}")) Some(body)
+    else None
+  }
+
   /** Fold the current generation into the next: replayed-duplicate
     * postings dropped (exact-duplicate rows — deterministic), each
-    * shard's postings rewritten as one co-located file set. No-op when
-    * every shard holds ≤ 1 file (no appends since the last fold — the
-    * VectorIndex heuristic, valid from build time because build
-    * repartitions on the partition column). Reaping deferred to the
-    * START of the next compact (reader grace — the shared discipline). */
+    * shard's postings rewritten as one co-located file set. No-op only
+    * when NO appends happened since the last fold, decided against the
+    * persisted leaf census (r18, ADVICE r17): appends show as a leaf
+    * holding > 1 file OR as a leaf the last fold didn't write (a
+    * bucket empty at build time) — the bare >1-file heuristic missed
+    * the second shape. A generation without a census (pre-r18) folds
+    * once and gains one; the pre-impact layout (no ib= level) is
+    * refused loudly with a rebuild instruction. Reaping deferred to
+    * the START of the next compact (reader grace — the shared
+    * discipline). */
   def compact(s: SparkSession, indexDir: String,
               protect: Set[Long] = Set.empty): Unit = {
     val gen = currentGen(indexDir)
     graft.operators.Generations.reapOthers(indexDir, gen, protect)
-    // leaves are (shard, ib) since r17 — the ">1 file per leaf means
-    // appends happened" heuristic now checks one level deeper
-    val multiFile = graft.operators.IndexFs
-      .list(s"$indexDir/gen=$gen/postings")
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-      .flatMap(sh => graft.operators.IndexFs.list(sh.getPath.toString))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ib="))
-      .exists(c => graft.operators.IndexFs.list(c.getPath.toString)
-        .count(_.getPath.getName.endsWith(".parquet")) > 1)
-    if (!multiFile) return
+    val pdir = s"$indexDir/gen=$gen/postings"
+    val leaves = leafCensusOf(pdir)
+    val appendsHappened = readLeafCensus(pdir) match {
+      case Some(census) =>
+        leaves.exists(_._2 > 1) || leaves.map(_._1) != census
+      case None => true
+    }
+    if (!appendsHappened) return
     val next = gen + 1
-    s.read.parquet(s"$indexDir/gen=$gen/postings")
+    s.read.parquet(pdir)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("shard"), col("ib"))
       .distinct()
@@ -283,6 +376,7 @@ object TermIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard", "ib")
       .parquet(s"$indexDir/gen=$next/postings")
+    writeLeafCensus(s"$indexDir/gen=$next/postings")
     graft.operators.Generations.flip(indexDir, next)
   }
 
@@ -407,6 +501,13 @@ object TermIndex {
       if (!hasImpacts) Map.empty
       else termRows.map(r => r.getString(r.fieldIndex("term")) ->
         r.getDouble(r.fieldIndex("max_impact"))).toMap
+    // per-term build-time bucket histograms (r18) — absent on pre-r18
+    // indexes, in which case the probe keeps the full escalation
+    // schedule
+    val histByTerm: Map[String, Seq[Long]] =
+      if (!termsRel.schema.fieldNames.contains("ib_counts")) Map.empty
+      else termRows.map(r => r.getString(r.fieldIndex("term")) ->
+        r.getSeq[Long](r.fieldIndex("ib_counts"))).toMap
     // shard is a PARTITION column of postings/ — isin() prunes at
     // planning; the term filter rides into the row groups
     val pruned = postings.filter(shardFilter && col("term").isin(terms: _*))
@@ -420,7 +521,8 @@ object TermIndex {
       // ALL-DENSE (stopword-only — VERDICT r16 item 1): no sparse
       // anchor exists, so max-score can never engage; the impact
       // buckets are the candidate generator instead
-      impactProbe(s, pruned, stats, dfByTerm, impactByTerm, terms, k,
+      impactProbe(s, pruned, stats, dfByTerm, impactByTerm, histByTerm,
+          terms, k,
           hasImpacts && postings.schema.fieldNames.contains("ib"))
         .getOrElse {
           impactFellBack.incrementAndGet()
@@ -492,11 +594,52 @@ object TermIndex {
     * scoring pass still streams the queried terms' postings (the
     * max-score floor for exact BM25 without a forward index).
     * `layoutOk` gates on a pre-r17 index layout (no ib partition / no
-    * max_impact column) — such an index probes exhaustively. */
+    * max_impact column) — such an index probes exhaustively.
+    *
+    * STARTING-WIDTH SELECTION (r18, VERDICT r17 item 5): always
+    * starting at j = 1 paid a full wasted candidate round whenever the
+    * top bucket could not carry the proof (measured at the 30× probe:
+    * one thrown-away scan+aggregate+collect). Two mechanisms fix the
+    * schedule, one provable and one empirical:
+    *
+    *  - HISTOGRAM VIABILITY (the k-th-candidate existence bound): the
+    *    candidate docs at width j number at most Σ_t hist_t[0..j)
+    *    (per-term build counts are distinct docs; the sum over terms
+    *    over-counts shared ones). Below k, the proof's `length == k`
+    *    precondition provably fails — the width is skipped without a
+    *    round, and when NO scheduled width is viable the probe goes
+    *    STRAIGHT to the exhaustive fallback with zero wasted rounds.
+    *    Appends only grow true counts, so a stale histogram can only
+    *    under-estimate viability — a wrong skip costs wall on the
+    *    exhaustive path, never exactness (the proof gates every cut).
+    *    A SCORE-side closed-form estimate deliberately does NOT pick
+    *    the start: the only driver-derivable k-th-candidate score
+    *    bound is the best single-term guarantee max_t m_t·(1 − j′/B),
+    *    while the pruning bound SUMS every term's ceiling — for the
+    *    standing multi-term stopword queries the max-vs-sum gap makes
+    *    that estimate permanently silent, and for single-term queries
+    *    it systematically over-widens the read (it can never endorse
+    *    the width that holds the k-th posting, only the next one).
+    *  - PROVEN-WIDTH MEMO (the hot-query plan cache): standing
+    *    queries re-probe the same frozen index many times per
+    *    session; the first execution's escalation DISCOVERS the width
+    *    the proof needs, the memo starts later executions there — one
+    *    candidate round steady-state. Keyed on the frozen identity
+    *    (terms, k, stats, df, histogram) so distinct indexes with
+    *    coincident stats cannot collide; bounded, swept wholesale at
+    *    the cap. Exactness untouched: the memo changes which width is
+    *    TRIED first, the proof still gates the cut, and a stale width
+    *    (post-append drift) simply escalates or falls back as ever. */
+  private[graft] val provenWidth =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Seq[String], Int, (Double, Double), Map[String, Double],
+        Map[String, Seq[Long]]), Int]()
+
   private def impactProbe(s: SparkSession, pruned: DataFrame,
                           stats: (Double, Double),
                           dfByTerm: Map[String, Double],
                           impactByTerm: Map[String, Double],
+                          histByTerm: Map[String, Seq[Long]],
                           terms: Seq[String], k: Int,
                           layoutOk: Boolean): Option[DataFrame] = {
     if (!layoutOk) return None
@@ -505,8 +648,23 @@ object TermIndex {
       if (dfByTerm.getOrElse(t, 0.0) == 0.0) unseenCeiling(nDocs)
       else impactByTerm.getOrElse(t, unseenCeiling(nDocs))
     val b = ImpactBuckets
+    // an appended-only term has no histogram row: its candidate count
+    // at any width is unknown — treat as unbounded so viability can
+    // never wrongly rule a width out
+    def candUpper(j: Int): Long = terms.map { t =>
+      histByTerm.get(t) match {
+        case Some(h) => h.take(j).sum
+        case None => Long.MaxValue / 16
+      }
+    }.sum
+    def boundAt(j: Int): Double =
+      terms.map(t => ceilingOf(t) * (1.0 - j.toDouble / b)).sum
+    val viable = Seq(1, 2, 4).filter(j => candUpper(j) >= k)
+    if (viable.isEmpty) return None // provably < k candidates at every width
+    val memoKey = (terms, k, stats, dfByTerm, histByTerm)
+    val start = provenWidth.getOrDefault(memoKey, viable.head)
     var attempts = 0
-    for (j <- Seq(1, 2, 4)) {
+    for (j <- viable.dropWhile(_ < start)) {
       attempts += 1
       // ib is a PARTITION column — `< j` prunes at planning, so the
       // candidate read touches only the top buckets' files
@@ -514,13 +672,14 @@ object TermIndex {
         .select(col("doc_id")).distinct()
       val top = rankTopK(s, pruned.join(cands, Seq("doc_id"), "left_semi"),
         stats, dfByTerm, terms, k).collect()
-      val bound = terms.map(t => ceilingOf(t) * (1.0 - j.toDouble / b)).sum
       val proofHolds = top.nonEmpty && top.length == k &&
-        top.last.getDouble(top.last.fieldIndex("score")) - bound >
+        top.last.getDouble(top.last.fieldIndex("score")) - boundAt(j) >
           MaxScoreQuantum
       if (proofHolds) {
         impactPruned.incrementAndGet()
         impactEscalated.addAndGet(attempts - 1L)
+        if (provenWidth.size > 1024) provenWidth.clear()
+        provenWidth.put(memoKey, j)
         return Some(topFrame(s, top))
       }
     }

@@ -32,9 +32,13 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     // / PcaSpec pin them against independent references instead;
     // knn_mips_ann's trained quantizer is the knn_ivf class, with
     // SimilaritySpec's exhaustive-equality pin); dedup_simhash
-    // graduated to oracle-exact via md5_number_lower
+    // graduated to oracle-exact via md5_number_lower. q_hybrid_recall
+    // (r18) is the knn_ivf class too — the deployment-settings
+    // sub-exhaustive dense leg rides the trained coarse quantizer,
+    // gated by the driver-visible measured-recall column
+    // (HybridRecallSpec)
     assert(noOracle == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
-      "knn_mips_ann", "knn_mips_ivfpq",
+      "knn_mips_ann", "knn_mips_ivfpq", "q_hybrid_recall",
       "q_approx_distinct", "q_approx_quantiles", "text_tokens_bpe",
       "text_bpe_apply", "spo_mst",
       "cluster_kmeans", "spo_betweenness", "embed_pca", "embed_whiten",

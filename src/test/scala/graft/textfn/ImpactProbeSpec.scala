@@ -60,6 +60,7 @@ class ImpactProbeSpec extends AnyFunSuite with SparkFixture {
     // 10th score m clears 0.875·m by ~0.0036 ≫ the 1e-6 quantum
     val docs = corpus(Seq.fill(15)((5, 8)) ++ Seq.fill(15)((1, 8)))
     withIndex(docs) { dir =>
+      TermIndex.provenWidth.clear()
       val (p0, e0, f0) = counters()
       val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
       val (p1, e1, f1) = counters()
@@ -79,38 +80,87 @@ class ImpactProbeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("escalation: too few top-bucket candidates at j=1, proof lands at " +
-    "j=2 — still ≡ exhaustive") {
+  test("histogram viability skips a provably-short width: j=1 has 5 < k " +
+    "top-bucket postings, the probe STARTS at j=2 with zero wasted " +
+    "rounds — still ≡ exhaustive (r18)") {
     // 5 docs at the ceiling (bucket 0), 10 at c/m ≈ 0.775 (tf 2 →
-    // bucket 1), 15 low (bucket 3) — j=1 yields 5 < k candidates,
-    // j=2 yields 15 with the 10th at 0.775m > 0.75m bound
+    // bucket 1), 15 low (bucket 3) — the stored histogram proves j=1
+    // can only yield 5 < k candidates (pre-r18 this was a wasted
+    // round, counted as one escalation); j=2 yields 15 with the 10th
+    // at 0.775m > 0.75m bound
     val docs = corpus(Seq.fill(5)((5, 8)) ++ Seq.fill(10)((2, 8)) ++
       Seq.fill(15)((1, 8)))
     withIndex(docs) { dir =>
+      TermIndex.provenWidth.clear()
       val (p0, e0, f0) = counters()
       val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
       val (p1, e1, f1) = counters()
-      assert(p1 == p0 + 1 && e1 == e0 + 1 && f1 == f0,
-        s"expected one prune after one escalation: pruned ${p1 - p0}, " +
-          s"escalated ${e1 - e0}, fell back ${f1 - f0}")
+      assert(p1 == p0 + 1 && e1 == e0 && f1 == f0,
+        s"expected one j=2 prune with the short j=1 round SKIPPED: " +
+          s"pruned ${p1 - p0}, escalated ${e1 - e0}, fell back ${f1 - f0}")
       assert(got == bits(exhaustive(dir, Seq("the"), K)))
     }
   }
 
-  test("unprovable case falls back to the exhaustive plan, loudly counted, " +
-    "result identical") {
+  test("unprovable case goes STRAIGHT to the exhaustive fallback: the " +
+    "histogram shows < k candidates at every width — zero wasted rounds " +
+    "(r18), result identical") {
     // 3 docs at the ceiling, 27 long/low docs engineered PAST bucket 3
-    // (c/m ≈ 0.49 → bucket 4): every attempted j ∈ {1,2,4} sees only 3
-    // candidates < k — the proof can never hold
+    // (c/m ≈ 0.49 → bucket 4): every scheduled j ∈ {1,2,4} can only
+    // see 3 candidates < k — pre-r18 the probe PAID all three rounds
+    // (two counted escalations) before falling back; the histogram now
+    // proves them short driver-side
     val docs = corpus(Seq.fill(3)((5, 8)) ++ Seq.fill(27)((1, 32)))
     withIndex(docs) { dir =>
+      TermIndex.provenWidth.clear()
       val (p0, e0, f0) = counters()
       val got = bits(TermIndex.probe(spark, dir, Seq("the"), K))
       val (p1, e1, f1) = counters()
       assert(f1 == f0 + 1 && p1 == p0,
         s"expected a fallback: pruned ${p1 - p0}, fell back ${f1 - f0}")
-      assert(e1 == e0 + 2, s"expected both escalations counted, got ${e1 - e0}")
+      assert(e1 == e0, s"expected ZERO candidate rounds, got ${e1 - e0} escalations")
       assert(got == bits(exhaustive(dir, Seq("the"), K)))
+    }
+  }
+
+  test("proven-width memo: a multi-term probe that escalates 1→2 on first " +
+    "execution starts at the proven width on the second — one candidate " +
+    "round steady-state (r18, VERDICT r17 item 5)") {
+    import spark.implicits._
+    // two dense terms u, v (df 15/20 each > 0.5·n): 5 docs with ONLY u
+    // at the ceiling (tf 5), 5 with only v, 10 OVERLAP docs holding
+    // both at tf 2 (c/m ≈ 0.775 → bucket 1 for each term). All dl = 8.
+    // Width 1: candidates = the 10 single-term ceiling docs, each
+    // scoring one term's m — the 10th is ~m, far below the two-term
+    // bound 0.875·(m_u + m_v) → proof FAILS, escalate. Width 2: the
+    // overlap docs enter, each scoring ~1.55m > 1.5m = 0.75·Σm →
+    // proof HOLDS. The single-term score estimate can never endorse
+    // any width here (max-vs-sum gap), so the first execution pays
+    // the wasted round — and the memo spares every later one.
+    val docs = (
+      (0 until 5).map(i => (i.toLong,
+        (Seq.fill(5)("uu") ++ (0 until 3).map(j => s"f${i}x$j")).mkString(" "))) ++
+      (5 until 10).map(i => (i.toLong,
+        (Seq.fill(5)("vv") ++ (0 until 3).map(j => s"f${i}x$j")).mkString(" "))) ++
+      (10 until 20).map(i => (i.toLong,
+        (Seq.fill(2)("uu") ++ Seq.fill(2)("vv") ++
+          (0 until 4).map(j => s"f${i}x$j")).mkString(" ")))
+    ).toDF("doc_id", "text")
+    withIndex(docs) { dir =>
+      TermIndex.provenWidth.clear()
+      val (p0, e0, f0) = counters()
+      val first = bits(TermIndex.probe(spark, dir, Seq("uu", "vv"), K))
+      val (p1, e1, f1) = counters()
+      assert(p1 == p0 + 1 && e1 == e0 + 1 && f1 == f0,
+        s"expected first execution to escalate once then prune: " +
+          s"pruned ${p1 - p0}, escalated ${e1 - e0}, fell back ${f1 - f0}")
+      val second = bits(TermIndex.probe(spark, dir, Seq("uu", "vv"), K))
+      val (p2, e2, f2) = counters()
+      assert(p2 == p1 + 1 && e2 == e1 && f2 == f1,
+        s"expected the memoized width to prune in ONE round: " +
+          s"pruned ${p2 - p1}, escalated ${e2 - e1}, fell back ${f2 - f1}")
+      assert(first == second && first == bits(exhaustive(dir, Seq("uu", "vv"), K)),
+        "memoized probe drifted from the exhaustive ranking")
     }
   }
 

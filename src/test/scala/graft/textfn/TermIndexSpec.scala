@@ -117,6 +117,79 @@ class TermIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("compact folds appends that land ONLY in leaves empty at build: " +
+    "the persisted leaf census catches the fresh single-file leaf the " +
+    "pre-r18 >1-file heuristic missed (ADVICE r17)") {
+    import spark.implicits._
+    // every build posting sits at its term's ceiling (identical tf/dl
+    // per term → c = max_impact → bucket 0), so build populates ONLY
+    // ib=0 leaves; the appended doc's lower-contribution postings land
+    // in ib>0 leaves that did NOT exist at build, one file each
+    val base = (0L until 10L)
+      .map(i => (i, s"w w w f$i")).toDF("doc_id", "text")
+    withIndex(base) { idx =>
+      TermIndex.append(spark,
+        Seq((100L, "w g0 g1 g2 g3 g4 g5 g6")).toDF("doc_id", "text"), idx)
+      val before = collectScores(TermIndex.probe(spark, idx, Seq("w"), 11))
+      assert(before.exists(_._1 == 100L), "appended doc missing from probe")
+      TermIndex.compact(spark, idx)
+      assert(TermIndex.currentGen(idx) == 1L,
+        "compact no-opped on an append that only created NEW leaves")
+      assert(collectScores(TermIndex.probe(spark, idx, Seq("w"), 11)) == before,
+        "compact changed the probe")
+      // steady state: the folded generation's census matches -> no-op
+      TermIndex.compact(spark, idx)
+      assert(TermIndex.currentGen(idx) == 1L,
+        "compact of a freshly folded index was not a no-op")
+    }
+  }
+
+  test("pre-impact (pre-r17) index layout: append writes the legacy shape " +
+    "and keeps the index readable; compact refuses loudly with a rebuild " +
+    "instruction (ADVICE r17)") {
+    import spark.implicits._
+    val d = (0L until 12L).map(i => (i, s"w w x$i y$i")).toDF("doc_id", "text")
+    val legacy = java.nio.file.Files.createTempDirectory("graft_ti_legacy").toString
+    try {
+      // forge the pre-r17 layout from a modern build: postings without
+      // the ib level, terms without max_impact/ib_counts
+      val modern = java.nio.file.Files.createTempDirectory("graft_ti_mod").toString
+      try {
+        TermIndex.build(spark, d, modern)
+        spark.read.parquet(TermIndex.postingsPath(modern))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+          .repartition(col("shard"))
+          .write.partitionBy("shard").parquet(s"$legacy/gen=0/postings")
+        spark.read.parquet(s"$modern/terms")
+          .select(col("term"), col("shard"), col("df"))
+          .repartition(col("shard"))
+          .write.partitionBy("shard").parquet(s"$legacy/terms")
+        spark.read.parquet(s"$modern/stats").write.parquet(s"$legacy/stats")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(modern))
+      }
+      val before = collectScores(TermIndex.probe(spark, legacy, Seq("w"), 12))
+      // pre-r18, append threw an AnalysisException selecting max_impact;
+      // it must now write the LEGACY layout (no ib column) so the
+      // generation stays structurally homogeneous and readable
+      TermIndex.append(spark,
+        Seq((200L, "w z0 z1 z2")).toDF("doc_id", "text"), legacy)
+      val after = collectScores(TermIndex.probe(spark, legacy, Seq("w"), 13))
+      assert(after.exists(_._1 == 200L),
+        "legacy append's postings invisible to the probe")
+      assert(before.forall(after.contains),
+        "legacy append rescored existing docs")
+      // compact cannot fold what it cannot read `ib` from — loud, named
+      val e = intercept[IllegalStateException] {
+        TermIndex.compact(spark, legacy)
+      }
+      assert(e.getMessage.contains("pre-impact") &&
+        e.getMessage.contains("Rebuild"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(legacy))
+    }
+  }
+
   test("adversarial corpus: probe ≡ inline census bit-for-bit beyond the shipped data") {
     // edges the shipped corpus never exercises: empty text (dl = 1 via
     // [""]), term-stuffed short docs, one extreme-dl doc diluting its
