@@ -113,7 +113,13 @@ object StageCache {
     def mtimeNanos(f: java.io.File): Long =
       try java.nio.file.Files.getLastModifiedTime(f.toPath)
         .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-      catch { case _: java.io.IOException => f.lastModified }
+      catch {
+        // File.lastModified is MILLISECONDS — scale to the normal
+        // path's nano unit, or a transient IO error on one file would
+        // rotate the fingerprint of unchanged data and silently rebuild
+        // every staged tier under a superseded key
+        case _: java.io.IOException => f.lastModified * 1000000L
+      }
     val lines = walk(root).map(f =>
       s"${root.toPath.relativize(f.toPath)}|${f.length}|${mtimeNanos(f)}")
     md5(lines.mkString("\n"))

@@ -21,9 +21,15 @@ object Similarity extends QueryModule {
 
   /** The q_hybrid_rrf frame, factored so `q_rag_assemble` composes the
     * SAME fused retrieval (both legs off their staged artifacts) as a
-    * stage — one definition, two consumers, zero drift. */
+    * stage — one definition, two consumers, zero drift. `nprobe`
+    * parameterizes ONLY the dense leg's probe width (r18):
+    * `q_hybrid_recall` runs this same assembly at the deployment
+    * setting and at the exhaustive default, so the two rankings it
+    * compares cannot drift from each other or from q_hybrid_rrf's. */
   private def hybridRrf(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
+                        dir: String,
+                        nprobe: Int = SnapCells)
+      : org.apache.spark.sql.DataFrame = {
     // the sparse leg reuses text_bm25's oracle through the index —
     // same >= k rounded-positive-matches precondition, asserted
     // loudly once per (session, dataset) (ADVICE r15)
@@ -50,9 +56,42 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val drk = graft.similarity.VectorIndex.probeIvf(
-        s, stagedSnapshot.get(s, dir).vecDir, qdf, 20, nprobe = SnapCells)
+        s, stagedSnapshot.get(s, dir).vecDir, qdf, 20, nprobe = nprobe)
       .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
     fuseRrf(srk, drk)
+  }
+
+  /** `q_hybrid_recall`'s gated assembly, floor-parameterized so
+    * HybridRecallSpec can drive the query's OWN collapse gate (an
+    * unreachable floor must empty the result through this filter, not
+    * an externally applied one). Each fused ranking is collected ONCE
+    * (two 20-row driver cuts — the text_bm25_indexed discipline): the
+    * index scans and window sorts behind them run exactly once, where
+    * reusing the lazy frames in both the overlap computation and the
+    * output would re-execute the probe subtrees, doubling the
+    * exhaustive instrumentation leg. Recall is then one division of
+    * two small exact ints, computed driver-side and stamped on every
+    * surviving row. */
+  private[graft] def hybridRecallGated(s: org.apache.spark.sql.SparkSession,
+                                       dir: String,
+                                       floor: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val deploy = hybridRrf(s, dir, DeployNProbe).limit(20).collect()
+    val exactIds = hybridRrf(s, dir).limit(20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val nHit = deploy.map(_.getAs[Long]("doc_id")).count(exactIds.contains)
+    // the pre-factor plan rounded via Spark's round() — BigDecimal
+    // HALF_UP at 6dp, mirrored here bit-for-bit
+    val recall = BigDecimal(nHit.toDouble / exactIds.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    deploy.toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sparse_rank"),
+        r.getAs[Long]("dense_rank"), r.getAs[Double]("rrf")))
+      .toDF("doc_id", "sparse_rank", "dense_rank", "rrf")
+      .withColumn("recall", lit(recall))
+      .filter(col("recall") >= lit(floor))
+      .orderBy(col("rrf").desc, col("doc_id"))
   }
 
   /** RRF fusion of two ranked 20-row frames (doc_id, sparse_rank) ×
@@ -1601,40 +1640,12 @@ object Similarity extends QueryModule {
       // and rows are FILTERED at the spec floor — a recall collapse
       // empties the result and flips the driver's rows-only check
       // instead of hiding in specs. Cost shape: both rankings are
-      // 20-row frames off staged indexes; the recall join is
-      // candidate-sized; the exhaustive side is gate-scale
+      // 20-row driver cuts off staged indexes, each probe chain
+      // executed exactly once; the exhaustive side is gate-scale
       // instrumentation (production measures recall offline on a
       // sampled query set — which is exactly what this is).
       "q_hybrid_recall",
-      (s, dir) => {
-        graft.textfn.TextQueries.assertBm25IndexedPrecondition(s, dir)
-        val sparse = graft.textfn.TermIndex.probeStaged(s,
-          graft.textfn.TermIndex.stagedIndex(s, dir),
-          graft.textfn.TextQueries.Bm25Terms, 20)
-        val ws = Window.orderBy(col("score").desc, col("doc_id"))
-        val srk = sparse.select(col("doc_id"),
-          row_number().over(ws).cast("long").as("sparse_rank"))
-        val st = stagedSnapshot.get(s, dir)
-        val qdf = Tables(s, dir).embeddings
-          .filter(col("vec_id") === 0L)
-          .select(col("vec_id").as("query_id"), col("embedding"))
-        def drkAt(np: Int) = graft.similarity.VectorIndex.probeIvf(
-            s, st.vecDir, qdf, 20, nprobe = np)
-          .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
-        val deploy = fuseRrf(srk, drkAt(DeployNProbe)).limit(20)
-        val exact = fuseRrf(srk, drkAt(SnapCells)).limit(20)
-          .select(col("doc_id"))
-        val hit = deploy.select(col("doc_id"))
-          .join(exact, Seq("doc_id"), "leftsemi")
-          .agg(count(lit(1)).as("n_hit"))
-        val tot = exact.agg(count(lit(1)).as("n_exact"))
-        val recall = hit.crossJoin(tot)
-          .select(round(col("n_hit").cast("double") /
-            col("n_exact").cast("double"), 6).as("recall"))
-        deploy.crossJoin(broadcast(recall))
-          .filter(col("recall") >= HybridRecallFloor)
-          .orderBy(col("rrf").desc, col("doc_id"))
-      },
+      (s, dir) => hybridRecallGated(s, dir, HybridRecallFloor),
       None
     ),
 

@@ -317,7 +317,7 @@ object TermIndex {
         .map(ibd => (s"${sh.getPath.getName}/${ibd.getPath.getName}",
           graft.operators.IndexFs.list(ibd.getPath.toString)
             .count(_.getPath.getName.endsWith(".parquet"))))
-    }.sortBy(_._1)
+    }.toSeq.sortBy(_._1)
   }
 
   private def writeLeafCensus(postingsDir: String): Unit = {
@@ -648,18 +648,19 @@ object TermIndex {
       if (dfByTerm.getOrElse(t, 0.0) == 0.0) unseenCeiling(nDocs)
       else impactByTerm.getOrElse(t, unseenCeiling(nDocs))
     val b = ImpactBuckets
-    // an appended-only term has no histogram row: its candidate count
-    // at any width is unknown — treat as unbounded so viability can
-    // never wrongly rule a width out
-    def candUpper(j: Int): Long = terms.map { t =>
-      histByTerm.get(t) match {
-        case Some(h) => h.take(j).sum
-        case None => Long.MaxValue / 16
-      }
-    }.sum
+    // a term without a histogram row (appended-only, or a pre-r18 terms
+    // table with no ib_counts at all) has an UNKNOWN candidate count at
+    // every width, so no width containing such a term can ever be ruled
+    // out — the check short-circuits to viable rather than summing a
+    // large sentinel, which would overflow Long past 16 unknown terms
+    // and silently rule out EVERY width (forcing the exhaustive path on
+    // exactly the indexes the impact branch was built for)
+    val allKnown = terms.forall(histByTerm.contains)
+    def candUpper(j: Int): Long =
+      terms.flatMap(histByTerm.get).map(_.take(j).sum).sum
     def boundAt(j: Int): Double =
       terms.map(t => ceilingOf(t) * (1.0 - j.toDouble / b)).sum
-    val viable = Seq(1, 2, 4).filter(j => candUpper(j) >= k)
+    val viable = Seq(1, 2, 4).filter(j => !allKnown || candUpper(j) >= k)
     if (viable.isEmpty) return None // provably < k candidates at every width
     val memoKey = (terms, k, stats, dfByTerm, histByTerm)
     val start = provenWidth.getOrDefault(memoKey, viable.head)

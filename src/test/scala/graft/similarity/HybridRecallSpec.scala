@@ -44,11 +44,17 @@ class HybridRecallSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("a recall collapse empties the result instead of serving it: the " +
-    "filter is the broadcast recall against the shared floor") {
-    // engineered collapse: gate the SAME fused frame on a floor above
-    // 1.0 — the filter must remove every row (the driver-visible
-    // failure shape), proving the gate column actually gates
-    val gated = run().filter(col("recall") >= lit(1.5))
+    "query's OWN floor filter, driven at an unreachable floor, removes " +
+    "every row") {
+    // engineered collapse through the query's own gate (r18 review: an
+    // EXTERNALLY applied filter over the already-gated output would
+    // stay green even if the query stopped gating entirely): the same
+    // assembly the QueryDef runs, floor-parameterized past 1.0 — the
+    // internal filter must empty the result, the driver-visible
+    // failure shape
+    val gated = Similarity.hybridRecallGated(spark, dir, floor = 1.5)
     assert(gated.count() == 0L)
+    // and the shipped floor is genuinely the one the QueryDef applies
+    assert(Similarity.HybridRecallFloor < 1.0)
   }
 }

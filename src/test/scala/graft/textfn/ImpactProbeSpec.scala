@@ -164,6 +164,53 @@ class ImpactProbeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("17 dense terms with NO histograms (pre-r18 terms table): every " +
+    "width stays viable and the proof engages — the unknown-count check " +
+    "must short-circuit, not sum a sentinel that overflows Long (r18 " +
+    "review)") {
+    import spark.implicits._
+    // 30 docs each holding all 17 query terms once (df = 30 = n →
+    // every term DENSE) plus one filler → identical dl, so every
+    // posting sits at its term's ceiling (bucket 0) and the proof
+    // holds at j = 1: the 10th score Σ_t m_t clears 0.875·Σ_t m_t.
+    // The terms table is then rewritten WITHOUT ib_counts (the r17
+    // shape): histByTerm comes back empty, and a sentinel-sum
+    // viability check would wrap negative at 17 terms — ruling every
+    // width out and silently forcing the exhaustive path on exactly
+    // the index the impact branch was built for.
+    val ts = (0 until 17).map(i => f"t$i%02d")
+    val docs = (0L until 30L)
+      .map(i => (i, (ts :+ s"f$i").mkString(" "))).toDF("doc_id", "text")
+    withIndex(docs) { dir =>
+      val stripped = spark.read.parquet(s"$dir/terms")
+        .select(col("term"), col("shard"), col("df"), col("max_impact"))
+        .collect()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("max_impact",
+          org.apache.spark.sql.types.DoubleType)))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$dir/terms"))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(stripped.toList.asJava, schema)
+        .repartition(col("shard"))
+        .write.partitionBy("shard").parquet(s"$dir/terms")
+      TermIndex.provenWidth.clear()
+      val (p0, e0, f0) = counters()
+      val got = bits(TermIndex.probe(spark, dir, ts, K))
+      val (p1, e1, f1) = counters()
+      assert(p1 == p0 + 1 && e1 == e0 && f1 == f0,
+        s"expected the j=1 proof to engage with histograms absent: " +
+          s"pruned ${p1 - p0}, escalated ${e1 - e0}, fell back ${f1 - f0}")
+      assert(got == bits(exhaustive(dir, ts, K)))
+    }
+  }
+
   test("append buckets under the frozen stats: a beyond-ceiling posting " +
     "clamps into bucket 0 and ranks; unseen terms bound at the analytic " +
     "ceiling; probe stays ≡ exhaustive") {
