@@ -301,8 +301,18 @@ object ServingSnapshot {
     * tight loop). Throws only once two consecutive attempts saw the
     * same version set (a STABLE listing with nothing complete really
     * is an empty or all-torn snapshot directory, never a race) or the
-    * generous retry budget is spent. */
+    * TIME budget is spent. The budget is wall-clock, not an attempt
+    * count: every retry requires a CHANGED listing — observed
+    * publisher progress — and under sustained machine load a reader
+    * can be descheduled between listing and parse for tens of ms per
+    * round, losing 50+ rounds to a tight-loop publisher (observed: the
+    * race spec failing under a 73-suite parallel run). An attempt cap
+    * turns scheduler pressure into a spurious outage; the time cap
+    * only fires when a snapshot directory churns continuously for the
+    * whole budget without ever exposing a parseable version, which no
+    * single-writer publish+retire cycle can sustain. */
   def resolve(snapDir: String): Snapshot = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     @annotation.tailrec
     def loop(prev: Option[Seq[Long]], attempt: Int): Snapshot = {
       val vs = versionsOn(snapDir)
@@ -311,7 +321,7 @@ object ServingSnapshot {
         .collectFirst { case Some(s) => s }
       hit match {
         case Some(s) => s
-        case None if attempt < 50 && !prev.contains(vs) =>
+        case None if System.nanoTime() < deadline && !prev.contains(vs) =>
           Thread.sleep(math.min(20L, 1L << math.min(attempt, 10)))
           loop(Some(vs), attempt + 1)
         case None => throw new IllegalArgumentException(
