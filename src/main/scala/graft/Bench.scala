@@ -156,10 +156,32 @@ object Bench {
     // tier cost inside the first query that rebuilds the cache inline,
     // recreating exactly the variance this phase eliminates.
     // per-tier record: (name, sec, err, exec-metric delta, cache events
-    // drained from StageCache — "hit:2,miss:1" style, "" when the tier
-    // has no cached artifact)
-    def stageTier(name: String)(body: => Unit): (String, Double, Option[String], Array[Long], String) = {
-      graft.operators.StageCache.drainEvents() // scope events to this tier
+    // — "hit:2,miss:1" style, "" when the tier has no cached artifact).
+    // r18 (guide §2.6 "overlap independent jobs"): the tiers run as
+    // CONCURRENT dependency chains on a small thread pool — Spark's
+    // scheduler happily runs several jobs at once, and each tier's
+    // build alternates driver-side work (planning, collects, commit
+    // protocol, the whiten eigensolve, k-means driver loops) with
+    // short cluster bursts, so sequential tiers left most of local[N]
+    // idle most of the time (measured cold: 30.3 s sequential ->
+    // see OPTIMIZATION_r18.md for the concurrent number). Dependent
+    // tiers stay sequential WITHIN a chain (wordset_pairs reads
+    // dedup_features' ws frame; rag_snapshot pins the term_index);
+    // cross-chain touches of a shared artifact are serialized by
+    // SessionStaged.computeIfAbsent either way. Consequences for the
+    // artifact, all documented here because spans overlap: each tier's
+    // "sec" is its OWN span (sums exceed the phase wall), the per-tier
+    // "m" exec-metric delta is the span-scoped delta of GLOBAL
+    // counters (concurrent tiers' bytes land in each other's windows —
+    // per-tier m is indicative under overlap, exact only for the
+    // phase total), and cache events are attributed to tiers by cache
+    // ENTRY name after the phase completes instead of drained inside
+    // a timing window. "staging_sec" is the PHASE WALL — what staging
+    // actually costs the run; "staging_tier_sum_sec" keeps the old
+    // sum-of-spans number beside it.
+    final case class TierRec(name: String, sec: Double, err: Option[String],
+                             m: Array[Long], cache: String)
+    def runTier(name: String)(body: => Unit): TierRec = {
       val m0 = M.snapshot()
       val t0 = System.nanoTime()
       val err =
@@ -167,66 +189,123 @@ object Bench {
         catch { case t: Throwable => Some(t.toString.take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
       val m1 = M.snapshot()
-      val cache = graft.operators.StageCache.drainEvents()
-        .groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (what, es) => s"$what:${es.size}" }.mkString(",")
-      (name, sec, err, m1.zip(m0).map { case (a, b) => a - b }, cache)
+      TierRec(name, sec, err, m1.zip(m0).map { case (a, b) => a - b }, "")
     }
+    // bench tier -> StageCache entry prefixes, for post-phase event
+    // attribution (entry names are the frame/dir tier strings passed
+    // to StageCache at each build site)
+    val cacheTiersOf: Map[String, Seq[String]] = Map(
+      "graph" -> Seq("graph_"),
+      "dedup_features" -> Seq("dedup_feats", "dedup_ws"),
+      "wordset_pairs" -> Seq("wordset_pairs"),
+      "clusters" -> Seq("dedup_clusters"),
+      "angular" -> Seq("angular"), // exact-match guarded below
+      "band_index" -> Seq("band_index"),
+      "containment_ids" -> Seq("containment_"),
+      "chunk_vectors" -> Seq("chunk_blocking"),
+      "term_index" -> Seq("term_index"),
+      "rag_snapshot" -> Seq("rag_vec"),
+      "whiten" -> Seq("whiten", "angular_whitened"))
+    def benchTierFor(cacheTier: String): String =
+      if (cacheTier == "angular") "angular"
+      else cacheTiersOf.collectFirst {
+        case (bt, ps) if bt != "angular" && ps.exists(cacheTier.startsWith) => bt
+      }.getOrElse("(unattributed)")
     // SPARK_GRAFT_ONLY dev runs skip staging entirely: a one-query dev
-    // loop should not pay ~14 s of unrelated tier builds; first-touch
+    // loop should not pay the unrelated tier builds; first-touch
     // staging inside the selected query is the accepted dev tradeoff
+    val stagingT0 = System.nanoTime()
     val staging: Seq[(String, Double, Option[String], Array[Long], String)] =
       if (only.isDefined) Nil
-      else Seq(
-        stageTier("graph") {
-          val g = graft.graph.TripleStore.staged(spark, sfDir)
-          g.triples.count(); g.objects.count(); g.relationships.count()
-          g.half.count(); g.so.count(); ()
-        },
-        stageTier("dedup_features") {
-          val f = graft.dedup.Dedup.stagedDocFeatures(spark, sfDir)
-          f.feats.count(); f.ws.count(); ()
-        },
-        stageTier("wordset_pairs") {
-          graft.dedup.Dedup.stagedWordSetPairs(spark, sfDir).count(); ()
-        },
-        stageTier("clusters") {
-          // r13: the cluster frame became a session-staged artifact
-          // consumed by five queries — its one-time propagation build
-          // must not land inside whichever of them runs first
-          graft.dedup.Dedup.stagedClusters(spark, sfDir).count(); ()
-        },
-        stageTier("angular") {
-          graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
-        },
-        stageTier("band_index") {
-          graft.dedup.BandIndex.stagedBaseIndex(spark, sfDir); ()
-        },
-        stageTier("containment_ids") {
-          graft.dedup.Dedup.stagedContainment(spark, sfDir).count(); ()
-        },
-        stageTier("chunk_vectors") {
-          graft.dedup.Dedup.stagedChunkBlocking(spark, sfDir).assigned.count(); ()
-        },
-        stageTier("term_index") {
-          // r15: the persisted BM25 postings index — build-once, so
-          // text_bm25_indexed measures the SERVING probe, not the build
-          graft.textfn.TermIndex.stagedIndex(spark, sfDir); ()
-        },
-        stageTier("rag_snapshot") {
-          // r16: both retrieval legs as persisted indexes + one
-          // published ServingSnapshot — q_hybrid_snapshot measures the
-          // pinned-manifest read path, not the builds
-          graft.similarity.Similarity.warmStagedSnapshot(spark, sfDir)
-        },
-        stageTier("whiten") {
-          // r15: the whitened frame gained a second consumer
-          // (dedup_semantic_whitened); the one-per-session eigensolve
-          // and the whitened-space blocking must not land inside
-          // whichever consumer runs first
-          graft.similarity.Similarity.stagedWhitenFrame(spark, sfDir).count()
-          graft.dedup.AngularBlocking.warmWhitenedStaged(spark, sfDir)
-        })
+      else {
+        graft.operators.StageCache.drainEvents() // scope events to the phase
+        // dependency chains, heaviest-first so the pool's tail is short
+        val chains: Seq[Seq[(String, () => Unit)]] = Seq(
+          Seq("graph" -> (() => {
+            val g = graft.graph.TripleStore.staged(spark, sfDir)
+            g.triples.count(); g.objects.count(); g.relationships.count()
+            g.half.count(); g.so.count(); ()
+          })),
+          Seq(
+            "dedup_features" -> (() => {
+              val f = graft.dedup.Dedup.stagedDocFeatures(spark, sfDir)
+              f.feats.count(); f.ws.count(); ()
+            }),
+            "wordset_pairs" -> (() => {
+              graft.dedup.Dedup.stagedWordSetPairs(spark, sfDir).count(); ()
+            }),
+            "clusters" -> (() => {
+              // r13: the cluster frame became a session-staged artifact
+              // consumed by five queries — its one-time propagation build
+              // must not land inside whichever of them runs first
+              graft.dedup.Dedup.stagedClusters(spark, sfDir).count(); ()
+            })),
+          Seq(
+            "term_index" -> (() => {
+              // r15: the persisted BM25 postings index — build-once, so
+              // text_bm25_indexed measures the SERVING probe, not the build
+              graft.textfn.TermIndex.stagedIndex(spark, sfDir); ()
+            }),
+            "rag_snapshot" -> (() => {
+              // r16: both retrieval legs as persisted indexes + one
+              // published ServingSnapshot — q_hybrid_snapshot measures the
+              // pinned-manifest read path, not the builds
+              graft.similarity.Similarity.warmStagedSnapshot(spark, sfDir)
+            })),
+          Seq("whiten" -> (() => {
+            // r15: the whitened frame gained a second consumer
+            // (dedup_semantic_whitened); the one-per-session eigensolve
+            // and the whitened-space blocking must not land inside
+            // whichever consumer runs first
+            graft.similarity.Similarity.stagedWhitenFrame(spark, sfDir).count()
+            graft.dedup.AngularBlocking.warmWhitenedStaged(spark, sfDir)
+          })),
+          Seq(
+            "containment_ids" -> (() => {
+              graft.dedup.Dedup.stagedContainment(spark, sfDir).count(); ()
+            }),
+            "chunk_vectors" -> (() => {
+              graft.dedup.Dedup.stagedChunkBlocking(spark, sfDir).assigned.count(); ()
+            })),
+          Seq(
+            "angular" -> (() => {
+              graft.dedup.AngularBlocking.warmStaged(spark, sfDir)
+            }),
+            "band_index" -> (() => {
+              graft.dedup.BandIndex.stagedBaseIndex(spark, sfDir); ()
+            })))
+        // 2-3 chains in flight is the guide's recommendation (§2.6);
+        // SPARK_GRAFT_STAGE_PAR=1 restores strictly sequential tiers
+        // for A/B measurement
+        val stagePar = sys.env.get("SPARK_GRAFT_STAGE_PAR")
+          .map(_.toInt).getOrElse(3).max(1)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(stagePar,
+          r => { val t = new Thread(r, "graft-staging"); t.setDaemon(true); t })
+        try {
+          val futs = chains.map(chain => pool.submit(
+            new java.util.concurrent.Callable[Seq[TierRec]] {
+              def call(): Seq[TierRec] =
+                chain.map { case (name, body) => runTier(name)(body()) }
+            }))
+          val recs = futs.flatMap(_.get())
+          val events = graft.operators.StageCache.drainEvents()
+            .groupBy { case (cacheTier, _) => benchTierFor(cacheTier) }
+          val declared = chains.flatten.map(_._1)
+          val ordered = declared.flatMap(n => recs.find(_.name == n)) ++
+            // never silently drop an event for a cache entry no tier
+            // claims — surface it as a zero-cost synthetic tier
+            (if (events.contains("(unattributed)"))
+               Seq(TierRec("(unattributed)", 0.0, None, Array.fill(8)(0L), ""))
+             else Nil)
+          ordered.map { r =>
+            val cache = events.getOrElse(r.name, Seq.empty)
+              .groupBy(_._2).toSeq.sortBy(_._1)
+              .map { case (what, es) => s"$what:${es.size}" }.mkString(",")
+            (r.name, r.sec, r.err, r.m, cache)
+          }
+        } finally pool.shutdown()
+      }
+    val stagingWallSec = (System.nanoTime() - stagingT0) / 1e9
     // truncate without splitting a surrogate pair: a dangling high
     // surrogate would make the JSON string invalid for strict parsers
     def safeTake(s: String, n: Int): String = {
@@ -334,7 +413,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val errCount = results.count(_._2._1.err.isDefined)
     val total = if (results.nonEmpty) results.map(_._2._1.sec).sum else 0.0
-    val stagingSec = staging.map(_._2).sum
+    // r18: tiers overlap, so the phase WALL is what staging costs the
+    // run; the old sum-of-tier-spans stays beside it for comparability
+    // with pre-r18 artifacts (where the two were equal)
+    val stagingSec = if (staging.isEmpty) 0.0 else stagingWallSec
+    val stagingTierSum = staging.map(_._2).sum
     // uniform per-tier shape — {"sec":N,"m":[...]} with optional "err" —
     // so artifact consumers parse one shape instead of type-switching on
     // bare-number-or-object (a failed tier was easy to misparse as 0 s)
@@ -361,7 +444,7 @@ object Bench {
       catch { case _: Throwable => "unavailable" }
     val mfJson = metricFields.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"exec_metric_fields":$mfJson,"exec_metrics":$em,"order":$orderJson,"staging":$stagingJson,"staging_sec":${r3(stagingSec)},"runs":$runs,"errors":$errCount,"sf":"$sfDir","testdata_fingerprint":"$fingerprint"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"runs_all":$ra,"exec_metric_fields":$mfJson,"exec_metrics":$em,"order":$orderJson,"staging":$stagingJson,"staging_sec":${r3(stagingSec)},"staging_tier_sum_sec":${r3(stagingTierSum)},"runs":$runs,"errors":$errCount,"sf":"$sfDir","testdata_fingerprint":"$fingerprint"}"""
     // The full line (~5 KB at 95 queries) overflows the driver's stdout
     // tail capture (BENCH_r04/r05 both recorded parsed:null with a
     // 2000-char tail), so it goes to bench_out.json and an early stdout

@@ -1742,9 +1742,19 @@ object GraphQueries extends QueryModule {
         // same-key join right after the aggregate — co-partitioned on x
         val cd = und.join(deg, "x")
           .filter(col("d") >= 2L && col("d") <= lit(MaxCoocDegree))
+        // r18 opt: decimal(8,6), not (18,6) — the term is ≤ 1/ln 2 ≈
+        // 1.442695, so precision 8 holds it and sum(decimal(8,6))
+        // widens to decimal(18,6), which stays in Spark's COMPACT long
+        // representation. At (18,6) the sum buffer was decimal(28,6) —
+        // a heap BigDecimal per (na,nb) group in the suite's largest
+        // hash aggregate (1.13 M pairs at sf0.1): 4.3 s of task GC and
+        // 16-byte shuffle values, both halved by the narrower type
+        // (guide §2.3 "narrower types"). Values are bit-identical:
+        // same 6dp quantum, no overflow (≤ MaxCoocDegree terms of
+        // ≤ 1.45 each sums < 1.5e3, far inside decimal(18,6)).
         val a = cd.select(col("x"), col("y").as("na"),
           round(lit(1.0) / log(col("d").cast("double")), 6)
-            .cast("decimal(18,6)").as("term"))
+            .cast("decimal(8,6)").as("term"))
         val b = cd.select(col("x"), col("y").as("nb"))
         a.join(b, "x")
           .filter(col("na") < col("nb"))

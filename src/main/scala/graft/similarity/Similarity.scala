@@ -29,6 +29,16 @@ object Similarity extends QueryModule {
   private def hybridRrf(s: org.apache.spark.sql.SparkSession,
                         dir: String,
                         nprobe: Int = SnapCells)
+      : org.apache.spark.sql.DataFrame =
+    fuseRrf(sparseRankFrame(s, dir), denseRankFrame(s, dir, nprobe))
+
+  /** The sparse leg of the hybrid assembly — nprobe-INDEPENDENT, so
+    * `hybridRecallGated` (which fuses the same sparse ranking against
+    * two dense probe widths) can compute it once instead of running
+    * the staged impact probe twice per execution (r18 optimization;
+    * guide §1.2 "don't compute things you throw away"). */
+  private def sparseRankFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String)
       : org.apache.spark.sql.DataFrame = {
     // the sparse leg reuses text_bm25's oracle through the index —
     // same >= k rounded-positive-matches precondition, asserted
@@ -38,27 +48,33 @@ object Similarity extends QueryModule {
       graft.textfn.TermIndex.stagedIndex(s, dir),
       graft.textfn.TextQueries.Bm25Terms, 20)
     val ws = Window.orderBy(col("score").desc, col("doc_id"))
-    val srk = sparse.select(col("doc_id"),
+    sparse.select(col("doc_id"),
       row_number().over(ws).cast("long").as("sparse_rank"))
-    // the dense leg serves off the STAGED IVF index (VERDICT r16 item
-    // 5) — the same maintained artifact the snapshot variant pins,
-    // probed live. Exhaustive probing (nprobe = nCells) makes the
-    // ranking bit-identical to the brute-force cosine top-20
-    // (VectorIndexSpec's pin), so the DuckDB oracle is unchanged while
-    // the per-query scan is the index's co-located cell files instead
-    // of a fresh corpus crossJoin — BOTH hybrid variants now read
-    // maintained artifacts, and at deployment scale this leg drops
-    // nprobe below nCells and trades the oracle for the measured-recall
-    // gate (the knn_ivf story). The query vector (vec_id 0) is in the
-    // index; probeIvf's vec_id == query_id self-exclusion keeps it out
-    // of its own neighbor list, exactly as the old `=!= 0` filter did.
+  }
+
+  /** The dense leg at probe width `nprobe`, off the staged IVF index.
+    * The dense leg serves off the STAGED IVF index (VERDICT r16 item
+    * 5) — the same maintained artifact the snapshot variant pins,
+    * probed live. Exhaustive probing (nprobe = nCells) makes the
+    * ranking bit-identical to the brute-force cosine top-20
+    * (VectorIndexSpec's pin), so the DuckDB oracle is unchanged while
+    * the per-query scan is the index's co-located cell files instead
+    * of a fresh corpus crossJoin — BOTH hybrid variants now read
+    * maintained artifacts, and at deployment scale this leg drops
+    * nprobe below nCells and trades the oracle for the measured-recall
+    * gate (the knn_ivf story). The query vector (vec_id 0) is in the
+    * index; probeIvf's vec_id == query_id self-exclusion keeps it out
+    * of its own neighbor list, exactly as the old `=!= 0` filter did. */
+  private def denseRankFrame(s: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
     val qdf = Tables(s, dir).embeddings
       .filter(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val drk = graft.similarity.VectorIndex.probeIvf(
+    graft.similarity.VectorIndex.probeIvf(
         s, stagedSnapshot.get(s, dir).vecDir, qdf, 20, nprobe = nprobe)
       .select(col("vec_id").as("doc_id"), col("rk").as("dense_rank"))
-    fuseRrf(srk, drk)
   }
 
   /** `q_hybrid_recall`'s gated assembly, floor-parameterized so
@@ -77,8 +93,19 @@ object Similarity extends QueryModule {
                                        floor: Double)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val deploy = hybridRrf(s, dir, DeployNProbe).limit(20).collect()
-    val exactIds = hybridRrf(s, dir).limit(20)
+    // the sparse ranking is nprobe-independent: run the staged impact
+    // probe ONCE and feed the same ≤20-row cut into both fusions as a
+    // local relation (zero extra jobs) — the pre-r18 shape ran the
+    // whole sparse probe chain twice per execution for bit-identical
+    // rows (guide §1.2). Row-for-row the same input to fuseRrf, so
+    // both rankings are unchanged.
+    val srk = sparseRankFrame(s, dir)
+    val srkLocal = s.createDataFrame(
+      java.util.Arrays.asList(srk.collect(): _*), srk.schema)
+    val deploy = fuseRrf(srkLocal, denseRankFrame(s, dir, DeployNProbe))
+      .limit(20).collect()
+    val exactIds = fuseRrf(srkLocal, denseRankFrame(s, dir, SnapCells))
+      .limit(20)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val nHit = deploy.map(_.getAs[Long]("doc_id")).count(exactIds.contains)
     // the pre-factor plan rounded via Spark's round() — BigDecimal
