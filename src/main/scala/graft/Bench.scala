@@ -196,6 +196,7 @@ object Bench {
     // to StageCache at each build site)
     val cacheTiersOf: Map[String, Seq[String]] = Map(
       "graph" -> Seq("graph_"),
+      "walks" -> Seq("spo_walks"),
       "dedup_features" -> Seq("dedup_feats", "dedup_ws"),
       "wordset_pairs" -> Seq("wordset_pairs"),
       "clusters" -> Seq("dedup_clusters"),
@@ -221,11 +222,19 @@ object Bench {
         graft.operators.StageCache.drainEvents() // scope events to the phase
         // dependency chains, heaviest-first so the pool's tail is short
         val chains: Seq[Seq[(String, () => Unit)]] = Seq(
-          Seq("graph" -> (() => {
-            val g = graft.graph.TripleStore.staged(spark, sfDir)
-            g.triples.count(); g.objects.count(); g.relationships.count()
-            g.half.count(); g.so.count(); ()
-          })),
+          Seq(
+            "graph" -> (() => {
+              val g = graft.graph.TripleStore.staged(spark, sfDir)
+              g.triples.count(); g.objects.count(); g.relationships.count()
+              g.half.count(); g.so.count(); ()
+            }),
+            "walks" -> (() => {
+              // r18: the derandomized walk trajectories became a staged
+              // artifact with two consumers (spo_random_walks,
+              // spo_walk_skipgrams) — the one-time walk build must not
+              // land inside whichever of them runs first
+              graft.graph.GraphQueries.stagedWalks(spark, sfDir).count(); ()
+            })),
           Seq(
             "dedup_features" -> (() => {
               val f = graft.dedup.Dedup.stagedDocFeatures(spark, sfDir)

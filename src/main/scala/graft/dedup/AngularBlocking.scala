@@ -368,17 +368,27 @@ object AngularBlocking {
                                   stats: Map[Int, (Array[Double], Double)],
                                   tau: Double): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    // r18 (guide §1.2): each vector participates in many candidate
+    // pairs (on the adversarial isotropic corpus the bound admits most
+    // partner cells, so candidates approach n²/2), but there are only
+    // n distinct vectors — precompute each side's squared norm ONCE
+    // per row and verify with the prenorm cosine, whose pair loop is
+    // one multiply-add per element instead of three. Bit-identical to
+    // cosineNative (CosineWithNorms' contract).
     val cands = candidates(assigned, stats, thetaTau)
       .select(col("vec_id").as("vec_x"), col("embedding").as("ex"),
         col("cell").as("cell_x"), col("partner"))
+      .withColumn("nx2", VectorOps.dotNative(col("ex"), col("ex")))
     val other = assigned
       .select(col("cell").as("partner_cell"), col("vec_id").as("vec_y"), col("embedding").as("ey"))
+      .withColumn("ny2", VectorOps.dotNative(col("ey"), col("ey")))
     cands
       .join(other, cands("partner") === other("partner_cell"))
       // cross-cell pairs appear once (partner > cell_x); intra-cell pairs
       // are ordered by id — together every unordered pair exactly once
       .filter(col("partner") =!= col("cell_x") || col("vec_x") < col("vec_y"))
-      .withColumn("cosine", VectorOps.cosineNative(col("ex"), col("ey")))
+      .withColumn("cosine", VectorOps.cosineWithNormsNative(
+        col("ex"), col("ey"), col("nx2"), col("ny2")))
       .filter(col("cosine") >= tau)
       .select(least(col("vec_x"), col("vec_y")).as("vec_a"),
         greatest(col("vec_x"), col("vec_y")).as("vec_b"), col("cosine"))

@@ -798,10 +798,21 @@ object CorpusOps extends QueryModule {
         val b = pmod(
           conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"),
           lit(ImpBuckets.toLong))
-        val toks = Tables(s, dir).documents
+        val rawToks = Tables(s, dir).documents
           .select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), " ")).as("tok"))
-          .select(col("doc_id"), col("lang"), b.as("b"))
+        // r18 (guide §1.2): md5+conv per TOKEN INSTANCE ran twice (the
+        // toks subtree feeds both the bucket counts and the per-doc
+        // weights, and Catalyst does not CSE across consumers); hash
+        // only the DISTINCT tokens — the vocabulary is orders of
+        // magnitude smaller than the token stream — and broadcast the
+        // (tok -> bucket) map back onto the stream. b is a pure
+        // function of tok, so every token instance gets the identical
+        // bucket and every downstream aggregate is unchanged.
+        val tokB = rawToks.select(col("tok")).distinct()
+          .select(col("tok"), b.as("b"))
+        val toks = rawToks.join(broadcast(tokB), "tok")
+          .select(col("doc_id"), col("lang"), col("b"))
         val cnt = toks.groupBy(col("b")).agg(
           count(lit(1)).as("cr"),
           sum(when(col("lang") === ImpTargetLang, 1L).otherwise(0L)).as("ct"))

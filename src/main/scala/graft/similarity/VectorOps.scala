@@ -47,6 +47,21 @@ object VectorOps {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Native codegen'd cosine with PRECOMPUTED squared norms (must be
+    * the [[dotNative]] self-fold of each side) — bit-identical to
+    * [[cosineNative]] unconditionally (see
+    * [[graft.expressions.CosineWithNorms]]), but the pair-join hot
+    * loop runs one multiply-add per element instead of three. Use on
+    * blocked all-pairs verifies where each vector participates in many
+    * candidate pairs. */
+  def cosineWithNormsNative(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.CosineWithNorms(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b),
+        org.apache.spark.sql.GraftSqlBridge.expression(na2),
+        org.apache.spark.sql.GraftSqlBridge.expression(nb2)))
+
   /** Compiled cosine kernel: appends a `cosine` double column computed in
     * a tight JVM loop over the two float-array columns. Bit-identical to
     * [[cosine]] / [[cosineSql]] (same left-fold order, same
