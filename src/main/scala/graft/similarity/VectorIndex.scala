@@ -119,6 +119,8 @@ object VectorIndex {
     // AFTER this completes: a stale mips_m2 from a former MIPS index in
     // the same directory would make append() mis-dispatch every future
     // batch to MIPS augmentation (ADVICE r14) — sweep it first.
+    // A rebuild also rotates the frozen-artifact memos for this dir.
+    invalidateMemos(indexDir)
     graft.operators.IndexFs.delete(s"$indexDir/mips_m2")
     val cents = Similarity.coarseCentroids(s, data, nCells, iters)
     import scala.jdk.CollectionConverters._
@@ -142,10 +144,34 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(indexDir))
   }
 
+  /** Session-scoped memo of the two FROZEN build artifacts every probe
+    * re-read per call (r18, guide §1.2): the quantizer and the MIPS M²
+    * marker never change after [[buildIvf]]/[[buildMips]] — appends
+    * fold vectors under the frozen quantizer by contract — so reading
+    * them once per (session, index dir) turns two driver jobs per
+    * probe into map lookups. The ONLY writers ([[buildIvf]],
+    * [[buildMips]]) invalidate the dir's entries, so a rebuild in the
+    * same directory (the spec lifecycle shape) can never serve a stale
+    * quantizer. Keyed on the session REFERENCE like [[
+    * graft.operators.SessionStaged]]: a restarted session re-reads. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]
+  private val mipsM2Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Option[Double]]
+
+  private def invalidateMemos(indexDir: String): Unit = {
+    val q = graft.operators.ServingSnapshot.qualified(indexDir)
+    centroidMemo.keySet.removeIf(_._2 == q)
+    mipsM2Memo.keySet.removeIf(_._2 == q)
+    ()
+  }
+
   /** The persisted quantizer, driver-sized by construction. */
   def loadCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
-    s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    centroidMemo.computeIfAbsent(
+      (s, graft.operators.ServingSnapshot.qualified(indexDir)),
+      _ => s.read.parquet(s"$indexDir/centroids").orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray))
 
   /** The frozen MIPS augmentation constant, present iff the index was
     * built by [[buildMips]]. One row; its absence IS the IVF/MIPS
@@ -156,11 +182,14 @@ object VectorIndex {
     * the marker exists to prevent. Only the path-missing error class
     * maps to None; a corrupt or unreadable marker still throws. */
   private[graft] def loadMipsM2(s: SparkSession, indexDir: String): Option[Double] =
-    try Some(s.read.parquet(s"$indexDir/mips_m2").collect()(0).getDouble(0))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => None
-    }
+    mipsM2Memo.computeIfAbsent(
+      (s, graft.operators.ServingSnapshot.qualified(indexDir)),
+      _ =>
+        try Some(s.read.parquet(s"$indexDir/mips_m2").collect()(0).getDouble(0))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" => None
+        })
 
   /** Fold new vectors INTO an existing index under its FROZEN
     * quantizer — the ingest loop's growth step (see
@@ -238,6 +267,9 @@ object VectorIndex {
           org.apache.spark.sql.types.StructField("m2",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/mips_m2")
+    // the m2 marker lands AFTER buildIvf swept the dir's memos; rotate
+    // again so a lookup that raced the build tail can't pin None
+    invalidateMemos(indexDir)
   }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the
